@@ -1,0 +1,84 @@
+"""As-of join — the canonical tick-store operation.
+
+corintick users did this client-side with ``pandas.merge_asof`` after
+``read`` (SURVEY.md T-B12 †); here it is a distributed operator. Spark SQL
+has no native ASOF join, so we use the union+window technique:
+
+1. tag left (probe) and right (reference) rows, union them,
+2. one window per key ordered by (ts, tag, tiebreak) carries the latest
+   right-side values forward via ``last(..., ignoreNulls=True)``,
+3. keep only left rows.
+
+Scale properties: a single shuffle on the join key (same as any equi-join),
+no point lookups, no crossJoin; skewed keys are handled by AQE. This is the
+plan a 1000-executor cluster wants: both inputs hash-partitioned by key,
+windows evaluated within partitions after a sort — O(n log n) per key group,
+no O(n·m) range probing.
+
+Tie semantics: a right row at exactly ts == left.ts IS visible to that left
+row (inclusive as-of, matching pandas merge_asof(direction='backward') and
+DuckDB ASOF JOIN's ``>=``). Among right rows with equal ts, the one with the
+largest tiebreak column wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row (right.ts <= left.ts)
+    within the same `on` key group. Left rows with no prior right row get nulls
+    (left-asof semantics).
+
+    right_cols: right columns to carry (default: all non-key, non-ts).
+    tiebreak:   right column ordering ties at equal ts (e.g. an id column).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != ts]
+    carried = [ts] + ([tiebreak] if tiebreak and tiebreak not in right_cols else [])
+    carried = list(dict.fromkeys(carried + right_cols))
+
+    # Right rows sort before left rows at equal ts (tag 0 < 1) so an exact-ts
+    # match is visible; tiebreak orders equal-ts right rows.
+    l_tagged = left.withColumn("_tag", F.lit(1))
+    for c in carried:
+        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l_tagged.unionByName(r_tagged)
+    order: list[Column] = [F.col(ts).asc(), F.col("_tag").asc()]
+    if tiebreak:
+        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left.columns,
+        F.col("_tag"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in carried
+        ],
+    )
+    return filled.filter(F.col("_tag") == 1).drop("_tag")

@@ -1,0 +1,466 @@
+"""Tier B relational surface — joins T-B7..B14, aggregations T-B15..B20,
+sorts/top-k T-B27..B29, set ops T-B30..B31 (SURVEY.md §2.2).
+
+corintick has no joins or general aggregation (SURVEY.md §2.1 verdict —
+analytics happened client-side in pandas after `read` †); this module is the
+in-engine replacement. Scale notes inline: dimension joins broadcast, fact
+joins shuffle on their keys with AQE skew handling, aggregations are
+partial+final hash aggregates (map-side combine).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from corintick_spark.catalog import table
+from corintick_spark.exact import dsum, DSUM
+from corintick_spark.operators.asof import asof_join
+from corintick_spark.registry import query
+
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+# T-B7 — inner equi-join, fact⋈fact: shuffle join on orderkey (both sides
+# large at scale → sort-merge; AQE may demote to shuffled-hash).
+@query(
+    "join_inner",
+    sql=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {DSUM(REVENUE.replace('l_', 'l.l_'), 'revenue')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_inner(spark, sf_dir):
+    """Fact-to-fact inner equi-join + aggregation (revenue by priority)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.expr(REVENUE), "revenue"),
+        )
+    )
+
+
+# T-B8 — star join with broadcast dimensions: zero shuffles for the dim side.
+@query(
+    "join_broadcast",
+    sql=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_items,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Star join: fact lineitem against broadcast supplier→nation→region.
+    At 100 TB the dims stay a few MB — broadcasting removes every shuffle
+    except the final aggregation's."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.expr(REVENUE), "revenue"),
+        )
+    )
+
+
+# T-B9 — outer join keeping customers without orders.
+@query(
+    "join_outer",
+    sql=f"""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           {DSUM('o.o_totalprice', 'total_spend')}
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_outer(spark, sf_dir):
+    """Left outer join: order counts per customer including zero-order ones
+    (COUNT over nulls → 0, SUM over empty → NULL in both engines)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+    )
+
+
+# T-B10 — semi join: customers with ≥1 high-value open order.
+@query(
+    "join_semi",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderstatus = 'O' AND o.o_totalprice > 100000
+    )
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): no row multiplication, broadcastable probe."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    probe = o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+    return c.join(probe, c.c_custkey == probe.o_custkey, "leftsemi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# T-B10 — anti join: customers with no orders at all.
+@query(
+    "join_anti",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — corintick's overlap rejection inverted."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "leftanti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# T-B11 — non-equi range join bounded by an equi key (user_id) so the
+# cross-product stays within key groups — survives scale-up, unlike a pure
+# theta join.
+@query(
+    "join_range",
+    sql="""
+    SELECT a.event_id AS purchase_id, a.user_id,
+           COUNT(*) AS n_follow
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def join_range(spark, sf_dir):
+    """Range join: events within 1h after each purchase, per user. The equi
+    component (user_id) makes this a shuffled equi-join with a range residual,
+    not a BNLJ."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    )
+    cond = (
+        (a.user_id == b.b_user_id)
+        & (b.b_ts > a.a_ts)
+        & (b.b_ts <= a.a_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return a.join(b, cond).groupBy("purchase_id", "user_id").agg(
+        F.count("*").alias("n_follow")
+    )
+
+
+# T-B12 — as-of join via the union+window operator (operators/asof.py).
+@query(
+    "join_asof",
+    sql="""
+    SELECT v.event_id, v.user_id, v.ts,
+           p.event_id AS last_purchase_id,
+           p.ts       AS last_purchase_ts,
+           p.value    AS last_purchase_value
+    FROM events v
+    LEFT JOIN LATERAL (
+        SELECT e.event_id, e.ts, e.value
+        FROM events e
+        WHERE e.user_id = v.user_id
+          AND e.event_type = 'purchase'
+          AND e.ts <= v.ts
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT 1
+    ) p ON TRUE
+    WHERE v.event_type = 'view'
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each view ← latest prior purchase per user. corintick
+    users ran pandas.merge_asof after read (SURVEY.md T-B12 †); here it is
+    one shuffle + one window — no per-row lookups."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        ts="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+        prefix="p_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_event_id").alias("last_purchase_id"),
+        F.col("p_ts").alias("last_purchase_ts"),
+        F.col("p_value").alias("last_purchase_value"),
+    )
+
+
+# T-B15 — TPC-H Q1-style partial+final hash aggregation.
+@query(
+    "agg_basic",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity', 'sum_qty')},
+           {DSUM('l_extendedprice', 'sum_base_price')},
+           {DSUM('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_basic(spark, sf_dir):
+    """Pricing-summary aggregation (TPC-H Q1 shape) — map-side partial agg
+    then final agg, all in whole-stage codegen."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.expr("l_extendedprice * (1 - l_discount)")
+    charge = F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# T-B16 — distinct + count-distinct (expand + two-phase agg).
+@query(
+    "agg_distinct",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+# T-B17 — approx distinct (HLL++). Sketch output is engine-specific →
+# rows-only check (no oracle SQL).
+@query("agg_approx", sql=None)
+def agg_approx(spark, sf_dir):
+    """approx_count_distinct via HyperLogLog++ — the 100 TB path for
+    cardinality (fixed-size sketch, no expand)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# T-B18 — rollup with grouping id.
+@query(
+    "agg_rollup",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp,
+           COUNT(*) AS n_orders,
+           {DSUM('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical rollup (status → priority → grand total) with grouping id."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority").agg(
+            F.grouping_id().cast("bigint").alias("grp"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+# T-B19 — conditional aggregation.
+@query(
+    "agg_conditional",
+    sql=f"""
+    SELECT l_returnflag,
+           {DSUM("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END", 'discounted_rev')},
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(F.lit(0.0)),
+            "discounted_rev",
+        ),
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
+        F.count("*").alias("n"),
+    )
+
+
+# T-B20 — collect_list: per-uid series re-assembly (corintick chunk rebuild
+# analogue, serialization.py::build_dataframe †).
+@query(
+    "agg_collect",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           list_sort(list(value)) AS values_sorted
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_list("value")).alias("values_sorted"),
+    )
+
+
+# T-B28 — global top-k → TakeOrderedAndProject (no full sort at scale).
+@query(
+    "topk_global",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def topk_global(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+    )
+
+
+# T-B29 — top-k per group via ranking window.
+@query(
+    "topk_per_group",
+    sql="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer — single shuffle on the group key."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# T-B30/B31 — set operations.
+@query(
+    "set_ops",
+    sql="""
+    SELECT nationkey, 'intersect' AS op FROM (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'except' AS op FROM (
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+)
+def set_ops(spark, sf_dir):
+    """INTERSECT + EXCEPT of customer vs supplier nations, tagged and unioned."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    inter = c.intersect(s).withColumn("op", F.lit("intersect"))
+    exc = c.subtract(s).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design target (AQE on, skew-join handling,
+zstd parquet, broadcast threshold sized for dimension tables) while remaining
+correct on local[N]. All runtime-settable confs are also applied by
+`catalog.configure` so queries behave the same under a driver-provided
+session (the verify harness builds its own SparkSession).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that can be applied to an already-running session (dynamic).
+RUNTIME_CONFS: dict[str, str] = {
+    # Determinism: interpret naive parquet timestamps as UTC wall-clock so
+    # date_trunc/year/etc. match DuckDB's timezone-less timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # The events table stores TIMESTAMP(NANOS); Spark has no ns timestamp
+    # type, so read it as a raw int64 and derive a µs timestamp in catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime re-planning, partition coalescing, skew
+    # join splitting — all essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-interop path (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Dimension tables (region/nation/supplier/part/customer) stay far under
+    # this; broadcasting them removes shuffles from every star join.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "corintick-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    static = {
+        # On a real cluster shuffle partitions should be ~2-3x total cores
+        # (AQE coalesces down); locally cores is right.
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.default.parallelism": str(cpus),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }
+    for k, v in {**static, **RUNTIME_CONFS, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

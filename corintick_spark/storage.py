@@ -1,0 +1,163 @@
+"""TickStore — reference-parity storage layer (SURVEY.md §2.1, M1).
+
+corintick's API surface (all †, per SURVEY.md §0 convention):
+
+- ``Corintick.write(uid, df, **metadata)`` — chunk + serialize + insert_many
+  (api.py::Corintick.write, serialization.py::make_bson_doc)
+- ``Corintick.read(uid, start, end, columns)`` — index seek + projection +
+  concat + trim (api.py::Corintick.read, serialization.py::build_dataframe)
+- ``Corintick.list_uids()`` — server-side $group (api.py::Corintick.list_uids)
+
+Spark-first re-expression: one partitioned Parquet dataset per "collection".
+Chunking, per-column compression, and min/max chunk stats are Parquet-native
+(row groups + zstd + stats); the (uid, start, end) B-tree becomes Hive
+partition pruning on ``uid`` plus row-group stat skipping on ``ts``.
+
+Scale design: data is written ``partitionBy(uid)`` with
+``sortWithinPartitions(ts)`` so that (a) a single-uid range read prunes to
+one partition directory and then skips row groups by ts stats, and (b) full
+scans stream in time order per uid without a sort. For very high uid
+cardinality (100 TB, millions of uids) use ``bucket_uids=N`` to hash uids
+into N directories instead of one-dir-per-uid (avoids small-file explosion
+while keeping pruning ~N-fold effective).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+@dataclass
+class TickStore:
+    """A uid-keyed time-series dataset over partitioned Parquet."""
+
+    spark: SparkSession
+    root: str
+    uid_col: str = "uid"
+    ts_col: str = "ts"
+    bucket_uids: int | None = None  # hash uids into N dirs (high-cardinality)
+
+    # -- write path: api.py::Corintick.write † ------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        check_overlap: bool = False,
+        **metadata: str,
+    ) -> None:
+        """Append a frame. Mirrors corintick write: validates ts presence,
+        optionally detects overlap with existing data for the same uids
+        (api.py::Corintick.write † overlap warning), partitions by uid.
+        """
+        if self.uid_col not in df.columns or self.ts_col not in df.columns:
+            raise ValueError(f"frame must have {self.uid_col!r} and {self.ts_col!r}")
+        if check_overlap and self._exists():
+            overlaps = self.overlapping_uids(df)
+            if overlaps:
+                raise ValueError(
+                    f"write overlaps existing data for uids: {overlaps[:10]}"
+                )
+        part_col = self.uid_col
+        out = df
+        if self.bucket_uids:
+            part_col = "_uid_bucket"
+            out = out.withColumn(
+                part_col, F.pmod(F.xxhash64(F.col(self.uid_col)), F.lit(self.bucket_uids))
+            )
+        (
+            out.repartition(F.col(part_col))
+            .sortWithinPartitions(self.ts_col)
+            .write.mode(mode)
+            .partitionBy(part_col)
+            .parquet(self._data_dir())
+        )
+        if metadata:
+            self.put_metadata(metadata)
+
+    # -- read path: api.py::Corintick.read † --------------------------------
+    def read(
+        self,
+        uids: list | None = None,
+        start: str | datetime | None = None,
+        end: str | datetime | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """read(uid, start, end, columns): partition pruning on uid, pushed
+        ts range filter (row-group stats do the chunk-level prune), column
+        pruning — each the Catalyst analogue of the reference's index seek,
+        interval filter, and Mongo projection (api.py::Corintick.read †).
+        Range semantics inclusive of both ends, like DataFrame.loc[start:end].
+        """
+        df = self.spark.read.parquet(self._data_dir())
+        if self.bucket_uids and "_uid_bucket" in df.columns:
+            df = df.drop("_uid_bucket")
+        if uids is not None:
+            df = df.filter(F.col(self.uid_col).isin(list(uids)))
+        if start is not None:
+            df = df.filter(F.col(self.ts_col) >= F.lit(start).cast("timestamp"))
+        if end is not None:
+            df = df.filter(F.col(self.ts_col) <= F.lit(end).cast("timestamp"))
+        if columns is not None:
+            keep = [self.uid_col, self.ts_col] + [
+                c for c in columns if c not in (self.uid_col, self.ts_col)
+            ]
+            df = df.select(*keep)
+        return df
+
+    # -- catalog: api.py::Corintick.list_uids † -----------------------------
+    def list_uids(self) -> DataFrame:
+        """Per-uid doc-count/first/last — the $group pipeline, distributed."""
+        df = self.read()
+        return df.groupBy(self.uid_col).agg(
+            F.count("*").alias("n_rows"),
+            F.min(self.ts_col).alias("start"),
+            F.max(self.ts_col).alias("end"),
+        )
+
+    # -- overlap detection: api.py::Corintick.write † validation ------------
+    def overlapping_uids(self, new_df: DataFrame) -> list:
+        """Uids whose new [min ts, max ts] interval overlaps stored data —
+        an interval-overlap semi-join on per-uid extents (T-A13)."""
+        existing = self.list_uids()
+        incoming = new_df.groupBy(self.uid_col).agg(
+            F.min(self.ts_col).alias("new_start"), F.max(self.ts_col).alias("new_end")
+        )
+        hit = existing.join(
+            incoming,
+            (existing[self.uid_col] == incoming[self.uid_col])
+            & (existing["start"] <= incoming["new_end"])
+            & (existing["end"] >= incoming["new_start"]),
+            "leftsemi",
+        )
+        return [r[0] for r in hit.select(self.uid_col).collect()]
+
+    # -- metadata: api.py::Corintick.write † **metadata kwargs --------------
+    def put_metadata(self, kv: dict) -> None:
+        pdf = self.spark.createDataFrame(
+            [(str(k), str(v)) for k, v in kv.items()], "key string, value string"
+        )
+        pdf.write.mode("append").parquet(self._meta_dir())
+
+    def get_metadata(self) -> dict:
+        if not os.path.isdir(self._meta_dir()):
+            return {}
+        rows = self.spark.read.parquet(self._meta_dir()).collect()
+        return {r["key"]: r["value"] for r in rows}
+
+    # -- helpers -------------------------------------------------------------
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "_meta")
+
+    def _exists(self) -> bool:
+        d = self._data_dir()
+        return os.path.isdir(d) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(d)
+        )

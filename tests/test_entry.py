@@ -1,0 +1,21 @@
+"""Smoke test of the driver contract module."""
+
+from __future__ import annotations
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"r_name", "n_name", "n_items", "revenue"} <= set(df.columns)
+
+
+def test_queries_and_oracles_consistent():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(qs) >= 20

