@@ -15,6 +15,8 @@ which Spark cannot read natively, so we read it with
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
@@ -37,6 +39,40 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `corintick_spark` importable on executor Python workers.
+
+    Pandas UDFs / applyInPandas functions are pickled with references into
+    this package; workers spawn with their own sys.path (they do NOT inherit
+    the driver process's), so the package must travel via addPyFile — the
+    same mechanism that ships the library to a 1000-executor cluster.
+    Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stamp = max(
+        int(os.path.getmtime(os.path.join(r, f)))
+        for r, _, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py")
+    )
+    zpath = os.path.join(tempfile.gettempdir(), f"corintick_spark_{stamp}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(sc.applicationId)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs; safe on a session we didn't build (driver's)."""
     for k, v in RUNTIME_CONFS.items():
@@ -44,6 +80,7 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # static conf on a started session — keep going
             pass
+    _ship_package(spark)
     return spark
 
 

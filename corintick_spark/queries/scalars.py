@@ -1,1 +1,222 @@
-"""(populated in a later milestone)"""
+"""Tier B scalar function surface — T-B32..B38 (SURVEY.md §2.2).
+
+All JVM-side built-ins (whole-stage codegen, no Python in the hot path).
+Cross-engine determinism notes: computed integers are cast to BIGINT on both
+sides (Spark size()/year() return int32, DuckDB len()/year() return int64);
+transcendental results are rounded to 6 decimals (JVM vs libm may differ in
+the last ulp); plain +,-,*,/ and sqrt are IEEE-exact and left unrounded.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from corintick_spark.catalog import table
+from corintick_spark.registry import query
+
+
+# T-B32 — string functions.
+@query(
+    "scalar_string",
+    sql="""
+    SELECT doc_id,
+           lower(substr(text, 1, 20)) AS head,
+           upper(lang) AS lang_uc,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+           concat(lang, '-', source) AS lang_source,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS mentions_spark
+    FROM documents
+    """,
+)
+def scalar_string(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("head"),
+        F.upper("lang").alias("lang_uc"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint").alias("n_nonspace"),
+        F.concat(F.col("lang"), F.lit("-"), F.col("source")).alias("lang_source"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.when(F.col("text").like("%spark%"), F.lit(1)).otherwise(F.lit(0)).alias("mentions_spark"),
+    )
+
+
+# T-B33 — date/time functions.
+@query(
+    "scalar_date",
+    sql="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           o_orderdate + INTERVAL 90 DAY AS due_date
+    FROM orders
+    """,
+)
+def scalar_date(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+    )
+
+
+# T-B34 — math functions.
+@query(
+    "scalar_math",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 0.1, 4) AS fee,
+           abs(l_discount - 0.05) AS disc_dev,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           l_quantity * l_quantity AS qty_sq,
+           round(ln(1 + l_extendedprice), 6) AS log_price,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+)
+def scalar_math(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.1, 4).alias("fee"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.round(F.log(F.lit(1) + F.col("l_extendedprice")), 6).alias("log_price"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+    )
+
+
+# T-B35 — array higher-order functions over the embedding column.
+@query(
+    "scalar_array",
+    sql="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round((SELECT SUM(x*x) FROM UNNEST(CAST(embedding AS DOUBLE[])) t(x)), 6) AS norm_sq,
+           round((SELECT SUM(x) FROM UNNEST(CAST(embedding AS DOUBLE[])) t(x)) / len(embedding), 6) AS avg_pool,
+           CAST(embedding[1] AS DOUBLE) AS first_comp,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def scalar_array(spark, sf_dir):
+    """Vector ops as columns (T-B51): norm, avg-pool, filter — all JVM-side
+    higher-order functions, no UDF."""
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(
+            F.expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"),
+            6,
+        ).alias("norm_sq"),
+        F.round(
+            F.expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)")
+            / F.size("embedding"),
+            6,
+        ).alias("avg_pool"),
+        F.element_at(dbl, 1).alias("first_comp"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
+
+
+# T-B36 — map functions (map built in-flight; oracle checks the extracted
+# scalars, the portable part of map semantics).
+@query(
+    "scalar_map",
+    sql="""
+    SELECT event_id,
+           value AS base,
+           value * 2 AS doubled,
+           CAST(2 AS BIGINT) AS n_keys
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scalar_map(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("base"), F.col("value"), F.lit("doubled"), F.col("value") * 2
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("m", m)
+        .select(
+            "event_id",
+            F.element_at(F.col("m"), "base").alias("base"),
+            F.element_at(F.col("m"), "doubled").alias("doubled"),
+            F.size(F.map_keys(F.col("m"))).cast("bigint").alias("n_keys"),
+        )
+    )
+
+
+# T-B37 — JSON extraction from events.props.
+@query(
+    "scalar_json",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def scalar_json(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_bucket"),
+    )
+
+
+# T-B38 — conditional expressions.
+@query(
+    "scalar_cond",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN 'hi'
+                WHEN l_discount > 0.02 THEN 'mid'
+                ELSE 'lo' END AS disc_band,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+           CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS is_bulk
+    FROM lineitem
+    """,
+)
+def scalar_cond(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, F.lit("hi"))
+        .when(F.col("l_discount") > 0.02, F.lit("mid"))
+        .otherwise(F.lit("lo"))
+        .alias("disc_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.when(F.col("l_quantity") > 25, F.lit(1)).otherwise(F.lit(0)).alias("is_bulk"),
+    )

@@ -1,1 +1,140 @@
-"""(populated in a later milestone)"""
+"""Tier B UDF/UDAF/UDTF surface — T-B44..B47 (SURVEY.md §2.2).
+
+The escape hatch for semantics built-ins can't express — always Arrow-batched
+pandas UDFs (vectorized, ~10-100x row-at-a-time Python), never per-row
+Python UDFs. The grouped-map form is the direct home for corintick's
+"read one uid, compute on its frame in pandas" workflow
+(api.py::Corintick.read † returning a per-uid pandas DataFrame): the same
+user code, but Spark ships it to the data per key group instead of pulling
+data to the client.
+
+Oracle note: each UDF computes only IEEE-exact arithmetic (+,-,*,/,sqrt,
+min/max) so results hash-match the SQL mirror bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf
+
+from corintick_spark.catalog import table
+from corintick_spark.registry import query
+
+
+# T-B44 — vectorized scalar UDF. (pandas_udf construction is deferred into
+# the query functions: the decorator requires an active SparkSession.)
+def _score_udf():
+    @pandas_udf("double")
+    def _score(value: pd.Series) -> pd.Series:
+        return value * 0.5 + np.sqrt(np.abs(value))
+
+    return _score
+
+
+@query(
+    "udf_scalar",
+    sql="""
+    SELECT event_id, value,
+           value * 0.5 + sqrt(abs(value)) AS score
+    FROM events
+    """,
+)
+def udf_scalar(spark, sf_dir):
+    """Arrow-batched scalar pandas UDF (SNIPPETS.md [1] pattern)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", "value", _score_udf()("value").alias("score"))
+
+
+# T-B45 — grouped-aggregate pandas UDFs (Spark disallows mixing grouped-agg
+# pandas UDFs with built-in aggregates in one agg, so count is a UDF too).
+def _vrange_udf():
+    @pandas_udf("double")
+    def _vrange(value: pd.Series) -> float:
+        return float(value.max() - value.min())
+
+    return _vrange
+
+
+def _vcount_udf():
+    @pandas_udf("long")
+    def _vcount(value: pd.Series) -> int:
+        return int(len(value))
+
+    return _vcount
+
+
+@query(
+    "udf_grouped_agg",
+    sql="""
+    SELECT user_id,
+           MAX(value) - MIN(value) AS value_range,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Grouped-agg pandas UDF (SNIPPETS.md [2] pattern) — partial results
+    flow through the same hash-agg shuffle as built-ins."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        _vrange_udf()("value").alias("value_range"),
+        _vcount_udf()("value").alias("n"),
+    )
+
+
+# T-B46 — grouped-map: per-uid frame → frame.
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    rng = hi - lo
+    pdf = pdf[["user_id", "event_id", "value"]].copy()
+    pdf["value_norm"] = 0.0 if rng == 0 else (pdf["value"] - lo) / rng
+    return pdf
+
+
+@query(
+    "udf_grouped_map",
+    sql="""
+    SELECT user_id, event_id, value,
+           CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+                ELSE (value - MIN(value) OVER w)
+                     / (MAX(value) OVER w - MIN(value) OVER w)
+           END AS value_norm
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """applyInPandas per uid (SNIPPETS.md [3] pattern) — corintick's
+    'read(uid) then compute in pandas' loop, distributed per key group."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        _normalize, schema="user_id long, event_id long, value double, value_norm double"
+    )
+
+
+# T-B47 — UDTF-style row generation: explode with position.
+@query(
+    "udtf_explode",
+    sql="""
+    SELECT vec_id,
+           UNNEST(range(len(embedding))) AS pos,
+           CAST(UNNEST(embedding) AS DOUBLE) AS comp
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def udtf_explode(spark, sf_dir):
+    """posexplode of the embedding vector — 1 row in, 64 rows out."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "comp"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("comp").cast("double").alias("comp"),
+        )
+    )

@@ -1,1 +1,199 @@
-"""(populated in a later milestone)"""
+"""Tier B window functions — T-B21..B26 (SURVEY.md §2.2).
+
+The pandas post-`read` idioms from the reference's workflow (rolling stats,
+cumulative aggregates, resampling — README demos †) moved in-engine as Spark
+window functions: one shuffle on the partition key, sort within partitions,
+then a single pass. Ordering always includes a unique tiebreak (event_id /
+orderkey) so results are deterministic and oracle-comparable.
+
+Float discipline: windowed sums accumulate in DECIMAL (exact.wsum) — running
+double sums would diverge from DuckDB in the last ulps.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from corintick_spark.catalog import table
+from corintick_spark.exact import wsum, WSUM
+from corintick_spark.operators.resample import resample_ohlc as _resample
+from corintick_spark.registry import query
+
+
+# T-B21 — ranking functions.
+@query(
+    "window_rank",
+    sql="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    """row_number/rank/dense_rank/ntile per priority group."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+# T-B22 — lag/lead per series: tick-to-tick deltas.
+@query(
+    "window_lag",
+    sql="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - LAG(value) OVER w AS delta,
+           LAG(ts) OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag(spark, sf_dir):
+    """Per-uid lag/lead — corintick users' df.diff()/shift() after read †."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+
+
+# T-B23 — rolling rows-frame aggregates.
+@query(
+    "window_rolling",
+    sql=f"""
+    SELECT event_id, user_id, value,
+           {WSUM('value', 'w')} AS roll_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+           CAST(MAX(value) OVER w AS DOUBLE) AS roll_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling(spark, sf_dir):
+    """5-tick rolling sum/count/max per uid (pandas .rolling(5) analogue †)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        wsum("value", w).alias("roll_sum"),
+        F.count("*").over(w).cast("bigint").alias("roll_n"),
+        F.max("value").over(w).cast("double").alias("roll_max"),
+    )
+
+
+# T-B24 — time-range frame: trailing 1h stats at every tick.
+@query(
+    "window_vwap",
+    sql=f"""
+    SELECT event_id, user_id, ts,
+           {WSUM('value', 'w')} AS sum_1h,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           {WSUM('value', 'w')} / COUNT(*) OVER w AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_vwap(spark, sf_dir):
+    """Trailing-1h rolling aggregate per uid over irregular ticks — a
+    rangeBetween frame on the µs epoch (pandas .rolling('1H') analogue †)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    s = wsum("value", w)
+    n = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        s.alias("sum_1h"),
+        n.cast("bigint").alias("n_1h"),
+        (s / n).alias("avg_1h"),
+    )
+
+
+# T-B25 — cumulative aggregates per series.
+@query(
+    "window_cumsum",
+    sql=f"""
+    SELECT event_id, user_id, ts,
+           {WSUM('value', 'w')} AS cum_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cum_n,
+           CAST(MIN(value) OVER w AS DOUBLE) AS cum_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_cumsum(spark, sf_dir):
+    """Running sum/count/min per uid (pandas .cumsum() analogue †)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        wsum("value", w).alias("cum_sum"),
+        F.count("*").over(w).cast("bigint").alias("cum_n"),
+        F.min("value").over(w).cast("double").alias("cum_min"),
+    )
+
+
+# T-B26 — resample to OHLC bars (operators/resample.py).
+@query(
+    "resample_ohlc",
+    sql=f"""
+    SELECT user_id, date_trunc('hour', ts) AS bucket,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def resample_ohlc(spark, sf_dir):
+    """Hourly OHLC bars per uid — the canonical tick-store downsample
+    (pandas df.resample('1H').ohlc() after corintick read †), as one
+    map-side-combining hash aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return _resample(ev, key="user_id", ts="ts", value="value", freq="hour")
