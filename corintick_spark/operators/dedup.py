@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-bounded (no O(n²) over the corpus):
+
+- exact_dedup        — content-hash groupBy; one shuffle on the hash.
+- minhash_lsh_pairs  — MinHash signatures + LSH banding: candidate pairs
+                       meet only inside band buckets (the classic
+                       Broder/LSH construction); verification computes true
+                       shingle Jaccard on candidates only.
+- simhash_pairs      — 64-bit SimHash (Charikar) with Hamming-ball banding:
+                       pairs within distance d must share one of d+1 signature
+                       chunks (pigeonhole), so candidate generation is an
+                       equi-join on chunks.
+- ngram_jaccard_pairs — exact token-set Jaccard within an equi-partition
+                       (e.g. same source) — the small-blocks baseline.
+
+Everything is built from JVM-side higher-order functions (split/transform/
+aggregate/xxhash64); no Python in the hot path. At 100 TB the only shuffles
+are groupBy(hash) and the band-bucket self-joins, each keyed well-distributed
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def tokenize(df: DataFrame, text: str = "text", out: str = "words") -> DataFrame:
+    """Whitespace tokens, empty strings dropped (JVM split, no UDF)."""
+    return df.withColumn(
+        out, F.expr(f"filter(split({text}, ' '), x -> x != '')")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup by content hash: keep the minimum id per distinct text.
+
+    groupBy(sha256) — a single well-distributed shuffle; at 100 TB prefer
+    this over groupBy(text) so shuffle keys are fixed-width 32-byte values
+    rather than full documents.
+    """
+    return (
+        df.withColumn("text_hash", F.sha2(F.col(text), 256))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text: str = "text", k: int = 3, out: str = "shingles") -> DataFrame:
+    """Distinct k-word shingles per document (JVM transform over the token
+    array; documents shorter than k words contribute their full token string
+    as a single shingle so they still participate)."""
+    toks = tokenize(df, text, "_toks")
+    return toks.withColumn(
+        out,
+        F.expr(
+            f"""array_distinct(
+                CASE WHEN size(_toks) < {k}
+                     THEN array(concat_ws(' ', _toks))
+                     ELSE transform(sequence(0, size(_toks) - {k}),
+                                    i -> concat_ws(' ', slice(_toks, i + 1, {k})))
+                END)"""
+        ),
+    ).drop("_toks")
+
+
+def minhash_signature(
+    df: DataFrame, shingle_col: str = "shingles", num_hashes: int = 32, out: str = "sig"
+) -> DataFrame:
+    """MinHash signature: sig[j] = min over shingles of xxhash64(j, shingle).
+
+    Seeding by prepending the hash index gives num_hashes independent hash
+    families from one xxhash64 kernel — all codegen'd JVM work.
+    """
+    return df.withColumn(
+        out,
+        F.expr(
+            f"""transform(sequence(0, {num_hashes - 1}),
+                          j -> array_min(transform({shingle_col}, s -> xxhash64(j, s))))"""
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with true
+    shingle Jaccard.
+
+    Plan shape (scale path): signature computation is a narrow map; banding
+    explodes to `bands` rows/doc; candidate generation is an equi-join on
+    (band_id, band_hash) — only same-bucket docs ever meet; verification
+    joins shingle sets back on the candidate ids only. No crossJoin anywhere.
+    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(shingles(df, text, k), "shingles", num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {bands - 1}),
+                              b -> xxhash64(concat_ws(',',
+                                   transform(slice(sig, b * {rows} + 1, {rows}),
+                                             x -> CAST(x AS STRING)))))"""
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a_id"),
+        F.col("shingles").alias("a_sh"),
+        "band_id",
+        "band_hash",
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"),
+        F.col("shingles").alias("b_sh"),
+        "band_id",
+        "band_hash",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    jac = cand.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("a_sh", "b_sh"))
+        / F.size(F.array_union("a_sh", "b_sh")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
+
+
+def simhash(df: DataFrame, text: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit Charikar SimHash over whitespace tokens.
+
+    bit_k(doc) = sign of sum over tokens of ±1 where the sign is bit k of
+    xxhash64(token). Computed as a 64-lane vote accumulated with zip_with —
+    one pass over the token array, all JVM-side.
+    """
+    toks = tokenize(df, text, "_toks")
+    votes = F.expr(
+        """aggregate(
+               _toks,
+               array_repeat(0L, 64),
+               (acc, t) -> zip_with(acc,
+                                    transform(sequence(0, 63),
+                                              k -> CASE WHEN (shiftright(xxhash64(t), k) & 1L) = 1L
+                                                        THEN 1L ELSE -1L END),
+                                    (a, v) -> a + v))"""
+    )
+    bits = F.expr(
+        """aggregate(
+               transform(sequence(0, 63),
+                         k -> CASE WHEN element_at(_votes, k + 1) > 0
+                                   THEN shiftleft(1L, k) ELSE 0L END),
+               0L, (a, x) -> a | x)"""
+    )
+    return (
+        toks.withColumn("_votes", votes)
+        .withColumn(out, bits)
+        .drop("_toks", "_votes")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into max_hamming+1 chunks;
+    any pair within distance d agrees exactly on ≥1 chunk, so candidates are
+    an equi-join on (chunk_id, chunk_value) — never a crossJoin.
+    Returns (a_id, b_id, hamming).
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = simhash(df, text)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {chunks - 1}),
+                              c -> shiftright(simhash, c * {width})
+                                   & {(1 << width) - 1}L)"""
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sig"), "chunk_id", "chunk_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sig"), "chunk_id", "chunk_val"
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = cand.withColumn("hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))))
+    return ham.filter(F.col("hamming") <= max_hamming).select("a_id", "b_id", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard for all pairs within a blocking key.
+
+    The baseline exact method: only valid when blocks stay small (the block
+    join is quadratic per block). At scale prefer minhash_lsh_pairs and use
+    this for verification inside buckets.
+    """
+    words = tokenize(df, text, "words").select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.array_distinct("words").alias("wset"),
+    )
+    a = words.select(
+        F.col("_blk"), F.col(id_col).alias("a_id"), F.col("wset").alias("a_w")
+    )
+    b = words.select(
+        F.col("_blk"), F.col(id_col).alias("b_id"), F.col("wset").alias("b_w")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("a_id") < F.col("b_id"))
+    jac = pairs.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("a_w", "b_w")) / F.size(F.array_union("a_w", "b_w")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")

@@ -1,0 +1,107 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+Design (SURVEY.md / north_star "multimodal columns"): media travels as a
+``binary`` column next to typed metadata columns; decode / feature-extract /
+resize / frame-sample run as Arrow-batched functions over ``mapInPandas`` —
+the plumbing (schema, batch iteration, partition sizing) is real and tested;
+the actual codecs are STUBBED because image/audio libraries are not in this
+container. Each stub raises NotImplementedError unless ``fake=True``, in
+which case it derives deterministic metadata from the bytes so the Spark-side
+contract can be exercised end-to-end.
+
+Scale notes: binary payloads make rows wide — repartition so batches stay
+within executor memory (``target_rows_per_batch``), and never collect
+payloads to the driver. mapInPandas streams Arrow record batches, so peak
+memory is one batch per core, not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, format string"
+)
+
+
+def attach_payload(df: DataFrame, text: str = "text", out: str = "payload") -> DataFrame:
+    """Demo payload: utf-8 bytes of the text column (stands in for real media
+    bytes; schema/partitioning behavior is identical)."""
+    return df.withColumn(out, F.encode(F.col(text), "utf-8"))
+
+
+def decode_image_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    fake: bool = False,
+    target_rows_per_batch: int = 1024,
+) -> DataFrame:
+    """Extract (width, height, format) from an image payload column.
+
+    Real decode would use PIL/libvips here — not present in this container,
+    so ``fake=True`` derives deterministic pseudo-metadata from byte length;
+    ``fake=False`` raises NotImplementedError (clearly-marked stub).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires PIL/libvips (not in container); "
+                    "pass fake=True to exercise the plumbing"
+                )
+            n = pdf[payload].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n,
+                    "width": (n % 640 + 1).astype("int64"),
+                    "height": (n % 480 + 1).astype("int64"),
+                    "format": ["fake/raw"] * len(pdf),
+                }
+            )
+
+    prepared = df.select(id_col, payload)
+    return prepared.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    every_n: int = 10,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample every-Nth 'frame' of a video payload → one row per frame.
+
+    Stub codec: with fake=True, frames are fixed-size byte slices; real
+    implementation would use pyav/ffmpeg (not in container).
+    """
+    schema = "doc_id long, frame_idx long, frame binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "video decoding requires pyav/ffmpeg (not in container); "
+                    "pass fake=True to exercise the plumbing"
+                )
+            out_ids, out_idx, out_frames = [], [], []
+            for _, row in pdf.iterrows():
+                blob = row[payload]
+                chunk = max(1, every_n)
+                for i, off in enumerate(range(0, len(blob), chunk * 16)):
+                    out_ids.append(int(row[id_col]))
+                    out_idx.append(i)
+                    out_frames.append(bytes(blob[off : off + 16]))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=schema)

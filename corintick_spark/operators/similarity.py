@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute_force_topk — exact cosine top-k of a (small) query set against the
+  corpus: broadcast the queries, one pass over the corpus, per-query heap
+  via window row_number. Cost O(|corpus|·|queries|) — the right plan when
+  queries fit in a broadcast (the common "probe" shape).
+- lsh_topk — random-hyperplane LSH (sign-random-projection): bucket both
+  sides by signature bands, search only within buckets. Approximate, but
+  corpus-vs-corpus scale path: the join is an equi-join on band values, so
+  at 100 TB it shuffles on well-distributed hash keys instead of exploding
+  a crossJoin.
+
+Dot products / norms are JVM higher-order functions over the arrays —
+vectorized codegen, no Python. Hyperplane components are pseudo-random ±1
+derived from xxhash64(j, d) so the whole operator is deterministic with no
+driver-side randomness to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+
+
+def _norm2(a: str) -> Column:
+    return F.expr(
+        f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query. Returns (q_id, c_id, score, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm2(vec_col).alias("q_n2"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm2(vec_col).alias("c_n2"),
+    )
+    score = _dot("q_vec", "c_vec") / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2")))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        pairs.select(
+            "q_id", "c_id", "score", F.row_number().over(w).cast("bigint").alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def srp_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nbits: int = 16,
+    dim: int = 64,
+    out: str = "srp_sig",
+) -> DataFrame:
+    """Sign-random-projection signature: bit j = sign(<v, r_j>) with
+    r_j[d] = ±1 from xxhash64(j, d). Deterministic, shipped as codegen."""
+    return df.withColumn(
+        out,
+        F.expr(
+            f"""transform(sequence(0, {nbits - 1}),
+                  j -> CASE WHEN aggregate(
+                           zip_with({vec_col}, sequence(0, {dim - 1}),
+                               (x, d) -> CAST(x AS DOUBLE)
+                                         * CASE WHEN pmod(xxhash64(j, d), 2) = 0
+                                                THEN 1D ELSE -1D END),
+                           0D, (s, v) -> s + v) >= 0D
+                       THEN 1 ELSE 0 END)"""
+        ),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates must share >=1 LSH signature band
+    (equi-join on (band_id, band_bits)), then exact re-score within
+    candidates. Recall rises with bands; cost stays shuffle-bounded."""
+    width = nbits // bands
+    band_expr = F.expr(
+        f"""transform(sequence(0, {bands - 1}),
+              b -> concat_ws('', transform(slice(srp_sig, b * {width} + 1, {width}),
+                                           x -> CAST(x AS STRING))))"""
+    )
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            srp_signature(df, vec_col, nbits, dim)
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                _norm2(vec_col).alias(f"{prefix}_n2"),
+                F.posexplode(band_expr).alias("band_id", "band_bits"),
+            )
+        )
+
+    qb = prep(queries, "q")
+    cb = prep(corpus, "c")
+    cand = (
+        qb.join(cb, ["band_id", "band_bits"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    score = _dot("q_vec", "c_vec") / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2")))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        cand.withColumn("score", score)
+        .select(
+            "q_id", "c_id", "score", F.row_number().over(w).cast("bigint").alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )

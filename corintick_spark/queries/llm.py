@@ -1,1 +1,307 @@
-"""(populated in a later milestone)"""
+"""LLM-data-pipeline queries — T-B48..B53 + training-pipeline extensions
+(SURVEY.md §2.2; north_star mandate: dedup, similarity search, multimodal
+columns, text analysis as first-class operators).
+
+Implementations live in operators/{dedup,similarity,text,multimodal}.py;
+this module binds them to the driver's testdata tables with DuckDB oracles
+where SQL-expressible (MinHash/SimHash/LSH banding are hash-construction
+specific → rows-only per the driver contract).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from corintick_spark.catalog import table
+from corintick_spark.operators import dedup as D
+from corintick_spark.operators import multimodal as M
+from corintick_spark.operators import similarity as S
+from corintick_spark.operators import text as T
+from corintick_spark.registry import query
+
+
+# T-B48 — exact dedup by content hash.
+@query(
+    "dedup_exact",
+    sql="""
+    SELECT sha256(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: groupBy(sha256(text)) keeping min doc_id."""
+    d = table(spark, sf_dir, "documents")
+    return D.exact_dedup(d)
+
+
+# T-B49 — MinHash+LSH near-dup (hash-construction specific → rows-only).
+@query("dedup_minhash", sql=None)
+def dedup_minhash(spark, sf_dir):
+    """Near-dup candidate pairs via 32-hash MinHash, 8-band LSH, verified
+    with true shingle Jaccard >= 0.3 (operators/dedup.py::minhash_lsh_pairs)."""
+    d = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, k=3, num_hashes=32, bands=8, threshold=0.3)
+
+
+# SimHash near-dup (training-pipeline extension; rows-only).
+@query("dedup_simhash", sql=None)
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash pairs with Hamming <= 6 via pigeonhole chunk banding."""
+    d = table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=6)
+
+
+# n-gram Jaccard within a blocking key — exact, oracle-checkable.
+@query(
+    "dedup_ngram",
+    sql="""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS wset
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.wset, b.wset))
+               / len(list_distinct(a.wset || b.wset)) AS jaccard
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.wset, b.wset))
+              / len(list_distinct(a.wset || b.wset)) >= 0.5
+    """,
+)
+def dedup_ngram(spark, sf_dir):
+    """Exact word-set Jaccard >= 0.5 for doc pairs sharing a source."""
+    d = table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5)
+
+
+# T-B50 — brute-force cosine top-k (exact baseline).
+@query(
+    "similarity_topk",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), pairs AS (
+        SELECT q.q_id, c.c_id,
+               ROUND(list_inner_product(q.e, c.e)
+                     / (SQRT(list_inner_product(q.e, q.e))
+                        * SQRT(list_inner_product(c.e, c.e))), 6) AS score
+        FROM c, q WHERE q.q_id != c.c_id
+    ), ranked AS (
+        SELECT q_id, c_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, c_id
+               ) AS BIGINT) AS "rank"
+        FROM pairs
+    )
+    SELECT q_id, c_id, score, "rank" FROM ranked WHERE "rank" <= 5
+    """,
+)
+def similarity_topk(spark, sf_dir):
+    """Exact cosine top-5 for 10 probe vectors against the corpus —
+    broadcast probes, one corpus pass (operators/similarity.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+# T-B50 scale path — LSH-bucketed ANN (rows-only: hash-construction specific).
+@query("similarity_lsh", sql=None)
+def similarity_lsh(spark, sf_dir):
+    """Approximate cosine top-5 via sign-random-projection LSH banding —
+    the corpus-vs-corpus scale path (equi-join on signature bands)."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e.filter(F.col("vec_id") < 10), e, k=5, nbits=16, bands=4)
+
+
+# T-B52 — word count (explode + agg).
+@query(
+    "text_wordcount",
+    sql="""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        FROM documents
+    )
+    GROUP BY w
+    """,
+)
+def text_wordcount(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        D.tokenize(d)
+        .select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# Quality scoring (C4/Gopher-style heuristics; exact arithmetic).
+@query(
+    "text_quality",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','to','and','in','is','for','on','with'))) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           n_words, n_chars_calc,
+           n_stop / n_words AS stop_ratio,
+           n_alpha / n_chars_calc AS alpha_ratio,
+           length(replace(text, ' ', '')) / n_words AS avg_word_len,
+           least(n_words / 100.0, 1.0) * 0.4
+               + (n_stop / n_words) * 0.3
+               + (n_alpha / n_chars_calc) * 0.3 AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Length/stopword/alpha-ratio quality features + composite score."""
+    d = table(spark, sf_dir, "documents")
+    return T.quality_features(d).select(
+        "doc_id",
+        "n_words",
+        "n_chars_calc",
+        "stop_ratio",
+        "alpha_ratio",
+        "avg_word_len",
+        "quality_score",
+    )
+
+
+# Token counting + order-sensitive fingerprint.
+@query(
+    "text_tokens",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+               list_filter(string_split(text, ' '), x -> x != '') AS words
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, n_tokens,
+               unnest(words) AS w,
+               generate_subscripts(words, 1) AS i
+        FROM toks
+    )
+    SELECT doc_id,
+           ANY_VALUE(n_tokens) AS n_tokens,
+           CAST(SUM(CAST(i AS BIGINT) * length(w)) % 1000000007 AS BIGINT) AS fingerprint
+    FROM pos
+    GROUP BY doc_id
+    """,
+)
+def text_tokens(spark, sf_dir):
+    """BPE-ish regex token count + positional rolling fingerprint."""
+    d = table(spark, sf_dir, "documents")
+    return T.token_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        T.fingerprint(d).alias("fingerprint"),
+    )
+
+
+# Language-ID heuristic (marker-word voting) — exact argmax, oracle-able.
+_LANG_SQL_SCORES = ",\n".join(
+    f"""CAST(len(list_filter(string_split(text, ' '),
+        x -> x IN ({','.join(f"'{m}'" for m in sorted_markers)}))) AS BIGINT) AS s_{lang}"""
+    for lang, sorted_markers in sorted(
+        (lang, markers) for lang, markers in T.LANG_MARKERS.items()
+    )
+)
+
+
+@query(
+    "text_langid",
+    sql=f"""
+    WITH s AS (
+        SELECT doc_id, lang AS lang_label,
+               {_LANG_SQL_SCORES}
+        FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_guess
+    FROM s
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-word-voting language ID (deterministic argmax, lexicographic
+    tiebreak) next to the ground-truth label column."""
+    d = table(spark, sf_dir, "documents")
+    return T.lang_id(d).select(
+        "doc_id", F.col("lang").alias("lang_label"), "lang_guess"
+    )
+
+
+# T-B53 — multimodal row: text + embedding + metadata joined 1:1.
+@query(
+    "multimodal_join",
+    sql="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           e.label,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           ROUND(SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[]))), 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join(spark, sf_dir):
+    """Documents ⋈ embeddings on id — one multimodal row per document."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(
+                F.sqrt(
+                    F.expr(
+                        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)"
+                    )
+                ),
+                6,
+            ).alias("emb_norm"),
+        )
+    )
+
+
+# Multimodal decode plumbing: binary payload → metadata via mapInPandas
+# (fake codec — deterministic from byte length, so fully oracle-checkable).
+@query(
+    "multimodal_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+           'fake/raw' AS format
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """Binary-column decode plumbing: encode text→bytes, mapInPandas over
+    Arrow batches extracting metadata (codec stubbed — container has no
+    image libs; byte-derived fake keeps the contract testable)."""
+    d = table(spark, sf_dir, "documents")
+    return M.decode_image_meta(M.attach_payload(d), fake=True)

@@ -1,1 +1,109 @@
-"""(populated in a later milestone)"""
+"""Storage round-trip queries — T-A2/T-B2/T-B3 (SURVEY.md §2).
+
+The reference's core guarantee is the write→read round-trip
+(tests/test_corintick.py † writes a frame, reads it back, asserts equality —
+SURVEY.md §5). Here: write a derived frame through TickStore's partitioned
+parquet path, read it back with uid/range/column pruning, and let the DuckDB
+oracle recompute the same result from the source table — proving the store
+is lossless AND the read path filters correctly.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from corintick_spark.catalog import table
+from corintick_spark.registry import query
+from corintick_spark.storage import TickStore
+
+
+@query(
+    "write_roundtrip",
+    sql="""
+    SELECT CAST(user_id AS VARCHAR) AS uid,
+           date_trunc('hour', ts) AS ts,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           COUNT(*) AS volume
+    FROM events
+    WHERE user_id IN (1, 2, 3)
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def write_roundtrip(spark, sf_dir):
+    """Chunked write + indexed read-back (api.py::Corintick.write/read †):
+    derive hourly OHLC bars per uid from events, write via TickStore
+    (partitionBy uid, sortWithinPartitions ts), read back a uid subset with
+    column pruning, compare against recomputing from source."""
+    ev = table(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("uid"),
+            F.date_trunc("hour", F.col("ts")).alias("ts"),
+        )
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="tickstore_rt_")
+    store = TickStore(spark, root)
+    store.write(bars, mode="overwrite")
+    out = store.read(uids=["1", "2", "3"], columns=["open", "high", "low", "close", "volume"])
+    # partition column comes back as the partition directory's string value
+    return out.select(
+        F.col("uid").cast("string").alias("uid"),
+        "ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+@query(
+    "ingest_json",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MIN(CAST(epoch_us(ts) AS BIGINT)) AS first_us
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ingest_json(spark, sf_dir):
+    """JSON ingestion (T-B2): export events to JSON lines, re-read with an
+    explicit schema (schema-on-read — no inference pass at scale), aggregate.
+    Proves the text-source path is lossless for the carried columns."""
+    ev = table(spark, sf_dir, "events")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="ingest_json_"), "events_json")
+    (
+        ev.select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .json(out_dir)
+    )
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double"
+    ).json(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        F.min("ts_us").alias("first_us"),
+    )

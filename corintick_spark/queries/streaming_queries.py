@@ -1,1 +1,143 @@
-"""(populated in a later milestone)"""
+"""Structured Streaming queries — T-B4, T-B39..B43 (SURVEY.md §2.2).
+
+Each replays events.parquet as a file stream (streaming/events_stream.py)
+and runs to completion with Trigger.AvailableNow. Because the replay is a
+single file (one micro-batch), watermarking drops nothing, so tumbling/
+sliding/session/dedup results equal their batch equivalents — giving these
+streaming queries full DuckDB oracles instead of the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from corintick_spark.exact import DSUM
+from corintick_spark.registry import query
+from corintick_spark.streaming.events_stream import events_stream, run_to_memory
+
+
+# T-B39/B40 — watermark + tumbling window counts.
+@query(
+    "stream_counts",
+    sql=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+           event_type,
+           COUNT(*) AS n,
+           {DSUM('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_counts(spark, sf_dir):
+    """Tumbling 1h windowed aggregation over the replayed event stream with
+    a 10-minute watermark."""
+    src = events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, spark)
+    return out.select(
+        F.col("w.start").alias("ws"), "event_type", "n", "total_value"
+    )
+
+
+# T-B41 — sliding window (1h window, 15m slide → 4 windows per event).
+@query(
+    "stream_sliding",
+    sql="""
+    SELECT make_timestamp(CAST(epoch_us(ts) // 900000000 * 900000000
+                               - k * 900000000 AS BIGINT)) AS ws,
+           event_type,
+           COUNT(*) AS n
+    FROM events, (SELECT unnest(range(4)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding-window counts: each event lands in 4 overlapping windows."""
+    src = events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, spark)
+    return out.select(F.col("w.start").alias("ws"), "event_type", "n")
+
+
+# T-B42 — session windows (30-minute gap) per user.
+@query(
+    "stream_session",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM ids
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Session-window aggregation (30-minute inactivity gap) per user —
+    the stateful operator corintick had no analogue for; oracle is the
+    classic gaps-and-islands SQL."""
+    src = events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, spark)
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n",
+    )
+
+
+# T-B43 — stateful streaming dedup.
+@query(
+    "stream_dedup",
+    sql=f"""
+    SELECT event_type,
+           COUNT(DISTINCT event_id) AS n_unique,
+           {DSUM('value', 'total_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Stateful dedup: the stream unioned with itself (every event arrives
+    twice) then dropDuplicatesWithinWatermark on event_id — final counts
+    must equal the distinct counts of the source."""
+    src = events_stream(spark, sf_dir)
+    doubled = src.unionByName(src)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+    out = run_to_memory(agg, spark)
+    return out.select("event_type", "n_unique", "total_value")

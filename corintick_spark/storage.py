@@ -24,12 +24,14 @@ while keeping pruning ~N-fold effective).
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
+from pyspark.sql.types import StructType
 
 
 @dataclass
@@ -76,6 +78,15 @@ class TickStore:
             .partitionBy(part_col)
             .parquet(self._data_dir())
         )
+        # Schema sidecar: partition-directory values lose their type (Spark
+        # re-infers them on read — a string uid '3' comes back as int), the
+        # corintick dtype round-trip guarantee (serialization.py † dtype
+        # strings) needs the written schema recorded. Local-FS write; on a
+        # real cluster this sidecar lives next to the dataset via the
+        # hadoop FS API.
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._schema_path(), "w") as fh:
+            fh.write(df.schema.json())
         if metadata:
             self.put_metadata(metadata)
 
@@ -96,6 +107,12 @@ class TickStore:
         df = self.spark.read.parquet(self._data_dir())
         if self.bucket_uids and "_uid_bucket" in df.columns:
             df = df.drop("_uid_bucket")
+        if os.path.exists(self._schema_path()):
+            with open(self._schema_path()) as fh:
+                written = StructType.fromJson(json.load(fh))
+            for f in written.fields:
+                if f.name in df.columns and df.schema[f.name].dataType != f.dataType:
+                    df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
         if uids is not None:
             df = df.filter(F.col(self.uid_col).isin(list(uids)))
         if start is not None:
@@ -155,6 +172,9 @@ class TickStore:
 
     def _meta_dir(self) -> str:
         return os.path.join(self.root, "_meta")
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.root, "_schema.json")
 
     def _exists(self) -> bool:
         d = self._data_dir()
