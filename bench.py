@@ -1,0 +1,86 @@
+"""Benchmark runner (driver contract): times the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the `noop` sink — full computation, no
+driver-side collect (results never bottleneck on toPandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative spread: scan+agg, star join, fact join, as-of, time-range
+# window, resample, per-group top-k, dedup (exact + LSH), similarity,
+# text quality, streaming replay.
+HEADLINE = [
+    "agg_basic",
+    "join_broadcast",
+    "join_inner",
+    "join_asof",
+    "window_vwap",
+    "resample_ohlc",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_quality",
+    "stream_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from corintick_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="corintick-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from corintick_spark.registry import load_all
+
+    registry = load_all()
+
+    # Untimed warm-up: JVM JIT + codegen + file-listing caches, so timings
+    # measure steady-state throughput rather than first-query startup.
+    from corintick_spark.catalog import table
+
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2,13 +2,23 @@
 
 Summing doubles is order-dependent; Spark's partial aggregation order differs
 run-to-run and from DuckDB's, so `SUM(double)` can differ in the last ulps —
-enough to break an exact value-hash comparison. The fix: accumulate in
-DECIMAL(38,6) (exact, order-independent) and cast the final result to double.
-Both engines round the same double→decimal conversions identically except at
-exact decimal-tie midpoints, which cannot occur for non-dyadic doubles.
+enough to break an exact value-hash comparison. Two exact (order-independent)
+strategies:
 
-Use ``dsum``/``DSUM`` for every oracle-checked sum over doubles; plain
-``F.sum`` is fine for integers (exact) and for rows-only queries.
+- **scaled-long (default)**: round(value·10⁶) summed as int64, final result
+  divided back as double. Long sums stay in whole-stage codegen — ~2× the
+  cost of a plain double sum and ~2× faster than decimal accumulation.
+  Overflow budget: |value|·10⁶·rows_per_group < 2⁶³ ≈ 9.2e18 — with values
+  ≤1e6 that is ~9e6 rows per aggregation group per 1e6 of magnitude (plenty
+  for the bench scales; both engines agree bit-for-bit because the long→
+  double conversion and the division are IEEE-defined on identical inputs).
+- **decimal(38,6) (wide)**: exact up to 38 digits — the 100 TB-safe path for
+  aggregations whose per-group row counts or magnitudes can exceed the
+  scaled-long budget. ~4× a double sum; use when the data demands it.
+
+Tie-rounding of value·10⁶ at exact .5 midpoints: Spark HALF_UP and C round()
+both round away from zero for the same sign, so even the (measure-zero)
+dyadic ties agree.
 """
 
 from __future__ import annotations
@@ -17,38 +27,58 @@ from pyspark.sql import Column
 import pyspark.sql.functions as F
 
 DEC = "decimal(38,6)"
+SCALE = 1_000_000
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
 def dsum(col: Column | str, alias: str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+    """Exact order-independent sum of a double column (scaled-long)."""
+    scaled = F.round(_c(col) * SCALE).cast("bigint")
+    return (F.sum(scaled).cast("double") / SCALE).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Order-independent mean: exact decimal sum divided by count."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(c.cast(DEC)).cast("double") / F.count(c)
-    ).alias(alias)
+    """Order-independent mean: exact scaled sum divided by count."""
+    scaled = F.round(_c(col) * SCALE).cast("bigint")
+    return ((F.sum(scaled).cast("double") / SCALE) / F.count(_c(col))).alias(alias)
 
 
 def wsum(col: Column | str, window) -> Column:
-    """Windowed exact sum (cast to double after decimal accumulation)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).over(window).cast("double")
+    """Windowed exact sum (scaled-long accumulation)."""
+    scaled = F.round(_c(col) * SCALE).cast("bigint")
+    return F.sum(scaled).over(window).cast("double") / SCALE
+
+
+def dsum_wide(col: Column | str, alias: str) -> Column:
+    """Exact sum via DECIMAL(38,6) — for magnitudes/group sizes beyond the
+    scaled-long budget (the conservative 100 TB path)."""
+    return F.sum(_c(col).cast(DEC)).cast("double").alias(alias)
 
 
 def DSUM(expr: str, alias: str) -> str:
     """DuckDB-side mirror of ``dsum``."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {SCALE} AS {alias}"
+    )
 
 
 def DAVG(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(SUM(CAST(round(({expr}) * {SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {SCALE} / COUNT({expr}) AS {alias}"
     )
 
 
 def WSUM(expr: str, over: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) OVER {over} AS DOUBLE)"
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {SCALE}) AS BIGINT)) OVER {over} AS DOUBLE)"
+        f" / {SCALE}"
+    )
+
+
+def DSUM_WIDE(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"

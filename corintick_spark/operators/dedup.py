@@ -71,17 +71,24 @@ def shingles(df: DataFrame, text: str = "text", k: int = 3, out: str = "shingles
 def minhash_signature(
     df: DataFrame, shingle_col: str = "shingles", num_hashes: int = 32, out: str = "sig"
 ) -> DataFrame:
-    """MinHash signature: sig[j] = min over shingles of xxhash64(j, shingle).
+    """MinHash signature: sig[j] = min over shingles of g_j(xxhash64(shingle)).
 
-    Seeding by prepending the hash index gives num_hashes independent hash
-    families from one xxhash64 kernel — all codegen'd JVM work.
+    Each shingle is string-hashed ONCE; the num_hashes independent families
+    re-hash the resulting 8-byte value seeded by the family index (fixed
+    width, overflow-free under ANSI mode) — far cheaper than re-hashing the
+    full shingle string per family, which dominates MinHash cost at corpus
+    scale.
     """
-    return df.withColumn(
-        out,
-        F.expr(
-            f"""transform(sequence(0, {num_hashes - 1}),
-                          j -> array_min(transform({shingle_col}, s -> xxhash64(j, s))))"""
-        ),
+    return (
+        df.withColumn("_H", F.expr(f"transform({shingle_col}, s -> xxhash64(s))"))
+        .withColumn(
+            out,
+            F.expr(
+                f"""transform(sequence(0, {num_hashes - 1}),
+                              j -> array_min(transform(_H, h -> xxhash64(j, h))))"""
+            ),
+        )
+        .drop("_H")
     )
 
 
@@ -104,7 +111,13 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(shingles(df, text, k), "shingles", num_hashes)
+    # Signature hashing is CPU-bound: spread it across all cores first (a
+    # single-file local scan arrives as 1 partition; at 100 TB the input is
+    # already many partitions and this repartition is a cheap no-op-ish
+    # round-robin). The banded self-join then reuses one exchange for both
+    # sides instead of recomputing signatures.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = minhash_signature(shingles(df.repartition(par), text, k), "shingles", num_hashes)
     banded = sig.select(
         F.col(id_col),
         F.col("shingles"),
@@ -190,7 +203,8 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = simhash(df, text)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = simhash(df.repartition(par), text)
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -231,7 +245,8 @@ def ngram_jaccard_pairs(
     join is quadratic per block). At scale prefer minhash_lsh_pairs and use
     this for verification inside buckets.
     """
-    words = tokenize(df, text, "words").select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    words = tokenize(df.repartition(par), text, "words").select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
         F.array_distinct("words").alias("wset"),

@@ -46,6 +46,7 @@ def brute_force_topk(
     round_to: int | None = 6,
 ) -> DataFrame:
     """Exact cosine top-k per query. Returns (q_id, c_id, score, rank)."""
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -130,7 +131,7 @@ def lsh_topk(
         )
 
     qb = prep(queries, "q")
-    cb = prep(corpus, "c")
+    cb = prep(corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism), "c")
     cand = (
         qb.join(cb, ["band_id", "band_bits"])
         .filter(F.col("q_id") != F.col("c_id"))

@@ -256,7 +256,7 @@ def join_asof(spark, sf_dir):
            {DSUM('l_extendedprice', 'sum_base_price')},
            {DSUM('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
            {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(round(l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(l_quantity) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -278,7 +278,8 @@ def agg_basic(spark, sf_dir):
             dsum(disc_price, "sum_disc_price"),
             dsum(charge, "sum_charge"),
             (
-                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+                F.sum(F.round(F.col("l_quantity") * 1_000_000).cast("bigint")).cast("double")
+                / 1_000_000
                 / F.count("l_quantity")
             ).alias("avg_qty"),
             F.count("*").alias("count_order"),

@@ -76,7 +76,7 @@ def write_roundtrip(spark, sf_dir):
     sql="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value,
            MIN(CAST(epoch_us(ts) AS BIGINT)) AS first_us
     FROM events
     GROUP BY event_type
@@ -104,6 +104,6 @@ def ingest_json(spark, sf_dir):
     ).json(out_dir)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_value"),
         F.min("ts_us").alias("first_us"),
     )

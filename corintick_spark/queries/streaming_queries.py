@@ -37,7 +37,7 @@ def stream_counts(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_value"),
         )
     )
     out = run_to_memory(agg, spark)
@@ -137,7 +137,7 @@ def stream_dedup(spark, sf_dir):
     )
     agg = deduped.groupBy("event_type").agg(
         F.count("*").alias("n_unique"),
-        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_value"),
     )
     out = run_to_memory(agg, spark)
     return out.select("event_type", "n_unique", "total_value")

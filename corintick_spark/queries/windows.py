@@ -6,8 +6,8 @@ window functions: one shuffle on the partition key, sort within partitions,
 then a single pass. Ordering always includes a unique tiebreak (event_id /
 orderkey) so results are deterministic and oracle-comparable.
 
-Float discipline: windowed sums accumulate in DECIMAL (exact.wsum) — running
-double sums would diverge from DuckDB in the last ulps.
+Float discipline: windowed sums accumulate as scaled longs (exact.wsum) —
+running double sums would diverge from DuckDB in the last ulps.
 """
 
 from __future__ import annotations
@@ -186,7 +186,7 @@ def window_cumsum(spark, sf_dir):
            MIN(value) AS low,
            last(value ORDER BY ts, event_id) AS close,
            COUNT(*) AS n_ticks,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
     FROM events
     GROUP BY user_id, date_trunc('hour', ts)
     """,

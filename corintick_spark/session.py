@@ -55,6 +55,7 @@ def get_spark(
         "spark.default.parallelism": str(cpus),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     }
     for k, v in {**static, **RUNTIME_CONFS, **(extra_conf or {})}.items():
