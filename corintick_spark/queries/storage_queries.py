@@ -107,3 +107,37 @@ def ingest_json(spark, sf_dir):
         (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_value"),
         F.min("ts_us").alias("first_us"),
     )
+
+
+@query(
+    "ingest_csv",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def ingest_csv(spark, sf_dir):
+    """CSV ingestion (T-B2): export orders to CSV, re-read with an explicit
+    schema + header, aggregate — proves the text-source path round-trips."""
+    o = table(spark, sf_dir, "orders")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="ingest_csv_"), "orders_csv")
+    (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out_dir)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+        )
+        .option("header", "true")
+        .csv(out_dir)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total"),
+    )

@@ -232,3 +232,59 @@ def meta_join(spark, sf_dir):
         .groupBy("user_id", "tier")
         .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
     )
+
+
+# T-B5 — projection with computed columns.
+@query(
+    "project_compute",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price,
+           l_quantity * l_extendedprice AS notional,
+           concat(l_returnflag, '/', l_linestatus) AS flag_status
+    FROM lineitem
+    """,
+)
+def project_compute(spark, sf_dir):
+    """Projection with computed expressions (T-B5) — pure narrow map,
+    whole-stage codegen, no shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("gross_price"),
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("notional"),
+        F.concat(
+            F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")
+        ).alias("flag_status"),
+    )
+
+
+# T-B6 — complex predicate combinations (AND/OR/IN/BETWEEN/NULL/LIKE/RLIKE).
+@query(
+    "filter_complex",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus IN ('O', 'F') OR o_orderpriority LIKE '1-%')
+      AND o_totalprice BETWEEN 50000 AND 400000
+      AND o_orderdate IS NOT NULL
+      AND regexp_matches(o_orderpriority, '^[1-3]-')
+    """,
+)
+def filter_complex(spark, sf_dir):
+    """Conjunctive/disjunctive predicates with IN, BETWEEN, LIKE, RLIKE,
+    IS NOT NULL (T-B6) — all pushed toward the scan by Catalyst."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus").isin("O", "F") | F.col("o_orderpriority").like("1-%"))
+        & F.col("o_totalprice").between(50000, 400000)
+        & F.col("o_orderdate").isNotNull()
+        & F.col("o_orderpriority").rlike("^[1-3]-")
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
