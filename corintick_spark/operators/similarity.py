@@ -148,3 +148,48 @@ def lsh_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, cosine >= threshold).
+
+    With ``block_col`` the pair space is restricted to an equi-join on the
+    blocking key (label, shard, coarse cluster id) — the IVF-style pattern:
+    quantize first, compare within cells. Without it, use srp_signature
+    bands as the blocking key instead (lsh_topk); never all-pairs.
+    """
+    base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    cols = [F.col(id_col), F.col(vec_col), _norm2(vec_col).alias("_n2")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    v = base.select(*cols)
+    a = v.select(
+        *([F.col("_blk")] if block_col else []),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("_n2").alias("a_n2"),
+    )
+    b = v.select(
+        *([F.col("_blk")] if block_col else []),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("_n2").alias("b_n2"),
+    )
+    joined = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    score = F.round(
+        _dot("a_vec", "b_vec") / (F.sqrt(F.col("a_n2")) * F.sqrt(F.col("b_n2"))),
+        round_to,
+    )
+    return (
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", score)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

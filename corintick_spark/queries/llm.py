@@ -305,3 +305,29 @@ def multimodal_decode(spark, sf_dir):
     image libs; byte-derived fake keeps the contract testable)."""
     d = table(spark, sf_dir, "documents")
     return M.decode_image_meta(M.attach_payload(d), fake=True)
+
+
+# Embedding-cosine near-dup (north_star list) — blocked by label (IVF-style:
+# compare within coarse cells only).
+@query(
+    "dedup_embedding",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_inner_product(a.e, b.e)
+                 / (SQRT(list_inner_product(a.e, a.e))
+                    * SQRT(list_inner_product(b.e, b.e))), 6) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_inner_product(a.e, b.e)
+                / (SQRT(list_inner_product(a.e, a.e))
+                   * SQRT(list_inner_product(b.e, b.e))), 6) >= 0.5
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs within label blocks (cosine >=
+    0.5) — operators/similarity.py::embedding_near_dup_pairs."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(e, block_col="label", threshold=0.5)

@@ -141,3 +141,38 @@ def stream_dedup(spark, sf_dir):
     )
     out = run_to_memory(agg, spark)
     return out.select("event_type", "n_unique", "total_value")
+
+
+# T-B43 (custom state) — transformWithStateInPandas running stats per uid.
+@query(
+    "stream_stateful",
+    sql=f"""
+    SELECT user_id,
+           COUNT(*) AS n,
+           {DSUM('value', 'total_value')},
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           MAX(CAST(epoch_us(ts) AS BIGINT)) AS last_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark, sf_dir):
+    """Custom stateful processor (per-uid running stats in the state store)
+    over the replayed stream; with a single-batch replay the final update
+    per uid equals the batch aggregate, giving a full oracle."""
+    from corintick_spark.streaming.events_stream import run_update_to_memory
+    from corintick_spark.streaming.stateful import running_stats
+
+    src = events_stream(spark, sf_dir)
+    out = run_update_to_memory(running_stats(src), spark)
+    # one update row per uid per micro-batch; keep the final state per uid
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(FF.desc("n"))
+    return (
+        out.withColumn("_rn", FF.row_number().over(w))
+        .filter(FF.col("_rn") == 1)
+        .drop("_rn")
+    )

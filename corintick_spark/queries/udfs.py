@@ -138,3 +138,39 @@ def udtf_explode(spark, sf_dir):
             F.col("comp").cast("double").alias("comp"),
         )
     )
+
+
+# T-B47 — real Python UDTF (Spark 3.5+ table function): one doc row in,
+# one row per token out, with position.
+@query(
+    "udtf_python",
+    sql="""
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word,
+           CAST(generate_subscripts(list_filter(string_split(text, ' '), x -> x != ''), 1) - 1 AS BIGINT) AS pos
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def udtf_python(spark, sf_dir):
+    """Python UDTF exploding documents into (word, pos) rows — the
+    row-generating escape hatch when built-in explode can't express the
+    generator logic. (Here it can, which is exactly what the oracle checks.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos bigint")
+    class SplitWords:
+        def eval(self, doc_id: int, text: str):
+            pos = 0
+            for w in text.split(" "):
+                if w:
+                    yield w, pos
+                    pos += 1
+
+    spark.udtf.register("split_words", SplitWords)
+    d = table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") < 100).createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """SELECT d.doc_id, t.word, t.pos
+           FROM _docs_udtf d, LATERAL split_words(d.doc_id, d.text) t"""
+    )

@@ -64,11 +64,20 @@ def run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
 
 def run_append_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     """As run_to_memory but append output mode (for dedup/row streams)."""
+    return _run(stream_df, spark, "append")
+
+
+def run_update_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """As run_to_memory but update output mode (stateful processors)."""
+    return _run(stream_df, spark, "update")
+
+
+def _run(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(mode)
         .option(
             "checkpointLocation",
             os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name),

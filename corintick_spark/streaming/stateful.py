@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator — T-B43's "custom state" tier.
+
+Beyond built-in dedup/session windows, arbitrary per-key state machines use
+``applyInPandasWithState`` (GroupState + Arrow batches). The example
+processor maintains per-user running statistics (count, exact scaled sum,
+min/max, last-seen timestamp) across micro-batches — the streaming analogue
+of corintick's per-uid incremental appends (api.py::Corintick.write †
+appending chunks per uid): state lives in the executor state store keyed by
+uid, scales horizontally, survives restarts via checkpoint.
+
+(Spark 4 also offers transformWithStateInPandas; it requires protobuf on the
+Python workers, which this container lacks, so the GroupState API — same
+semantics, stable since 3.4 — is used.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n long, scaled_sum long, vmin double, vmax double, last_us long"
+OUTPUT_SCHEMA = (
+    "user_id long, n long, total_value double, vmin double, vmax double, last_us long"
+)
+
+
+def _update_running_stats(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold incoming batches for one uid into persistent running stats and
+    emit the updated snapshot (one row per uid per micro-batch)."""
+    if state.exists:
+        n, ssum, vmin, vmax, last_us = state.get
+    else:
+        n, ssum, vmin, vmax, last_us = 0, 0, None, None, None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        vals = pdf["value"]
+        n += len(pdf)
+        # exact scaled-long accumulation (order-independent; see exact.py)
+        ssum += int((vals * 1_000_000).round().astype("int64").sum())
+        bmin, bmax = float(vals.min()), float(vals.max())
+        vmin = bmin if vmin is None else min(vmin, bmin)
+        vmax = bmax if vmax is None else max(vmax, bmax)
+        bl = int(pdf["ts_us"].max())
+        last_us = bl if last_us is None else max(last_us, bl)
+    state.update((n, ssum, vmin, vmax, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [n],
+            "total_value": [ssum / 1_000_000],
+            "vmin": [vmin],
+            "vmax": [vmax],
+            "last_us": [last_us],
+        }
+    )
+
+
+def running_stats(stream_df: DataFrame) -> DataFrame:
+    """Apply the per-uid running-stats state machine to an events stream
+    (expects columns user_id, value, ts with ts as timestamp)."""
+    import pyspark.sql.functions as F
+
+    prepared = stream_df.select(
+        "user_id", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_running_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
