@@ -465,3 +465,52 @@ def set_ops(spark, sf_dir):
     inter = c.intersect(s).withColumn("op", F.lit("intersect"))
     exc = c.subtract(s).withColumn("op", F.lit("except"))
     return inter.unionByName(exc)
+
+
+# Exact interpolated percentiles (Spark `percentile` == DuckDB quantile_cont).
+@query(
+    "agg_percentile",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (sorted-agg path). At 100 TB
+    prefer approx_percentile (t-digest sketch, no sort) — exact kept here
+    because it is oracle-checkable; rounded to absorb interpolation ulps."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+# T-B18 — full cube with grouping id.
+@query(
+    "agg_cube",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp,
+           COUNT(*) AS n,
+           {DSUM('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one pass
+    (Expand + single shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("grp"),
+        F.count("*").alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    )

@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from corintick_spark.catalog import table
-from corintick_spark.exact import wsum, WSUM
+from corintick_spark.exact import dsum, wsum, WSUM
 from corintick_spark.operators.resample import resample_ohlc as _resample
 from corintick_spark.registry import query
 
@@ -197,3 +197,47 @@ def resample_ohlc(spark, sf_dir):
     map-side-combining hash aggregate."""
     ev = table(spark, sf_dir, "events")
     return _resample(ev, key="user_id", ts="ts", value="value", freq="hour")
+
+
+# Hypertable-style continuous aggregate: one pass producing multi-resolution
+# rollups (minute -> hour -> day) via a resolution dimension.
+@query(
+    "rollup_multires",
+    sql=f"""
+    SELECT res, bucket, event_type, COUNT(*) AS n, {{dsum_sql}}
+    FROM (
+        SELECT 'hour' AS res, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               event_type, value FROM events
+        UNION ALL
+        SELECT 'day' AS res, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               event_type, value FROM events
+    )
+    GROUP BY res, bucket, event_type
+    """.format(dsum_sql="CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value"),
+)
+def rollup_multires(spark, sf_dir):
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    pattern): explode each event into its (resolution, bucket) memberships,
+    aggregate once — one shuffle for every resolution level together."""
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hour").alias("res"),
+                    F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("day").alias("res"),
+                    F.date_trunc("day", F.col("ts")).alias("bucket"),
+                ),
+            )
+        ).alias("rb"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    return (
+        tagged.select("rb.res", "rb.bucket", "event_type", "value")
+        .groupBy("res", "bucket", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+    )

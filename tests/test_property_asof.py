@@ -1,0 +1,100 @@
+"""Property-based differential tests (hypothesis): the distributed as-of
+join must equal pandas.merge_asof on arbitrary irregular series — including
+duplicate timestamps, empty sides, and single-key data. This mirrors the
+reference's pandas-as-oracle test philosophy (SURVEY.md §5) with generated
+rather than fixed inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def series_frames(draw):
+    n_keys = draw(st.integers(1, 3))
+    n_left = draw(st.integers(0, 25))
+    n_right = draw(st.integers(0, 25))
+
+    def rows(n, start_id):
+        out = []
+        for i in range(n):
+            key = draw(st.integers(0, n_keys - 1))
+            # second-granularity ts with deliberate collision chances
+            ts = draw(st.integers(0, 40))
+            val = draw(st.integers(-5, 5))
+            out.append((start_id + i, key, ts, float(val)))
+        return out
+
+    return rows(n_left, 0), rows(n_right, 1000)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(series_frames())
+def test_asof_equals_merge_asof(spark, data):
+    from corintick_spark.operators.asof import asof_join
+
+    left_rows, right_rows = data
+    schema = "event_id long, user_id long, ts_s long, value double"
+    left = spark.createDataFrame(left_rows or [], schema=schema).withColumn(
+        "ts", pd_ts("ts_s")
+    )
+    right = spark.createDataFrame(right_rows or [], schema=schema).withColumn(
+        "ts", pd_ts("ts_s")
+    )
+    got = (
+        asof_join(
+            left.select("event_id", "user_id", "ts"),
+            right.select("user_id", "ts", "event_id", "value"),
+            on="user_id",
+            ts="ts",
+            right_cols=["value"],
+            tiebreak="event_id",
+            prefix="r_",
+        )
+        .select("event_id", "r_value")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts_s", "value"])
+    rp = pd.DataFrame(right_rows, columns=["event_id", "user_id", "ts_s", "value"])
+    if len(lp) == 0:
+        assert len(got) == 0
+        return
+    if len(rp) == 0:
+        assert len(got) == len(lp)
+        assert got["r_value"].isna().all()
+        return
+    # pandas merge_asof needs sort; for duplicate ts, keep the LAST right row
+    # by (ts, event_id) — the asof_join contract.
+    rp = rp.sort_values(["ts_s", "event_id"])
+    lp = lp.sort_values(["ts_s", "event_id"])
+    expected = pd.merge_asof(
+        lp.astype({"ts_s": "int64"}),
+        rp[["user_id", "ts_s", "value"]].astype({"ts_s": "int64"}),
+        on="ts_s",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+        suffixes=("", "_r"),
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(expected)
+    pd.testing.assert_series_equal(
+        got["r_value"], expected["value_r"], check_names=False
+    )
+
+
+def pd_ts(col: str):
+    import pyspark.sql.functions as F
+
+    return F.timestamp_seconds(F.col(col))
