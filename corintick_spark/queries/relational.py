@@ -514,3 +514,100 @@ def agg_cube(spark, sf_dir):
         F.count("*").alias("n"),
         dsum("l_quantity", "sum_qty"),
     )
+
+
+# Pivot: long -> wide aggregation (event counts per user by type).
+@query(
+    "agg_pivot",
+    sql=f"""
+    SELECT user_id,
+           {DSUM("CASE WHEN event_type = 'click' THEN value ELSE NULL END", 'click_total')},
+           {DSUM("CASE WHEN event_type = 'view' THEN value ELSE NULL END", 'view_total')},
+           {DSUM("CASE WHEN event_type = 'purchase' THEN value ELSE NULL END", 'purchase_total')},
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot to wide per-type totals. Explicit value list keeps it a single
+    pass (no distinct-values pre-query) — required practice at scale."""
+    ev = table(spark, sf_dir, "events")
+    from corintick_spark.exact import SCALE
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum(F.round(F.col("value") * SCALE).cast("bigint")))
+    )
+    counts = table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    return (
+        pivoted.join(counts, "user_id")
+        .select(
+            "user_id",
+            (F.col("click").cast("double") / SCALE).alias("click_total"),
+            (F.col("view").cast("double") / SCALE).alias("view_total"),
+            (F.col("purchase").cast("double") / SCALE).alias("purchase_total"),
+            "n",
+        )
+    )
+
+
+# Analytic distribution functions: percent_rank / cume_dist.
+@query(
+    "window_percent",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
+# Correlated scalar subquery: orders above their status-group mean.
+@query(
+    "subquery_scalar",
+    sql="""
+    WITH m AS (
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000 / COUNT(*) AS mean_price
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, m.mean_price
+    FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
+    WHERE o.o_totalprice > m.mean_price
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """Orders above their group mean — the correlated-scalar-subquery shape,
+    planned as an aggregate + broadcast re-join (what Catalyst rewrites such
+    subqueries into anyway)."""
+    o = table(spark, sf_dir, "orders")
+    from corintick_spark.exact import SCALE
+    m = o.groupBy("o_orderstatus").agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * SCALE).cast("bigint")).cast("double")
+            / SCALE
+            / F.count("*")
+        ).alias("mean_price")
+    )
+    return (
+        o.join(F.broadcast(m), "o_orderstatus")
+        .filter(F.col("o_totalprice") > F.col("mean_price"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "mean_price")
+    )
