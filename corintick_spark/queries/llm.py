@@ -331,3 +331,56 @@ def dedup_embedding(spark, sf_dir):
     0.5) — operators/similarity.py::embedding_near_dup_pairs."""
     e = table(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(e, block_col="label", threshold=0.5)
+
+
+# End-to-end training-data pipeline: quality filter -> exact dedup ->
+# token accounting, reported per language.
+@query(
+    "pipeline_clean_corpus",
+    sql=f"""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','to','and','in','is','for','on','with'))) AS BIGINT) AS n_stop,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(text) AS BIGINT) AS n_chars_calc
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, text, n_words,
+               least(n_words / 100.0, 1.0) * 0.4
+                   + (n_stop / n_words) * 0.3
+                   + (n_alpha / n_chars_calc) * 0.3 AS quality_score
+        FROM q WHERE n_words >= 10
+    ), kept AS (
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang,
+               ANY_VALUE(n_words) AS n_words
+        FROM scored
+        WHERE quality_score >= 0.4
+        GROUP BY text
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The composed training-data pipeline: quality-filter (score >= 0.4,
+    >= 10 words) -> exact dedup (keep min doc_id per text) -> per-language
+    token accounting. One declarative plan: Catalyst fuses the filters and
+    the two aggregations into two shuffles total."""
+    d = table(spark, sf_dir, "documents")
+    scored = T.quality_features(d).filter(
+        (F.col("n_words") >= 10) & (F.col("quality_score") >= 0.4)
+    )
+    kept = scored.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("lang").alias("lang"),
+        F.any_value("n_words").alias("n_words"),
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+    )

@@ -176,3 +176,41 @@ def stream_stateful(spark, sf_dir):
         .filter(FF.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# Stream-static join: enrich the event stream with a static dimension.
+@query(
+    "stream_enrich",
+    sql=f"""
+    WITH meta AS (
+        SELECT i AS user_id, 'tier' || CAST(i % 3 AS VARCHAR) AS tier
+        FROM range(200) t(i)
+    )
+    SELECT m.tier, e.event_type,
+           COUNT(*) AS n,
+           {DSUM('e.value', 'total_value')}
+    FROM events e JOIN meta m ON e.user_id = m.user_id
+    GROUP BY m.tier, e.event_type
+    """,
+)
+def stream_enrich(spark, sf_dir):
+    """Stream-static broadcast join (the dimension-enrichment pattern for
+    live ingestion) followed by a streaming aggregation."""
+    import pyspark.sql.functions as FF
+
+    src = events_stream(spark, sf_dir)
+    meta = spark.range(200).select(
+        FF.col("id").alias("user_id"),
+        FF.concat(FF.lit("tier"), (FF.col("id") % 3).cast("string")).alias("tier"),
+    )
+    agg = (
+        src.join(FF.broadcast(meta), "user_id")
+        .withWatermark("ts", "10 minutes")
+        .groupBy("tier", "event_type")
+        .agg(
+            FF.count("*").alias("n"),
+            (FF.sum(FF.round(FF.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, spark)
+    return out.select("tier", "event_type", "n", "total_value")
