@@ -56,9 +56,19 @@ def main() -> None:
     # Untimed warm-up: JVM JIT + codegen + file-listing caches, so timings
     # measure steady-state throughput rather than first-query startup.
     from corintick_spark.catalog import table
+    import pyspark.sql.functions as F
 
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    # warm the aggregation/codegen paths too, not just the scans
+    (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.round(F.col("l_quantity") * 1_000_000).cast("bigint")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -214,3 +214,62 @@ def stream_enrich(spark, sf_dir):
     )
     out = run_to_memory(agg, spark)
     return out.select("tier", "event_type", "n", "total_value")
+
+
+# Stream-stream join: watermarked purchases x views within 30 minutes.
+@query(
+    "stream_join",
+    sql="""
+    SELECT p.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(v.event_id) AS BIGINT) AS first_view_id,
+           CAST(MAX(v.event_id) AS BIGINT) AS last_view_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts > p.ts
+     AND v.ts <= p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    GROUP BY p.user_id
+    """,
+)
+def stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks and a time-bound condition
+    (views within 30min after each purchase) — Spark buffers both sides in
+    state, evicting by watermark; the time bound caps state size, which is
+    what makes stream-stream joins viable at scale. Pairs are emitted to the
+    sink, then batch-aggregated per user."""
+    import pyspark.sql.functions as FF
+    from corintick_spark.streaming.events_stream import run_append_to_memory
+
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(FF.col("event_type") == "purchase")
+        .select(
+            FF.col("user_id"),
+            FF.col("ts").alias("p_ts"),
+            FF.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        events_stream(spark, sf_dir)
+        .filter(FF.col("event_type") == "view")
+        .select(
+            FF.col("user_id").alias("v_user"),
+            FF.col("ts").alias("v_ts"),
+            FF.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    pairs = p.join(
+        v,
+        FF.expr(
+            "user_id = v_user AND v_ts > p_ts AND v_ts <= p_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("user_id", "p_id", "v_id")
+    out = run_append_to_memory(pairs, spark)
+    return out.groupBy("user_id").agg(
+        FF.count("*").alias("n_pairs"),
+        FF.min("v_id").cast("bigint").alias("first_view_id"),
+        FF.max("v_id").cast("bigint").alias("last_view_id"),
+    )

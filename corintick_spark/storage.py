@@ -43,6 +43,7 @@ class TickStore:
     uid_col: str = "uid"
     ts_col: str = "ts"
     bucket_uids: int | None = None  # hash uids into N dirs (high-cardinality)
+    partition_by_date: bool = False  # add a ts-derived date partition level
 
     # -- write path: api.py::Corintick.write † ------------------------------
     def write(
@@ -71,11 +72,18 @@ class TickStore:
             out = out.withColumn(
                 part_col, F.pmod(F.xxhash64(F.col(self.uid_col)), F.lit(self.bucket_uids))
             )
+        part_cols = [part_col]
+        if self.partition_by_date:
+            # date sub-partition: a 100 TB time series prunes range reads to
+            # the touched days BEFORE any file is opened (the second key of
+            # the reference's (uid,start,end) index †)
+            out = out.withColumn("_date", F.col(self.ts_col).cast("date"))
+            part_cols.append("_date")
         (
-            out.repartition(F.col(part_col))
+            out.repartition(*[F.col(c) for c in part_cols])
             .sortWithinPartitions(self.ts_col)
             .write.mode(mode)
-            .partitionBy(part_col)
+            .partitionBy(*part_cols)
             .parquet(self._data_dir())
         )
         # Schema sidecar: partition-directory values lose their type (Spark
@@ -107,6 +115,13 @@ class TickStore:
         df = self.spark.read.parquet(self._data_dir())
         if self.bucket_uids and "_uid_bucket" in df.columns:
             df = df.drop("_uid_bucket")
+        if self.partition_by_date and "_date" in df.columns:
+            # partition-prune on the date level before the row-level ts filter
+            if start is not None:
+                df = df.filter(F.col("_date") >= F.lit(start).cast("date"))
+            if end is not None:
+                df = df.filter(F.col("_date") <= F.lit(end).cast("date"))
+            df = df.drop("_date")
         if os.path.exists(self._schema_path()):
             with open(self._schema_path()) as fh:
                 written = StructType.fromJson(json.load(fh))

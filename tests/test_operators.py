@@ -158,3 +158,30 @@ def test_langid_deterministic(spark, sf_dir):
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_tickstore_date_partitioning_prunes(spark, sf_dir, tmp_path):
+    """partition_by_date: range reads must prune at the partition level
+    (PartitionFilters in the scan) and return the same rows as row filtering."""
+    from corintick_spark.catalog import table
+    from corintick_spark.storage import TickStore
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"), "ts", "value"
+    )
+    store = TickStore(spark, str(tmp_path / "store_dated"), partition_by_date=True)
+    store.write(ev, mode="overwrite")
+    sub = store.read(start="2024-01-10", end="2024-01-12")
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_date" in plan
+    expect = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-12").cast("timestamp"))
+    ).count()
+    # date-level prune keeps whole days; row-level ts filter applies on read
+    sub_exact = sub.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-12").cast("timestamp"))
+    )
+    assert sub_exact.count() == expect
+    assert set(sub.columns) == {"uid", "ts", "value"}
