@@ -117,6 +117,13 @@ def minhash_lsh_pairs(
     # round-robin). The banded self-join then reuses one exchange for both
     # sides instead of recomputing signatures.
     par = df.sparkSession.sparkContext.defaultParallelism
+    # Note on reuse: the banded self-join computes the shingle+signature
+    # pipeline once per side (no ReusedExchange across a broadcast side —
+    # verified on the physical plan). Persisting the shingle stage was
+    # measured SLOWER cold (cache materialization is a barrier that defeats
+    # pipelining; 4.7s vs 2.0s at sf0.1), so the recompute stays. At 100 TB
+    # materialize signatures to a table first — durable and reused by every
+    # downstream pass.
     sig = minhash_signature(shingles(df.repartition(par), text, k), "shingles", num_hashes)
     banded = sig.select(
         F.col(id_col),

@@ -384,3 +384,29 @@ def pipeline_clean_corpus(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_words").alias("total_words"),
     )
+
+
+# Iterative k-means clustering (rows-only: iterative float averaging is not
+# SQL-expressible; structure checked by unit tests).
+@query("cluster_kmeans", sql=None)
+def cluster_kmeans(spark, sf_dir):
+    """Deterministic-init k-means (k=16, 5 iterations) over embeddings —
+    the iterative-algorithm tier; driver loop, distributed assign/update
+    (operators/clustering.py)."""
+    from corintick_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=16, iters=5)
+    return kmeans_assign(e, cents)
+
+
+# IVF-Flat ANN: k-means coarse quantizer + nprobe cell search (rows-only).
+@query("similarity_ivf", sql=None)
+def similarity_ivf(spark, sf_dir):
+    """IVF-Flat cosine top-5 (FAISS-shape): corpus bucketed by nearest of 16
+    trained cells, queries probe 4 cells — the billion-scale ANN layout."""
+    from corintick_spark.operators.clustering import ivf_topk, kmeans_fit
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=16, iters=5)
+    return ivf_topk(e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4)

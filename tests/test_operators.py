@@ -185,3 +185,31 @@ def test_tickstore_date_partitioning_prunes(spark, sf_dir, tmp_path):
     )
     assert sub_exact.count() == expect
     assert set(sub.columns) == {"uid", "ts", "value"}
+
+
+def test_kmeans_structure_and_coverage(spark, sf_dir):
+    from corintick_spark.catalog import table
+    from corintick_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=3)
+    assert cents.count() == 8
+    assigned = kmeans_assign(e, cents)
+    n = e.count()
+    assert assigned.count() == n  # every vector assigned exactly once
+    cells = assigned.select("cell").distinct().count()
+    assert 2 <= cells <= 8  # non-degenerate clustering
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from corintick_spark.catalog import table
+    from corintick_spark.operators.clustering import ivf_topk, kmeans_fit
+    from corintick_spark.operators.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cents = kmeans_fit(e, k=8, iters=3)
+    truth = {(r["q_id"], r["c_id"]) for r in brute_force_topk(q, e, k=5).collect()}
+    approx = {(r["q_id"], r["c_id"]) for r in ivf_topk(q, e, cents, k=5, nprobe=3).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"

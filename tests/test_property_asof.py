@@ -98,3 +98,58 @@ def pd_ts(col: str):
     import pyspark.sql.functions as F
 
     return F.timestamp_seconds(F.col(col))
+
+
+
+@pytest.mark.slow
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),        # key
+            st.integers(0, 10_000),   # ts seconds
+            st.integers(-100, 100),   # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_resample_equals_pandas(spark, rows):
+    """resample_ohlc == pandas groupby-hour OHLC on arbitrary tick sets."""
+    from corintick_spark.operators.resample import resample_ohlc
+
+    data = [(i, k, ts, float(v)) for i, (k, ts, v) in enumerate(rows)]
+    df = (
+        spark.createDataFrame(data, "event_id long, user_id long, ts_s long, value double")
+        .withColumn("ts", pd_ts("ts_s"))
+    )
+    got = (
+        resample_ohlc(df, key="user_id", ts="ts", value="value", freq="hour")
+        .toPandas()
+        .sort_values(["user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(data, columns=["event_id", "user_id", "ts_s", "value"])
+    pdf["bucket"] = pd.to_datetime(pdf["ts_s"] // 3600 * 3600, unit="s")
+    pdf = pdf.sort_values(["ts_s", "event_id"])
+    exp = (
+        pdf.groupby(["user_id", "bucket"])
+        .agg(
+            open=("value", "first"),
+            high=("value", "max"),
+            low=("value", "min"),
+            close=("value", "last"),
+            n_ticks=("value", "size"),
+        )
+        .reset_index()
+        .sort_values(["user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for col in ("open", "high", "low", "close"):
+        pd.testing.assert_series_equal(
+            got[col], exp[col], check_names=False, check_dtype=False
+        )
+    pd.testing.assert_series_equal(
+        got["n_ticks"].astype("int64"), exp["n_ticks"].astype("int64"), check_names=False
+    )
