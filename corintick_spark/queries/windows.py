@@ -241,3 +241,48 @@ def rollup_multires(spark, sf_dir):
         .groupBy("res", "bucket", "event_type")
         .agg(F.count("*").alias("n"), dsum("value", "total_value"))
     )
+
+
+# Time-weighted average (TWAP) per uid: each tick weighted by its holding
+# time until the next tick — the canonical irregular-series average.
+@query(
+    "window_twap",
+    sql="""
+    WITH t AS (
+        SELECT user_id, value,
+               (CAST(epoch_us(LEAD(ts) OVER w) AS BIGINT)
+                - CAST(epoch_us(ts) AS BIGINT)) / 1000000.0 AS dt_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value * dt_s AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(dt_s AS DECIMAL(38,6))) AS DOUBLE), 6) AS twap,
+           COUNT(dt_s) AS n_weighted
+    FROM t
+    WHERE dt_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def window_twap(spark, sf_dir):
+    """TWAP per uid: value weighted by seconds-to-next-tick (lead window),
+    aggregated with decimal accumulation — the weighted products exceed the
+    scaled-long budget, so this takes the dsum_wide path (exact.py)."""
+    from corintick_spark.exact import dsum_wide
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        "value",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+            / 1_000_000.0
+        ).alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull())
+    num = F.sum((F.col("value") * F.col("dt_s")).cast("decimal(38,6)")).cast("double")
+    den = F.sum(F.col("dt_s").cast("decimal(38,6)")).cast("double")
+    return t.groupBy("user_id").agg(
+        F.round(num / den, 6).alias("twap"),
+        F.count("dt_s").alias("n_weighted"),
+    )
