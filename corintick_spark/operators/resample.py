@@ -12,7 +12,7 @@ ties at equal µs timestamps resolve identically everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from corintick_spark.exact import dsum
@@ -38,4 +38,60 @@ def resample_ohlc(
             F.count("*").alias("n_ticks"),
             dsum(value, "total_value"),
         )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    step_s: int = 3600,
+) -> DataFrame:
+    """Gap-filled regular grid per key: one row every `step_s` seconds from
+    the key's first to last tick, carrying the last observed value forward
+    (the pandas `resample().ffill()` idiom corintick users ran client-side †).
+
+    Plan: per-key bounds (one agg) -> sequence() explode builds the grid
+    (no driver loop) -> union grid with ticks -> one window pass carries
+    last-tick values onto grid rows. Two shuffles total (bounds agg + window),
+    both on the key.
+    """
+    step_us = step_s * 1_000_000
+    bounds = df.groupBy(key).agg(
+        F.min(ts).alias("_t0"), F.max(ts).alias("_t1")
+    )
+    grid = bounds.select(
+        F.col(key),
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col("_t0")) / step_us).cast("long") + 1,
+                (F.unix_micros(F.col("_t1")) / step_us).cast("long"),
+            )
+        ).alias("_slot"),
+    ).select(
+        F.col(key),
+        F.timestamp_micros(F.col("_slot") * step_us).alias("grid_ts"),
+        F.lit(1).alias("_is_grid"),
+    )
+    ticks = df.select(
+        F.col(key),
+        F.col(ts).alias("grid_ts"),
+        F.lit(0).alias("_is_grid"),
+        F.col(value).alias("_v"),
+    )
+    unioned = grid.withColumn("_v", F.lit(None).cast("double")).unionByName(ticks)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("grid_ts"), F.col("_is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        F.col(key),
+        "grid_ts",
+        "_is_grid",
+        F.last("_v", ignorenulls=True).over(w).alias("ffill_value"),
+    )
+    return filled.filter(F.col("_is_grid") == 1).select(
+        key, "grid_ts", "ffill_value"
     )

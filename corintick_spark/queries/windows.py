@@ -286,3 +286,33 @@ def window_twap(spark, sf_dir):
         F.round(num / den, 6).alias("twap"),
         F.count("dt_s").alias("n_weighted"),
     )
+
+
+# Gap-filled regular grid with forward-fill (pandas resample().ffill()).
+@query(
+    "resample_ffill",
+    sql="""
+    WITH bounds AS (
+        SELECT user_id,
+               CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) + 1 AS s0,
+               CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT) AS s1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, make_timestamp(CAST(s * 3600000000 AS BIGINT)) AS grid_ts
+        FROM bounds, UNNEST(range(s0, s1 + 1)) t(s)
+    )
+    SELECT g.user_id, g.grid_ts,
+           (SELECT e.value FROM events e
+            WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS ffill_value
+    FROM grid g
+    """,
+)
+def resample_ffill(spark, sf_dir):
+    """Hourly gap-filled grid per uid with forward-filled values — grid
+    built distributed via sequence()+explode, filled in one window pass
+    (operators/resample.py::resample_ffill)."""
+    from corintick_spark.operators.resample import resample_ffill as _ffill
+
+    ev = table(spark, sf_dir, "events")
+    return _ffill(ev, key="user_id", ts="ts", value="value", step_s=3600)
