@@ -32,6 +32,8 @@ HEADLINE = [
     "similarity_topk",
     "text_quality",
     "stream_counts",
+    "window_twap",
+    "resample_ffill",
 ]
 
 
