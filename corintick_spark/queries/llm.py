@@ -410,3 +410,50 @@ def similarity_ivf(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(e, k=16, iters=5)
     return ivf_topk(e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4)
+
+
+# Transitive duplicate clusters: connected components over near-dup edges.
+@query(
+    "dedup_clusters",
+    sql="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, source,
+               list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS wset
+        FROM documents
+    ), p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.wset, b.wset))
+                  / len(list_distinct(a.wset || b.wset)) >= 0.5
+    ), e AS (
+        SELECT a_id AS u, b_id AS v FROM p
+        UNION
+        SELECT b_id AS u, a_id AS v FROM p
+    ), reach(node, r) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT u, u FROM e
+        UNION
+        SELECT reach.node, e.v FROM reach, e WHERE reach.r = e.u
+    ), comp AS (
+        SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(c.comp, d.doc_id) AS cluster_id,
+           (COALESCE(c.comp, d.doc_id) = d.doc_id) AS is_keeper
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Transitive near-duplicate clusters: n-gram Jaccard pairs -> connected
+    components via alternating min-label propagation (operators/
+    dup_clusters.py) -> one keeper per cluster. Oracle is the recursive-CTE
+    transitive closure — a genuinely different algorithm computing the same
+    fixpoint."""
+    from corintick_spark.operators.dup_clusters import dup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5).select(
+        "a_id", "b_id"
+    )
+    return dup_clusters(d, pairs)

@@ -174,3 +174,24 @@ def udtf_python(spark, sf_dir):
         """SELECT d.doc_id, t.word, t.pos
            FROM _docs_udtf d, LATERAL split_words(d.doc_id, d.text) t"""
     )
+
+
+# EWMA per uid via grouped-map pandas (recursive — not expressible as a
+# window built-in; the per-key pandas escape hatch is exactly right).
+@query("udf_ewma", sql=None)
+def udf_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per uid (alpha=0.2) computed by
+    pandas .ewm inside applyInPandas — rows-only (recursive semantics have
+    no ANSI-SQL mirror); differential-tested against pandas directly."""
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = pdf["value"].ewm(alpha=0.2, adjust=False).mean()
+        return pdf[["user_id", "event_id", "value", "ewma"]]
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma, schema="user_id long, event_id long, value double, ewma double")
+    )

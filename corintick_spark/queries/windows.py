@@ -316,3 +316,107 @@ def resample_ffill(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return _ffill(ev, key="user_id", ts="ts", value="value", step_s=3600)
+
+
+# Log-returns + per-uid-per-day realized volatility.
+@query(
+    "window_returns",
+    sql="""
+    WITH r AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+               ROUND(LN(value / LAG(value) OVER w), 6) AS log_ret
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, day,
+           COUNT(log_ret) AS n_returns,
+           ROUND(SQRT(CAST(SUM(CAST(log_ret * log_ret AS DECIMAL(38,12))) AS DOUBLE)), 6) AS realized_vol
+    FROM r
+    WHERE log_ret IS NOT NULL
+    GROUP BY user_id, day
+    """,
+)
+def window_returns(spark, sf_dir):
+    """Tick-to-tick log returns per uid (lag window) aggregated to daily
+    realized volatility — the post-read pandas quant idiom in-engine.
+    Returns are rounded before squaring so both engines square identical
+    doubles; the sum is decimal-exact."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.log(F.col("value") / F.lag("value").over(w)), 6).alias("log_ret"),
+    ).filter(F.col("log_ret").isNotNull())
+    return r.groupBy("user_id", "day").agg(
+        F.count("log_ret").alias("n_returns"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("log_ret") * F.col("log_ret")).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("realized_vol"),
+    )
+
+
+# Cross-sectional z-score: each tick scored against the same-hour population
+# across all uids (the cross-entity normalization quant pipelines run).
+@query(
+    "window_zscore",
+    sql="""
+    WITH b AS (
+        SELECT event_id, user_id, value,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket
+        FROM events
+    ), stats AS (
+        SELECT bucket,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s1,
+               CAST(SUM(CAST(round(value * value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s2,
+               COUNT(*) AS n
+        FROM b GROUP BY bucket
+    )
+    SELECT b.event_id, b.user_id, b.bucket,
+           ROUND(CASE WHEN stats.n < 2 OR stats.s2 / stats.n - (stats.s1 / stats.n) * (stats.s1 / stats.n) <= 0 THEN 0.0
+                 ELSE (b.value - stats.s1 / stats.n)
+                      / SQRT(stats.s2 / stats.n - (stats.s1 / stats.n) * (stats.s1 / stats.n))
+                 END, 6) AS zscore
+    FROM b JOIN stats ON b.bucket = stats.bucket
+    """,
+)
+def window_zscore(spark, sf_dir):
+    """Cross-sectional z-score per hourly bucket: exact scaled sums for mean
+    and second moment (order-independent), identical arithmetic both
+    engines, rounded output."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    s1 = F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000
+    s2 = (
+        F.sum(F.round(F.col("value") * F.col("value") * 1_000_000).cast("bigint")).cast("double")
+        / 1_000_000
+    )
+    stats = b.groupBy("bucket").agg(
+        s1.alias("s1"), s2.alias("s2"), F.count("*").alias("n")
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return (
+        b.join(stats, "bucket")
+        .select(
+            "event_id",
+            "user_id",
+            "bucket",
+            F.round(
+                F.when((F.col("n") < 2) | (var <= 0), F.lit(0.0)).otherwise(
+                    (F.col("value") - mean) / F.sqrt(var)
+                ),
+                6,
+            ).alias("zscore"),
+        )
+    )

@@ -213,3 +213,20 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     approx = {(r["q_id"], r["c_id"]) for r in ivf_topk(q, e, cents, k=5, nprobe=3).collect()}
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Planted chain a-b-c plus isolated pair and singleton."""
+    from corintick_spark.operators.dup_clusters import connected_components, dup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in dup_clusters(docs, edges).collect()}
+    assert out[99] == (99, True)      # singleton keeps itself
+    assert out[1] == (1, True) and out[3] == (1, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
