@@ -230,3 +230,25 @@ def test_connected_components_chain_and_islands(spark):
     assert out[99] == (99, True)      # singleton keeps itself
     assert out[1] == (1, True) and out[3] == (1, False)
     assert out[10] == (10, True) and out[11] == (10, False)
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL++ sketch must land within its configured relative error (2% rsd
+    -> assert a loose 10% envelope)."""
+    from corintick_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    approx = {
+        r["o_orderstatus"]: r["a"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["e"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("e"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(2, 0.1 * e), (k, approx[k], e)
