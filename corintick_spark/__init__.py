@@ -14,7 +14,16 @@ designed for partitioned Parquet at 100 TB scale.
 from corintick_spark.session import get_spark
 from corintick_spark.catalog import table, tables, TABLE_NAMES
 from corintick_spark.storage import TickStore
+from corintick_spark.compat import Corintick
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "table", "tables", "TABLE_NAMES", "TickStore", "__version__"]
+__all__ = [
+    "get_spark",
+    "table",
+    "tables",
+    "TABLE_NAMES",
+    "TickStore",
+    "Corintick",
+    "__version__",
+]

@@ -72,6 +72,11 @@ def run_update_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame
     return _run(stream_df, spark, "update")
 
 
+def _ckpt_base() -> str:
+    # checkpoint WAL fsyncs dominate short streaming runs; tmpfs when present
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
 def _run(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     name = "s" + uuid.uuid4().hex[:12]
     q = (
@@ -80,7 +85,7 @@ def _run(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
         .outputMode(mode)
         .option(
             "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name),
+            os.path.join(tempfile.mkdtemp(prefix="ckpt_", dir=_ckpt_base()), name),
         )
         .trigger(availableNow=True)
         .start()
