@@ -75,11 +75,22 @@ def _ship_package(spark: SparkSession) -> None:
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs; safe on a session we didn't build (driver's)."""
+    from corintick_spark.session import default_parallelism
+
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # static conf on a started session — keep going
             pass
+    try:
+        # a foreign session defaults to 200 shuffle partitions — far too many
+        # tasks for local mode (AQE coalesces sizes, not scheduling overhead)
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(default_parallelism())
+            )
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 
