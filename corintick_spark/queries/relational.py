@@ -611,3 +611,35 @@ def subquery_scalar(spark, sf_dir):
         .filter(F.col("o_totalprice") > F.col("mean_price"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "mean_price")
     )
+
+
+# Value histogram per group (width_bucket binning).
+@query(
+    "agg_histogram",
+    sql="""
+    SELECT event_type,
+           CASE WHEN value < 0 THEN CAST(0 AS BIGINT)
+                WHEN value >= 200 THEN CAST(21 AS BIGINT)
+                ELSE CAST(FLOOR(value / 10) AS BIGINT) + 1 END AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS bin_min,
+           CAST(MAX(value) AS DOUBLE) AS bin_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """20-bin value histogram per event type — width_bucket + hash agg, the
+    one-pass distributed histogram."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.expr("width_bucket(value, 0, 200, 20)").cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("bin_min"),
+            F.max("value").cast("double").alias("bin_max"),
+        )
+    )
