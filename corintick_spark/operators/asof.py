@@ -35,29 +35,68 @@ def asof_join(
     right_cols: list[str] | None = None,
     tiebreak: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row (right.ts <= left.ts)
-    within the same `on` key group. Left rows with no prior right row get nulls
-    (left-asof semantics).
+    """For each left row, attach the nearest right row within the same `on`
+    key group (left-asof semantics; unmatched left rows get nulls).
 
+    direction: "backward" (right.ts <= left.ts, the default tick-store
+               probe), "forward" (right.ts >= left.ts), or "nearest"
+               (closer of the two; backward wins exact ties) — matching
+               pandas.merge_asof's directions.
+    tolerance_us: maximum |left.ts - right.ts| in microseconds; matches
+               farther away are nulled out (merge_asof's tolerance).
     right_cols: right columns to carry (default: all non-key, non-ts).
     tiebreak:   right column ordering ties at equal ts (e.g. an id column).
     """
+    if direction == "nearest":
+        back = asof_join(
+            left, right, on, ts, right_cols, tiebreak, "_b_", "backward", tolerance_us
+        )
+        both = asof_join(
+            back, right, on, ts, right_cols, tiebreak, "_f_", "forward", tolerance_us
+        )
+        keys = [on] if isinstance(on, str) else list(on)
+        carried = list(dict.fromkeys(
+            [ts]
+            + ([tiebreak] if tiebreak else [])
+            + (right_cols or [c for c in right.columns if c not in keys and c != ts])
+        ))
+        b_dist = F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"_b_{ts}"))
+        f_dist = F.unix_micros(F.col(f"_f_{ts}")) - F.unix_micros(F.col(ts))
+        take_backward = F.col(f"_f_{ts}").isNull() | (
+            F.col(f"_b_{ts}").isNotNull() & (b_dist <= f_dist)
+        )
+        out = both.select(
+            *left.columns,
+            *[
+                F.when(take_backward, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(f"{prefix}{c}")
+                for c in carried
+            ],
+        )
+        return out
+
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != ts]
     carried = [ts] + ([tiebreak] if tiebreak and tiebreak not in right_cols else [])
     carried = list(dict.fromkeys(carried + right_cols))
+    forward = direction == "forward"
 
-    # Right rows sort before left rows at equal ts (tag 0 < 1) so an exact-ts
-    # match is visible; tiebreak orders equal-ts right rows.
+    # Backward: right rows sort before left at equal ts (tag 0 < 1) so an
+    # exact-ts match is visible to last() over the preceding frame. Forward
+    # mirrors this: left before right at equal ts, first() over the following
+    # frame, tiebreak ascending so the SMALLEST tiebreak wins among equals.
     l_tagged = left.withColumn("_tag", F.lit(1))
     for c in carried:
         l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(ts),
-        F.lit(0).alias("_tag"),
+        F.lit(0 if not forward else 2).alias("_tag"),
         *[F.col(c).alias(f"_r_{c}") for c in carried],
     )
     for c in left.columns:
@@ -67,18 +106,42 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     order: list[Column] = [F.col(ts).asc(), F.col("_tag").asc()]
     if tiebreak:
-        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+        order.append(
+            F.col(f"_r_{tiebreak}").asc_nulls_first()
+            if not forward
+            else F.col(f"_r_{tiebreak}").asc_nulls_last()
+        )
+    if forward:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(f"_r_{c}", ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(f"_r_{c}", ignorenulls=True).over(w)  # noqa: E731
+
     filled = unioned.select(
         *left.columns,
         F.col("_tag"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in carried
-        ],
+        *[pick(c).alias(f"{prefix}{c}") for c in carried],
     )
-    return filled.filter(F.col("_tag") == 1).drop("_tag")
+    out = filled.filter(F.col("_tag") == 1).drop("_tag")
+    if tolerance_us is not None:
+        dist = F.abs(
+            F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"{prefix}{ts}"))
+        )
+        within = F.col(f"{prefix}{ts}").isNotNull() & (dist <= tolerance_us)
+        out = out.select(
+            *left.columns,
+            *[
+                F.when(within, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+                for c in carried
+            ],
+        )
+    return out

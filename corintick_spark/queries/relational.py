@@ -643,3 +643,83 @@ def agg_histogram(spark, sf_dir):
             F.max("value").cast("double").alias("bin_max"),
         )
     )
+
+
+# As-of join, forward direction with tolerance (merge_asof parity).
+@query(
+    "join_asof_forward",
+    sql="""
+    SELECT v.event_id, v.user_id, v.ts,
+           p.event_id AS next_purchase_id,
+           p.ts       AS next_purchase_ts
+    FROM events v
+    LEFT JOIN LATERAL (
+        SELECT e.event_id, e.ts
+        FROM events e
+        WHERE e.user_id = v.user_id
+          AND e.event_type = 'purchase'
+          AND e.ts >= v.ts
+          AND e.ts <= v.ts + INTERVAL 3 DAYS
+        ORDER BY e.ts ASC, e.event_id ASC
+        LIMIT 1
+    ) p ON TRUE
+    WHERE v.event_type = 'view'
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of with 3-day tolerance: each view -> next purchase within
+    3 days (merge_asof direction='forward', tolerance)."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        views, purchases, on="user_id", ts="ts", right_cols=["event_id"],
+        tiebreak="event_id", prefix="p_", direction="forward",
+        tolerance_us=3 * 24 * 3600 * 1_000_000,
+    )
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("p_event_id").alias("next_purchase_id"),
+        F.col("p_ts").alias("next_purchase_ts"),
+    )
+
+
+# As-of join, nearest direction (closer of prior/next; backward wins ties).
+@query(
+    "join_asof_nearest",
+    sql="""
+    SELECT v.event_id, v.user_id, v.ts,
+           p.event_id AS nearest_purchase_id,
+           p.ts       AS nearest_purchase_ts
+    FROM events v
+    LEFT JOIN LATERAL (
+        SELECT e.event_id, e.ts
+        FROM events e
+        WHERE e.user_id = v.user_id AND e.event_type = 'purchase'
+        ORDER BY ABS(CAST(epoch_us(e.ts) AS BIGINT) - CAST(epoch_us(v.ts) AS BIGINT)) ASC,
+                 CASE WHEN e.ts <= v.ts THEN 0 ELSE 1 END ASC,
+                 CASE WHEN e.ts <= v.ts THEN -e.event_id ELSE e.event_id END ASC
+        LIMIT 1
+    ) p ON TRUE
+    WHERE v.event_type = 'view'
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of: closer of last-prior / next-following purchase per
+    view (backward wins exact distance ties) — merge_asof direction='nearest'."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        views, purchases, on="user_id", ts="ts", right_cols=["event_id"],
+        tiebreak="event_id", prefix="p_", direction="nearest",
+    )
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("p_event_id").alias("nearest_purchase_id"),
+        F.col("p_ts").alias("nearest_purchase_ts"),
+    )

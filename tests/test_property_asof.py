@@ -153,3 +153,58 @@ def test_resample_equals_pandas(spark, rows):
     pd.testing.assert_series_equal(
         got["n_ticks"].astype("int64"), exp["n_ticks"].astype("int64"), check_names=False
     )
+
+
+
+@pytest.mark.slow
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(series_frames(), st.sampled_from(["forward", "nearest"]),
+       st.sampled_from([None, 5_000_000]))
+def test_asof_directions_equal_merge_asof(spark, data, direction, tol_us):
+    from corintick_spark.operators.asof import asof_join
+
+    left_rows, right_rows = data
+    schema = "event_id long, user_id long, ts_s long, value double"
+    left = spark.createDataFrame(left_rows or [], schema=schema).withColumn("ts", pd_ts("ts_s"))
+    right = spark.createDataFrame(right_rows or [], schema=schema).withColumn("ts", pd_ts("ts_s"))
+    got = (
+        asof_join(
+            left.select("event_id", "user_id", "ts"),
+            right.select("user_id", "ts", "event_id", "value"),
+            on="user_id", ts="ts", right_cols=["value"], tiebreak="event_id",
+            prefix="r_", direction=direction, tolerance_us=tol_us,
+        )
+        .select("event_id", "r_value")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts_s", "value"])
+    rp = pd.DataFrame(right_rows, columns=["event_id", "user_id", "ts_s", "value"])
+    if len(lp) == 0:
+        assert len(got) == 0
+        return
+    if len(rp) == 0:
+        assert got["r_value"].isna().all()
+        return
+    # pandas tiebreak convention among equal-ts right rows: backward takes
+    # the LAST in input order, forward takes the FIRST. Our operator picks
+    # max event_id (backward) / min event_id (forward) — so a plain
+    # ascending (ts, event_id) input sort aligns both conventions.
+    rp = rp.sort_values(["ts_s", "event_id"])
+    lp = lp.sort_values(["ts_s", "event_id"])
+    rp2 = rp
+    kwargs = dict(on="ts_s", by="user_id", direction=direction,
+                  allow_exact_matches=True, suffixes=("", "_r"))
+    if tol_us is not None:
+        kwargs["tolerance"] = tol_us // 1_000_000  # ts_s is in seconds
+    expected = pd.merge_asof(
+        lp.astype({"ts_s": "int64"}),
+        rp2[["user_id", "ts_s", "value"]].astype({"ts_s": "int64"}),
+        **kwargs,
+    ).sort_values("event_id").reset_index(drop=True)
+    if direction == "nearest":
+        # merge_asof nearest tie-break (backward-vs-forward at equal
+        # distance) matches ours: backward wins. Same-side equal-ts ties are
+        # resolved by the pre-sort above.
+        pass
+    assert len(got) == len(expected)
+    pd.testing.assert_series_equal(got["r_value"], expected["value_r"], check_names=False)
