@@ -68,7 +68,7 @@ class TickStore:
         part_col = self.uid_col
         out = df
         if self.bucket_uids:
-            part_col = "_uid_bucket"
+            part_col = "uid_bucket"
             out = out.withColumn(
                 part_col, F.pmod(F.xxhash64(F.col(self.uid_col)), F.lit(self.bucket_uids))
             )
@@ -113,8 +113,14 @@ class TickStore:
         Range semantics inclusive of both ends, like DataFrame.loc[start:end].
         """
         df = self.spark.read.parquet(self._data_dir())
-        if self.bucket_uids and "_uid_bucket" in df.columns:
-            df = df.drop("_uid_bucket")
+        if self.bucket_uids and "uid_bucket" in df.columns and uids is not None:
+            # Bucket-level partition pruning: hash the requested uids with
+            # the same (dtype-faithful) function the write path used, so a
+            # k-uid read opens at most k bucket directories — the analogue
+            # of the reference's B-tree point seek.
+            df = df.filter(F.col("uid_bucket").isin(self._buckets_for(uids)))
+        if self.bucket_uids and "uid_bucket" in df.columns:
+            df = df.drop("uid_bucket")
         if self.partition_by_date and "_date" in df.columns:
             # partition-prune on the date level before the row-level ts filter
             if start is not None:
@@ -190,6 +196,25 @@ class TickStore:
 
     def _schema_path(self) -> str:
         return os.path.join(self.root, "_schema.json")
+
+    def _buckets_for(self, uids: list) -> list[int]:
+        """Bucket ids for the given uids, hashed with the written uid dtype
+        (xxhash64(string) != xxhash64(long) — the sidecar keeps them aligned)."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        dtype = StringType()
+        if os.path.exists(self._schema_path()):
+            with open(self._schema_path()) as fh:
+                written = StructType.fromJson(json.load(fh))
+            if self.uid_col in written.fieldNames():
+                dtype = written[self.uid_col].dataType
+        tiny = self.spark.createDataFrame(
+            [(u,) for u in uids], StructType([StructField(self.uid_col, dtype)])
+        )
+        rows = tiny.select(
+            F.pmod(F.xxhash64(F.col(self.uid_col)), F.lit(self.bucket_uids)).alias("b")
+        ).distinct().collect()
+        return [r["b"] for r in rows]
 
     def _exists(self) -> bool:
         d = self._data_dir()

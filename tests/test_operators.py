@@ -252,3 +252,22 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(2, 0.1 * e), (k, approx[k], e)
+
+
+def test_tickstore_bucketed_uids_prunes_partitions(spark, sf_dir, tmp_path):
+    """bucket_uids: round-trip correctness AND bucket-level partition pruning
+    (a uid read must touch only its hash bucket's directory)."""
+    from corintick_spark.catalog import table
+    from corintick_spark.storage import TickStore
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"), "ts", "value"
+    )
+    store = TickStore(spark, str(tmp_path / "bucketed"), bucket_uids=4)
+    store.write(ev, mode="overwrite")
+    assert store.read().count() == ev.count()
+    sub = store.read(uids=["3"])
+    assert sub.count() == ev.filter(F.col("uid") == "3").count()
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "uid_bucket" in plan
+    assert set(sub.columns) == {"uid", "ts", "value"}
