@@ -723,3 +723,57 @@ def join_asof_nearest(spark, sf_dir):
         F.col("p_event_id").alias("nearest_purchase_id"),
         F.col("p_ts").alias("nearest_purchase_ts"),
     )
+
+
+# Pearson correlation from exact scaled moments (pandas df.corr() analogue).
+@query(
+    "agg_corr",
+    sql="""
+    WITH x AS (
+        SELECT event_type, value AS v,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sv,
+               CAST(SUM(CAST(round(k * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sk,
+               CAST(SUM(CAST(round(v * v * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS svv,
+               CAST(SUM(CAST(round(k * k * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS skk,
+               CAST(SUM(CAST(round(v * k * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS svk
+        FROM x GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * svk - sv * sk)
+                 / (SQRT(n * svv - sv * sv) * SQRT(n * skk - sk * sk)), 6) AS corr_vk
+    FROM m
+    """,
+)
+def agg_corr(spark, sf_dir):
+    """Pearson correlation of value vs props.k per event type, computed from
+    exact scaled moments (not F.corr — its float accumulation order would
+    diverge from any oracle), rounded output."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+    )
+
+    def ssum(e, scale):
+        return F.sum(F.round(e * scale).cast("bigint")).cast("double") / scale
+
+    m = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        ssum(F.col("v"), 1_000_000).alias("sv"),
+        ssum(F.col("k"), 1_000_000).alias("sk"),
+        ssum(F.col("v") * F.col("v"), 1_000).alias("svv"),
+        ssum(F.col("k") * F.col("k"), 1_000).alias("skk"),
+        ssum(F.col("v") * F.col("k"), 1_000).alias("svk"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("svk") - F.col("sv") * F.col("sk")) / (
+        F.sqrt(n * F.col("svv") - F.col("sv") * F.col("sv"))
+        * F.sqrt(n * F.col("skk") - F.col("sk") * F.col("sk"))
+    )
+    return m.select("event_type", "n", F.round(corr, 6).alias("corr_vk"))

@@ -420,3 +420,48 @@ def window_zscore(spark, sf_dir):
             ).alias("zscore"),
         )
     )
+
+
+# Bollinger bands: rolling mean +/- 2 sigma over a 20-tick frame per uid.
+@query(
+    "window_bollinger",
+    sql="""
+    WITH f AS (
+        SELECT event_id, user_id, value,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000 AS s1,
+               CAST(SUM(CAST(round(value * value * 1000) AS BIGINT)) OVER w AS DOUBLE) / 1000 AS s2,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value, n,
+           ROUND(s1 / n, 6) AS mid,
+           ROUND(s1 / n + 2 * SQRT(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 6) AS upper,
+           ROUND(s1 / n - 2 * SQRT(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 6) AS lower
+    FROM f
+    """,
+)
+def window_bollinger(spark, sf_dir):
+    """20-tick Bollinger bands per uid from exact scaled rolling moments —
+    rolling stddev without float accumulation divergence."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    s1 = F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).over(w).cast("double") / 1_000_000
+    s2 = F.sum(F.round(F.col("value") * F.col("value") * 1_000).cast("bigint")).over(w).cast("double") / 1_000
+    n = F.count("*").over(w).cast("bigint")
+    mean = s1 / n
+    sd = F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.alias("n"),
+        F.round(mean, 6).alias("mid"),
+        F.round(mean + 2 * sd, 6).alias("upper"),
+        F.round(mean - 2 * sd, 6).alias("lower"),
+    )
