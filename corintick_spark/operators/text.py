@@ -41,9 +41,13 @@ def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
     n_alpha = F.length(F.regexp_replace(F.col(text), "[^a-zA-Z]", "")).cast("bigint")
     stop_arr = ",".join(f"'{s}'" for s in STOPWORDS)
     n_stop = F.expr(f"size(filter(_w, x -> x IN ({stop_arr})))").cast("bigint")
-    stop_ratio = n_stop / n_words
-    alpha_ratio = n_alpha / n_chars
-    avg_wlen = F.length(F.replace(F.col(text), F.lit(" "), F.lit(""))) / n_words
+    # NULLIF guards: ANSI mode makes x/0 throw (not NULL); a whitespace-only
+    # or empty document must yield NULL ratios, matching the SQL mirror
+    nw = F.nullif(n_words, F.lit(0))
+    nc = F.nullif(n_chars, F.lit(0))
+    stop_ratio = n_stop / nw
+    alpha_ratio = n_alpha / nc
+    avg_wlen = F.length(F.replace(F.col(text), F.lit(" "), F.lit(""))) / nw
     score = (
         F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
         + stop_ratio * 0.3

@@ -156,12 +156,12 @@ def text_wordcount(spark, sf_dir):
     )
     SELECT doc_id,
            n_words, n_chars_calc,
-           n_stop / n_words AS stop_ratio,
-           n_alpha / n_chars_calc AS alpha_ratio,
-           length(replace(text, ' ', '')) / n_words AS avg_word_len,
+           n_stop / NULLIF(n_words, 0) AS stop_ratio,
+           n_alpha / NULLIF(n_chars_calc, 0) AS alpha_ratio,
+           length(replace(text, ' ', '')) / NULLIF(n_words, 0) AS avg_word_len,
            least(n_words / 100.0, 1.0) * 0.4
-               + (n_stop / n_words) * 0.3
-               + (n_alpha / n_chars_calc) * 0.3 AS quality_score
+               + (n_stop / NULLIF(n_words, 0)) * 0.3
+               + (n_alpha / NULLIF(n_chars_calc, 0)) * 0.3 AS quality_score
     FROM t
     """,
 )
@@ -349,8 +349,8 @@ def dedup_embedding(spark, sf_dir):
     ), scored AS (
         SELECT doc_id, lang, text, n_words,
                least(n_words / 100.0, 1.0) * 0.4
-                   + (n_stop / n_words) * 0.3
-                   + (n_alpha / n_chars_calc) * 0.3 AS quality_score
+                   + (n_stop / NULLIF(n_words, 0)) * 0.3
+                   + (n_alpha / NULLIF(n_chars_calc, 0)) * 0.3 AS quality_score
         FROM q WHERE n_words >= 10
     ), kept AS (
         SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang,

@@ -257,7 +257,7 @@ def rollup_multires(spark, sf_dir):
     )
     SELECT user_id,
            ROUND(CAST(SUM(CAST(value * dt_s AS DECIMAL(38,6))) AS DOUBLE)
-               / CAST(SUM(CAST(dt_s AS DECIMAL(38,6))) AS DOUBLE), 6) AS twap,
+               / NULLIF(CAST(SUM(CAST(dt_s AS DECIMAL(38,6))) AS DOUBLE), 0), 6) AS twap,
            COUNT(dt_s) AS n_weighted
     FROM t
     WHERE dt_s IS NOT NULL
@@ -281,7 +281,7 @@ def window_twap(spark, sf_dir):
         ).alias("dt_s"),
     ).filter(F.col("dt_s").isNotNull())
     num = F.sum((F.col("value") * F.col("dt_s")).cast("decimal(38,6)")).cast("double")
-    den = F.sum(F.col("dt_s").cast("decimal(38,6)")).cast("double")
+    den = F.nullif(F.sum(F.col("dt_s").cast("decimal(38,6)")).cast("double"), F.lit(0.0))
     return t.groupBy("user_id").agg(
         F.round(num / den, 6).alias("twap"),
         F.count("dt_s").alias("n_weighted"),
@@ -322,17 +322,21 @@ def resample_ffill(spark, sf_dir):
 @query(
     "window_returns",
     sql="""
-    WITH r AS (
-        SELECT user_id, CAST(ts AS DATE) AS day, event_id,
-               ROUND(LN(value / LAG(value) OVER w), 6) AS log_ret
+    WITH r0 AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_id, value,
+               LAG(value) OVER w AS prev
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+        SELECT user_id, day,
+               ROUND(LN(value / prev), 6) AS log_ret
+        FROM r0
+        WHERE value > 0 AND prev > 0
     )
     SELECT user_id, day,
            COUNT(log_ret) AS n_returns,
            ROUND(SQRT(CAST(SUM(CAST(log_ret * log_ret AS DECIMAL(38,12))) AS DOUBLE)), 6) AS realized_vol
     FROM r
-    WHERE log_ret IS NOT NULL
     GROUP BY user_id, day
     """,
 )
@@ -343,11 +347,17 @@ def window_returns(spark, sf_dir):
     doubles; the sum is decimal-exact."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    r = ev.select(
+    r0 = ev.select(
         "user_id",
         F.col("ts").cast("date").alias("day"),
-        F.round(F.log(F.col("value") / F.lag("value").over(w)), 6).alias("log_ret"),
-    ).filter(F.col("log_ret").isNotNull())
+        "value",
+        F.lag("value").over(w).alias("prev"),
+    ).filter((F.col("value") > 0) & (F.col("prev") > 0))
+    r = r0.select(
+        "user_id",
+        "day",
+        F.round(F.log(F.col("value") / F.col("prev")), 6).alias("log_ret"),
+    )
     return r.groupBy("user_id", "day").agg(
         F.count("log_ret").alias("n_returns"),
         F.round(
