@@ -270,3 +270,32 @@ def ngram_jaccard_pairs(
         F.size(F.array_intersect("a_w", "b_w")) / F.size(F.array_union("a_w", "b_w")),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
+
+
+def containment_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Substring-containment duplicates: pairs where one document's full
+    text occurs inside another's (the exact-substring tier of training-data
+    dedup). Blocked by an equi key to stay quadratic-per-block only; the
+    scale path runs this as verification inside MinHash buckets instead of
+    source blocks. Returns (outer_id, inner_id) with inner contained in
+    outer, inner != outer.
+    """
+    t = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col), F.col(text).alias("_t")
+    )
+    a = t.select(F.col("_blk"), F.col(id_col).alias("outer_id"), F.col("_t").alias("outer_t"))
+    b = t.select(F.col("_blk"), F.col(id_col).alias("inner_id"), F.col("_t").alias("inner_t"))
+    return (
+        a.join(b, "_blk")
+        .filter(
+            (F.col("outer_id") != F.col("inner_id"))
+            & (F.length("inner_t") <= F.length("outer_t"))
+            & F.col("outer_t").contains(F.col("inner_t"))
+        )
+        .select("outer_id", "inner_id")
+    )

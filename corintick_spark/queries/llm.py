@@ -457,3 +457,22 @@ def dedup_clusters(spark, sf_dir):
         "a_id", "b_id"
     )
     return dup_clusters(d, pairs)
+
+
+# Substring-containment dedup (exact-substring tier).
+@query(
+    "dedup_containment",
+    sql="""
+    SELECT a.doc_id AS outer_id, b.doc_id AS inner_id
+    FROM documents a JOIN documents b ON a.source = b.source
+    WHERE a.doc_id != b.doc_id
+      AND length(b.text) <= length(a.text)
+      AND contains(a.text, b.text)
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Documents fully contained in another same-source document
+    (operators/dedup.py::containment_pairs) — the exact-substring dedup
+    tier; blocked join, contains() residual."""
+    d = table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, block_col="source")

@@ -271,3 +271,16 @@ def test_tickstore_bucketed_uids_prunes_partitions(spark, sf_dir, tmp_path):
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "uid_bucket" in plan
     assert set(sub.columns) == {"uid", "ts", "value"}
+
+
+def test_containment_pairs_planted(spark):
+    from corintick_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "s", "aa bb cc dd"), (2, "s", "bb cc"), (3, "s", "zz yy"), (4, "t", "bb cc")],
+        "doc_id long, source string, text string",
+    )
+    got = {(r["outer_id"], r["inner_id"]) for r in containment_pairs(df, "source").collect()}
+    assert (1, 2) in got          # substring found
+    assert (1, 3) not in got      # not contained
+    assert (1, 4) not in got      # different block
