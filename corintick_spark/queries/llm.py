@@ -476,3 +476,59 @@ def dedup_containment(spark, sf_dir):
     tier; blocked join, contains() residual."""
     d = table(spark, sf_dir, "documents")
     return D.containment_pairs(d, block_col="source")
+
+
+# TF-IDF top terms per document.
+@query(
+    "text_tfidf",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, rk FROM (
+        SELECT doc_id, word, tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, word
+               ) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document: explode -> tf (per doc-word) and df
+    (per word) aggregations -> broadcast df join -> windowed top-k. The
+    document-frequency table is vocabulary-sized — broadcastable even at
+    corpus scale."""
+    d = table(spark, sf_dir, "documents")
+    tok = D.tokenize(d).select("doc_id", F.explode("words").alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; at scale keep as a literal from a prior agg
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.select(
+            "doc_id", "word", "tfidf",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )

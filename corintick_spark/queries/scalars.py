@@ -220,3 +220,28 @@ def scalar_cond(spark, sf_dir):
         ),
         F.when(F.col("l_quantity") > 25, F.lit(1)).otherwise(F.lit(0)).alias("is_bulk"),
     )
+
+
+# Binary functions: encode/hash/base64/hex round-trips.
+@query(
+    "scalar_binary",
+    sql="""
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 30))) AS b64_head,
+           hex(encode(substr(text, 1, 8))) AS hex_head,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS md5_hex
+    FROM documents
+    """,
+)
+def scalar_binary(spark, sf_dir):
+    """Binary column functions: utf-8 encode, base64/hex representations,
+    byte length, md5 — the opaque-payload manipulation surface."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 30), "utf-8")).alias("b64_head"),
+        F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("hex_head"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("md5_hex"),
+    )
