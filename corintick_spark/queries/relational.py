@@ -777,3 +777,116 @@ def agg_corr(spark, sf_dir):
         * F.sqrt(n * F.col("skk") - F.col("sk") * F.col("sk"))
     )
     return m.select("event_type", "n", F.round(corr, 6).alias("corr_vk"))
+
+
+# Ordered funnel: view -> click -> purchase per user (sequence analytics).
+@query(
+    "funnel_conversion",
+    sql="""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           (t_view IS NOT NULL) AS did_view,
+           (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view) AS did_click_after_view,
+           (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+            AND t_purchase IS NOT NULL AND t_purchase >= t_click) AS converted,
+           t_view, t_click, t_purchase
+    FROM f
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user from first-occurrence
+    timestamps — one hash aggregation, no joins or windows."""
+    ev = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    f = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    converted = did_click & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    return f.select(
+        "user_id",
+        did_view.alias("did_view"),
+        did_click.alias("did_click_after_view"),
+        converted.alias("converted"),
+        "t_view",
+        "t_click",
+        "t_purchase",
+    )
+
+
+# Cohort retention: first-seen-day cohorts x day offsets.
+@query(
+    "cohort_retention",
+    sql="""
+    WITH firstseen AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firstseen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted on
+    each later active day — two aggregations and one broadcast join on the
+    per-user cohort table."""
+    ev = table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firstseen), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", F.col("day_offset").cast("bigint").alias("day_offset")).agg(
+        F.count("*").alias("n_active_users")
+    )
+
+
+# arg_min/arg_max aggregation as a first-class query.
+@query(
+    "agg_minmax_by",
+    sql="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark, sf_dir):
+    """max_by/min_by: which order carries the extreme price per status
+    (single hash agg; prices are distinct doubles so the argmax is unique)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -245,3 +245,39 @@ def scalar_binary(spark, sf_dir):
         F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes"),
         F.md5(F.encode(F.col("text"), "utf-8")).alias("md5_hex"),
     )
+
+
+# Struct column operations (completes the array/map/struct nested-type trio).
+@query(
+    "scalar_struct",
+    sql="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_totalprice AS price,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           concat(o_orderstatus, ':', o_orderpriority) AS status_priority
+    FROM orders
+    """,
+)
+def scalar_struct(spark, sf_dir):
+    """Build a struct column, operate on it, project fields back out — the
+    oracle checks the flattened fields (struct layout is engine-internal)."""
+    o = table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("odate"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return (
+        o.withColumn("ostruct", s)
+        .select(
+            "o_orderkey",
+            F.col("ostruct.status").alias("status"),
+            F.col("ostruct.price").alias("price"),
+            F.year(F.col("ostruct.odate")).cast("bigint").alias("yr"),
+            F.concat(
+                F.col("ostruct.status"), F.lit(":"), F.col("ostruct.priority")
+            ).alias("status_priority"),
+        )
+    )
