@@ -890,3 +890,51 @@ def agg_minmax_by(spark, sf_dir):
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+# Exact population/sample stddev + variance from scaled moments.
+@query(
+    "agg_stats",
+    sql="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s1,
+               CAST(SUM(CAST(round(value * value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
+           ROUND((s2 - s1 * s1 / n) / NULLIF(n - 1, 0), 6) AS var_samp,
+           ROUND(SQRT(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 6) AS stddev_pop
+    FROM m
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Mean/variance/stddev (population + sample) from exact scaled moments —
+    the deterministic replacement for built-in stddev/var whose float
+    accumulation order would diverge from any oracle."""
+    ev = table(spark, sf_dir, "events")
+    s1 = F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000
+    s2 = (
+        F.sum(F.round(F.col("value") * F.col("value") * 1_000).cast("bigint")).cast("double")
+        / 1_000
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), s1.alias("s1"), s2.alias("s2")
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    var_pop = F.col("s2") / n - mean * mean
+    var_samp = (F.col("s2") - F.col("s1") * F.col("s1") / n) / F.nullif(
+        (n - 1), F.lit(0)
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(var_samp, 6).alias("var_samp"),
+        F.round(F.sqrt(F.greatest(var_pop, F.lit(0.0))), 6).alias("stddev_pop"),
+    )

@@ -281,3 +281,33 @@ def scalar_struct(spark, sf_dir):
             ).alias("status_priority"),
         )
     )
+
+
+# Null-handling functions: nullif/coalesce/nvl2/null-safe equality.
+@query(
+    "scalar_null",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) AS disc_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg1,
+           (nullif(l_discount, 0.0) IS NOT DISTINCT FROM NULL) AS is_zero_disc,
+           CASE WHEN nullif(l_tax, 0.0) IS NULL THEN 'no_tax' ELSE 'taxed' END AS tax_band,
+           (nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)) AS disc_eq_tax_nullsafe
+    FROM lineitem
+    """,
+)
+def scalar_null(spark, sf_dir):
+    """Null-handling surface: nullif, coalesce, IS NULL branches, null-safe
+    equality (<=> vs IS NOT DISTINCT FROM)."""
+    li = table(spark, sf_dir, "lineitem")
+    d0 = F.nullif(F.col("l_discount"), F.lit(0.0))
+    t0 = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        d0.alias("disc_or_null"),
+        F.coalesce(d0, F.lit(-1.0)).alias("disc_or_neg1"),
+        d0.eqNullSafe(F.lit(None).cast("double")).alias("is_zero_disc"),
+        F.when(t0.isNull(), F.lit("no_tax")).otherwise(F.lit("taxed")).alias("tax_band"),
+        d0.eqNullSafe(t0).alias("disc_eq_tax_nullsafe"),
+    )

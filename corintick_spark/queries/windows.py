@@ -475,3 +475,35 @@ def window_bollinger(spark, sf_dir):
         F.round(mean + 2 * sd, 6).alias("upper"),
         F.round(mean - 2 * sd, 6).alias("lower"),
     )
+
+
+# first_value / last_value / nth_value over the full-partition frame.
+@query(
+    "window_first_last",
+    sql="""
+    SELECT event_id, user_id, value,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v,
+           nth_value(value, 3) OVER w AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark, sf_dir):
+    """first/last/nth value per uid over the whole series (explicit
+    unbounded frame — the default frame would stop at CURRENT ROW)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    )
