@@ -938,3 +938,85 @@ def agg_stats(spark, sf_dir):
         F.round(var_samp, 6).alias("var_samp"),
         F.round(F.sqrt(F.greatest(var_pop, F.lit(0.0))), 6).alias("stddev_pop"),
     )
+
+
+# Join-strategy control: MERGE hint (big-big joins where broadcast is wrong).
+@query(
+    "join_sortmerge",
+    sql=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {DSUM('l.l_quantity', 'total_qty')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_sortmerge(spark, sf_dir):
+    """Fact-to-fact join pinned to sort-merge via hint — the strategy for
+    two at-scale tables where neither side broadcasts; both sides shuffle
+    once on the key and stream-merge."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity", "total_qty"))
+    )
+
+
+# Join-strategy control: SHUFFLE_HASH hint (build-side fits per-partition).
+@query(
+    "join_shufflehash",
+    sql=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {DSUM('o.o_totalprice', 'total_price')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_shufflehash(spark, sf_dir):
+    """Join pinned to shuffled-hash via hint — avoids the sort when the
+    build side fits in memory per partition but is too big to broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+# Bitwise and boolean aggregates.
+@query(
+    "agg_bitwise",
+    sql="""
+    SELECT event_type,
+           CAST(bit_and(k) AS BIGINT) AS k_and,
+           CAST(bit_or(k) AS BIGINT) AS k_or,
+           CAST(bit_xor(k) AS BIGINT) AS k_xor,
+           bool_and(value > 1) AS all_above_1,
+           bool_or(value > 190) AS any_above_190
+    FROM (
+        SELECT event_type, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark, sf_dir):
+    """Bitwise AND/OR/XOR and boolean every/any aggregates per group."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.bit_and("k").cast("bigint").alias("k_and"),
+        F.bit_or("k").cast("bigint").alias("k_or"),
+        F.bit_xor("k").cast("bigint").alias("k_xor"),
+        F.bool_and(F.col("value") > 1).alias("all_above_1"),
+        F.bool_or(F.col("value") > 190).alias("any_above_190"),
+    )

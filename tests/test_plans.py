@@ -68,3 +68,10 @@ def test_asof_is_single_shuffle_window(spark, sf_dir):
     assert "Window" in plan
     # one exchange for the union+window, none per-row
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    sm = plan_of(spark, sf_dir, "join_sortmerge")
+    assert "SortMergeJoin" in sm, sm[:500]
+    sh = plan_of(spark, sf_dir, "join_shufflehash")
+    assert "ShuffledHashJoin" in sh, sh[:500]
