@@ -1020,3 +1020,66 @@ def agg_bitwise(spark, sf_dir):
         F.bool_and(F.col("value") > 1).alias("all_above_1"),
         F.bool_or(F.col("value") > 190).alias("any_above_190"),
     )
+
+
+# Ordered string aggregation (listagg/string_agg).
+@query(
+    "agg_string",
+    sql="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string(spark, sf_dir):
+    """Ordered string aggregation: sorted collect_list + concat_ws (the
+    deterministic listagg form — unordered string_agg is nondeterministic)."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+# Generator source: range() as a table source with computed columns.
+@query(
+    "source_range",
+    sql="""
+    SELECT i AS id,
+           i * i AS sq,
+           CAST(i % 7 AS BIGINT) AS bucket,
+           CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+    FROM range(10000) t(i)
+    """,
+)
+def source_range(spark, sf_dir):
+    """spark.range generator source — distributed synthetic data without a
+    file scan (ids partitioned across executors)."""
+    return spark.range(10000).select(
+        F.col("id"),
+        (F.col("id") * F.col("id")).alias("sq"),
+        (F.col("id") % 7).cast("bigint").alias("bucket"),
+        F.when(F.col("id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("parity"),
+    )
+
+
+# Deterministic sampling: modulo selection (reproducible across engines,
+# unlike rand()-based sampling).
+@query(
+    "sample_mod",
+    sql=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id % 10 = 3
+    """,
+)
+def sample_mod(spark, sf_dir):
+    """10% deterministic sample by id residue — the reproducible sampling
+    pattern for pipeline debugging (rand()-based sampling can't be
+    oracle-checked or reproduced across engines)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 10 == 3).select(
+        "event_id", "user_id", "event_type", "value"
+    )
