@@ -147,6 +147,54 @@ class TickStore:
             df = df.select(*keep)
         return df
 
+    # -- streaming ingestion (north_star: live tick ingestion via Spark) ----
+    def append_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = False,
+    ):
+        """Continuously append a streaming frame into the store layout
+        (same partitioning as batch writes; readers see files as micro-
+        batches commit). Returns the StreamingQuery; caller manages its
+        lifecycle. Overlap checking is a batch-maintenance concern — run
+        `overlapping_uids` on compaction, not per micro-batch."""
+        if self.bucket_uids or self.partition_by_date:
+            raise NotImplementedError(
+                "streaming append currently supports the plain uid layout"
+            )
+        data_dir = self._data_dir()
+        uid_col, ts_col = self.uid_col, self.ts_col
+
+        # foreachBatch + the normal batch writer, NOT the parquet streaming
+        # sink: the file sink's _spark_metadata log would make batch reads
+        # of the directory ignore every non-streaming-written file (so a
+        # store seeded by batch writes would silently lose them).
+        def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            (
+                batch_df.repartition(F.col(uid_col))
+                .sortWithinPartitions(ts_col)
+                .write.mode("append")
+                .partitionBy(uid_col)
+                .parquet(data_dir)
+            )
+
+        writer = (
+            stream_df.writeStream.foreachBatch(_write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def stream(self) -> DataFrame:
+        """The store as a streaming source: new files appended by writers
+        (batch or streaming) arrive as micro-batches — the live read side
+        of the tick store."""
+        batch = self.read()
+        return self.spark.readStream.schema(batch.schema).parquet(self._data_dir())
+
     # -- catalog: api.py::Corintick.list_uids † -----------------------------
     def list_uids(self) -> DataFrame:
         """Per-uid doc-count/first/last — the $group pipeline, distributed."""

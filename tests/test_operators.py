@@ -284,3 +284,37 @@ def test_containment_pairs_planted(spark):
     assert (1, 2) in got          # substring found
     assert (1, 3) not in got      # not contained
     assert (1, 4) not in got      # different block
+
+
+def test_tickstore_streaming_append_and_source(spark, sf_dir, tmp_path):
+    """Live ingestion: stream INTO the store layout, then read the store
+    back as a streaming source."""
+    import pyspark.sql.functions as FF
+    from corintick_spark.catalog import table
+    from corintick_spark.storage import TickStore
+    from corintick_spark.streaming.events_stream import events_stream, run_to_memory
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"), "ts", "value"
+    )
+    store = TickStore(spark, str(tmp_path / "live"))
+    # seed with a batch write (uids 0-4), then stream in the rest
+    store.write(ev.filter(F.col("uid").isin("0", "1", "2", "3", "4")), mode="overwrite")
+    seeded = store.read().count()
+
+    src = events_stream(spark, sf_dir).select(
+        FF.col("user_id").cast("string").alias("uid"), "ts", "value"
+    ).filter(~FF.col("uid").isin("0", "1", "2", "3", "4"))
+    q = store.append_stream(
+        src, checkpoint_dir=str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination()
+    assert store.read().count() == ev.count()
+    assert store.read().count() > seeded
+
+    # the store as a streaming source: aggregate it to memory
+    agg = store.stream().groupBy("uid").agg(FF.count("*").alias("n"))
+    out = run_to_memory(agg, spark)
+    got = {r["uid"]: r["n"] for r in out.collect()}
+    expect = {r["uid"]: r["n"] for r in ev.groupBy("uid").agg(FF.count("*").alias("n")).collect()}
+    assert got == expect
