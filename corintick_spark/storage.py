@@ -235,6 +235,42 @@ class TickStore:
         rows = self.spark.read.parquet(self._meta_dir()).collect()
         return {r["key"]: r["value"] for r in rows}
 
+    # -- maintenance ---------------------------------------------------------
+    def compact(self) -> int:
+        """Rewrite the dataset into one time-sorted file chain per uid
+        partition — the maintenance pass that follows streaming ingestion
+        (each micro-batch appends a small file per touched uid; corintick
+        had the same fragmentation with per-write chunk documents †).
+
+        Local-FS implementation writes to a sibling directory and swaps via
+        rename; on a real cluster use the same pattern through the Hadoop
+        FileSystem API (or table-format compaction). Returns the number of
+        data files after compaction.
+        """
+        import shutil
+
+        data_dir = self._data_dir()
+        tmp_dir = data_dir + ".compact_tmp"
+        old_dir = data_dir + ".compact_old"
+        df = self.read()
+        part_cols = [self.uid_col]
+        (
+            df.repartition(F.col(self.uid_col))
+            .sortWithinPartitions(self.ts_col)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp_dir)
+        )
+        os.rename(data_dir, old_dir)
+        os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir)
+        return sum(
+            1
+            for root, _, files in os.walk(data_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     # -- helpers -------------------------------------------------------------
     def _data_dir(self) -> str:
         return os.path.join(self.root, "data")

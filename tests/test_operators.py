@@ -318,3 +318,33 @@ def test_tickstore_streaming_append_and_source(spark, sf_dir, tmp_path):
     got = {r["uid"]: r["n"] for r in out.collect()}
     expect = {r["uid"]: r["n"] for r in ev.groupBy("uid").agg(FF.count("*").alias("n")).collect()}
     assert got == expect
+
+
+def test_tickstore_compact_after_streaming(spark, sf_dir, tmp_path):
+    """Streaming ingestion fragments the store (file per uid per batch);
+    compact() must reduce file count while preserving every row."""
+    import os
+    import pyspark.sql.functions as FF
+    from corintick_spark.catalog import table
+    from corintick_spark.storage import TickStore
+    from corintick_spark.streaming.events_stream import events_stream
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"), "ts", "value"
+    )
+    store = TickStore(spark, str(tmp_path / "frag"))
+    store.write(ev.filter(F.col("uid") < "5"), mode="overwrite")
+    src = events_stream(spark, sf_dir).select(
+        FF.col("user_id").cast("string").alias("uid"), "ts", "value"
+    ).filter(~(FF.col("uid") < "5"))
+    q = store.append_stream(src, str(tmp_path / "ck"), trigger_available_now=True)
+    q.awaitTermination()
+    before = sum(
+        1 for r, _, fs in os.walk(store._data_dir()) for f in fs if f.endswith(".parquet")
+    )
+    n_before = store.read().count()
+    after = store.compact()
+    assert store.read().count() == n_before == ev.count()
+    assert after <= before
+    # reads still prune and filter correctly post-compaction
+    assert store.read(uids=["3"]).count() == ev.filter(F.col("uid") == "3").count()
