@@ -1083,3 +1083,40 @@ def sample_mod(spark, sf_dir):
     return ev.filter(F.col("event_id") % 10 == 3).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+# Skewness from exact scaled moments (third standardized moment).
+@query(
+    "agg_skew",
+    sql="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS s1,
+               CAST(SUM(CAST(round(value * value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS s2,
+               CAST(SUM(CAST(round(value * value * value) AS BIGINT)) AS DOUBLE) AS s3
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(greatest(s2 / n - (s1 / n) * (s1 / n), 1e-12), 1.5), 6) AS skewness
+    FROM m
+    """,
+)
+def agg_skew(spark, sf_dir):
+    """Population skewness from exact first/second/third scaled moments —
+    same deterministic-moments technique as agg_stats/agg_corr."""
+    ev = table(spark, sf_dir, "events")
+    s1 = F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000
+    s2 = F.sum(F.round(F.col("value") * F.col("value") * 1_000).cast("bigint")).cast("double") / 1_000
+    s3 = F.sum(F.round(F.col("value") * F.col("value") * F.col("value")).cast("bigint")).cast("double")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    var = F.greatest(F.col("s2") / n - mean * mean, F.lit(1e-12))
+    m3c = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * mean * mean * mean
+    return m.select(
+        "event_type", "n", F.round(m3c / F.pow(var, 1.5), 6).alias("skewness")
+    )

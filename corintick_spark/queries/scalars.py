@@ -311,3 +311,27 @@ def scalar_null(spark, sf_dir):
         F.when(t0.isNull(), F.lit("no_tax")).otherwise(F.lit("taxed")).alias("tax_band"),
         d0.eqNullSafe(t0).alias("disc_eq_tax_nullsafe"),
     )
+
+
+# Trigonometric / inverse-trig functions (rounded: libm vs JVM last-ulp).
+@query(
+    "scalar_trig",
+    sql="""
+    SELECT event_id,
+           ROUND(SIN(value / 100), 6) AS sin_v,
+           ROUND(COS(value / 100), 6) AS cos_v,
+           ROUND(ATAN2(value, 100), 6) AS atan2_v,
+           ROUND(DEGREES(ATAN(value / 100)), 6) AS angle_deg
+    FROM events
+    """,
+)
+def scalar_trig(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value") / 100
+    return ev.select(
+        "event_id",
+        F.round(F.sin(v), 6).alias("sin_v"),
+        F.round(F.cos(v), 6).alias("cos_v"),
+        F.round(F.atan2(F.col("value"), F.lit(100.0)), 6).alias("atan2_v"),
+        F.round(F.degrees(F.atan(v)), 6).alias("angle_deg"),
+    )
