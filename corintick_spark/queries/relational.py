@@ -1120,3 +1120,25 @@ def agg_skew(spark, sf_dir):
     return m.select(
         "event_type", "n", F.round(m3c / F.pow(var, 1.5), 6).alias("skewness")
     )
+
+
+# count_if / conditional counting idioms.
+@query(
+    "agg_countif",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           COUNT(*) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_countif(spark, sf_dir):
+    """count_if / FILTER-clause conditional counting."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.count("*").alias("n_total"),
+    )

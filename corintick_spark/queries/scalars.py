@@ -335,3 +335,28 @@ def scalar_trig(spark, sf_dir):
         F.round(F.atan2(F.col("value"), F.lit(100.0)), 6).alias("atan2_v"),
         F.round(F.degrees(F.atan(v)), 6).alias("angle_deg"),
     )
+
+
+# String shaping: pad/repeat/reverse/translate/initcap.
+@query(
+    "scalar_pad",
+    sql="""
+    SELECT n_nationkey,
+           lpad(n_name, 15, '.') AS name_lpad,
+           rpad(n_name, 15, '_') AS name_rpad,
+           reverse(n_name) AS name_rev,
+           repeat('-', CAST(n_nationkey % 5 AS INT)) AS dashes,
+           translate(n_name, '_', ' ') AS name_spaced
+    FROM nation
+    """,
+)
+def scalar_pad(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad("n_name", 15, ".").alias("name_lpad"),
+        F.rpad("n_name", 15, "_").alias("name_rpad"),
+        F.reverse("n_name").alias("name_rev"),
+        F.repeat(F.lit("-"), (F.col("n_nationkey") % 5).cast("int")).alias("dashes"),
+        F.translate("n_name", "_", " ").alias("name_spaced"),
+    )

@@ -507,3 +507,28 @@ def window_first_last(spark, sf_dir):
         F.last("value").over(w).alias("last_v"),
         F.nth_value("value", 3).over(w).alias("third_v"),
     )
+
+
+# lag/lead with offsets and defaults.
+@query(
+    "window_lag_default",
+    sql="""
+    SELECT event_id, user_id, value,
+           LAG(value, 2, -1.0) OVER w AS lag2_or_neg1,
+           LEAD(value, 3, 0.0) OVER w AS lead3_or_zero
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_default(spark, sf_dir):
+    """Multi-offset lag/lead with default fill values (series edges get the
+    default instead of NULL)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 2, -1.0).over(w).alias("lag2_or_neg1"),
+        F.lead("value", 3, 0.0).over(w).alias("lead3_or_zero"),
+    )
