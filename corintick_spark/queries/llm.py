@@ -532,3 +532,38 @@ def text_tfidf(spark, sf_dir):
         )
         .filter(F.col("rk") <= 5)
     )
+
+
+# Edit-distance fuzzy matching (levenshtein) within blocks.
+@query(
+    "dedup_fuzzy",
+    sql="""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS edit_dist
+    FROM documents a JOIN documents b ON a.source = b.source
+    WHERE a.doc_id < b.doc_id
+      AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    """,
+)
+def dedup_fuzzy(spark, sf_dir):
+    """Prefix edit-distance fuzzy pairs within source blocks — the
+    levenshtein tier of the dedup toolkit (blocked; at corpus scale run it
+    as verification inside LSH buckets, never across blocks)."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("source").alias("_blk"),
+        F.col("doc_id").alias("a_id"),
+        F.substring("text", 1, 40).alias("a_head"),
+    )
+    b = d.select(
+        F.col("source").alias("_blk"),
+        F.col("doc_id").alias("b_id"),
+        F.substring("text", 1, 40).alias("b_head"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("edit_dist", F.levenshtein("a_head", "b_head").cast("bigint"))
+        .filter(F.col("edit_dist") <= 20)
+        .select("a_id", "b_id", "edit_dist")
+    )
