@@ -374,16 +374,24 @@ def agg_conditional(spark, sf_dir):
     sql="""
     SELECT user_id,
            COUNT(*) AS n,
-           list_sort(list(value)) AS values_sorted
+           array_to_string(list_sort(list(printf('%.2f', value))), ',') AS values_sorted
     FROM events
     GROUP BY user_id
     """,
 )
 def agg_collect(spark, sf_dir):
+    """collect_list + array_sort, emitted as a comma-joined string: the
+    driver's pandas canonicalizer cannot hash array cells (the one red
+    CORRECTNESS row in round 1), so both engines serialize the sorted list
+    to a scalar. Values are fixed-formatted to 2 decimals (the data's native
+    precision) so neither engine's shortest-double-repr policy leaks in, and
+    sorting is lexicographic on that fixed form in both engines."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.array_sort(F.collect_list("value")).alias("values_sorted"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.format_string("%.2f", "value"))), ","
+        ).alias("values_sorted"),
     )
 
 

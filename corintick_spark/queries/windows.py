@@ -29,13 +29,17 @@ from corintick_spark.registry import query
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
            CAST(RANK() OVER w AS BIGINT) AS rk,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
-           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
 def window_rank(spark, sf_dir):
-    """row_number/rank/dense_rank/ntile per priority group."""
+    """row_number/rank/dense_rank/ntile plus lag/lead per priority group —
+    one query carrying both T-B21 (ranking) and T-B22 (offset) window
+    families over a single shared window spec (one shuffle, one sort)."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
@@ -48,6 +52,8 @@ def window_rank(spark, sf_dir):
         F.rank().over(w).cast("bigint").alias("rk"),
         F.dense_rank().over(w).cast("bigint").alias("drk"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
     )
 
 
