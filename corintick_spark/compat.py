@@ -100,5 +100,11 @@ class Corintick:
         stats = self._store(collection).list_uids().toPandas()
         return stats.rename(columns={_UID: "uid"}).sort_values("uid").reset_index(drop=True)
 
-    def metadata(self, collection: str | None = None) -> dict:
-        return self._store(collection).get_metadata()
+    def metadata(self, collection: str | None = None, uid: str | None = None) -> dict:
+        """Store-level merged metadata, or — with ``uid`` — the merged
+        metadata of every write that touched that uid (the reference's
+        per-chunk-document metadata view, T-A14 †)."""
+        store = self._store(collection)
+        if uid is not None:
+            return store.metadata_for(uid)
+        return store.get_metadata()

@@ -17,8 +17,11 @@ no O(n·m) range probing.
 
 Tie semantics: a right row at exactly ts == left.ts IS visible to that left
 row (inclusive as-of, matching pandas merge_asof(direction='backward') and
-DuckDB ASOF JOIN's ``>=``). Among right rows with equal ts, the one with the
-largest tiebreak column wins.
+DuckDB ASOF JOIN's ``>=``). Among right rows with equal ts the winner is
+per-direction: ``backward`` takes the largest tiebreak (the last row its
+forward scan carries), ``forward`` takes the smallest (the first row its
+reverse scan meets — see the inline note in ``asof_join``), and ``nearest``
+inherits whichever side supplies the value.
 """
 
 from __future__ import annotations

@@ -41,10 +41,16 @@ def kmeans_fit(
     """Train k cell centroids; returns a DataFrame (cell int, centroid
     array<double>) small enough to broadcast."""
     spark = df.sparkSession
-    vecs = df.select(
-        F.col(id_col).alias("_id"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # persisted: read twice per iteration (assign + update) × iters rounds —
+    # without this every round re-scans and re-casts the source
+    vecs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
 
     init = (
         vecs.withColumn("_h", F.xxhash64(F.col("_id")))
@@ -81,6 +87,7 @@ def kmeans_fit(
         new = {r["cell"]: list(r["centroid"]) for r in comp}
         centroids = [new.get(i, centroids[i]) for i in range(k)]
 
+    vecs.unpersist()
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )

@@ -2,14 +2,23 @@
 
 Pairwise near-dup detection (MinHash/SimHash/embedding) yields EDGES; a
 training-data pipeline needs CLUSTERS (keep one doc per transitive group).
-This is connected components via alternating large-star/small-star label
-propagation (the map-reduce CC algorithm of Kiveris et al., "Connected
-Components in MapReduce and Beyond"): every iteration is two groupBy
-shuffles on well-distributed ids, converging in O(log n) iterations —
-no graph library, plain DataFrame ops.
+This is connected components via the alternating large-star/small-star
+edge-rewriting algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14): each round is two groupBy shuffles on
+well-distributed node ids and converges in O(log n) rounds even on
+high-diameter graphs (a path graph collapses exponentially fast, unlike
+plain min-label propagation which needs O(diameter) rounds — verified by
+the path-graph unit test in tests/test_operators.py).
 
-The driver loop checks a convergence aggregate per iteration (a count, not
-data) — the same driver-loop-with-distributed-steps shape as k-means.
+Scale discipline for the driver loop:
+- every iteration's edge frame is eagerly ``localCheckpoint``-ed and the
+  previous one unpersisted: the convergence probe and the next round read
+  the materialized blocks, and the logical plan is truncated each round
+  (it otherwise doubles per round — by round ~10 Catalyst spends longer
+  stringifying the plan than executing it);
+- convergence is detected from a single tiny aggregate per round
+  (edge count + order-independent xxhash64 fold), not a join against the
+  previous labels.
 """
 
 from __future__ import annotations
@@ -18,48 +27,81 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round over a symmetric directed edge list (u, v):
+    connect every neighbor larger than the center to the neighborhood
+    minimum m = min(Γ(u) ∪ {u}). Output edges are (larger, smaller)."""
+    m = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = m.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """One small-star round over edges already directed (larger, smaller):
+    for each center u, connect u and all its smaller neighbors to the
+    minimum of that set. Output stays directed (larger, smaller)."""
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = directed.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    centers = m.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.unionByName(centers).filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     a: str = "a_id",
     b: str = "b_id",
-    max_iter: int = 20,
+    max_iter: int = 25,
 ) -> DataFrame:
-    """Return (node, component) where component = min node id reachable.
+    """Return (node, comp) where comp = min node id of the component.
 
-    edges: undirected pair list (each edge once, any orientation).
+    edges: undirected pair list (each edge once, any orientation). Node ids
+    must be totally ordered (numeric or string). Converges in O(log n)
+    alternating-star rounds; ``max_iter`` is a safety cap far above that.
     """
-    # symmetrize once; labels start as each node's own id
-    sym = (
-        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+    raw = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
-    )
 
+    # canonical directed (larger, smaller) start state
+    e = (
+        raw.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+    ).localCheckpoint(eager=True)
+    prev_stat = None
     for _ in range(max_iter):
-        # propagate: each node takes min(own comp, neighbors' comps)
-        with_nbr = (
-            sym.join(labels.withColumnRenamed("node", "u").withColumnRenamed("comp", "u_comp"), "u")
-            .join(labels.withColumnRenamed("node", "v").withColumnRenamed("comp", "v_comp"), "v")
-        )
-        new_labels = (
-            with_nbr.select(F.col("u").alias("node"), F.least("u_comp", "v_comp").alias("comp"))
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # convergence: no label changed
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # eager localCheckpoint: materialize AND truncate lineage each round
+        new_e = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        # one tiny action on the materialized frame: count + order-free hash
+        # (bit_xor, not sum: ANSI mode throws on int64 sum overflow, and the
+        # edge list is distinct so xor has no self-cancellation pairs)
+        stat = new_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        stat = (stat["n"], stat["h"])
+        e.unpersist()
+        e = new_e
+        if stat == prev_stat:
             break
+        prev_stat = stat
+
+    # fixpoint is a disjoint star forest: (child, root) edges
+    labels = nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("_root")), "node", "left"
+    ).select("node", F.coalesce(F.col("_root"), F.col("node")).alias("comp"))
+    e.unpersist()
     return labels
 
 

@@ -157,39 +157,68 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_to: int = 6,
+    nbits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a_id, b_id, cosine >= threshold).
 
     With ``block_col`` the pair space is restricted to an equi-join on the
     blocking key (label, shard, coarse cluster id) — the IVF-style pattern:
-    quantize first, compare within cells. Without it, use srp_signature
-    bands as the blocking key instead (lsh_topk); never all-pairs.
+    quantize first, compare within cells; exact within the block.
+
+    Without ``block_col`` the blocking key is an SRP-LSH signature band
+    (candidates must collide on at least one band) — approximate recall,
+    but the join stays an equi-join on well-distributed hash keys. There
+    is deliberately NO all-pairs fallback: a corpus×corpus crossJoin is
+    never the plan this operator produces.
     """
     base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    cols = [F.col(id_col), F.col(vec_col), _norm2(vec_col).alias("_n2")]
-    if block_col:
-        cols.append(F.col(block_col).alias("_blk"))
-    v = base.select(*cols)
+    if block_col is None:
+        # SRP-band blocking: explode each vector into its signature bands,
+        # equi-join on (band_id, band_bits), dedup candidate pairs.
+        width = nbits // bands
+        band_expr = F.expr(
+            f"""transform(sequence(0, {bands - 1}),
+                  b -> concat_ws('', transform(slice(srp_sig, b * {width} + 1, {width}),
+                                               x -> CAST(x AS STRING))))"""
+        )
+        v = srp_signature(base, vec_col, nbits, dim).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm2(vec_col).alias("_n2"),
+            F.posexplode(band_expr).alias("_band_id", "_blk"),
+        )
+        blk_keys = ["_band_id", "_blk"]
+    else:
+        v = base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm2(vec_col).alias("_n2"),
+            F.col(block_col).alias("_blk"),
+        )
+        blk_keys = ["_blk"]
     a = v.select(
-        *([F.col("_blk")] if block_col else []),
+        *blk_keys,
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
         F.col("_n2").alias("a_n2"),
     )
     b = v.select(
-        *([F.col("_blk")] if block_col else []),
+        *blk_keys,
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
         F.col("_n2").alias("b_n2"),
     )
-    joined = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    joined = a.join(b, blk_keys).filter(F.col("a_id") < F.col("b_id"))
+    if block_col is None:
+        joined = joined.dropDuplicates(["a_id", "b_id"])
     score = F.round(
         _dot("a_vec", "b_vec") / (F.sqrt(F.col("a_n2")) * F.sqrt(F.col("b_n2"))),
         round_to,
     )
     return (
-        joined.filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", score)
+        joined.withColumn("cosine", score)
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )

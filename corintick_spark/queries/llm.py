@@ -514,13 +514,19 @@ def text_tfidf(spark, sf_dir):
     tok = D.tokenize(d).select("doc_id", F.explode("words").alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; at scale keep as a literal from a prior agg
-    scored = tf.join(F.broadcast(dfreq), "word").select(
-        "doc_id",
-        "word",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # corpus size as a broadcast 1-row aggregate, not a driver-side count():
+    # the whole query stays one plan / one job
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window as W
 

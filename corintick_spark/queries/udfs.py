@@ -48,7 +48,10 @@ def udf_scalar(spark, sf_dir):
 
 
 # T-B45 — grouped-aggregate pandas UDFs (Spark disallows mixing grouped-agg
-# pandas UDFs with built-in aggregates in one agg, so count is a UDF too).
+# pandas UDFs with built-in aggregates in one agg, so count is a UDF too —
+# this query's purpose is to exercise the UDAF path; production code with a
+# plain COUNT alongside a pandas UDAF should instead compute the two aggs
+# separately and join, keeping the count in codegen).
 def _vrange_udf():
     @pandas_udf("double")
     def _vrange(value: pd.Series) -> float:

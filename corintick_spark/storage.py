@@ -65,6 +65,44 @@ class TickStore:
                 raise ValueError(
                     f"write overlaps existing data for uids: {overlaps[:10]}"
                 )
+        out, part_cols = self._partitioned(df)
+        (
+            out.repartition(*[F.col(c) for c in part_cols])
+            .sortWithinPartitions(self.ts_col)
+            .write.mode(mode)
+            .partitionBy(*part_cols)
+            .parquet(self._data_dir())
+        )
+        # Schema sidecar: partition-directory values lose their type (Spark
+        # re-infers them on read — a string uid '3' comes back as int), the
+        # corintick dtype round-trip guarantee (serialization.py † dtype
+        # strings) needs the written schema recorded. Appends with NEW
+        # columns merge into the sidecar (corintick allowed different chunks
+        # of one uid to carry different column sets † — SURVEY §1.1), with
+        # the latest write winning per-column. Local-FS write; on a real
+        # cluster this sidecar lives next to the dataset via the hadoop FS
+        # API.
+        os.makedirs(self.root, exist_ok=True)
+        schema = df.schema
+        if mode == "append" and os.path.exists(self._schema_path()):
+            with open(self._schema_path()) as fh:
+                prior = StructType.fromJson(json.load(fh))
+            new_names = set(schema.fieldNames())
+            merged = list(schema.fields) + [
+                f for f in prior.fields if f.name not in new_names
+            ]
+            schema = StructType(merged)
+        with open(self._schema_path(), "w") as fh:
+            fh.write(schema.json())
+        if metadata:
+            self.put_metadata(metadata)
+            self._log_write_metadata(df, metadata)
+
+    def _partitioned(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Apply the store's configured partition layout (plain uid, hashed
+        uid buckets, optional date sub-partition) to an outgoing frame —
+        shared by write() and compact() so maintenance can never silently
+        rewrite a store into a different layout."""
         part_col = self.uid_col
         out = df
         if self.bucket_uids:
@@ -79,24 +117,7 @@ class TickStore:
             # the reference's (uid,start,end) index †)
             out = out.withColumn("_date", F.col(self.ts_col).cast("date"))
             part_cols.append("_date")
-        (
-            out.repartition(*[F.col(c) for c in part_cols])
-            .sortWithinPartitions(self.ts_col)
-            .write.mode(mode)
-            .partitionBy(*part_cols)
-            .parquet(self._data_dir())
-        )
-        # Schema sidecar: partition-directory values lose their type (Spark
-        # re-infers them on read — a string uid '3' comes back as int), the
-        # corintick dtype round-trip guarantee (serialization.py † dtype
-        # strings) needs the written schema recorded. Local-FS write; on a
-        # real cluster this sidecar lives next to the dataset via the
-        # hadoop FS API.
-        os.makedirs(self.root, exist_ok=True)
-        with open(self._schema_path(), "w") as fh:
-            fh.write(df.schema.json())
-        if metadata:
-            self.put_metadata(metadata)
+        return out, part_cols
 
     # -- read path: api.py::Corintick.read † --------------------------------
     def read(
@@ -105,14 +126,25 @@ class TickStore:
         start: str | datetime | None = None,
         end: str | datetime | None = None,
         columns: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """read(uid, start, end, columns): partition pruning on uid, pushed
         ts range filter (row-group stats do the chunk-level prune), column
         pruning — each the Catalyst analogue of the reference's index seek,
         interval filter, and Mongo projection (api.py::Corintick.read †).
         Range semantics inclusive of both ends, like DataFrame.loc[start:end].
+
+        ``merge_schema=True`` unions the schemas of every data file
+        (columns absent from older appends come back NULL) — corintick
+        allowed different chunks of one uid to carry different column sets
+        (SURVEY §1.1 †); heterogeneous appends need this flag to see every
+        column. The default stays False: schema merging foots the bill of a
+        footer read per file, which a 100 TB store pays only when asked.
         """
-        df = self.spark.read.parquet(self._data_dir())
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self._data_dir())
         if self.bucket_uids and "uid_bucket" in df.columns and uids is not None:
             # Bucket-level partition pruning: hash the requested uids with
             # the same (dtype-faithful) function the write path used, so a
@@ -235,6 +267,47 @@ class TickStore:
         rows = self.spark.read.parquet(self._meta_dir()).collect()
         return {r["key"]: r["value"] for r in rows}
 
+    def _log_write_metadata(self, df: DataFrame, metadata: dict) -> None:
+        """Record this write's metadata per uid it touched — corintick
+        attached the **metadata dict to every chunk document of the write
+        (api.py::Corintick.write †), so metadata is addressable by uid, not
+        just store-wide. The uid set of a metadata-carrying write is small
+        by construction (one collect of distinct uids)."""
+        uids = [r[0] for r in df.select(self.uid_col).distinct().collect()]
+        next_id = 0
+        if os.path.isdir(self._writes_dir()):
+            prev = (
+                self.spark.read.parquet(self._writes_dir())
+                .agg(F.max("write_id"))
+                .collect()[0][0]
+            )
+            next_id = (prev if prev is not None else -1) + 1
+        rows = [
+            (next_id, str(u), str(k), str(v))
+            for u in uids
+            for k, v in metadata.items()
+        ]
+        self.spark.createDataFrame(
+            rows, "write_id long, uid string, key string, value string"
+        ).write.mode("append").parquet(self._writes_dir())
+
+    def metadata_for(self, uid) -> dict:
+        """Merged metadata of every write that included ``uid`` (later
+        writes win per key) — the per-document metadata view of the
+        reference, T-A14."""
+        if not os.path.isdir(self._writes_dir()):
+            return {}
+        rows = (
+            self.spark.read.parquet(self._writes_dir())
+            .filter(F.col("uid") == str(uid))
+            .orderBy("write_id")
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            out[r["key"]] = r["value"]
+        return out
+
     # -- maintenance ---------------------------------------------------------
     def compact(self) -> int:
         """Rewrite the dataset into one time-sorted file chain per uid
@@ -252,10 +325,13 @@ class TickStore:
         data_dir = self._data_dir()
         tmp_dir = data_dir + ".compact_tmp"
         old_dir = data_dir + ".compact_old"
-        df = self.read()
-        part_cols = [self.uid_col]
+        # merge_schema: heterogeneous appends must not lose columns in the
+        # rewrite; _partitioned(): the rewrite must reproduce the store's
+        # configured layout (uid buckets / date level), not reset it to
+        # plain-uid partitioning.
+        out, part_cols = self._partitioned(self.read(merge_schema=True))
         (
-            df.repartition(F.col(self.uid_col))
+            out.repartition(*[F.col(c) for c in part_cols])
             .sortWithinPartitions(self.ts_col)
             .write.mode("overwrite")
             .partitionBy(*part_cols)
@@ -277,6 +353,9 @@ class TickStore:
 
     def _meta_dir(self) -> str:
         return os.path.join(self.root, "_meta")
+
+    def _writes_dir(self) -> str:
+        return os.path.join(self.root, "_writes")
 
     def _schema_path(self) -> str:
         return os.path.join(self.root, "_schema.json")

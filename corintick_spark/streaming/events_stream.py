@@ -34,8 +34,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_file = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src_file)
     # FileStreamSource requires a directory; stage the (read-only) parquet
-    # into a temp dir via symlink — no data copy.
+    # into a temp dir via symlink — no data copy. Removed at interpreter
+    # exit (it must outlive whatever queries the caller starts on it).
     stage = tempfile.mkdtemp(prefix="events_stream_")
+    _cleanup_at_exit(stage)
     os.symlink(src_file, os.path.join(stage, "events.parquet"))
     src = spark.readStream.schema(batch.schema).parquet(stage)
     return src.withColumnRenamed("ts", "ts_ns").withColumn(
@@ -46,20 +48,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     """Execute a streaming query to completion (AvailableNow) into a memory
     sink; return the final result as a batch DataFrame."""
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run(stream_df, spark, "complete")
 
 
 def run_append_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -77,18 +66,28 @@ def _ckpt_base() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
+def _cleanup_at_exit(path: str) -> None:
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, True)
+
+
 def _run(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    import shutil
+
     name = "s" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_ckpt_base())
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.mkdtemp(prefix="ckpt_", dir=_ckpt_base()), name),
-        )
+        .option("checkpointLocation", os.path.join(ckpt, name))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # the query is finished (AvailableNow) and the memory-sink table lives
+    # in the session, not the checkpoint — safe to drop the WAL now
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)

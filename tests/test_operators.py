@@ -126,6 +126,89 @@ def test_tickstore_roundtrip_and_overlap(spark, sf_dir, tmp_path):
         store.write(ev.limit(10), check_overlap=True)
 
 
+def test_tickstore_per_write_metadata(spark, tmp_path):
+    """Per-uid metadata: each write's **metadata dict is addressable by the
+    uids it touched; later writes win per key (reference per-chunk-document
+    metadata, T-A14)."""
+    from corintick_spark.storage import TickStore
+
+    store = TickStore(spark, str(tmp_path / "meta"))
+
+    def frame(uid, day):
+        return spark.createDataFrame(
+            [(uid, f"2024-01-{day:02d} 00:00:00", 1.0)],
+            "uid string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    store.write(frame("a", 1), mode="overwrite", source="feedA", quality="raw")
+    store.write(frame("b", 1), mode="append", source="feedB")
+    store.write(frame("a", 2), mode="append", quality="clean")
+    assert store.metadata_for("a") == {"source": "feedA", "quality": "clean"}
+    assert store.metadata_for("b") == {"source": "feedB"}
+    assert store.metadata_for("zzz") == {}
+    # store-level view still merges everything
+    assert store.get_metadata()["source"] in {"feedA", "feedB"}
+
+
+def test_tickstore_schema_evolution_merge_read(spark, tmp_path):
+    """Two appends with differing column sets (corintick's per-chunk dynamic
+    schemas, SURVEY §1.1): merge_schema=True surfaces the union, older rows
+    NULL in the new column; sidecar keeps both dtypes."""
+    from corintick_spark.storage import TickStore
+
+    store = TickStore(spark, str(tmp_path / "evolve"))
+    df1 = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "uid string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df2 = spark.createDataFrame(
+        [("a", "2024-01-02 00:00:00", 2.0, 7)],
+        "uid string, ts string, value double, extra int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.write(df1, mode="overwrite")
+    store.write(df2, mode="append")
+    merged = store.read(merge_schema=True).orderBy("ts")
+    assert "extra" in merged.columns
+    rows = merged.select("value", "extra").collect()
+    assert [(r["value"], r["extra"]) for r in rows] == [(1.0, None), (2.0, 7)]
+    # compact must keep the evolved column too
+    store.compact()
+    post = store.read(merge_schema=True)
+    assert "extra" in post.columns and post.count() == 2
+
+
+def test_tickstore_compact_preserves_layout(spark, tmp_path):
+    """compact() on a bucketed+dated store must rewrite in the SAME layout
+    (uid_bucket/_date directories), so later writes/reads keep pruning."""
+    import os
+
+    from corintick_spark.storage import TickStore
+
+    store = TickStore(
+        spark, str(tmp_path / "bucketdate"), bucket_uids=4, partition_by_date=True
+    )
+    df = spark.createDataFrame(
+        [(f"u{i}", f"2024-01-{(i % 3) + 1:02d} 00:00:00", float(i)) for i in range(20)],
+        "uid string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.write(df, mode="overwrite")
+    n = store.read().count()
+    store.compact()
+    top = set(os.listdir(store._data_dir()))
+    assert any(d.startswith("uid_bucket=") for d in top), top
+    sub = os.path.join(
+        store._data_dir(), next(d for d in top if d.startswith("uid_bucket="))
+    )
+    assert any(d.startswith("_date=") for d in os.listdir(sub))
+    assert store.read().count() == n
+    # post-compact append under the same layout still reads clean
+    more = spark.createDataFrame(
+        [("u99", "2024-01-05 00:00:00", 99.0)], "uid string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.write(more, mode="append")
+    assert store.read(uids=["u99"]).count() == 1
+    assert store.read().count() == n + 1
+
+
 def test_multimodal_stub_contract(spark, sf_dir):
     from corintick_spark.catalog import table
     from corintick_spark.operators.multimodal import (
@@ -230,6 +313,49 @@ def test_connected_components_chain_and_islands(spark):
     assert out[99] == (99, True)      # singleton keeps itself
     assert out[1] == (1, True) and out[3] == (1, False)
     assert out[10] == (10, True) and out[11] == (10, False)
+
+
+def test_connected_components_path_graph_high_diameter(spark):
+    """A 64-node path (diameter 63) must converge within the default
+    iteration cap — alternating large-star/small-star needs O(log n)
+    rounds, unlike min-label propagation's O(diameter)."""
+    from corintick_spark.operators.dup_clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert len(comp) == 64
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized differential vs a driver-side union-find oracle."""
+    import random
+
+    from corintick_spark.operators.dup_clusters import connected_components
+
+    rng = random.Random(42)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    seen = {u for e in edges for u in e}
+    want = {x: min(y for y in seen if find(y) == find(x)) for x in seen}
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == want
 
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):

@@ -70,6 +70,32 @@ def test_asof_is_single_shuffle_window(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_embedding_near_dup_never_cartesian(spark, sf_dir):
+    """embedding_near_dup_pairs must plan an equi-join in BOTH modes:
+    explicit block column, and the SRP-band fallback when block_col=None.
+    A corpus×corpus CartesianProduct/BNLJ is never acceptable."""
+    from corintick_spark.catalog import table
+    from corintick_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    for kwargs in ({"block_col": "label"}, {"block_col": None}):
+        plan = (
+            embedding_near_dup_pairs(e, threshold=0.5, **kwargs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, kwargs
+        assert "BroadcastNestedLoopJoin" not in plan, kwargs
+
+
+def test_text_tfidf_single_job_no_driver_count(spark, sf_dir):
+    """The corpus-size scalar must be part of the plan (broadcast 1-row
+    aggregate), not a separate driver-side count() job."""
+    plan = plan_of(spark, sf_dir, "text_tfidf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_join_strategy_hints_respected(spark, sf_dir):
     sm = plan_of(spark, sf_dir, "join_sortmerge")
     assert "SortMergeJoin" in sm, sm[:500]
