@@ -84,6 +84,105 @@ def fingerprint(df: DataFrame, text: str = "text", mod: int = 1_000_000_007) -> 
     )
 
 
+def repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition statistics: duplicate-word fraction, top-word
+    dominance, and duplicate-bigram fraction.
+
+    All computed row-locally with array higher-order functions (whole-stage
+    codegen; per-document cost is O(words * distinct_words) which is bounded
+    by document length, so the operator is embarrassingly parallel and
+    shuffle-free at any corpus scale). NULLIF guards keep ANSI mode from
+    throwing on empty documents.
+    """
+    d = tokenize(df, text, "_w")
+    n = F.size("_w").cast("bigint")
+    n_distinct = F.expr("size(array_distinct(_w))").cast("bigint")
+    nn = F.nullif(n, F.lit(0))
+    # Highest single-word occupancy: max over distinct words of its count.
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(_w), w -> size(filter(_w, x -> x = w))))"
+    ).cast("bigint")
+    d = d.withColumn(
+        "_bg",
+        F.expr(
+            "CASE WHEN size(_w) < 2 THEN array() ELSE "
+            "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1), "
+            "(a, b) -> concat(a, ' ', b)) END"
+        ),
+    )
+    nbg = F.nullif(F.size("_bg").cast("bigint"), F.lit(0))
+    return d.select(
+        *df.columns,
+        n.alias("n_words"),
+        (F.lit(1.0) - n_distinct / nn).alias("dup_word_frac"),
+        (top_cnt / nn).alias("top_word_frac"),
+        (
+            F.lit(1.0)
+            - F.expr("size(array_distinct(_bg))").cast("bigint") / nbg
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# PII patterns — common subset of Java regex (Spark) and RE2 (DuckDB):
+# char classes, bounded quantifiers, \b word boundaries. No lookaround.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(df: DataFrame, text: str = "text") -> DataFrame:
+    """Detect-and-redact PII (emails, phone numbers, IPv4 addresses) with
+    pure regexp expressions — the standard pre-training scrub pass.
+
+    Emits per-document match counts and the redacted text. Row-local,
+    shuffle-free, codegen'd; at 100 TB this is a map-only pass over the
+    corpus. Patterns are deliberately in the Java-regex ∩ RE2 common subset
+    so the DuckDB oracle applies the identical semantics.
+    """
+    c = F.col(text)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0))).cast("bigint")
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0))).cast("bigint")
+    n_ips = F.size(F.regexp_extract_all(c, F.lit(PII_IP), F.lit(0))).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ),
+        PII_IP,
+        "[IP]",
+    )
+    return df.select(
+        *df.columns,
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame, text: str = "text", size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Split each document into overlapping token windows (training-example
+    chunking): chunk i covers tokens [1 + i*stride, 1 + i*stride + size).
+
+    sequence()+explode generates the chunk starts row-locally, so the
+    operator is a flatMap with no shuffle; downstream repartition decides
+    chunk placement. Empty documents yield one empty chunk (deterministic).
+    """
+    d = tokenize(df, text, "_w")
+    d = d.withColumn(
+        "_start", F.explode(F.expr(f"sequence(1, greatest(size(_w), 1), {stride})"))
+    )
+    chunk = F.expr(f"slice(_w, _start, {size})")
+    return d.select(
+        *df.columns,
+        F.expr(f"CAST((_start - 1) DIV {stride} AS BIGINT)").alias("chunk_idx"),
+        F.col("_start").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def lang_id(df: DataFrame, text: str = "text", out: str = "lang_guess") -> DataFrame:
     """Marker-word-voting language ID: score each language by marker hits in
     the token set, pick the argmax (ties → lexicographically first lang).

@@ -573,3 +573,153 @@ def dedup_fuzzy(spark, sf_dir):
         .filter(F.col("edit_dist") <= 20)
         .select("a_id", "b_id", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline extensions, round 2: repetition scoring, PII scrubbing,
+# document chunking, batch sessionization.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition",
+    sql="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ), b AS (
+        SELECT doc_id, ws,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           1.0 - len(list_distinct(ws)) / NULLIF(len(ws), 0) AS dup_word_frac,
+           list_max(list_transform(list_distinct(ws),
+                                   w2 -> len(list_filter(ws, x -> x = w2))))
+               / NULLIF(len(ws), 0) AS top_word_frac,
+           1.0 - len(list_distinct(bg)) / NULLIF(len(bg), 0) AS dup_bigram_frac
+    FROM b
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-word fraction, top-word
+    dominance, duplicate-bigram fraction — row-local array expressions,
+    map-only at any scale (operators/text.py::repetition_features)."""
+    d = table(spark, sf_dir, "documents")
+    return T.repetition_features(d).select(
+        "doc_id", "n_words", "dup_word_frac", "top_word_frac", "dup_bigram_frac"
+    )
+
+
+@query(
+    "text_pii_scrub",
+    sql=f"""
+    WITH s AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{T.PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{T.PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '{T.PII_IP}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               '{T.PII_EMAIL}', '[EMAIL]', 'g'),
+               '{T.PII_PHONE}', '[PHONE]', 'g'),
+               '{T.PII_IP}', '[IP]', 'g') AS scrubbed
+    FROM s
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII detect-and-redact over a deterministic synthetic-PII overlay
+    (emails / phone numbers / IPv4) — pure regexp pass, shuffle-free
+    (operators/text.py::pii_scrub). Patterns sit in the Java-regex ∩ RE2
+    common subset so Spark and DuckDB apply identical semantics."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    d2 = d.select("doc_id", raw.alias("raw"))
+    return T.pii_scrub(d2, "raw").select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "scrubbed"
+    )
+
+
+@query(
+    "text_chunks",
+    sql="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ), s AS (
+        SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws), 1) + 1, 24)) AS start_tok
+        FROM w
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) // 24 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(ws[start_tok:start_tok + 31]) AS BIGINT) AS chunk_len,
+           array_to_string(ws[start_tok:start_tok + 31], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def text_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (size 32, stride 24) — the
+    training-example splitter. sequence()+explode flatMap, no shuffle
+    (operators/text.py::chunk_tokens)."""
+    d = table(spark, sf_dir, "documents")
+    return T.chunk_tokens(d, size=32, stride=24).select(
+        "doc_id", "chunk_idx", "start_tok", "chunk_len", "chunk_text"
+    )
+
+
+@query(
+    "events_sessionize",
+    sql="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ), flags AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+        SELECT user_id, ts_us,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flags
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (30-min gap) + per-session stats over
+    the events log — lag→flag→cumsum in one window exchange, then the
+    session aggregate (operators/sessions.py). Microsecond timestamps on
+    both engines so gap decisions are bit-identical."""
+    from corintick_spark.operators import sessions as SS
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    s = SS.sessionize(e, key="user_id", ts_us="ts_us")
+    return SS.session_stats(s, key="user_id", ts_us="ts_us")

@@ -474,3 +474,56 @@ def test_tickstore_compact_after_streaming(spark, sf_dir, tmp_path):
     assert after <= before
     # reads still prune and filter correctly post-compaction
     assert store.read(uids=["3"]).count() == ev.filter(F.col("uid") == "3").count()
+
+
+def test_sessionize_gap_semantics(spark):
+    """Gap > 30min starts a new session; exact-30min gap does not."""
+    from corintick_spark.operators.sessions import sessionize, session_stats
+
+    M = 60_000_000  # one minute in microseconds
+    rows = [
+        (1, 1, 0 * M), (1, 2, 10 * M), (1, 3, 40 * M),      # exactly 30min gap → same session
+        (1, 4, 71 * M),                                      # 31min gap → new session
+        (2, 5, 0 * M), (2, 6, 200 * M),                      # user 2: two sessions
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+    s = sessionize(df, key="user_id", ts_us="ts_us")
+    got = {(r.user_id, r.event_id): r.session_id for r in s.collect()}
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 4): 2, (2, 5): 1, (2, 6): 2}
+    stats = {(r.user_id, r.session_id): (r.n_events, r.duration_us)
+             for r in session_stats(s).collect()}
+    assert stats[(1, 1)] == (3, 40 * M)
+    assert stats[(1, 2)] == (1, 0)
+
+
+def test_chunk_tokens_edges(spark):
+    """Chunking covers every token with the configured overlap; short and
+    empty docs produce exactly one chunk."""
+    from corintick_spark.operators.text import chunk_tokens
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(80))),  # 80 tokens → starts 1,25,49,73
+        (2, "one two"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_tokens(df, size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.start_tok for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [1, 25, 49, 73]
+    assert sorted(by_doc[1], key=lambda r: r.chunk_idx)[-1].chunk_len == 8
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "one two"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_len == 0
+
+
+def test_pii_scrub_redacts(spark):
+    from corintick_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith@corp.example.org or call +1-555-0199 from 192.168.1.1 ok")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 1)
+    assert r.scrubbed == "mail me at [EMAIL] or call [PHONE] from [IP] ok"
