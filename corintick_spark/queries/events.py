@@ -1,0 +1,254 @@
+"""Event-log pipeline operators: CDC upsert compaction, SCD2 interval
+builds, Markov transitions, time-in-state accounting, serial correlation.
+
+corintick stored raw tick/event frames and left this derivation to
+client-side pandas (SURVEY.md §2.1 verdict †); these queries run the same
+derivations in-engine. All five share one physical shape: a single shuffle
+on ``user_id`` (the window partition key), then narrow window/aggregate
+stages — the plan a 100 TB event log wants, since the key is the natural
+partitioning of the data and every stage after the exchange is
+whole-stage-codegen. No driver-side actions, no Python in the hot path.
+
+Determinism contract: every window orders by ``(ts, event_id)`` — unique
+per user — so LAG/LEAD/ROW_NUMBER agree bit-for-bit with the DuckDB
+oracles; interval arithmetic is integer microseconds (``unix_micros``),
+never float.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from corintick_spark.catalog import table
+from corintick_spark.registry import query
+
+
+# CDC upsert compaction ("MERGE INTO" read-side equivalent): treat the
+# event log as a change stream keyed by user_id and materialize the
+# latest state per key. One shuffle; AQE coalesces the post-window
+# filter. At 100 TB this is the standard log→snapshot compaction job.
+@query(
+    "cdc_merge",
+    sql="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           ts AS last_ts,
+           event_type AS last_type,
+           CAST(value AS DOUBLE) AS last_value,
+           event_id AS last_event_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_merge(spark, sf_dir):
+    """Latest-state-per-key upsert compaction over the event log."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").cast("double").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+
+
+# SCD Type-2 dimension build: collapse consecutive same-type runs into
+# validity intervals [valid_from, valid_to). Two window passes over the
+# same (user_id, ts, event_id) sort — Spark reuses the exchange+sort, so
+# physically it is still one shuffle.
+@query(
+    "scd2_intervals",
+    sql="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), chg AS (
+        SELECT user_id, event_id, event_type, ts AS valid_from
+        FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           (LEAD(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL)
+               AS is_current
+    FROM chg
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) intervals from type-change rows."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wo))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(wc)
+    return chg.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# Markov transition matrix of event types: bigram counts via LAG, plus the
+# per-source transition probability (row-level double division — identical
+# on identical inputs in both engines).
+@query(
+    "event_transitions",
+    sql="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        FROM o WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           ROUND(n_transitions / SUM(n_transitions)
+                 OVER (PARTITION BY prev_type), 6) AS p_transition
+    FROM c
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition counts/probabilities of event types."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wo))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("p_transition"),
+    )
+
+
+# Time-in-state: each event opens a state that lasts until the user's next
+# event; total/average dwell per state in exact integer microseconds.
+@query(
+    "event_durations",
+    sql="""
+    WITH o AS (
+        SELECT event_type,
+               epoch_us(ts) AS us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_spans,
+           CAST(SUM(next_us - us) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(next_us - us) AS BIGINT) / COUNT(*) / 1000000.0, 6)
+               AS avg_dwell_s
+    FROM o WHERE next_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_durations(spark, sf_dir):
+    """Total/average time spent in each event-type state per user stream."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    spans = (
+        ev.select("user_id", "ts", "event_id", "event_type", us.alias("us"))
+        .withColumn("next_us", F.lead("us").over(wo))
+        .filter(F.col("next_us").isNotNull())
+    )
+    dur = F.col("next_us") - F.col("us")
+    return spans.groupBy("event_type").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(dur).alias("total_us"),
+        F.round(
+            F.sum(dur).cast("double") / F.count("*") / 1_000_000.0, 6
+        ).alias("avg_dwell_s"),
+    )
+
+
+# Lag-1 serial correlation of `value` per user — exact scaled moments (the
+# agg_corr technique: F.corr's float accumulation order would diverge from
+# any oracle). Pairs come from one LAG pass; moments from one hash agg.
+@query(
+    "event_autocorr",
+    sql="""
+    WITH p AS (
+        SELECT user_id, value AS v,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+        FROM events
+    ), m AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sv,
+               CAST(SUM(CAST(round(pv * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sp,
+               CAST(SUM(CAST(round(v * v * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS svv,
+               CAST(SUM(CAST(round(pv * pv * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS spp,
+               CAST(SUM(CAST(round(v * pv * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS svp
+        FROM p WHERE pv IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((n * svp - sv * sp)
+                 / (SQRT(n * svv - sv * sv) * SQRT(n * spp - sp * sp)), 6)
+               AS autocorr_lag1
+    FROM m
+    """,
+)
+def event_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values (exact moments)."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.select("user_id", "ts", "event_id", F.col("value").alias("v"))
+        .withColumn("pv", F.lag("v").over(wo))
+        .filter(F.col("pv").isNotNull())
+    )
+
+    def ssum(e, scale):
+        return F.sum(F.round(e * scale).cast("bigint")).cast("double") / scale
+
+    m = p.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        ssum(F.col("v"), 1_000_000).alias("sv"),
+        ssum(F.col("pv"), 1_000_000).alias("sp"),
+        ssum(F.col("v") * F.col("v"), 1_000).alias("svv"),
+        ssum(F.col("pv") * F.col("pv"), 1_000).alias("spp"),
+        ssum(F.col("v") * F.col("pv"), 1_000).alias("svp"),
+    )
+    n = F.col("n")
+    ac = (n * F.col("svp") - F.col("sv") * F.col("sp")) / (
+        F.sqrt(n * F.col("svv") - F.col("sv") * F.col("sv"))
+        * F.sqrt(n * F.col("spp") - F.col("sp") * F.col("sp"))
+    )
+    return m.select("user_id", "n", F.round(ac, 6).alias("autocorr_lag1"))

@@ -723,3 +723,88 @@ def events_sessionize(spark, sf_dir):
     )
     s = SS.sessionize(e, key="user_id", ts_us="ts_us")
     return SS.session_stats(s, key="user_id", ts_us="ts_us")
+
+
+# Corpus-wide bigram counts, top 100 — n-gram statistics for tokenizer /
+# contamination analysis. Spark builds bigrams with a higher-order array
+# transform (zero joins, zero Python); the oracle builds them by a
+# positional self-join. Ties in the top-k are broken by the bigram string,
+# so the LIMIT is deterministic in both engines.
+@query(
+    "text_topngrams",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(1, len(ws) + 1)) AS ord
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents)
+    ), big AS (
+        SELECT a.tok || ' ' || b.tok AS bigram
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM big GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 100
+    """,
+)
+def text_topngrams(spark, sf_dir):
+    """Top-100 corpus bigrams by frequency (array transform, no join)."""
+    d = D.tokenize(table(spark, sf_dir, "documents"))
+    bigrams = F.expr(
+        "transform(slice(words, 1, size(words) - 1),"
+        " (w, i) -> concat(w, ' ', element_at(words, i + 2)))"
+    )
+    return (
+        d.filter(F.size("words") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(100)
+    )
+
+
+# Inverted index build (term -> document-frequency + sorted posting list).
+# The postings are emitted as a comma-joined string so the result is
+# hashable by the driver's canonicalizer; numeric sort order (not lexical)
+# is pinned by sorting the bigint ids BEFORE casting to string.
+@query(
+    "text_inverted_index",
+    sql="""
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS term
+        FROM documents
+    ), toks AS (
+        SELECT DISTINCT doc_id, term FROM raw
+    )
+    SELECT term, COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM toks GROUP BY term
+    HAVING COUNT(*) >= 20
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Posting lists for every term appearing in >= 20 documents."""
+    d = D.tokenize(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct("words")).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list(doc_id)),"
+                    " x -> cast(x as string))"
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 20)
+    )

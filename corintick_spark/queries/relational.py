@@ -1150,3 +1150,60 @@ def agg_countif(spark, sf_dir):
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.count("*").alias("n_total"),
     )
+
+
+# Wide→long reshape (unpivot/melt) + aggregation per measure. Spark's
+# native DataFrame.unpivot emits the long form without a join or Python;
+# the oracle builds the same long form via UNION ALL.
+@query(
+    "reshape_unpivot",
+    sql=f"""
+    WITH long AS (
+        SELECT l_returnflag AS flag, 'l_quantity' AS measure,
+               l_quantity AS val FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT flag, measure, COUNT(*) AS n, {DSUM('val', 'total_val')}
+    FROM long GROUP BY flag, measure
+    """,
+)
+def reshape_unpivot(spark, sf_dir):
+    """Unpivot four lineitem measures to long form and aggregate each."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[F.col("l_returnflag").alias("flag")],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("flag", "measure").agg(
+        F.count("*").alias("n"), dsum(F.col("val"), "total_val")
+    )
+
+
+# Stratified deterministic sampling: per-stratum rates by id residue —
+# the training-data curation pattern (downsample the over-represented
+# event types, keep all of the rare ones), reproducible across engines.
+@query(
+    "sample_stratified",
+    sql="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id % 100 < CASE event_type
+        WHEN 'view' THEN 10 WHEN 'click' THEN 50 ELSE 100 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (10% views, 50% clicks, all else)."""
+    ev = table(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "view", 10)
+        .when(F.col("event_type") == "click", 50)
+        .otherwise(100)
+    )
+    return ev.filter((F.col("event_id") % 100) < rate).select(
+        "event_id", "user_id", "event_type", "value"
+    )

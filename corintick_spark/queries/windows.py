@@ -538,3 +538,87 @@ def window_lag_default(spark, sf_dir):
         F.lag("value", 2, -1.0).over(w).alias("lag2_or_neg1"),
         F.lead("value", 3, 0.0).over(w).alias("lead3_or_zero"),
     )
+
+
+# Quantile binning: ntile deciles within each returnflag over a total order
+# (quantity + unique keys) — both engines distribute remainder rows to the
+# leading buckets, so the binning is deterministic and oracle-comparable.
+@query(
+    "window_ntile",
+    sql="""
+    WITH t AS (
+        SELECT l_returnflag AS flag, l_quantity AS qty,
+               CAST(NTILE(10) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity, l_orderkey, l_linenumber) AS INTEGER)
+                   AS decile
+        FROM lineitem
+    )
+    SELECT flag, decile, COUNT(*) AS n,
+           CAST(MIN(qty) AS DOUBLE) AS min_qty,
+           CAST(MAX(qty) AS DOUBLE) AS max_qty
+    FROM t GROUP BY flag, decile
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """Decile binning of quantity per returnflag (quantile-bucket stats)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").alias("qty"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+        .groupBy("flag", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("qty").cast("double").alias("min_qty"),
+            F.max("qty").cast("double").alias("max_qty"),
+        )
+    )
+
+
+# Maximum drawdown per user: exact running sum (scaled-long), running max of
+# that sum, drawdown = peak - current. Three stacked windows over ONE
+# (user_id, ts, event_id) sort — a single exchange+sort physically.
+@query(
+    "window_drawdown",
+    sql=f"""
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               {WSUM('value', 'w')} AS cum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), d AS (
+        SELECT user_id,
+               MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cum AS dd
+        FROM c
+    )
+    SELECT user_id, ROUND(MAX(dd), 6) AS max_drawdown,
+           COUNT(*) AS n_events
+    FROM d GROUP BY user_id
+    """,
+)
+def window_drawdown(spark, sf_dir):
+    """Maximum drawdown of the cumulative value series per user."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.select(
+        "user_id", "ts", "event_id", wsum("value", w).alias("cum")
+    )
+    d = c.select(
+        "user_id", (F.max("cum").over(w) - F.col("cum")).alias("dd")
+    )
+    return d.groupBy("user_id").agg(
+        F.round(F.max("dd"), 6).alias("max_drawdown"),
+        F.count("*").alias("n_events"),
+    )

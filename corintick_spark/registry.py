@@ -90,6 +90,7 @@ def load_all() -> dict[str, Query]:
         llm,
         storage_queries,
         streaming_queries,
+        events,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -309,11 +309,17 @@ class TickStore:
         return out
 
     # -- maintenance ---------------------------------------------------------
-    def compact(self) -> int:
+    def compact(self, zorder_by: list[str] | None = None) -> int:
         """Rewrite the dataset into one time-sorted file chain per uid
         partition — the maintenance pass that follows streaming ingestion
         (each micro-batch appends a small file per touched uid; corintick
         had the same fragmentation with per-write chunk documents †).
+
+        ``zorder_by=[colA, colB]`` clusters rows inside each partition on
+        the Morton key of the given columns instead of plain time order
+        (operators/zorder.py) — narrows per-file min-max stats on EVERY
+        listed dimension, so scans filtered by secondary columns also
+        prune files. Use when queries filter on more than the time axis.
 
         Local-FS implementation writes to a sibling directory and swaps via
         rename; on a real cluster use the same pattern through the Hadoop
@@ -330,10 +336,19 @@ class TickStore:
         # configured layout (uid buckets / date level), not reset it to
         # plain-uid partitioning.
         out, part_cols = self._partitioned(self.read(merge_schema=True))
+        out = out.repartition(*[F.col(c) for c in part_cols])
+        if zorder_by:
+            from corintick_spark.operators.zorder import with_zvalue
+
+            out = (
+                with_zvalue(out, zorder_by)
+                .sortWithinPartitions("_zvalue")
+                .drop("_zvalue")
+            )
+        else:
+            out = out.sortWithinPartitions(self.ts_col)
         (
-            out.repartition(*[F.col(c) for c in part_cols])
-            .sortWithinPartitions(self.ts_col)
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy(*part_cols)
             .parquet(tmp_dir)
         )
