@@ -808,3 +808,44 @@ def text_inverted_index(spark, sf_dir):
         )
         .filter(F.col("df") >= 20)
     )
+
+
+# Per-label embedding norm statistics. The L2 norm folds the vector with an
+# INTEGER accumulator (each squared element scaled to a bigint) so the
+# within-vector sum is order-independent and bit-identical across engines;
+# cross-row aggregation uses the same scaled-long technique as agg_corr.
+@query(
+    "vector_norms",
+    sql="""
+    WITH n AS (
+        SELECT label,
+               SQRT(CAST(list_sum(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                        * 1000000) AS BIGINT))) AS DOUBLE)
+                    / 1000000) AS l2
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(round(l2 * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / COUNT(*), 6) AS avg_norm,
+           ROUND(MIN(l2), 6) AS min_norm,
+           ROUND(MAX(l2), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def vector_norms(spark, sf_dir):
+    """Exact L2-norm distribution of embeddings per label."""
+    e = table(spark, sf_dir, "embeddings")
+    l2 = F.expr(
+        "sqrt(cast(aggregate(embedding, cast(0 as bigint),"
+        " (acc, x) -> acc + cast(round(cast(x as double) * cast(x as double)"
+        " * 1000000) as bigint)) as double) / 1000000)"
+    )
+    n = e.select("label", l2.alias("l2"))
+    ssum = F.sum(F.round(F.col("l2") * 1_000_000).cast("bigint")).cast("double") / 1_000_000
+    return n.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(ssum / F.count("*"), 6).alias("avg_norm"),
+        F.round(F.min("l2"), 6).alias("min_norm"),
+        F.round(F.max("l2"), 6).alias("max_norm"),
+    )

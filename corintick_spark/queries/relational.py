@@ -1207,3 +1207,83 @@ def sample_stratified(spark, sf_dir):
     return ev.filter((F.col("event_id") % 100) < rate).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+# Deterministic mode (most frequent value) per group: count, then rank with
+# a total tiebreak (count desc, value asc) so both engines pick the same
+# winner on ties. Spark plans WindowGroupLimit — only the winning row per
+# user survives the rank shuffle.
+@query(
+    "agg_mode",
+    sql="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ), r AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_type, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Most frequent event type per user (deterministic tie-break)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match each
+# other instead of dropping out — Spark still plans this as a hash-
+# partitioned equi-join (not a theta join), so it scales like any other
+# shuffle join.
+@query(
+    "join_nullsafe",
+    sql="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nk
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS nk
+        FROM supplier
+    )
+    SELECT c.nk AS nk, COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY c.nk
+    """,
+)
+def join_nullsafe(spark, sf_dir):
+    """Customer-supplier pairing per nation with NULL-matching keys."""
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    su = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk"),
+    )
+    return (
+        cu.join(su, cu["nk"].eqNullSafe(su["nk"]))
+        .groupBy(cu["nk"].alias("nk"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -622,3 +622,45 @@ def window_drawdown(spark, sf_dir):
         F.round(F.max("dd"), 6).alias("max_drawdown"),
         F.count("*").alias("n_events"),
     )
+
+
+# Gaps-and-islands: consecutive same-type runs via the row_number-difference
+# trick (rn over user minus rn over user+type is constant within a run).
+@query(
+    "window_islands",
+    sql="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_all,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_type
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(rn_all - rn_type AS BIGINT) AS island_id,
+           COUNT(*) AS run_len,
+           MIN(ts) AS run_start, MAX(ts) AS run_end
+    FROM o GROUP BY user_id, event_type, rn_all - rn_type
+    """,
+)
+def window_islands(spark, sf_dir):
+    """Run-length encoding of consecutive same-type event streaks."""
+    ev = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type))
+        .cast("bigint")
+        .alias("island_id"),
+    )
+    return o.groupBy("user_id", "event_type", "island_id").agg(
+        F.count("*").alias("run_len"),
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+    )

@@ -101,3 +101,42 @@ def test_join_strategy_hints_respected(spark, sf_dir):
     assert "SortMergeJoin" in sm, sm[:500]
     sh = plan_of(spark, sf_dir, "join_shufflehash")
     assert "ShuffledHashJoin" in sh, sh[:500]
+
+
+def test_cdc_merge_uses_window_group_limit(spark, sf_dir):
+    """Latest-per-key must plan the rank-limit pushdown (WindowGroupLimit
+    partial+final) so only ~1 row per key crosses the shuffle — the property
+    that makes log→snapshot compaction viable at 100 TB."""
+    plan = plan_of(spark, sf_dir, "cdc_merge")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:800]
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_event_windows_single_exchange(spark, sf_dir):
+    """The stacked-window event queries must reuse ONE (user_id) exchange;
+    per-window re-shuffles would multiply the dominant cost at scale."""
+    for name, max_ex in (
+        ("scd2_intervals", 1),
+        ("event_autocorr", 1),
+        ("window_drawdown", 1),
+        ("event_durations", 2),  # +1 tiny post-window aggregation
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") <= max_ex, name
+
+
+def test_topngrams_is_single_pass_topk(spark, sf_dir):
+    """Bigrams come from an array transform (no self-join) and the top-k is
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, sf_dir, "text_topngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_plans_expand_with_pruned_scan(spark, sf_dir):
+    """Unpivot must plan Expand over a column-pruned scan — not a union of
+    four full re-reads of the table."""
+    plan = plan_of(spark, sf_dir, "reshape_unpivot")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
