@@ -1287,3 +1287,62 @@ def join_nullsafe(spark, sf_dir):
         .groupBy(cu["nk"].alias("nk"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# Exact weighted average: both the weighted sum and the weight sum
+# accumulate as scaled longs (order-independent), so the final division is
+# one IEEE op on identical inputs in both engines. The product term uses
+# the coarser 1e3 scale — price*quantity*1e3*rows must stay inside the
+# int64 budget (see exact.py overflow note).
+@query(
+    "agg_weighted_avg",
+    sql="""
+    WITH m AS (
+        SELECT l_returnflag AS flag,
+               CAST(SUM(CAST(round(l_extendedprice * l_quantity * 1000)
+                             AS BIGINT)) AS DOUBLE) / 1000 AS pq,
+               CAST(SUM(CAST(round(l_quantity * 1000000)
+                             AS BIGINT)) AS DOUBLE) / 1000000 AS q
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, ROUND(pq / q, 6) AS weighted_avg_price, q AS total_qty
+    FROM m
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per returnflag (exact moments)."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def ssum(e, scale):
+        return F.sum(F.round(e * scale).cast("bigint")).cast("double") / scale
+
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        ssum(F.col("l_extendedprice") * F.col("l_quantity"), 1_000).alias("pq"),
+        ssum(F.col("l_quantity"), 1_000_000).alias("q"),
+    )
+    return m.select(
+        "flag",
+        F.round(F.col("pq") / F.col("q"), 6).alias("weighted_avg_price"),
+        F.col("q").alias("total_qty"),
+    )
+
+
+# Shuffle-skew diagnostic: frequency-of-frequencies of the join key. The
+# ops query you run BEFORE a big join to decide whether to salt — a skewed
+# tail shows up as high rows_per_key entries.
+@query(
+    "skew_diagnose",
+    sql="""
+    WITH k AS (
+        SELECT l_orderkey, COUNT(*) AS rows_per_key
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT rows_per_key, COUNT(*) AS n_keys
+    FROM k GROUP BY rows_per_key
+    """,
+)
+def skew_diagnose(spark, sf_dir):
+    """Key-cardinality histogram of lineitem's join key (skew probe)."""
+    li = table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("rows_per_key"))
+    return k.groupBy("rows_per_key").agg(F.count("*").alias("n_keys"))

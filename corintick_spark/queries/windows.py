@@ -664,3 +664,30 @@ def window_islands(spark, sf_dir):
         F.min("ts").alias("run_start"),
         F.max("ts").alias("run_end"),
     )
+
+
+# Percent change vs previous observation (returns in percent space): the
+# LAG pair is identical in both engines, so the division+round is too.
+@query(
+    "window_pct_change",
+    sql="""
+    SELECT event_id, user_id, value,
+           ROUND((value - LAG(value) OVER w)
+                 / NULLIF(LAG(value) OVER w, 0), 6) AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_pct_change(spark, sf_dir):
+    """Per-user percent change of value between consecutive events."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(
+            (F.col("value") - prev) / F.nullif(prev, F.lit(0)), 6
+        ).alias("pct_change"),
+    )
