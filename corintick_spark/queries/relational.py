@@ -1346,3 +1346,54 @@ def skew_diagnose(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     k = li.groupBy("l_orderkey").agg(F.count("*").alias("rows_per_key"))
     return k.groupBy("rows_per_key").agg(F.count("*").alias("n_keys"))
+
+
+# Correlated EXISTS subquery through the SQL front end: Catalyst
+# decorrelates it into a left-semi hash join (no per-row subquery
+# execution), the same physical plan a hand-written semi join gets.
+@query(
+    "subquery_exists",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists(spark, sf_dir):
+    """Orders having any deep-discount line (decorrelated EXISTS)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM v_orders
+        WHERE EXISTS (
+            SELECT 1 FROM v_lineitem
+            WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# HyperLogLog sketches as first-class values (T-B17's scale path): build a
+# per-group HLL over user_id, estimate cardinality from the sketch. Unlike
+# approx_count_distinct the sketch itself is mergeable — at 100 TB you
+# persist sketches per partition/day and fold them with hll_union_agg
+# instead of rescanning raw data. Hash-construction specific → rows-only
+# (error bound asserted in tests/test_sketch.py).
+@query("agg_hll_sketch", sql=None)
+def agg_hll_sketch(spark, sf_dir):
+    """Mergeable HLL distinct-user sketch per event type."""
+    ev = table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+    )

@@ -141,3 +141,30 @@ def ingest_csv(spark, sf_dir):
         F.count("*").alias("n"),
         (F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total"),
     )
+
+
+@query(
+    "ingest_orc",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def ingest_orc(spark, sf_dir):
+    """ORC ingestion (T-B2's third format): export customer to ORC, re-read,
+    aggregate — Spark bundles the ORC datasource, so the columnar round-trip
+    needs no extra packages."""
+    c = table(spark, sf_dir, "customer")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="ingest_orc_"), "customer_orc")
+    c.select("c_custkey", "c_mktsegment", "c_acctbal").write.mode(
+        "overwrite"
+    ).orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("c_acctbal") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_bal"),
+    )
