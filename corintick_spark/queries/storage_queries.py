@@ -168,3 +168,81 @@ def ingest_orc(spark, sf_dir):
         F.count("*").alias("n"),
         (F.sum(F.round(F.col("c_acctbal") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_bal"),
     )
+
+
+@query(
+    "source_python_ds",
+    sql="""
+    WITH t AS (
+        SELECT i % 50 AS uid,
+               ((i * 2654435761) % 1000003) / 1000.0 AS value
+        FROM range(10000) r(i)
+    )
+    SELECT uid, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_value
+    FROM t GROUP BY uid
+    """,
+)
+def source_python_ds(spark, sf_dir):
+    """Custom Python DataSource (PySpark 4 API): read the deterministic
+    tick generator (sources/tick_source.py) and aggregate — proves the
+    source-extensibility path end to end, partitions and all."""
+    from corintick_spark.catalog import _ship_package
+    from corintick_spark.sources.tick_source import TickDataSource
+
+    # The datasource class is pickled by reference into the Python worker;
+    # ship the package so a vanilla (driver-built) session resolves it.
+    _ship_package(spark)
+    try:
+        spark.dataSource.register(TickDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("pyticks")
+        .option("rows", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("uid").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_value"),
+    )
+
+
+@query(
+    "join_bucketed",
+    sql="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l.l_extendedprice * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located join via bucketed tables (operators/joins.py): both sides
+    bucketed+sorted on orderkey at write time, so the join needs NO
+    exchange — the pre-shuffle trade every repeated 100 TB fact-fact join
+    should make. Values must equal the plain shuffle join (the oracle)."""
+    import tempfile
+
+    from corintick_spark.operators.joins import write_bucketed
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed(li, "bj_lineitem", f"{base}/li", "l_orderkey", 8)
+    write_bucketed(o, "bj_orders", f"{base}/o", "o_orderkey", 8)
+    lb, ob = spark.table("bj_lineitem"), spark.table("bj_orders")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("l_extendedprice") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_price"),
+        )
+    )

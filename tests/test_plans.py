@@ -140,3 +140,12 @@ def test_unpivot_plans_expand_with_pruned_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "reshape_unpivot")
     assert "Expand" in plan
     assert plan.count("FileScan") == 1
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Both sides of join_bucketed scan bucketed tables; the join itself
+    gets its distribution from the buckets, so the only hash exchange in
+    the plan is the final aggregation's."""
+    plan = plan_of(spark, sf_dir, "join_bucketed")
+    assert plan.count("Bucketed: true") == 2, plan[:800]
+    assert plan.count("Exchange hashpartitioning") <= 1
