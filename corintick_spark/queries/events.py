@@ -252,3 +252,57 @@ def event_autocorr(spark, sf_dir):
         * F.sqrt(n * F.col("spp") - F.col("sp") * F.col("sp"))
     )
     return m.select("user_id", "n", F.round(ac, 6).alias("autocorr_lag1"))
+
+
+# Last-touch attribution: each purchase credits the user's most recent
+# preceding view/click. One window with an IGNORE NULLS last() over the
+# preceding frame — no self-join, no per-purchase probe.
+@query(
+    "events_attribution",
+    sql="""
+    WITH w AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_ts
+        FROM events
+    )
+    SELECT event_id, user_id, ts AS purchase_ts, touch_ts,
+           (touch_ts IS NOT NULL) AS attributed,
+           CAST(CASE WHEN touch_ts IS NOT NULL
+                     THEN epoch_us(ts) - epoch_us(touch_ts) END AS BIGINT)
+               AS delay_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Attribute each purchase to the latest preceding view/click touch."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch_ts", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "touch_ts",
+            F.col("touch_ts").isNotNull().alias("attributed"),
+            F.when(
+                F.col("touch_ts").isNotNull(),
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts")),
+            )
+            .cast("bigint")
+            .alias("delay_us"),
+        )
+    )

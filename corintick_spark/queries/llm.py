@@ -849,3 +849,51 @@ def vector_norms(spark, sf_dir):
         F.round(F.min("l2"), 6).alias("min_norm"),
         F.round(F.max("l2"), 6).alias("max_norm"),
     )
+
+
+# Cross-document boilerplate: word 5-grams appearing in >= 5 distinct
+# documents. The pretraining-cleanup screen for shared headers/footers and
+# template text; Spark builds shingles with one array transform, the
+# oracle with four positional self-joins.
+@query(
+    "text_boilerplate",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(1, len(ws) + 1)) AS ord
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents)
+    ), five AS (
+        SELECT a.doc_id,
+               a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+                     || ' ' || e.tok AS gram
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+        JOIN toks d ON d.doc_id = a.doc_id AND d.ord = a.ord + 3
+        JOIN toks e ON e.doc_id = a.doc_id AND e.ord = a.ord + 4
+    ), u AS (
+        SELECT DISTINCT doc_id, gram FROM five
+    )
+    SELECT gram, COUNT(*) AS df
+    FROM u GROUP BY gram HAVING COUNT(*) >= 5
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """Word 5-grams shared by >= 5 documents (boilerplate screen)."""
+    d = D.tokenize(table(spark, sf_dir, "documents"))
+    grams = F.expr(
+        "transform(slice(words, 1, size(words) - 4), (w, i) -> concat_ws(' ',"
+        " w, element_at(words, i + 2), element_at(words, i + 3),"
+        " element_at(words, i + 4), element_at(words, i + 5)))"
+    )
+    per_doc = (
+        d.filter(F.size("words") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 5)
+    )

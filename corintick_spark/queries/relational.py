@@ -1397,3 +1397,21 @@ def agg_hll_sketch(spark, sf_dir):
         "event_type",
         F.hll_sketch_estimate("sketch").alias("approx_users"),
     )
+
+
+# Approximate quantiles via the Greenwald-Khanna sketch (mergeable across
+# partitions like any aggregate). Sketch-specific results → rows-only;
+# tests/test_sketch.py bounds the error against exact percentiles.
+@query("agg_approx_quantile", sql=None)
+def agg_approx_quantile(spark, sf_dir):
+    """p50/p90/p99 of value per event type from a percentile sketch."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("qs")
+    )
+    return q.select(
+        "event_type",
+        F.col("qs")[0].alias("p50"),
+        F.col("qs")[1].alias("p90"),
+        F.col("qs")[2].alias("p99"),
+    )

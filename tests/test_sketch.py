@@ -41,3 +41,31 @@ def test_hll_sketches_merge(spark, sf_dir):
     )
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - exact) <= max(2, 0.05 * exact)
+
+
+def test_approx_quantile_tracks_exact(spark, sf_dir):
+    reg = load_all()
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in reg["agg_approx_quantile"].spark(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # GK's guarantee is on RANK, not value: the returned order statistic
+    # must fall inside the exact [q-eps, q+eps] percentile band (value
+    # bounds would fail where adjacent order stats are far apart, e.g. p99
+    # of a small group).
+    bands = {
+        r.event_type: r.qs
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.48, 0.52, 0.88, 0.92, 0.97, 1.0))"
+            ).alias("qs")
+        )
+        .collect()
+    }
+    for k, (lo1, hi1, lo2, hi2, lo3, hi3) in bands.items():
+        p50, p90, p99 = approx[k]
+        assert lo1 - 1e-9 <= p50 <= hi1 + 1e-9, (k, p50, lo1, hi1)
+        assert lo2 - 1e-9 <= p90 <= hi2 + 1e-9, (k, p90, lo2, hi2)
+        assert lo3 - 1e-9 <= p99 <= hi3 + 1e-9, (k, p99, lo3, hi3)
