@@ -897,3 +897,56 @@ def text_boilerplate(spark, sf_dir):
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 5)
     )
+
+
+# Semantic dedup pipeline: embedding-cosine near-dup pairs (blocked by
+# label — the IVF cell pattern) -> distributed connected components ->
+# per-cluster membership stats. The full modern near-dup stack in one
+# declarative chain; the oracle recomputes the same fixpoint with a
+# recursive CTE.
+@query(
+    "pipeline_semantic_dedup",
+    sql="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_inner_product(a.e, b.e)
+                    / (SQRT(list_inner_product(a.e, a.e))
+                       * SQRT(list_inner_product(b.e, b.e))), 6) >= 0.5
+    ), e2 AS (
+        SELECT a_id AS u, b_id AS v FROM p
+        UNION
+        SELECT b_id AS u, a_id AS v FROM p
+    ), reach(node, r) AS (
+        SELECT u, v FROM e2
+        UNION
+        SELECT u, u FROM e2
+        UNION
+        SELECT reach.node, e2.v FROM reach, e2 WHERE reach.r = e2.u
+    ), comp AS (
+        SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    ), assign AS (
+        SELECT x.vec_id, COALESCE(c.comp, x.vec_id) AS cluster_id
+        FROM embeddings x LEFT JOIN comp c ON x.vec_id = c.node
+    )
+    SELECT cluster_id, COUNT(*) AS n_members,
+           MIN(vec_id) AS keeper_id
+    FROM assign GROUP BY cluster_id
+    """,
+)
+def pipeline_semantic_dedup(spark, sf_dir):
+    """Embedding near-dup pairs -> connected components -> cluster stats."""
+    from corintick_spark.operators.dup_clusters import dup_clusters
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(
+        e, block_col="label", threshold=0.5
+    ).select("a_id", "b_id")
+    clustered = dup_clusters(e, pairs, id_col="vec_id")
+    return clustered.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("keeper_id"),
+    )
