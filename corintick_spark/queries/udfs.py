@@ -198,3 +198,43 @@ def udf_ewma(spark, sf_dir):
         .groupBy("user_id")
         .applyInPandas(ewma, schema="user_id long, event_id long, value double, ewma double")
     )
+
+
+# mapInArrow: the lowest-overhead Python batch hook — RecordBatches in,
+# RecordBatches out, no pandas conversion. The right tier for bulk
+# per-batch transforms (multimodal payload shaping, tensor packing) where
+# even pandas overhead matters. IEEE-exact arithmetic only, so it keeps a
+# full SQL oracle.
+@query(
+    "udf_arrow",
+    sql="""
+    SELECT event_id, user_id,
+           value * 2.0 + 1.0 AS scaled
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def udf_arrow(spark, sf_dir):
+    """Arrow-native batch transform (mapInArrow) over the click stream."""
+    import pyarrow as pa
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "value")
+
+    def scale(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            scaled = pa.compute.add(
+                pa.compute.multiply(t.column("value"), pa.scalar(2.0)),
+                pa.scalar(1.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [t.column("event_id").combine_chunks(),
+                 t.column("user_id").combine_chunks(),
+                 scaled.combine_chunks()],
+                names=["event_id", "user_id", "scaled"],
+            )
+
+    return ev.mapInArrow(
+        scale, "event_id bigint, user_id bigint, scaled double"
+    )
