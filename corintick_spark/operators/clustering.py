@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from corintick_spark.operators.similarity import _dot, _norm2
+from corintick_spark.operators.spread import spread_input
 
 
 def _sq_dist(a: str, b: str):
@@ -44,11 +45,11 @@ def kmeans_fit(
     # persisted: read twice per iteration (assign + update) × iters rounds —
     # without this every round re-scans and re-casts the source
     vecs = (
-        df.select(
+        spread_input(df)
+        .select(
             F.col(id_col).alias("_id"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
 

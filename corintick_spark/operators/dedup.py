@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from corintick_spark.operators.spread import spread_input
+
 
 def tokenize(df: DataFrame, text: str = "text", out: str = "words") -> DataFrame:
     """Whitespace tokens, empty strings dropped (JVM split, no UDF)."""
@@ -111,12 +113,9 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
     rows = num_hashes // bands
-    # Signature hashing is CPU-bound: spread it across all cores first (a
-    # single-file local scan arrives as 1 partition; at 100 TB the input is
-    # already many partitions and this repartition is a cheap no-op-ish
-    # round-robin). The banded self-join then reuses one exchange for both
-    # sides instead of recomputing signatures.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # Signature hashing is CPU-bound — spread a narrow local scan across all
+    # cores first; on a well-partitioned cluster input spread_input is a
+    # no-op (see operators/spread.py).
     # Note on reuse: the banded self-join computes the shingle+signature
     # pipeline once per side (no ReusedExchange across a broadcast side —
     # verified on the physical plan). Persisting the shingle stage was
@@ -124,10 +123,13 @@ def minhash_lsh_pairs(
     # pipelining; 4.7s vs 2.0s at sf0.1), so the recompute stays. At 100 TB
     # materialize signatures to a table first — durable and reused by every
     # downstream pass.
-    sig = minhash_signature(shingles(df.repartition(par), text, k), "shingles", num_hashes)
+    src = spread_input(df)
+    sig = minhash_signature(shingles(src, text, k), "shingles", num_hashes)
+    # Candidate generation is ID-ONLY: shingle arrays never ride through the
+    # band join or the pair-dedup exchange (at 100 TB that exchange would
+    # otherwise carry two full shingle arrays per pre-dedup candidate row).
     banded = sig.select(
         F.col(id_col),
-        F.col("shingles"),
         F.posexplode(
             F.expr(
                 f"""transform(sequence(0, {bands - 1}),
@@ -137,28 +139,31 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.select(
-        F.col(id_col).alias("a_id"),
-        F.col("shingles").alias("a_sh"),
-        "band_id",
-        "band_hash",
-    )
-    b = banded.select(
-        F.col(id_col).alias("b_id"),
-        F.col("shingles").alias("b_sh"),
-        "band_id",
-        "band_hash",
-    )
+    a = banded.select(F.col(id_col).alias("a_id"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("b_id"), "band_id", "band_hash")
     cand = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    jac = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("a_sh", "b_sh"))
-        / F.size(F.array_union("a_sh", "b_sh")),
+    # Verification joins shingle sets back on the deduped id pairs only —
+    # two hash joins keyed by fixed-width ids. Shingle recompute here is
+    # tokenize+slice only (no signature hashing), and at scale it reads the
+    # materialized signature table instead.
+    sh = shingles(src, text, k).select(F.col(id_col), F.col("shingles"))
+    jac = (
+        cand.join(
+            sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")), "a_id"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")), "b_id"
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a_sh", "b_sh"))
+            / F.size(F.array_union("a_sh", "b_sh")),
+        )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
 
@@ -210,8 +215,7 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = simhash(df.repartition(par), text)
+    sh = simhash(spread_input(df), text)
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -252,8 +256,7 @@ def ngram_jaccard_pairs(
     join is quadratic per block). At scale prefer minhash_lsh_pairs and use
     this for verification inside buckets.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    words = tokenize(df.repartition(par), text, "words").select(
+    words = tokenize(spread_input(df), text, "words").select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
         F.array_distinct("words").alias("wset"),

@@ -82,26 +82,44 @@ def frame_sample(
 
     Stub codec: with fake=True, frames are fixed-size byte slices; real
     implementation would use pyav/ffmpeg (not in container).
+
+    Batch shape note (this stub is the template for real codecs): columns
+    come off the Arrow batch as numpy arrays and the output rows are built
+    with ``np.repeat``/``np.concatenate`` — never ``pdf.iterrows()``, which
+    boxes every row into a dtype-erased Series and dominates batch time.
+    The only per-blob Python is the codec call itself (here a byte slice;
+    in a real implementation the decoder), which is inherent to opaque
+    binary payloads.
     """
     schema = "doc_id long, frame_idx long, frame binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunk = max(1, every_n) * 16
         for pdf in it:
             if not fake:
                 raise NotImplementedError(
                     "video decoding requires pyav/ffmpeg (not in container); "
                     "pass fake=True to exercise the plumbing"
                 )
-            out_ids, out_idx, out_frames = [], [], []
-            for _, row in pdf.iterrows():
-                blob = row[payload]
-                chunk = max(1, every_n)
-                for i, off in enumerate(range(0, len(blob), chunk * 16)):
-                    out_ids.append(int(row[id_col]))
-                    out_idx.append(i)
-                    out_frames.append(bytes(blob[off : off + 16]))
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            blobs = pdf[payload].to_list()
+            frames = [
+                [bytes(b[off : off + 16]) for off in range(0, len(b), chunk)]
+                for b in blobs
+            ]
+            counts = np.fromiter((len(f) for f in frames), dtype="int64", count=len(frames))
             yield pd.DataFrame(
-                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+                {
+                    "doc_id": np.repeat(ids, counts),
+                    "frame_idx": (
+                        np.concatenate([np.arange(c, dtype="int64") for c in counts])
+                        if len(counts)
+                        else np.array([], dtype="int64")
+                    ),
+                    "frame": [f for fs in frames for f in fs],
+                }
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=schema)

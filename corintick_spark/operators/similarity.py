@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
+from corintick_spark.operators.spread import spread_input
+
 
 def _dot(a: str, b: str) -> Column:
     return F.expr(
@@ -46,7 +48,7 @@ def brute_force_topk(
     round_to: int | None = 6,
 ) -> DataFrame:
     """Exact cosine top-k per query. Returns (q_id, c_id, score, rank)."""
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    corpus = spread_input(corpus)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -131,7 +133,7 @@ def lsh_topk(
         )
 
     qb = prep(queries, "q")
-    cb = prep(corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism), "c")
+    cb = prep(spread_input(corpus), "c")
     cand = (
         qb.join(cb, ["band_id", "band_bits"])
         .filter(F.col("q_id") != F.col("c_id"))
@@ -173,7 +175,7 @@ def embedding_near_dup_pairs(
     is deliberately NO all-pairs fallback: a corpus×corpus crossJoin is
     never the plan this operator produces.
     """
-    base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    base = spread_input(df)
     if block_col is None:
         # SRP-band blocking: explode each vector into its signature bands,
         # equi-join on (band_id, band_bits), dedup candidate pairs.

@@ -9,7 +9,8 @@ most files. This is the layout technique behind Delta/Iceberg OPTIMIZE
 ZORDER BY — reimplemented here as pure Catalyst expressions (shift/and/or
 in whole-stage codegen; no UDF, no driver loop over data).
 
-Usage: `zorder_write(df, path, ["user_id", "unix_micros(ts)"])` or
+Usage: `zorder_write(df, path, ["user_id", "ts"])` (plain column names —
+timestamp columns are converted to epoch micros automatically) or
 `TickStore.compact(zorder_by=[...])`.
 """
 
@@ -62,11 +63,27 @@ def with_zvalue(
     back (BroadcastNestedLoopJoin over exactly one row — free), keeping
     everything in a single plan.
     """
+    dtypes = dict(df.dtypes)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "date"}
+    for c in zcols:
+        dt = dtypes.get(c)
+        if dt is None:
+            raise ValueError(f"zorder column {c!r} not found; have {sorted(dtypes)}")
+        if dt != "timestamp" and dt not in numeric and not dt.startswith("decimal"):
+            # fail up front: under ANSI mode a string column would otherwise
+            # throw CAST_INVALID_INPUT mid-job from quantize()
+            raise ValueError(
+                f"zorder column {c!r} has non-numeric type {dt}; "
+                "z-ordering needs numeric/timestamp/date columns"
+            )
+
     def as_num(c: str) -> Column:
-        dt = dict(df.dtypes).get(c)
-        return (
-            F.unix_micros(F.col(c)) if dt == "timestamp" else F.col(c)
-        )
+        dt = dtypes.get(c)
+        if dt == "timestamp":
+            return F.unix_micros(F.col(c))
+        if dt == "date":
+            return F.unix_date(F.col(c))
+        return F.col(c)
 
     stats = df.agg(
         *[

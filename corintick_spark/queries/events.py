@@ -220,8 +220,9 @@ def event_durations(spark, sf_dir):
     )
     SELECT user_id, n,
            ROUND((n * svp - sv * sp)
-                 / (SQRT(n * svv - sv * sv) * SQRT(n * spp - sp * sp)), 6)
-               AS autocorr_lag1
+                 / NULLIF(SQRT(GREATEST(n * svv - sv * sv, 0))
+                          * SQRT(GREATEST(n * spp - sp * sp, 0)), 0)
+               , 6) AS autocorr_lag1
     FROM m
     """,
 )
@@ -247,9 +248,13 @@ def event_autocorr(spark, sf_dir):
         ssum(F.col("v") * F.col("pv"), 1_000).alias("svp"),
     )
     n = F.col("n")
-    ac = (n * F.col("svp") - F.col("sv") * F.col("sp")) / (
-        F.sqrt(n * F.col("svv") - F.col("sv") * F.col("sv"))
-        * F.sqrt(n * F.col("spp") - F.col("sp") * F.col("sp"))
+    # Constant series make a discriminant exactly 0 (NULL autocorr, not an
+    # ANSI DIVIDE_BY_ZERO abort), and the mixed 1e6/1e3 scaling can push it
+    # epsilon-negative (clamp, or Spark yields NaN where DuckDB errors).
+    dvv = F.greatest(n * F.col("svv") - F.col("sv") * F.col("sv"), F.lit(0.0))
+    dpp = F.greatest(n * F.col("spp") - F.col("sp") * F.col("sp"), F.lit(0.0))
+    ac = (n * F.col("svp") - F.col("sv") * F.col("sp")) / F.nullif(
+        F.sqrt(dvv) * F.sqrt(dpp), F.lit(0.0)
     )
     return m.select("user_id", "n", F.round(ac, 6).alias("autocorr_lag1"))
 

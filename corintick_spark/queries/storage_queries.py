@@ -196,8 +196,13 @@ def source_python_ds(spark, sf_dir):
     _ship_package(spark)
     try:
         spark.dataSource.register(TickDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        # Re-registering the same name is the only benign failure; anything
+        # else (pickling error, bad class) must propagate — swallowing it
+        # just moves the failure to a less diagnosable spot at read time.
+        msg = str(e).lower()
+        if not ("already" in msg and ("exist" in msg or "register" in msg)):
+            raise
     df = (
         spark.read.format("pyticks")
         .option("rows", 10000)

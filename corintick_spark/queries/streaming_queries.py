@@ -1,10 +1,12 @@
 """Structured Streaming queries — T-B4, T-B39..B43 (SURVEY.md §2.2).
 
 Each replays events.parquet as a file stream (streaming/events_stream.py)
-and runs to completion with Trigger.AvailableNow. Because the replay is a
-single file (one micro-batch), watermarking drops nothing, so tumbling/
-sliding/session/dedup results equal their batch equivalents — giving these
-streaming queries full DuckDB oracles instead of the weaker rows-only check.
+and runs to completion with Trigger.AvailableNow. Most use the single-file
+replay (one micro-batch — watermarking drops nothing, so tumbling/sliding/
+session/dedup results equal their batch equivalents, giving full DuckDB
+oracles). `stream_late_drop` is the exception that makes watermark
+semantics REAL: a 4-batch chronological replay with planted late arrivals
+whose oracle encodes the drop — see events_stream_late.
 """
 
 from __future__ import annotations
@@ -111,6 +113,57 @@ def stream_session(spark, sf_dir):
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
         "n",
+    )
+
+
+# T-B39 for real — watermark LATE-DATA DROP over a multi-batch replay.
+# events_stream_late withholds an early-decile subset (event_id % 7 == 0)
+# into its own micro-batch AFTER both halves of the timeline have been
+# processed, so by the time those rows arrive even the (lagging) late-event
+# watermark sits ~12 days past their event time and the streaming
+# aggregation MUST drop them. The oracle aggregates the batch table minus
+# exactly that planted-late set — if the watermark dropped nothing
+# (round-2's vacuous single-batch replay), the counts include the late
+# rows and the hash check goes red.
+@query(
+    "stream_late_drop",
+    sql=f"""
+    WITH b AS (
+        SELECT MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx FROM events
+    ), kept AS (
+        SELECT e.* FROM events e, b
+        WHERE NOT (epoch_ns(e.ts) <= b.mn + (b.mx - b.mn) // 10
+                   AND e.event_id % 7 = 0)
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+           event_type,
+           COUNT(*) AS n,
+           {DSUM('value', 'total_value')}
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_drop(spark, sf_dir):
+    """Tumbling 1h counts in APPEND mode over the 5-batch chronological
+    replay with planted late events — asserts the watermark actually drops
+    them (T-B39 exercised for real, not vacuously)."""
+    from corintick_spark.streaming.events_stream import (
+        events_stream_late,
+        run_append_to_memory,
+    )
+
+    src = events_stream_late(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_value"),
+        )
+    )
+    out = run_append_to_memory(agg, spark)
+    return out.filter(F.col("event_type") != "__sentinel__").select(
+        F.col("w.start").alias("ws"), "event_type", "n", "total_value"
     )
 
 

@@ -42,39 +42,50 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 
 # The driver's correctness harness adjudicates only the FIRST 50 registered
 # queries (confirmed in round 1: CORRECTNESS_r01.json == registration order
-# positions 1-50). This window is therefore curated so that every SURVEY §2
-# family — Tier A storage, relational, windows, scalars, UDFs, LLM-pipeline,
-# streaming, and write/ingest — has at least one representative under hard
-# driver signal. Multi-covering entries are deliberate: scan_filter carries
-# T-A1/A3/A5/B1, limit_n carries T-A6/A9/B27 (ordered limit), window_rank
-# carries T-B21+T-B22 (rank + lag/lead in one window), similarity_topk
-# carries T-B14+T-B50, stream_counts carries T-B4/B39/B40. Queries not in
-# the window remain registered (slots 51+) and stay under the identical-bar
-# local DuckDB differential in tests/test_oracle.py.
+# positions 1-50). Round 2 curated the window for family breadth; all 50
+# came back green (CORRECTNESS_r02.json). Round 3 ROTATES the window per the
+# judge's top ask: 10 long-stable canaries stay (one per family, all
+# driver-green in r02), and the other 40 slots go to queries that until now
+# had only the local DuckDB differential (tests/test_oracle_queries.py —
+# identical bar, but self-administered). Rotated-out queries keep that local
+# differential plus their r01/r02 driver rows; nothing loses signal.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Tier A storage surface
-    "scan_filter", "range_read", "limit_n", "union_all", "list_uids",
-    "overlap_semi_join", "meta_join",
-    # write / ingest (T-A2, T-B2, T-B3)
-    "write_roundtrip", "ingest_csv",
-    # relational core
-    "project_compute", "filter_complex", "join_inner", "join_broadcast",
-    "join_outer", "join_semi", "join_range", "join_asof",
-    "agg_basic", "agg_distinct", "agg_rollup", "agg_conditional",
-    "agg_collect", "topk_global", "topk_per_group", "set_ops",
-    # windows (T-B21..B26)
-    "window_rank", "window_rolling", "window_vwap", "window_cumsum",
-    "resample_ohlc",
-    # scalar families (T-B32..B38; scalar_array also covers T-B51)
-    "scalar_string", "scalar_date", "scalar_math", "scalar_array",
-    "scalar_map", "scalar_json", "scalar_cond",
-    # UDF tiers (T-B44..B47)
-    "udf_scalar", "udf_grouped_agg", "udf_grouped_map", "udtf_explode",
-    # LLM-pipeline (T-B48..B53)
-    "dedup_exact", "dedup_minhash", "similarity_topk", "text_wordcount",
-    "multimodal_join",
-    # streaming (T-B4/B39..B43)
-    "stream_counts", "stream_session", "stream_sliding", "stream_dedup",
+    # --- canaries (driver-green in r01+r02; one per family) ---
+    "scan_filter",       # Tier A storage scan/predicate/projection
+    "write_roundtrip",   # write/ingest path
+    "join_inner",        # relational joins
+    "agg_basic",         # hash aggregation
+    "window_rank",       # window functions
+    "scalar_string",     # scalar families
+    "udf_scalar",        # Pandas-UDF tier
+    "dedup_exact",       # LLM dedup tier
+    "similarity_topk",   # guarded cross join + vector path
+    "stream_counts",     # streaming tier
+    # --- never-driver-verified until this round ---
+    # as-of variants + join strategies
+    "join_asof_forward", "join_asof_nearest", "join_anti", "join_nullsafe",
+    "join_bucketed",
+    # aggregation surface
+    "agg_cube", "agg_pivot", "agg_percentile",
+    # Tier-A/relational leftovers
+    "project_subset", "order_by_ts", "subquery_exists",
+    # windows / time series
+    "window_lag", "window_twap", "resample_ffill", "window_islands",
+    # warehouse lifecycle
+    "cdc_merge", "scd2_intervals",
+    # event analytics
+    "events_sessionize", "funnel_conversion", "events_attribution",
+    "event_autocorr",
+    # ingest / sources
+    "ingest_json", "ingest_orc", "source_python_ds",
+    # UDF/arrow extensions
+    "udf_arrow", "udtf_python",
+    # LLM-pipeline extensions
+    "dedup_clusters", "pipeline_semantic_dedup", "dedup_ngram",
+    "dedup_embedding", "text_tfidf", "text_quality", "text_langid",
+    "text_boilerplate", "multimodal_decode", "pipeline_clean_corpus",
+    # streaming (multi-batch watermark drop is NEW this round)
+    "stream_late_drop", "stream_enrich", "stream_join", "stream_stateful",
 )
 
 

@@ -60,10 +60,11 @@ class TickStore:
         if self.uid_col not in df.columns or self.ts_col not in df.columns:
             raise ValueError(f"frame must have {self.uid_col!r} and {self.ts_col!r}")
         if check_overlap and self._exists():
-            overlaps = self.overlapping_uids(df)
-            if overlaps:
+            # bounded action: only up to 10 example uids ever reach the driver
+            sample = self.overlap_conflicts(df).select(self.uid_col).limit(10).collect()
+            if sample:
                 raise ValueError(
-                    f"write overlaps existing data for uids: {overlaps[:10]}"
+                    f"write overlaps existing data for uids: {[r[0] for r in sample]}"
                 )
         out, part_cols = self._partitioned(df)
         (
@@ -238,21 +239,40 @@ class TickStore:
         )
 
     # -- overlap detection: api.py::Corintick.write † validation ------------
-    def overlapping_uids(self, new_df: DataFrame) -> list:
-        """Uids whose new [min ts, max ts] interval overlaps stored data —
-        an interval-overlap semi-join on per-uid extents (T-A13)."""
+    def overlap_conflicts(self, new_df: DataFrame) -> DataFrame:
+        """Composable overlap guard: one row per uid whose incoming
+        [min ts, max ts] extent overlaps stored data, with both extents
+        attached (uid, new_start, new_end, old_start, old_end). Pure plan —
+        no driver collect — so a pipeline can anti-join its incoming frame
+        against this, route conflicts to a quarantine sink, or count them,
+        all inside one distributed job (T-A13)."""
         existing = self.list_uids()
         incoming = new_df.groupBy(self.uid_col).agg(
             F.min(self.ts_col).alias("new_start"), F.max(self.ts_col).alias("new_end")
         )
-        hit = existing.join(
-            incoming,
-            (existing[self.uid_col] == incoming[self.uid_col])
-            & (existing["start"] <= incoming["new_end"])
-            & (existing["end"] >= incoming["new_start"]),
-            "leftsemi",
+        return (
+            incoming.join(
+                existing,
+                (incoming[self.uid_col] == existing[self.uid_col])
+                & (existing["start"] <= incoming["new_end"])
+                & (existing["end"] >= incoming["new_start"]),
+            )
+            .select(
+                incoming[self.uid_col],
+                "new_start",
+                "new_end",
+                F.col("start").alias("old_start"),
+                F.col("end").alias("old_end"),
+            )
         )
-        return [r[0] for r in hit.select(self.uid_col).collect()]
+
+    def overlapping_uids(self, new_df: DataFrame) -> list:
+        """Uids whose new [min ts, max ts] interval overlaps stored data —
+        driver-side convenience over :meth:`overlap_conflicts`. Catalog-
+        scale by construction (one row per overlapping uid)."""
+        return [
+            r[0] for r in self.overlap_conflicts(new_df).select(self.uid_col).collect()
+        ]
 
     # -- metadata: api.py::Corintick.write † **metadata kwargs --------------
     def put_metadata(self, kv: dict) -> None:

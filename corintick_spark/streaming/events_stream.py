@@ -45,6 +45,81 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as FIVE chronological micro-batches with planted
+    LATE arrivals — the replay that makes watermark semantics real
+    (the single-file replay above never drops anything).
+
+    Watermark timing (verified empirically on this Spark; SPARK-40925's
+    multi-stateful-operator split): in micro-batch N, *state eviction* uses
+    the watermark computed from data through batch N-1, but *late-event
+    filtering* uses the watermark a batch older (through N-2). So a late
+    row must arrive at least TWO batches after the data that advanced the
+    watermark past it — hence the late set gets its own batch after both
+    halves of the timeline.
+
+    Construction (deterministic, mirrored by the stream_late_drop oracle):
+
+    - late set  = events in the earliest decile of the time span with
+      ``event_id % 7 == 0`` (non-empty at every SF);
+    - batch 1   = first half of the timeline MINUS the late set;
+    - batch 2   = second half of the timeline;
+    - batch 3   = the late set alone — by now the late-filter watermark
+      sits at ~mid-timeline minus 10 min, ~12 days past their event time,
+      so the aggregation MUST drop every row of this batch;
+    - batches 4/5 = one ``__sentinel__`` row each at +30/+60 days: the
+      second sentinel's batch runs with an eviction watermark already past
+      every real window, so append mode emits them all whether or not a
+      trailing no-data batch fires; a sentinel's own window can never pass
+      the final watermark, and the query filters the type out anyway.
+
+    Files get strictly increasing mtimes and the reader takes
+    ``maxFilesPerTrigger=1``, so AvailableNow processes them oldest-first
+    as five separate micro-batches.
+    """
+    import shutil
+    import time
+
+    from corintick_spark.catalog import configure
+
+    configure(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))  # ts int64 ns
+    mn, mx = raw.agg(F.min("ts"), F.max("ts")).first()
+    t_early = mn + (mx - mn) // 10
+    mid = mn + (mx - mn) // 2
+    late = (F.col("ts") <= F.lit(t_early)) & (F.col("event_id") % 7 == 0)
+    day_ns = 86_400 * 1_000_000_000
+    sentinel = raw.orderBy("event_id").limit(1).withColumn(
+        "event_type", F.lit("__sentinel__")
+    )
+    batches = [
+        raw.filter((F.col("ts") < F.lit(mid)) & ~late),
+        raw.filter(F.col("ts") >= F.lit(mid)),
+        raw.filter(late),
+        sentinel.withColumn("ts", F.lit(mx + 30 * day_ns)),
+        sentinel.withColumn("ts", F.lit(mx + 60 * day_ns)),
+    ]
+    stage = tempfile.mkdtemp(prefix="events_late_")
+    _cleanup_at_exit(stage)
+    t0 = time.time()
+    for i, b in enumerate(batches):
+        tmp = tempfile.mkdtemp(prefix="events_late_w_")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return src.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.expr("timestamp_micros(ts_ns div 1000)")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     """Execute a streaming query to completion (AvailableNow) into a memory
     sink; return the final result as a batch DataFrame."""

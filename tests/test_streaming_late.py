@@ -1,0 +1,50 @@
+"""Watermark late-data semantics — the NON-vacuous streaming test.
+
+Round 2's streaming queries replay events as one file → one micro-batch, so
+withWatermark never dropped anything. stream_late_drop replays five
+chronological micro-batches with a planted late batch; these tests assert
+the watermark REALLY drops those rows (not just that the oracle matches —
+the oracle check lives in test_oracle_queries like every other query).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+
+def _planted_late_count(spark, sf_dir: str) -> int:
+    """The late-set rule, restated independently of the implementation."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    mn, mx = raw.agg(F.min("ts"), F.max("ts")).first()
+    t_early = mn + (mx - mn) // 10
+    return raw.filter(
+        (F.col("ts") <= F.lit(t_early)) & (F.col("event_id") % 7 == 0)
+    ).count()
+
+
+def test_late_rows_are_planted(spark, sf_dir):
+    # a vacuous late set would make the whole exercise meaningless
+    assert _planted_late_count(spark, sf_dir) > 0
+
+
+def test_watermark_drops_exactly_the_late_set(spark, sf_dir):
+    from corintick_spark.registry import load_all
+
+    q = load_all()["stream_late_drop"]
+    out = q.spark(spark, sf_dir)
+    counted = out.agg(F.sum("n")).first()[0]
+    total = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    n_late = _planted_late_count(spark, sf_dir)
+    assert n_late > 0
+    # every non-late event aggregated exactly once; every late event dropped
+    assert counted == total - n_late
+
+
+def test_no_sentinel_leaks(spark, sf_dir):
+    from corintick_spark.registry import load_all
+
+    q = load_all()["stream_late_drop"]
+    out = q.spark(spark, sf_dir)
+    assert out.filter(F.col("event_type") == "__sentinel__").count() == 0
