@@ -116,15 +116,16 @@ def minhash_lsh_pairs(
     # Signature hashing is CPU-bound — spread a narrow local scan across all
     # cores first; on a well-partitioned cluster input spread_input is a
     # no-op (see operators/spread.py).
-    # Note on reuse: the banded self-join computes the shingle+signature
-    # pipeline once per side (no ReusedExchange across a broadcast side —
-    # verified on the physical plan). Persisting the shingle stage was
-    # measured SLOWER cold (cache materialization is a barrier that defeats
-    # pipelining; 4.7s vs 2.0s at sf0.1), so the recompute stays. At 100 TB
-    # materialize signatures to a table first — durable and reused by every
-    # downstream pass.
     src = spread_input(df)
+    # Materialize the shingle+signature stage ONCE (eager localCheckpoint:
+    # runs a job now, truncates lineage). It feeds FOUR consumers — both
+    # sides of the banded self-join and both sides of the verification
+    # join-back — and Spark would otherwise recompute the hashing pipeline
+    # per consumer (measured 11s vs 3s at sf0.1). At 100 TB write the
+    # signature table to durable storage instead: localCheckpoint blocks
+    # live on executors and cannot survive executor loss.
     sig = minhash_signature(shingles(src, text, k), "shingles", num_hashes)
+    sig = sig.localCheckpoint(eager=True)
     # Candidate generation is ID-ONLY: shingle arrays never ride through the
     # band join or the pair-dedup exchange (at 100 TB that exchange would
     # otherwise carry two full shingle arrays per pre-dedup candidate row).
@@ -148,10 +149,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     # Verification joins shingle sets back on the deduped id pairs only —
-    # two hash joins keyed by fixed-width ids. Shingle recompute here is
-    # tokenize+slice only (no signature hashing), and at scale it reads the
-    # materialized signature table instead.
-    sh = shingles(src, text, k).select(F.col(id_col), F.col("shingles"))
+    # two hash joins keyed by fixed-width ids, reading the checkpointed
+    # signature table (no recompute).
+    sh = sig.select(F.col(id_col), F.col("shingles"))
     jac = (
         cand.join(
             sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")), "a_id"
