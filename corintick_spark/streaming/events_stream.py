@@ -33,12 +33,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     src_file = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src_file)
-    # FileStreamSource requires a directory; stage the (read-only) parquet
-    # into a temp dir via symlink — no data copy. Removed at interpreter
-    # exit (it must outlive whatever queries the caller starts on it).
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    _cleanup_at_exit(stage)
-    os.symlink(src_file, os.path.join(stage, "events.parquet"))
+    if os.path.isdir(src_file):
+        # already a directory of part files (e.g. the generated sf1 set) —
+        # stream it directly; a symlinked nested dir would list ZERO files
+        # (FileStreamSource does not recurse) and silently stream nothing
+        stage = src_file
+    else:
+        # FileStreamSource requires a directory; stage the (read-only)
+        # single-file parquet into a temp dir via symlink — no data copy.
+        # Removed at interpreter exit (it must outlive whatever queries the
+        # caller starts on it).
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        _cleanup_at_exit(stage)
+        os.symlink(src_file, os.path.join(stage, "events.parquet"))
     src = spark.readStream.schema(batch.schema).parquet(stage)
     return src.withColumnRenamed("ts", "ts_ns").withColumn(
         "ts", F.expr("timestamp_micros(ts_ns div 1000)")
