@@ -3,13 +3,16 @@
 The reference's data model (SURVEY.md §1.1: `api.py::Corintick.read` † —
 uid-keyed chunked BSON documents in MongoDB) maps to one parquet dataset per
 logical table. The `events` table is the corintick-shaped time series
-(`user_id` ≈ uid, `ts` ≈ DatetimeIndex): it is stored as TIMESTAMP(NANOS),
-which Spark cannot read natively, so we read it with
-`spark.sql.legacy.parquet.nanosAsLong` and derive:
+(`user_id` ≈ uid, `ts` ≈ DatetimeIndex). The driver's testdata has shipped
+`ts` in two physical vintages — TIMESTAMP(NANOS) (which Spark can only read
+via `spark.sql.legacy.parquet.nanosAsLong`, yielding int64) and plain
+timestamp[us] — so `normalize_event_time` adapts on schema and always
+yields the same logical pair:
 
-- ``ts``    — TimestampType, µs precision (truncated; identical to DuckDB's
-              ns→µs read of the same file, so oracle comparisons are exact)
-- ``ts_ns`` — the raw int64 nanoseconds, kept for precision-sensitive ops.
+- ``ts``    — TimestampType, µs precision (identical to DuckDB's read of
+              the same file, so oracle comparisons are exact)
+- ``ts_ns`` — int64 epoch nanoseconds, kept for precision-sensitive ops
+              (exact for the ns vintage; µs-resolution otherwise).
 """
 
 from __future__ import annotations
@@ -95,13 +98,35 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Schema-adaptive events time normalization (see module docstring).
+
+    Output column order is identical for both vintages: the original order
+    with ``ts`` replaced by ``ts_ns`` in place and the derived µs ``ts``
+    appended last — streaming replays depend on batch/stream schema parity.
+    """
+    original = df.columns
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":  # TIMESTAMP(NANOS) vintage read via nanosAsLong
+        return df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.expr("timestamp_micros(ts_ns div 1000)")
+        )
+    # timestamp[us] vintage (read as TIMESTAMP_NTZ by Spark's parquet
+    # inference); session timeZone=UTC makes the NTZ→TZ cast instant-exact
+    df = df.withColumn(
+        "ts_ns",
+        F.expr("unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"),
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.select(
+        *[c if c != "ts" else "ts_ns" for c in original], "ts"
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.expr("timestamp_micros(ts_ns div 1000)")
-        )
+        df = normalize_event_time(df)
     return df
 
 

@@ -69,7 +69,11 @@ def with_zvalue(
         dt = dtypes.get(c)
         if dt is None:
             raise ValueError(f"zorder column {c!r} not found; have {sorted(dtypes)}")
-        if dt != "timestamp" and dt not in numeric and not dt.startswith("decimal"):
+        if (
+            dt not in ("timestamp", "timestamp_ntz")
+            and dt not in numeric
+            and not dt.startswith("decimal")
+        ):
             # fail up front: under ANSI mode a string column would otherwise
             # throw CAST_INVALID_INPUT mid-job from quantize()
             raise ValueError(
@@ -79,8 +83,9 @@ def with_zvalue(
 
     def as_num(c: str) -> Column:
         dt = dtypes.get(c)
-        if dt == "timestamp":
-            return F.unix_micros(F.col(c))
+        if dt in ("timestamp", "timestamp_ntz"):
+            # NTZ → TZ cast is instant-exact under the session's UTC timeZone
+            return F.unix_micros(F.col(c).cast("timestamp"))
         if dt == "date":
             return F.unix_date(F.col(c))
         return F.col(c)

@@ -47,9 +47,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cleanup_at_exit(stage)
         os.symlink(src_file, os.path.join(stage, "events.parquet"))
     src = spark.readStream.schema(batch.schema).parquet(stage)
-    return src.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.expr("timestamp_micros(ts_ns div 1000)")
-    )
+    from corintick_spark.catalog import normalize_event_time
+
+    return normalize_event_time(src)
 
 
 def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +90,14 @@ def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     from corintick_spark.catalog import configure
 
     configure(spark)
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))  # ts int64 ns
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes)["ts"] != "bigint":
+        # µs-timestamp testdata vintage — canonicalize to int64 epoch ns so
+        # the batch construction below works in plain integer arithmetic
+        raw = raw.withColumn(
+            "ts",
+            F.expr("unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"),
+        )
     mn, mx = raw.agg(F.min("ts"), F.max("ts")).first()
     t_early = mn + (mx - mn) // 10
     mid = mn + (mx - mn) // 2
@@ -122,9 +129,11 @@ def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return src.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.expr("timestamp_micros(ts_ns div 1000)")
-    )
+    # staged batch files always carry int64 ns (canonicalized above), so
+    # this takes normalize_event_time's bigint branch
+    from corintick_spark.catalog import normalize_event_time
+
+    return normalize_event_time(src)
 
 
 def run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:

@@ -17,6 +17,13 @@ import pyspark.sql.functions as F
 def _planted_late_count(spark, sf_dir: str) -> int:
     """The late-set rule, restated independently of the implementation."""
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes)["ts"] != "bigint":
+        # µs-timestamp testdata vintage — same epoch-ns canonicalization the
+        # replay uses, so the decile boundary lands on the identical instant
+        raw = raw.withColumn(
+            "ts",
+            F.expr("unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"),
+        )
     mn, mx = raw.agg(F.min("ts"), F.max("ts")).first()
     t_early = mn + (mx - mn) // 10
     return raw.filter(
