@@ -95,3 +95,86 @@ def resample_ffill(
     return filled.filter(F.col("_is_grid") == 1).select(
         key, "grid_ts", "ffill_value"
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    step_s: int = 3600,
+) -> DataFrame:
+    """Linearly-interpolated regular grid per key (the pandas
+    ``resample().interpolate('time')`` idiom corintick users ran client-side †).
+
+    Semantics: for each grid instant g, prev = latest tick with ts <= g,
+    next = earliest tick with ts > g; value = pv + (nv-pv)·(g-pt)/(nt-pt).
+    A tick exactly on the grid makes the fraction 0 (exact passthrough);
+    a grid point at the key's last tick has no strictly-later next and
+    falls back to pv. Same plan shape as resample_ffill — grid via
+    sequence()+explode, then ONE window pass over (key) ordered by
+    (grid_ts, _is_grid) scanning both directions; ticks sort before grid
+    rows at equal instants, which encodes the <=/> tie rule for both the
+    preceding and following frames simultaneously.
+
+    Determinism: the fraction is an int64-µs ratio and pv/nv are the raw
+    tick doubles, so the final expression is the same IEEE arithmetic in
+    any engine; rounded to 6dp for the oracle contract.
+    """
+    step_us = step_s * 1_000_000
+    tiebreak = "event_id" if "event_id" in df.columns else None
+    bounds = df.groupBy(key).agg(F.min(ts).alias("_t0"), F.max(ts).alias("_t1"))
+    grid = bounds.select(
+        F.col(key),
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col("_t0")) / step_us).cast("long") + 1,
+                (F.unix_micros(F.col("_t1")) / step_us).cast("long"),
+            )
+        ).alias("_slot"),
+    ).select(
+        F.col(key),
+        F.timestamp_micros(F.col("_slot") * step_us).alias("grid_ts"),
+        F.lit(1).alias("_is_grid"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(None).cast("long").alias("_tus"),
+        F.lit(None).cast("long").alias("_tie"),
+    )
+    ticks = df.select(
+        F.col(key),
+        F.col(ts).alias("grid_ts"),
+        F.lit(0).alias("_is_grid"),
+        F.col(value).alias("_v"),
+        F.unix_micros(F.col(ts)).alias("_tus"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("_tie"),
+    )
+    unioned = grid.unionByName(ticks)
+    # ticks before grid rows at equal instants (encodes the <=/> tie rule);
+    # among equal-ts ticks, _tie makes prev/next picks deterministic
+    base = Window.partitionBy(key).orderBy(
+        F.col("grid_ts"), F.col("_is_grid"), F.col("_tie")
+    )
+    prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nxt = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    enriched = unioned.select(
+        F.col(key),
+        "grid_ts",
+        "_is_grid",
+        F.last("_v", ignorenulls=True).over(prev).alias("pv"),
+        F.last("_tus", ignorenulls=True).over(prev).alias("pt"),
+        F.first("_v", ignorenulls=True).over(nxt).alias("nv"),
+        F.first("_tus", ignorenulls=True).over(nxt).alias("nt"),
+    )
+    g_us = F.unix_micros(F.col("grid_ts"))
+    frac = (g_us - F.col("pt")).cast("double") / (
+        (F.col("nt") - F.col("pt")).cast("double")
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return (
+        enriched.filter(F.col("_is_grid") == 1)
+        .select(
+            key,
+            "grid_ts",
+            F.round(F.coalesce(interp, F.col("pv")), 6).alias("interp_value"),
+        )
+    )

@@ -1,0 +1,235 @@
+"""Round-3 extension operators: per-group regression and per-entity anomaly
+statistics from exact moments, linear time-series interpolation, and
+benchmark-contamination screening.
+
+corintick stored raw frames and left statistical derivation to client-side
+pandas (SURVEY.md §2.1 verdict †); the contamination screen extends the
+LLM-pipeline tier the same way the dedup/similarity stack does. Everything
+here is JVM-side declarative DataFrame code — no Python in any hot path —
+and every float result is derived from exact integer moments
+(corintick_spark.exact rationale) so the DuckDB oracles hash-match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from corintick_spark.catalog import table
+from corintick_spark.registry import query
+
+
+def _ssum(e, scale):
+    """Exact scaled-long sum, returned as double (see exact.py)."""
+    return F.sum(F.round(e * scale).cast("bigint")).cast("double") / scale
+
+
+# Per-group simple linear regression (y = l_extendedprice on x = l_quantity)
+# from exact integer moments — one hash aggregation with map-side partials,
+# never a second pass over the data. The slope/intercept are single float
+# expressions over exact moment doubles, so both engines compute identical
+# IEEE results (the F.corr/regr_slope built-ins would NOT hash-match: their
+# float accumulation order differs between engines).
+@query(
+    "agg_regression",
+    sql="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sx,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sy,
+               CAST(SUM(CAST(round(l_quantity * l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sxx,
+               CAST(SUM(CAST(round(l_quantity * l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+                 / n, 6) AS intercept
+    FROM m
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """Per-returnflag OLS of extendedprice on quantity (exact moments)."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _ssum(F.col("l_quantity"), 100).alias("sx"),
+        _ssum(F.col("l_extendedprice"), 100).alias("sy"),
+        _ssum(F.col("l_quantity") * F.col("l_quantity"), 100).alias("sxx"),
+        _ssum(F.col("l_quantity") * F.col("l_extendedprice"), 100).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )
+
+
+# Linear interpolation onto a regular grid — the pandas
+# `resample().interpolate('time')` idiom corintick users ran client-side †,
+# in-engine via one grid build + one two-direction window pass
+# (operators/resample.py::resample_interp).
+@query(
+    "resample_interp",
+    sql="""
+    WITH bounds AS (
+        SELECT user_id,
+               CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) + 1 AS s0,
+               CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT) AS s1
+        FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, make_timestamp(CAST(s * 3600000000 AS BIGINT)) AS grid_ts
+        FROM bounds, UNNEST(range(s0, s1 + 1)) t(s)
+    ), pn AS (
+        SELECT g.user_id, g.grid_ts,
+               (SELECT e.value FROM events e
+                WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS pv,
+               (SELECT epoch_us(e.ts) FROM events e
+                WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS pt,
+               (SELECT e.value FROM events e
+                WHERE e.user_id = g.user_id AND e.ts > g.grid_ts
+                ORDER BY e.ts, e.event_id LIMIT 1) AS nv,
+               (SELECT epoch_us(e.ts) FROM events e
+                WHERE e.user_id = g.user_id AND e.ts > g.grid_ts
+                ORDER BY e.ts, e.event_id LIMIT 1) AS nt
+        FROM grid g
+    )
+    SELECT user_id, grid_ts,
+           ROUND(COALESCE(pv + (nv - pv) * (CAST(epoch_us(grid_ts) - pt AS DOUBLE)
+                                            / CAST(nt - pt AS DOUBLE)), pv),
+                 6) AS interp_value
+    FROM pn
+    """,
+)
+def resample_interp(spark, sf_dir):
+    """Hourly grid per uid with time-weighted linear interpolation."""
+    from corintick_spark.operators.resample import resample_interp as _interp
+
+    ev = table(spark, sf_dir, "events")
+    return _interp(ev, key="user_id", ts="ts", value="value", step_s=3600)
+
+
+# Per-user z-score anomaly detection from exact windowed moments — flags
+# events more than 3σ from the user's mean. One exchange on user_id, whole
+# partition frame (no sort needed beyond the hash partition), identical
+# guarded float expressions in both engines.
+@query(
+    "events_anomaly",
+    sql="""
+    WITH m AS (
+        SELECT event_id, user_id, ts, value,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+                   / 1000000 AS sv,
+               CAST(SUM(CAST(round(value * value * 1000) AS BIGINT)) OVER w AS DOUBLE)
+                   / 1000 AS svv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, ts, value,
+           ROUND((value - sv / n)
+                 / SQRT(GREATEST(svv / n - (sv / n) * (sv / n), 0)), 6) AS zscore
+    FROM m
+    WHERE SQRT(GREATEST(svv / n - (sv / n) * (sv / n), 0)) > 0
+      AND ABS(value - sv / n)
+          > 3 * SQRT(GREATEST(svv / n - (sv / n) * (sv / n), 0))
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Events beyond 3 sigma of their user's value distribution."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count("*").over(w).alias("n"),
+        (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).over(w)
+         .cast("double") / 1_000_000).alias("sv"),
+        (F.sum(F.round(F.col("value") * F.col("value") * 1_000).cast("bigint"))
+         .over(w).cast("double") / 1_000).alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    std = F.sqrt(F.greatest(F.col("svv") / F.col("n") - mean * mean, F.lit(0.0)))
+    return (
+        m.filter((std > 0) & (F.abs(F.col("value") - mean) > 3 * std))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round((F.col("value") - mean) / std, 6).alias("zscore"),
+        )
+    )
+
+
+# Benchmark-contamination screen — the LLM-pipeline op that checks a corpus
+# for verbatim n-gram overlap with a held-out benchmark set before training.
+# Candidate generation is an equi-join on the 5-gram (the LSH-bucket shape,
+# never all-pairs); the probe side is DISTINCT grams of the benchmark split,
+# small by construction, so Spark broadcasts it and the corpus is never
+# shuffled — the same 100 TB posture as dedup_minhash.
+@query(
+    "text_contamination",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(1, len(ws) + 1)) AS ord
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents)
+    ), five AS (
+        SELECT a.doc_id,
+               a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+                     || ' ' || e.tok AS gram
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+        JOIN toks d ON d.doc_id = a.doc_id AND d.ord = a.ord + 3
+        JOIN toks e ON e.doc_id = a.doc_id AND e.ord = a.ord + 4
+    ), u AS (
+        SELECT DISTINCT doc_id, gram FROM five
+    ), probe AS (
+        SELECT DISTINCT gram FROM u WHERE doc_id % 97 = 0
+    )
+    SELECT u.doc_id, COUNT(*) AS n_shared
+    FROM u JOIN probe USING (gram)
+    WHERE u.doc_id % 97 <> 0
+    GROUP BY u.doc_id
+    """,
+)
+def text_contamination(spark, sf_dir):
+    """Corpus docs sharing >= 1 distinct 5-gram with the benchmark split
+    (doc_id % 97 == 0), with the shared-gram count."""
+    from corintick_spark.operators.dedup import tokenize
+
+    d = tokenize(table(spark, sf_dir, "documents"))
+    grams = F.expr(
+        "transform(slice(words, 1, size(words) - 4), (w, i) -> concat_ws(' ',"
+        " w, element_at(words, i + 2), element_at(words, i + 3),"
+        " element_at(words, i + 4), element_at(words, i + 5)))"
+    )
+    per_doc = d.filter(F.size("words") >= 5).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    probe = (
+        per_doc.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        per_doc.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(probe), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+

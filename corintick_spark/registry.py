@@ -102,6 +102,7 @@ def load_all() -> dict[str, Query]:
         storage_queries,
         streaming_queries,
         events,
+        extras,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

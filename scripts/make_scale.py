@@ -1,23 +1,25 @@
-"""Generate an sf1 dataset (10x sf0.1) for the scale-step measurement.
+"""Generate scaled-up datasets (N x sf0.1) for scale-step measurements.
 
-/root/testdata is read-only, so sf1 lives inside the repo at
-``testdata/sf1`` (gitignored — regenerate with this script). The scale-up
-is a deterministic 10-way replication with key offsets chosen so workload
-*shape* scales the way a real 10x corpus would:
+/root/testdata is read-only, so scaled data lives inside the repo at
+``testdata/sf{N/10}`` (gitignored — regenerate with this script). The
+scale-up is a deterministic N-way replication with key offsets chosen so
+workload *shape* scales the way a real Nx corpus would:
 
 - ``orders``/``lineitem`` shift ``orderkey`` by a shared stride — join
   keys stay consistent, fact-fact join cardinality scales linearly.
 - ``events`` shifts ``event_id``; timestamps are kept, so the 30-day
-  window densifies 10x (what a 10x-busier stream looks like).
+  window densifies Nx (what an Nx-busier stream looks like).
 - ``documents`` rewrites every token with a per-copy suffix: each copy is
   a *new* corpus with the same internal near-dup structure, so MinHash
   candidate generation scales linearly instead of quadratically colliding
-  10 identical corpora into the same LSH buckets.
+  N identical corpora into the same LSH buckets.
 - ``embeddings`` shifts ``vec_id`` (brute-force top-k cost is linear in
   corpus size; probe set unchanged).
-- dimension tables are byte-copied (a 10x fact load joins the same dims).
+- dimension tables are byte-copied (an Nx fact load joins the same dims).
 
-Usage: python scripts/make_sf1.py  (~30s, ~170 MB)
+Usage: python scripts/make_scale.py [copies ...]   (default: 10)
+       e.g. `python scripts/make_scale.py 10 100` writes testdata/sf1 (~170
+       MB, ~30s) and testdata/sf10 (~1.7 GB, ~3 min).
 """
 
 from __future__ import annotations
@@ -29,25 +31,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata", "sf1")
-COPIES = 10
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def generate(spark, copies: int) -> str:
     import pyspark.sql.functions as F
 
-    from corintick_spark.session import get_spark
-
-    spark = get_spark(app_name="make-sf1")
-    spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs(DST, exist_ok=True)
+    sf = copies / 10
+    dst = os.path.join(REPO, "testdata", f"sf{sf:g}")
+    os.makedirs(dst, exist_ok=True)
 
     def replicate(name: str, per_copy) -> None:
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
         out = per_copy(src, 0)
-        for i in range(1, COPIES):
+        for i in range(1, copies):
             out = out.unionByName(per_copy(src, i))
-        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
         print(f"{name}: {out.count()} rows")
 
     ok_stride = (
@@ -94,9 +93,19 @@ def main() -> None:
     )
 
     for dim in ("region", "nation", "customer", "supplier", "part"):
-        shutil.copyfile(f"{SRC}/{dim}.parquet", f"{DST}/{dim}.parquet")
+        shutil.copyfile(f"{SRC}/{dim}.parquet", f"{dst}/{dim}.parquet")
         print(f"{dim}: copied")
+    return dst
 
+
+def main() -> None:
+    from corintick_spark.session import get_spark
+
+    copies_list = [int(a) for a in sys.argv[1:]] or [10]
+    spark = get_spark(app_name="make-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    for copies in copies_list:
+        print(f"=== {copies}x sf0.1 -> {generate(spark, copies)}")
     spark.stop()
 
 
