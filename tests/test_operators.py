@@ -527,3 +527,41 @@ def test_pii_scrub_redacts(spark):
     r = pii_scrub(df).collect()[0]
     assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 1)
     assert r.scrubbed == "mail me at [EMAIL] or call [PHONE] from [IP] ok"
+
+
+def test_resample_interp_semantics(spark):
+    """Interior grid points interpolate time-weighted; a tick exactly on a
+    grid instant passes through; a grid point at the key's last tick (no
+    strictly-later next) falls back to the previous value."""
+    import datetime as dt
+
+    from corintick_spark.operators.resample import resample_interp
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # uid 1: ticks at 0:30 (10.0) and 2:30 (20.0) -> grid 1:00, 2:00
+        (1, t0, 10.0, 1),
+        (1, dt.datetime(2024, 1, 1, 2, 30), 20.0, 2),
+        # uid 2: tick exactly on the 1:00 grid instant between neighbors
+        (2, dt.datetime(2024, 1, 1, 0, 45), 0.0, 3),
+        (2, dt.datetime(2024, 1, 1, 1, 0), 5.0, 4),
+        (2, dt.datetime(2024, 1, 1, 1, 15), 100.0, 5),
+        # uid 3: last tick exactly on the 1:00 grid instant (no next)
+        (3, dt.datetime(2024, 1, 1, 0, 50), 7.0, 6),
+        (3, dt.datetime(2024, 1, 1, 1, 0), 9.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = {
+        (r.user_id, r.grid_ts.strftime("%H:%M")): r.interp_value
+        for r in resample_interp(df, step_s=3600).collect()
+    }
+    # uid 1: 1:00 is 30/120 of the way 10->20; 2:00 is 90/120
+    assert out[(1, "01:00")] == 12.5
+    assert out[(1, "02:00")] == 17.5
+    # uid 2: exact tick on the grid instant wins (fraction 0 from itself)
+    assert out[(2, "01:00")] == 5.0
+    # uid 3: grid == last tick -> no strictly-later next, prev passthrough
+    assert out[(3, "01:00")] == 9.0
+    assert len(out) == 4
