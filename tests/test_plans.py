@@ -149,3 +149,47 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_bucketed")
     assert plan.count("Bucketed: true") == 2, plan[:800]
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_contamination_broadcasts_probe_grams(spark, sf_dir):
+    """The benchmark split's gram set must broadcast (the corpus side is
+    never shuffled for the join) and nothing may plan a cross product."""
+    plan = plan_of(spark, sf_dir, "text_contamination")
+    assert "BroadcastHashJoin" in plan, "probe gram set not broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Spark's runtime row-level filtering must stay wired: when a selective
+    dimension filter feeds a shuffle join, the optimizer injects a
+    bloom_filter_agg on the build side and a might_contain predicate into
+    the fact scan — the 100 TB shuffle-reduction path (rows that can't
+    match never enter the exchange). Thresholds are lowered here only to
+    trigger the rewrite at test scale; at cluster scale the defaults
+    (10 GB application-side scan) fire on their own."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderstatus = 'P'"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
