@@ -233,3 +233,39 @@ def text_contamination(spark, sf_dir):
     )
 
 
+
+
+# Iterative graph algorithm tier: weighted PageRank over the bipartite
+# customer->supplier purchase graph (operators/pagerank.py — Pregel-shaped
+# power iteration; edges partitioned once, rank table is the only thing
+# shuffled per round). Float contribution sums are order-dependent in the
+# last ulps, so no SQL oracle — rows-only driver check (row count = node
+# count, deterministic) + numpy power-iteration differential in
+# tests/test_operators.py.
+@query("graph_pagerank", sql=None)
+def graph_pagerank(spark, sf_dir):
+    """Top-50 nodes by PageRank on the customer<->supplier purchase graph."""
+    from corintick_spark.operators.pagerank import pagerank
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.col("w").cast("double").alias("w"),
+        )
+    )
+    # bidirectional edges make the bipartite walk ergodic
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    r = pagerank(edges, weight="w", damping=0.85, iterations=8)
+    return (
+        r.orderBy(F.desc("rank"), "node")
+        .limit(50)
+        .select("node", F.round("rank", 8).alias("rank"))
+    )

@@ -565,3 +565,40 @@ def test_resample_interp_semantics(spark):
     # uid 3: grid == last tick -> no strictly-later next, prev passthrough
     assert out[(3, "01:00")] == 9.0
     assert len(out) == 4
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Distributed PageRank must track a dense numpy power iteration with
+    identical damping/dangling handling to ~1e-9."""
+    import numpy as np
+
+    from corintick_spark.operators.pagerank import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("d", "c", 3.0),  # d is a sink target; e dangles in
+        ("e", "d", 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, weight="w", damping=0.85, iterations=20).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e[:2]})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, d_, w in edges:
+        M[idx[d_], idx[s]] += w
+    col = M.sum(axis=0)
+    out = col > 0
+    M[:, out] /= col[out]
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(20):
+        dangling = r[~out].sum()
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    for name in nodes:
+        assert abs(got[name] - r[idx[name]]) < 1e-9, (name, got[name], r[idx[name]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
