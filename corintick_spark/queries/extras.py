@@ -269,3 +269,73 @@ def graph_pagerank(spark, sf_dir):
         .limit(50)
         .select("node", F.round("rank", 8).alias("rank"))
     )
+
+
+# Rolling median — the robust tick-data smoother (median filters shrug off
+# the outliers that wreck rolling means). Spark has no median window
+# function; the sorted-array formulation (collect_list over a bounded
+# 25-row frame -> sort_array -> explicit middle/interpolate) stays JVM-side
+# and bounds per-row state at frame size. Both engines index identical
+# sorted arrays with the same formula, so even the even-count interpolation
+# halves are bit-equal.
+@query(
+    "window_rolling_median",
+    sql="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2]
+                ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2.0
+           END AS roll_median
+    FROM (SELECT event_id, user_id, ts,
+                 list_sort(list(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS a
+          FROM events)
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """25-tick rolling median of event values per user."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, Window.currentRow)
+    )
+    a = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(a)
+    med = F.when(
+        n % 2 == 1, F.element_at(a, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(a, (n / 2).cast("int"))
+            + F.element_at(a, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return ev.select("event_id", "user_id", "ts", med.alias("roll_median"))
+
+
+# Deterministic fixed-size sample — the distributed reservoir-sample
+# equivalent: order by a Knuth multiplicative hash (engine-portable pure
+# int64 arithmetic, uniform over ids) and take k. Spark plans
+# TakeOrderedAndProject: each partition keeps its local top-k and only
+# k rows per partition reach the driver-side merge — no global sort, no
+# full shuffle, the right 100 TB shape for "give me a reproducible 100-doc
+# eval set".
+@query(
+    "sample_fixed_k",
+    sql="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+    LIMIT 100
+    """,
+)
+def sample_fixed_k(spark, sf_dir):
+    """Reproducible uniform 100-doc sample (hash-ordered top-k)."""
+    d = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        d.orderBy(h, "doc_id")
+        .limit(100)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
