@@ -387,3 +387,50 @@ def events_cohort(spark, sf_dir):
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+# Linear-model scoring over embedding columns — the batch-inference shape
+# of a training-data pipeline (classifier-based quality filtering) without
+# leaving the JVM: the weight vector is zipped against the embedding and
+# folded with an INTEGER accumulator (vector_norms technique), so scores
+# are order-independent and bit-identical across engines. No mapInPandas
+# hop; at 100 TB this is a narrow map + TakeOrderedAndProject. Weights are
+# derived deterministically per dimension (a fixed pseudo-random vector)
+# so both engines build the identical model inline.
+@query(
+    "ml_linear_score",
+    sql="""
+    WITH s AS (
+        SELECT vec_id, label,
+               CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(round(CAST(embedding[i] AS DOUBLE)
+                              * (CAST((i * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)
+                              * 1000000) AS BIGINT))) AS DOUBLE) / 1000000 AS margin
+        FROM embeddings
+    )
+    SELECT vec_id, label, ROUND(margin, 6) AS margin, margin > 0 AS pred
+    FROM s
+    ORDER BY margin DESC, vec_id LIMIT 20
+    """,
+)
+def ml_linear_score(spark, sf_dir):
+    """Top-20 embeddings by deterministic linear-model margin."""
+    e = table(spark, sf_dir, "embeddings")
+    margin = F.expr(
+        "cast(aggregate(zip_with(embedding, sequence(1, size(embedding)),"
+        " (x, i) -> cast(round(cast(x as double)"
+        " * (cast((i * 2654435761) % 1000 as double) / 1000.0 - 0.5)"
+        " * 1000000) as bigint)),"
+        " cast(0 as bigint), (acc, v) -> acc + v) as double) / 1000000"
+    )
+    s = e.select("vec_id", "label", margin.alias("margin"))
+    return (
+        s.orderBy(F.desc("margin"), "vec_id")
+        .limit(20)
+        .select(
+            "vec_id",
+            "label",
+            F.round("margin", 6).alias("margin"),
+            (F.col("margin") > 0).alias("pred"),
+        )
+    )
