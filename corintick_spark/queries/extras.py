@@ -434,3 +434,41 @@ def ml_linear_score(spark, sf_dir):
             (F.col("margin") > 0).alias("pred"),
         )
     )
+
+
+# Exponentially-weighted moving average — the pandas `ewm(alpha).mean()`
+# tick idiom (recursive form, seeded with the frame's oldest value) over a
+# bounded 20-tick window. The recursion acc = 0.2*x + 0.8*acc is a
+# left-to-right fold over the frame-ordered value list: Spark's
+# aggregate() seeded with element 1 and DuckDB's list_reduce() execute the
+# IDENTICAL sequence of IEEE multiply/adds, so results are bit-equal with
+# no scaling tricks. Bounded frame = bounded per-row state; one exchange
+# on user_id.
+@query(
+    "window_ewma",
+    sql="""
+    SELECT event_id, user_id, ts,
+           ROUND(list_reduce(a, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+    FROM (SELECT event_id, user_id, ts,
+                 list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
+          FROM events)
+    """,
+)
+def window_ewma(spark, sf_dir):
+    """20-tick EWMA (alpha=0.2) of event values per user."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    a = F.collect_list("value").over(w)
+    ewma = F.expr(
+        "aggregate(slice(a, 2, size(a) - 1), a[0],"
+        " (acc, x) -> 0.2D * x + 0.8D * acc)"
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", a.alias("a"))
+        .select("event_id", "user_id", "ts", F.round(ewma, 6).alias("ewma"))
+    )
