@@ -341,54 +341,6 @@ def sample_fixed_k(spark, sf_dir):
     )
 
 
-# Cohort retention — the product-analytics matrix: users grouped by
-# first-seen week (cohort), counted distinct in each subsequent week
-# offset. Two hash aggregations: per-user first-seen (one shuffle on
-# user_id), then the (cohort, offset) matrix (one shuffle on a tiny
-# composite key). All-integer outputs — exact everywhere. At 100 TB the
-# first agg is the only heavy exchange and it partial-aggregates map-side.
-@query(
-    "events_cohort",
-    sql="""
-    WITH first_seen AS (
-        SELECT user_id,
-               CAST(epoch_us(MIN(ts)) // 604800000000 AS BIGINT) AS cohort_week
-        FROM events GROUP BY user_id
-    ), activity AS (
-        SELECT DISTINCT e.user_id,
-               f.cohort_week,
-               CAST(epoch_us(e.ts) // 604800000000 AS BIGINT)
-                   - f.cohort_week AS week_offset
-        FROM events e JOIN first_seen f USING (user_id)
-    )
-    SELECT cohort_week, week_offset, COUNT(*) AS n_users
-    FROM activity GROUP BY cohort_week, week_offset
-    """,
-)
-def events_cohort(spark, sf_dir):
-    """Weekly cohort retention matrix (first-seen week x week offset)."""
-    ev = table(spark, sf_dir, "events")
-    week = (F.unix_micros(F.col("ts")) / 604_800_000_000).cast("bigint")
-    first_seen = ev.groupBy("user_id").agg(
-        (F.unix_micros(F.min("ts")) / 604_800_000_000)
-        .cast("bigint")
-        .alias("cohort_week")
-    )
-    activity = (
-        ev.select("user_id", week.alias("w"))
-        .join(first_seen, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
-        )
-        .distinct()
-    )
-    return activity.groupBy("cohort_week", "week_offset").agg(
-        F.count("*").alias("n_users")
-    )
-
-
 # Linear-model scoring over embedding columns — the batch-inference shape
 # of a training-data pipeline (classifier-based quality filtering) without
 # leaving the JVM: the weight vector is zipped against the embedding and

@@ -179,8 +179,10 @@ def udtf_python(spark, sf_dir):
     )
 
 
-# EWMA per uid via grouped-map pandas (recursive — not expressible as a
-# window built-in; the per-key pandas escape hatch is exactly right).
+# EWMA per uid via grouped-map pandas. The UNBOUNDED recursion has no
+# window built-in; the bounded-frame variant IS expressible JVM-side as a
+# list fold with an exact oracle (extras.py::window_ewma) — prefer that at
+# scale; this per-key pandas escape hatch covers full-history semantics.
 @query("udf_ewma", sql=None)
 def udf_ewma(spark, sf_dir):
     """Exponentially-weighted moving average per uid (alpha=0.2) computed by
