@@ -87,6 +87,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # streaming (multi-batch watermark drop is NEW this round)
     "stream_late_drop", "stream_enrich", "stream_join", "stream_stateful",
 )
+# Round-4 rotation plan: keep the 10 canaries, swap the 40 middle slots for
+# the remaining never-driver-verified set — the round-3 extras
+# (agg_regression, resample_interp, events_anomaly, text_contamination,
+# window_rolling_median, sample_fixed_k, ml_linear_score, window_ewma,
+# graph_pagerank), the scalar/window/agg variants rotated out in r03
+# (scalar_trig/null/struct/binary/pad, window_returns/zscore/bollinger/
+# drawdown/ntile/percent/first_last/pct_change/lag_default/islands,
+# agg_corr/skew/stats/string/countif/minmax_by/bitwise/weighted_avg,
+# cohort_retention, sample_mod, subquery_scalar, join_shufflehash/
+# sortmerge, source_range, rollup_multires, text_tokens/inverted_index/
+# repetition/pii_scrub/chunks, dedup_simhash/containment/fuzzy,
+# event_transitions/durations, pipeline_clean_corpus, udf_ewma,
+# multimodal_decode) — then every registered query will have had hard
+# driver signal within two rounds.
 
 
 def load_all() -> dict[str, Query]:
