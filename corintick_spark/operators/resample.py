@@ -41,6 +41,19 @@ def resample_ohlc(
     )
 
 
+def _slots(step_us: int):
+    """Grid slot indices for a key's (_t0, _t1) span: first slot strictly
+    after _t0, last slot at/before _t1. Guarded for spans shorter than one
+    step — Spark's sequence(a, b) DESCENDS when a > b (DuckDB's range is
+    empty there), which would invent bogus grid points; found by the
+    hypothesis differential in tests/test_property_interp.py."""
+    s0 = (F.unix_micros(F.col("_t0")) / step_us).cast("long") + 1
+    s1 = (F.unix_micros(F.col("_t1")) / step_us).cast("long")
+    return F.when(s0 <= s1, F.sequence(s0, s1)).otherwise(
+        F.lit(None).cast("array<long>")
+    )
+
+
 def resample_ffill(
     df: DataFrame,
     key: str = "user_id",
@@ -63,12 +76,7 @@ def resample_ffill(
     )
     grid = bounds.select(
         F.col(key),
-        F.explode(
-            F.sequence(
-                (F.unix_micros(F.col("_t0")) / step_us).cast("long") + 1,
-                (F.unix_micros(F.col("_t1")) / step_us).cast("long"),
-            )
-        ).alias("_slot"),
+        F.explode(_slots(step_us)).alias("_slot"),
     ).select(
         F.col(key),
         F.timestamp_micros(F.col("_slot") * step_us).alias("grid_ts"),
@@ -126,12 +134,7 @@ def resample_interp(
     bounds = df.groupBy(key).agg(F.min(ts).alias("_t0"), F.max(ts).alias("_t1"))
     grid = bounds.select(
         F.col(key),
-        F.explode(
-            F.sequence(
-                (F.unix_micros(F.col("_t0")) / step_us).cast("long") + 1,
-                (F.unix_micros(F.col("_t1")) / step_us).cast("long"),
-            )
-        ).alias("_slot"),
+        F.explode(_slots(step_us)).alias("_slot"),
     ).select(
         F.col(key),
         F.timestamp_micros(F.col("_slot") * step_us).alias("grid_ts"),
