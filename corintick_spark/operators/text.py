@@ -75,12 +75,18 @@ def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text: str = "text", mod: int = 1_000_000_007) -> Column:
     """Order-sensitive document fingerprint: sum of (pos+1)*len(token) mod M
     over whitespace tokens — cheap, deterministic, ANSI-SQL mirrorable.
-    (For collision-grade fingerprints use exact_dedup's sha256 instead.)"""
+    (For collision-grade fingerprints use exact_dedup's sha256 instead.)
+
+    Token-less documents fingerprint to 0 (the zip over an empty token list
+    pads with nulls — and sequence(1, 0) DESCENDS in Spark — making the
+    fold null; the coalesce pins the empty-doc semantics both engines
+    mirror)."""
     return F.expr(
-        f"""aggregate(zip_with(filter(split({text}, ' '), x -> x != ''),
+        f"""coalesce(
+            aggregate(zip_with(filter(split({text}, ' '), x -> x != ''),
                                sequence(1, size(filter(split({text}, ' '), x -> x != ''))),
                                (w, i) -> CAST(i AS BIGINT) * length(w)),
-                      0L, (a, x) -> a + x) % {mod}"""
+                      0L, (a, x) -> a + x) % {mod}, 0L)"""
     )
 
 

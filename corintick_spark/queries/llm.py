@@ -188,17 +188,12 @@ def text_quality(spark, sf_dir):
                CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
                list_filter(string_split(text, ' '), x -> x != '') AS words
         FROM documents
-    ), pos AS (
-        SELECT doc_id, n_tokens,
-               unnest(words) AS w,
-               generate_subscripts(words, 1) AS i
-        FROM toks
     )
-    SELECT doc_id,
-           ANY_VALUE(n_tokens) AS n_tokens,
-           CAST(SUM(CAST(i AS BIGINT) * length(w)) % 1000000007 AS BIGINT) AS fingerprint
-    FROM pos
-    GROUP BY doc_id
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(list_sum(list_transform(range(1, len(words) + 1),
+                    i -> CAST(i AS BIGINT) * length(words[i]))), 0)
+                % 1000000007 AS BIGINT) AS fingerprint
+    FROM toks
     """,
 )
 def text_tokens(spark, sf_dir):
