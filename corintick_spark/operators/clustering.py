@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from corintick_spark.operators.similarity import _dot, _norm2
+from corintick_spark.operators.similarity import _cosine, _dot, _norm2
 from corintick_spark.operators.spread import spread_input
 
 
@@ -163,7 +163,7 @@ def ivf_topk(
     )
 
     score = F.round(
-        _dot("q_vec", "c_vec") / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2"))), 6
+        _cosine(_dot("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2")), 6
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
     return (

@@ -160,9 +160,11 @@ def minhash_lsh_pairs(
             sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")), "b_id"
         )
         .withColumn(
+            # nullif: two token-less docs give a 0-size union — ANSI mode
+            # would abort the job; NULL drops the pair, mirroring DuckDB
             "jaccard",
             F.size(F.array_intersect("a_sh", "b_sh"))
-            / F.size(F.array_union("a_sh", "b_sh")),
+            / F.nullif(F.size(F.array_union("a_sh", "b_sh")), F.lit(0)),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
@@ -269,8 +271,10 @@ def ngram_jaccard_pairs(
     )
     pairs = a.join(b, "_blk").filter(F.col("a_id") < F.col("b_id"))
     jac = pairs.withColumn(
+        # nullif: empty-doc pairs (0-size union) must drop, not ANSI-abort
         "jaccard",
-        F.size(F.array_intersect("a_w", "b_w")) / F.size(F.array_union("a_w", "b_w")),
+        F.size(F.array_intersect("a_w", "b_w"))
+        / F.nullif(F.size(F.array_union("a_w", "b_w")), F.lit(0)),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
 

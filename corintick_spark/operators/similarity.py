@@ -39,6 +39,19 @@ def _norm2(a: str) -> Column:
     )
 
 
+def _cosine(dot: Column, n2_a: Column, n2_b: Column) -> Column:
+    """Cosine with a NULL (not ANSI-abort) result for zero-norm vectors.
+
+    Spark 4 runs ANSI mode: a bare x/0.0 kills the whole job the moment one
+    zero embedding appears in the corpus (they exist at 100 TB — padding
+    rows, failed encoders). DuckDB yields NULL for double/0, so the
+    nullif-guarded division is also exactly what every oracle computes;
+    NULL scores then drop out of >=-threshold filters and sort last in
+    top-k rankings. Found by the edge-dataset differential
+    (tests: testdata/edge zero vector, vec_id 9001)."""
+    return dot / F.nullif(F.sqrt(n2_a) * F.sqrt(n2_b), F.lit(0.0))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -59,7 +72,7 @@ def brute_force_topk(
         F.col(vec_col).alias("c_vec"),
         _norm2(vec_col).alias("c_n2"),
     )
-    score = _dot("q_vec", "c_vec") / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2")))
+    score = _cosine(_dot("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2"))
     if round_to is not None:
         score = F.round(score, round_to)
     pairs = (
@@ -139,7 +152,7 @@ def lsh_topk(
         .filter(F.col("q_id") != F.col("c_id"))
         .dropDuplicates(["q_id", "c_id"])
     )
-    score = _dot("q_vec", "c_vec") / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2")))
+    score = _cosine(_dot("q_vec", "c_vec"), F.col("q_n2"), F.col("c_n2"))
     if round_to is not None:
         score = F.round(score, round_to)
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
@@ -216,7 +229,7 @@ def embedding_near_dup_pairs(
     if block_col is None:
         joined = joined.dropDuplicates(["a_id", "b_id"])
     score = F.round(
-        _dot("a_vec", "b_vec") / (F.sqrt(F.col("a_n2")) * F.sqrt(F.col("b_n2"))),
+        _cosine(_dot("a_vec", "b_vec"), F.col("a_n2"), F.col("b_n2")),
         round_to,
     )
     return (

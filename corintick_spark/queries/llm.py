@@ -668,7 +668,10 @@ def text_pii_scrub(spark, sf_dir):
            CAST((start_tok - 1) // 24 AS BIGINT) AS chunk_idx,
            CAST(start_tok AS BIGINT) AS start_tok,
            CAST(len(ws[start_tok:start_tok + 31]) AS BIGINT) AS chunk_len,
-           array_to_string(ws[start_tok:start_tok + 31], ' ') AS chunk_text
+           -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL,
+           -- Spark's array_join is '' — a token-less doc's single empty
+           -- chunk must agree (edge-dataset differential)
+           COALESCE(array_to_string(ws[start_tok:start_tok + 31], ' '), '') AS chunk_text
     FROM s
     """,
 )

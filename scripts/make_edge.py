@@ -1,0 +1,127 @@
+"""Generate an ADVERSARIAL edge-case dataset at testdata/edge/ (gitignored).
+
+Same schemas/vintage as the driver's testdata (timestamp[us] events), but
+content chosen to hit the boundaries a 100 TB corpus will contain and a
+60k-row sample won't: empty/whitespace-only documents, single-tick and
+sub-grid-span users, tied timestamps, zero-variance series, zero/identical
+embedding vectors, orders without lineitems and vice versa. The edge
+differential (tests/test_edge_cases.py) runs EVERY oracle-paired registry
+query against this dataset in both engines — any divergence is a latent
+production bug of the exact kind the resample descending-sequence and
+empty-doc fingerprint fixes came from.
+
+Usage: python scripts/make_edge.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+SRC = "/root/testdata/sf0.001"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata", "edge")
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    # dims verbatim — queries join against them; the adversarial content
+    # lives in the fact tables
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copyfile(f"{SRC}/{dim}.parquet", f"{DST}/{dim}.parquet")
+
+    # ---- events: keep a real slice, append boundary users -------------
+    ev = pd.read_parquet(f"{SRC}/events.parquet").head(200).copy()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    edge_rows = [
+        # 9001: single event (windows/lag/autocorr degenerate)
+        (90_010, t0 + pd.Timedelta(minutes=90), 9001, "view", 5.0, '{"k": 1}'),
+        # 9002: exact-tie timestamps (deterministic tiebreaks must engage)
+        (90_020, t0 + pd.Timedelta(hours=2), 9002, "click", 1.25, '{"k": 2}'),
+        (90_021, t0 + pd.Timedelta(hours=2), 9002, "view", 2.5, '{"k": 3}'),
+        (90_022, t0 + pd.Timedelta(hours=2), 9002, "purchase", -3.75, "{}"),
+        # 9003: constant value — zero variance (autocorr/zscore/anomaly guards)
+        (90_030, t0 + pd.Timedelta(minutes=10), 9003, "view", 7.0, '{"k": 4}'),
+        (90_031, t0 + pd.Timedelta(minutes=70), 9003, "view", 7.0, '{"k": 5}'),
+        (90_032, t0 + pd.Timedelta(minutes=130), 9003, "view", 7.0, '{"k": 6}'),
+        # 9004: span shorter than the hourly grid step (no grid points)
+        (90_040, t0 + pd.Timedelta(minutes=61), 9004, "error", 0.0, '{"k": 7}'),
+        (90_041, t0 + pd.Timedelta(minutes=85), 9004, "error", -1.0, "{}"),
+        # 9005: extreme magnitudes within the scaled-long budget; a tick
+        # exactly ON a grid instant (interp passthrough)
+        (90_050, t0 + pd.Timedelta(hours=1), 9005, "signup", 99_999.99, '{"k": 8}'),
+        (90_051, t0 + pd.Timedelta(hours=3), 9005, "signup", -99_999.99, '{"k": 9}'),
+        # 9006: value 0.0 everywhere (log/division paths)
+        (90_060, t0 + pd.Timedelta(minutes=5), 9006, "view", 0.0, '{"k": 10}'),
+        (90_061, t0 + pd.Timedelta(minutes=200), 9006, "click", 0.0, "{}"),
+    ]
+    edge = pd.DataFrame(
+        edge_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev = pd.concat([ev, edge], ignore_index=True)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(f"{DST}/events.parquet", index=False)
+
+    # ---- documents: empty/degenerate texts ----------------------------
+    d = pd.read_parquet(f"{SRC}/documents.parquet").head(60).copy()
+    edge_docs = [
+        (9001, "", "en", "edge", 0),                          # empty
+        (9002, "   ", "en", "edge", 3),                       # whitespace only
+        (9003, "x", "en", "edge", 1),                         # single short token
+        (9004, "dup dup dup dup dup dup dup dup", "en", "edge", 31),  # repetition
+        (9005, ".,;:!?", "en", "edge", 6),                    # punctuation only
+        (9006, "a " * 400, "en", "edge", 800),                # long, tiny tokens
+        (9007, d.iloc[0]["text"], d.iloc[0]["lang"], "edge", int(d.iloc[0]["n_chars"])),  # exact dup of a real doc
+    ]
+    d = pd.concat(
+        [d, pd.DataFrame(edge_docs, columns=["doc_id", "text", "lang", "source", "n_chars"])],
+        ignore_index=True,
+    )
+    d.to_parquet(f"{DST}/documents.parquet", index=False)
+
+    # ---- embeddings: zero vector, identical vectors, negatives --------
+    e = pd.read_parquet(f"{SRC}/embeddings.parquet").head(60).copy()
+    dim = len(e.iloc[0]["embedding"])
+    zero = np.zeros(dim, dtype=np.float32)
+    ones = np.ones(dim, dtype=np.float32) / np.sqrt(dim)
+    neg = -ones
+    edge_vecs = [
+        (9001, zero, 0),     # zero norm (cosine guards)
+        (9002, ones, 1),
+        (9003, ones.copy(), 1),   # identical pair (near-dup must fire)
+        (9004, neg, 2),      # anti-parallel
+    ]
+    e = pd.concat(
+        [e, pd.DataFrame(edge_vecs, columns=["vec_id", "embedding", "label"])],
+        ignore_index=True,
+    )
+    e.to_parquet(f"{DST}/embeddings.parquet", index=False)
+
+    # ---- orders/lineitem: referential edges ---------------------------
+    o = pd.read_parquet(f"{SRC}/orders.parquet").head(300).copy()
+    li = pd.read_parquet(f"{SRC}/lineitem.parquet")
+    li = li[li.l_orderkey.isin(o.o_orderkey)].head(800).copy()
+    # an order with NO lineitems (outer-join edge)
+    lonely = o.iloc[[0]].copy()
+    lonely["o_orderkey"] = 9_900_001
+    o = pd.concat([o, lonely], ignore_index=True)
+    # a lineitem with NO order (anti-join edge), zero qty/price/discount=1
+    orphan = li.iloc[[0]].copy()
+    orphan["l_orderkey"] = 9_900_002
+    orphan["l_quantity"] = 0.0
+    orphan["l_extendedprice"] = 0.0
+    orphan["l_discount"] = 1.0
+    li = pd.concat([li, orphan], ignore_index=True)
+    for c in ("o_orderdate",) if "o_orderdate" in o.columns else ():
+        o[c] = o[c].astype("datetime64[us]")
+    if "l_shipdate" in li.columns:
+        li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    o.to_parquet(f"{DST}/orders.parquet", index=False)
+    li.to_parquet(f"{DST}/lineitem.parquet", index=False)
+    print(f"edge dataset written to {DST}")
+
+
+if __name__ == "__main__":
+    main()
