@@ -56,13 +56,17 @@ def decode_image_meta(
                     "image decoding requires PIL/libvips (not in container); "
                     "pass fake=True to exercise the plumbing"
                 )
-            n = pdf[payload].map(len).astype("int64")
+            # null payloads (a 100 TB corpus has them) must null-propagate
+            # through the metadata, not TypeError the batch
+            n = pdf[payload].map(
+                lambda b: len(b) if b is not None else None
+            ).astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": n,
-                    "width": (n % 640 + 1).astype("int64"),
-                    "height": (n % 480 + 1).astype("int64"),
+                    "width": n % 640 + 1,
+                    "height": n % 480 + 1,
                     "format": ["fake/raw"] * len(pdf),
                 }
             )

@@ -185,7 +185,9 @@ def chunk_tokens(
         F.expr(f"CAST((_start - 1) DIV {stride} AS BIGINT)").alias("chunk_idx"),
         F.col("_start").cast("bigint").alias("start_tok"),
         F.size(chunk).cast("bigint").alias("chunk_len"),
-        F.array_join(chunk, " ").alias("chunk_text"),
+        # coalesce: a NULL-text doc still emits its single chunk row (the
+        # greatest() keeps one start slot) — its text is '' in both engines
+        F.coalesce(F.array_join(chunk, " "), F.lit("")).alias("chunk_text"),
     )
 
 
@@ -199,8 +201,13 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "lang_guess") -> DataF
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = ",".join(f"'{m}'" for m in markers)
+        # coalesce: NULL text tokenizes to a NULL array whose size is NULL —
+        # all-NULL scores make the argmax engine-dependent; zero scores tie
+        # deterministically to the first language instead
         scores.append(
-            F.expr(f"size(filter(_w, x -> x IN ({arr})))").alias(f"_s_{lang}")
+            F.expr(f"coalesce(size(filter(_w, x -> x IN ({arr}))), 0)").alias(
+                f"_s_{lang}"
+            )
         )
     d = d.select(*df.columns, *scores)
     langs = sorted(LANG_MARKERS)

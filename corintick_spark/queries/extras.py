@@ -289,12 +289,14 @@ def graph_pagerank(spark, sf_dir):
                  list_sort(list(value) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS a
-          FROM events)
+          FROM events WHERE value IS NOT NULL)
     """,
 )
 def window_rolling_median(spark, sf_dir):
-    """25-tick rolling median of event values per user."""
-    ev = table(spark, sf_dir, "events")
+    """25-tick rolling median of event values per user (null ticks are not
+    observations: filtered up front in both engines — Spark's collect_list
+    would silently skip them while DuckDB's list() keeps them)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -404,12 +406,13 @@ def ml_linear_score(spark, sf_dir):
     FROM (SELECT event_id, user_id, ts,
                  list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
-          FROM events)
+          FROM events WHERE value IS NOT NULL)
     """,
 )
 def window_ewma(spark, sf_dir):
-    """20-tick EWMA (alpha=0.2) of event values per user."""
-    ev = table(spark, sf_dir, "events")
+    """20-tick EWMA (alpha=0.2) of event values per user (null ticks
+    filtered up front in both engines — see window_rolling_median)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -207,9 +207,11 @@ def text_tokens(spark, sf_dir):
 
 
 # Language-ID heuristic (marker-word voting) — exact argmax, oracle-able.
+# COALESCE mirrors the Spark side: NULL text scores 0 for every language,
+# so the argmax ties deterministically to the first language in both engines
 _LANG_SQL_SCORES = ",\n".join(
-    f"""CAST(len(list_filter(string_split(text, ' '),
-        x -> x IN ({','.join(f"'{m}'" for m in sorted_markers)}))) AS BIGINT) AS s_{lang}"""
+    f"""CAST(COALESCE(len(list_filter(string_split(text, ' '),
+        x -> x IN ({','.join(f"'{m}'" for m in sorted_markers)}))), 0) AS BIGINT) AS s_{lang}"""
     for lang, sorted_markers in sorted(
         (lang, markers) for lang, markers in T.LANG_MARKERS.items()
     )

@@ -390,7 +390,18 @@ def agg_collect(spark, sf_dir):
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.array_join(
-            F.array_sort(F.collect_list(F.format_string("%.2f", "value"))), ","
+            # when(): Spark's format_string renders NULL as the string
+            # 'null' (DuckDB's printf yields NULL, dropped by
+            # array_to_string) — collect only observed values in both
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("value").isNotNull(),
+                        F.format_string("%.2f", "value"),
+                    )
+                )
+            ),
+            ",",
         ).alias("values_sorted"),
     )
 

@@ -24,7 +24,7 @@ from corintick_spark.registry import query
            upper(lang) AS lang_uc,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
            CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
-           concat(lang, '-', source) AS lang_source,
+           concat(COALESCE(lang, ''), '-', COALESCE(source, '')) AS lang_source,
            regexp_extract(text, '([a-z]+)', 1) AS first_word,
            CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS mentions_spark
     FROM documents
@@ -38,7 +38,13 @@ def scalar_string(spark, sf_dir):
         F.upper("lang").alias("lang_uc"),
         F.length("text").cast("bigint").alias("n_chars_calc"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint").alias("n_nonspace"),
-        F.concat(F.col("lang"), F.lit("-"), F.col("source")).alias("lang_source"),
+        # explicit coalesce: Spark's concat NULLs the whole result on any
+        # NULL arg while DuckDB's skips them — pin one semantic in both
+        F.concat(
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.lit("-"),
+            F.coalesce(F.col("source"), F.lit("")),
+        ).alias("lang_source"),
         F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
         F.when(F.col("text").like("%spark%"), F.lit(1)).otherwise(F.lit(0)).alias("mentions_spark"),
     )

@@ -40,13 +40,16 @@ def _update_running_stats(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        vals = pdf["value"]
+        # SQL aggregate semantics: COUNT(*) counts every row, SUM/MIN/MAX
+        # skip NULLs (NaN here) — and the int64 cast would raise on NaN
+        vals = pdf["value"].dropna()
         n += len(pdf)
-        # exact scaled-long accumulation (order-independent; see exact.py)
-        ssum += int((vals * 1_000_000).round().astype("int64").sum())
-        bmin, bmax = float(vals.min()), float(vals.max())
-        vmin = bmin if vmin is None else min(vmin, bmin)
-        vmax = bmax if vmax is None else max(vmax, bmax)
+        if len(vals):
+            # exact scaled-long accumulation (order-independent; see exact.py)
+            ssum += int((vals * 1_000_000).round().astype("int64").sum())
+            bmin, bmax = float(vals.min()), float(vals.max())
+            vmin = bmin if vmin is None else min(vmin, bmin)
+            vmax = bmax if vmax is None else max(vmax, bmax)
         bl = int(pdf["ts_us"].max())
         last_us = bl if last_us is None else max(last_us, bl)
     state.update((n, ssum, vmin, vmax, last_us))
@@ -54,7 +57,9 @@ def _update_running_stats(
         {
             "user_id": [key[0]],
             "n": [n],
-            "total_value": [ssum / 1_000_000],
+            # SUM over zero observed values is NULL, not 0 (vmin is the
+            # has-any-observation flag)
+            "total_value": [ssum / 1_000_000 if vmin is not None else None],
             "vmin": [vmin],
             "vmax": [vmax],
             "last_us": [last_us],

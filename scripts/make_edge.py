@@ -56,12 +56,17 @@ def main() -> None:
         # 9006: value 0.0 everywhere (log/division paths)
         (90_060, t0 + pd.Timedelta(minutes=5), 9006, "view", 0.0, '{"k": 10}'),
         (90_061, t0 + pd.Timedelta(minutes=200), 9006, "click", 0.0, "{}"),
+        # 9007: NULL value / NULL props — SUM skips, JSON extraction nulls
+        (90_070, t0 + pd.Timedelta(minutes=15), 9007, "view", None, None),
+        (90_071, t0 + pd.Timedelta(minutes=75), 9007, "view", 3.5, '{"k": 11}'),
     ]
     edge = pd.DataFrame(
         edge_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
     ev = pd.concat([ev, edge], ignore_index=True)
     ev["ts"] = ev["ts"].astype("datetime64[us]")
+    # nullable dtype so the None row lands as parquet NULL, not float NaN
+    ev["value"] = ev["value"].astype("Float64")
     ev.to_parquet(f"{DST}/events.parquet", index=False)
 
     # ---- documents: empty/degenerate texts ----------------------------
@@ -74,6 +79,8 @@ def main() -> None:
         (9005, ".,;:!?", "en", "edge", 6),                    # punctuation only
         (9006, "a " * 400, "en", "edge", 800),                # long, tiny tokens
         (9007, d.iloc[0]["text"], d.iloc[0]["lang"], "edge", int(d.iloc[0]["n_chars"])),  # exact dup of a real doc
+        (9008, "null lang doc", None, None, 13),              # NULL lang/source
+        (9009, None, "en", "edge", 0),                        # NULL text
     ]
     d = pd.concat(
         [d, pd.DataFrame(edge_docs, columns=["doc_id", "text", "lang", "source", "n_chars"])],
