@@ -81,6 +81,11 @@ def main() -> None:
         (9007, d.iloc[0]["text"], d.iloc[0]["lang"], "edge", int(d.iloc[0]["n_chars"])),  # exact dup of a real doc
         (9008, "null lang doc", None, None, 13),              # NULL lang/source
         (9009, None, "en", "edge", 0),                        # NULL text
+        # unicode: CJK (no spaces — one giant token), accents, emoji,
+        # combining marks; length() must count codepoints identically and
+        # the utf-8 byte payloads must agree across engines
+        (9010, "数据处理引擎 très bien 🚀🚀 naïve café", "zh", "edge", 23),
+        (9011, "étude résumé (combining accents)", "fr", "edge", 30),
     ]
     d = pd.concat(
         [d, pd.DataFrame(edge_docs, columns=["doc_id", "text", "lang", "source", "n_chars"])],
