@@ -19,6 +19,14 @@ strategies:
 Tie-rounding of value·10⁶ at exact .5 midpoints: Spark HALF_UP and C round()
 both round away from zero for the same sign, so even the (measure-zero)
 dyadic ties agree.
+
+Input contract: NULL values are fine (round(NULL) is NULL and both engines'
+SUM skips it — verified by the edge-dataset sweep), but NaN is not: casting
+NaN to BIGINT aborts in BOTH engines (Spark ANSI CAST_INVALID_INPUT, DuckDB
+conversion error). A pipeline whose doubles can be NaN must scrub them to
+NULL first (`nanvl(x, NULL)` / `CASE WHEN isnan(x) THEN NULL END`) — kept
+out of the hot path here because the scrub costs a branch per row and real
+tick/price feeds emit NULLs, not NaNs.
 """
 
 from __future__ import annotations
