@@ -67,6 +67,10 @@ def pagerank(
         .cache()
     )
     n_nodes = nodes.count()  # one scalar, fixed for the whole run
+    if n_nodes == 0:  # empty graph: empty result, not a ZeroDivisionError
+        norm.unpersist()
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)

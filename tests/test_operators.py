@@ -602,3 +602,39 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for name in nodes:
         assert abs(got[name] - r[idx[name]]) < 1e-9, (name, got[name], r[idx[name]])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_operators_accept_empty_inputs(spark):
+    """Fresh-deployment state: every operator API must return an empty
+    result on empty input, never throw (pagerank previously divided by its
+    zero node count)."""
+    from corintick_spark.operators.asof import asof_join
+    from corintick_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from corintick_spark.operators.dup_clusters import connected_components
+    from corintick_spark.operators.pagerank import pagerank
+    from corintick_spark.operators.resample import (
+        resample_ffill,
+        resample_interp,
+        resample_ohlc,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert resample_ohlc(ev).count() == 0
+    assert resample_ffill(ev).count() == 0
+    assert resample_interp(ev).count() == 0
+    assert (
+        asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            ev.select("user_id", "ts", "event_id", "value"),
+            on="user_id", ts="ts", right_cols=["value"],
+            tiebreak="event_id", prefix="r_",
+        ).count()
+        == 0
+    )
+    assert exact_dedup(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert connected_components(spark.createDataFrame([], "a_id long, b_id long")).count() == 0
+    assert pagerank(spark.createDataFrame([], "src string, dst string, w double"), weight="w").count() == 0
