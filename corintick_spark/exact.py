@@ -42,6 +42,19 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def q6(col: Column) -> Column:
+    """Repr-independent 6-decimal quantization: floor(x·10⁶)/10⁶.
+
+    ROUND(x, 6) is NOT portable on doubles near a decimal midpoint: Spark
+    rounds the value's SHORTEST decimal repr (BigDecimal.valueOf →
+    "…8.0046875" → HALF_UP → …688) while DuckDB rounds the true binary
+    expansion (…74999… → …687) — observed live at sf0.1 on
+    window_pct_change. floor() sees only the double itself, so both engines
+    agree bit-for-bit. Mirror in SQL with FLOOR(x * 1000000) / 1000000.
+    """
+    return F.floor(_c(col) * SCALE) / SCALE
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Exact order-independent sum of a double column (scaled-long)."""
     scaled = F.round(_c(col) * SCALE).cast("bigint")

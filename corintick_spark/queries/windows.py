@@ -672,14 +672,18 @@ def window_islands(spark, sf_dir):
     "window_pct_change",
     sql="""
     SELECT event_id, user_id, value,
-           ROUND((value - LAG(value) OVER w)
-                 / NULLIF(LAG(value) OVER w, 0), 6) AS pct_change
+           FLOOR((value - LAG(value) OVER w)
+                 / NULLIF(LAG(value) OVER w, 0) * 1000000) / 1000000 AS pct_change
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def window_pct_change(spark, sf_dir):
-    """Per-user percent change of value between consecutive events."""
+    """Per-user percent change of value between consecutive events.
+    Quantized with exact.q6 (floor), not ROUND — see q6's docstring for the
+    shortest-repr midpoint divergence this avoids."""
+    from corintick_spark.exact import q6
+
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("value").over(w)
@@ -687,7 +691,7 @@ def window_pct_change(spark, sf_dir):
         "event_id",
         "user_id",
         "value",
-        F.round(
-            (F.col("value") - prev) / F.nullif(prev, F.lit(0)), 6
-        ).alias("pct_change"),
+        q6((F.col("value") - prev) / F.nullif(prev, F.lit(0))).alias(
+            "pct_change"
+        ),
     )
