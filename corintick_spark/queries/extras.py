@@ -427,3 +427,54 @@ def window_ewma(spark, sf_dir):
         ev.select("event_id", "user_id", "ts", a.alias("a"))
         .select("event_id", "user_id", "ts", F.round(ewma, 6).alias("ewma"))
     )
+
+
+# Class-balance entropy — the training-data diversity metric (how evenly a
+# user's events spread across types). H = log2(T) - (1/T)*sum(c_i*log2(c_i))
+# needs only per-(user,type) counts: one partial-aggregated shuffle, then a
+# tiny per-user agg. The c_i*log2(c_i) terms are exact functions of integer
+# counts, and their SUM is made order-independent with the scaled-long
+# trick, so H is bit-equal across engines (q6-floor-quantized on top).
+@query(
+    "agg_entropy",
+    sql="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ), m AS (
+        SELECT user_id,
+               SUM(cnt) AS total,
+               COUNT(*) AS n_types,
+               CAST(SUM(CAST(round(cnt * log2(cnt) * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000 AS s
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, CAST(total AS BIGINT) AS total, n_types,
+           FLOOR((log2(total) - s / total) * 1000000) / 1000000 AS entropy
+    FROM m
+    """,
+)
+def agg_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution (bits)."""
+    from corintick_spark.exact import q6
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_types"),
+        (
+            F.sum(
+                F.round(F.col("cnt") * F.log2(F.col("cnt")) * 1_000_000).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / 1_000_000
+        ).alias("s"),
+    )
+    return m.select(
+        "user_id",
+        F.col("total").cast("bigint").alias("total"),
+        "n_types",
+        q6(F.log2(F.col("total")) - F.col("s") / F.col("total")).alias("entropy"),
+    )
