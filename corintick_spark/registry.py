@@ -91,7 +91,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # the remaining never-driver-verified set — the round-3 extras
 # (agg_regression, resample_interp, events_anomaly, text_contamination,
 # window_rolling_median, sample_fixed_k, ml_linear_score, window_ewma,
-# graph_pagerank), the scalar/window/agg variants rotated out in r03
+# agg_entropy, graph_pagerank), the scalar/window/agg variants rotated out in r03
 # (scalar_trig/null/struct/binary/pad, window_returns/zscore/bollinger/
 # drawdown/ntile/percent/first_last/pct_change/lag_default/islands,
 # agg_corr/skew/stats/string/countif/minmax_by/bitwise/weighted_avg,
