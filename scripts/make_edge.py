@@ -59,6 +59,12 @@ def main() -> None:
         # 9007: NULL value / NULL props — SUM skips, JSON extraction nulls
         (90_070, t0 + pd.Timedelta(minutes=15), 9007, "view", None, None),
         (90_071, t0 + pd.Timedelta(minutes=75), 9007, "view", 3.5, '{"k": 11}'),
+        # 9008: epoch-boundary timestamps — 1970 (epoch ~0) and far future;
+        # unix_micros/make_timestamp/epoch_us round-trips must agree
+        (90_080, pd.Timestamp("1970-01-01 00:00:01"), 9008, "view", 1.0, "{}"),
+        (90_081, pd.Timestamp("1970-01-01 01:30:00"), 9008, "view", 2.0, "{}"),
+        (90_082, pd.Timestamp("2099-12-31 23:00:00"), 9009, "click", 4.0, "{}"),
+        (90_083, pd.Timestamp("2099-12-31 23:59:59"), 9009, "click", 8.0, "{}"),
     ]
     edge = pd.DataFrame(
         edge_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
