@@ -41,14 +41,26 @@ def resample_ohlc(
     )
 
 
+def _floordiv_us(ts_col: Column, step_us: int) -> Column:
+    """Exact floor division of epoch-µs by a positive step, as int64.
+
+    (a - pmod(a, b)) is exactly divisible by b and the quotient magnitude
+    (a slot index) is far below 2^53, so the double division is exact.
+    A plain cast('long') truncates toward zero, which disagrees with the
+    DuckDB oracle's `//` (floor) for pre-1970 (negative-epoch) timestamps.
+    """
+    a = F.unix_micros(ts_col)
+    return ((a - F.pmod(a, F.lit(step_us))) / step_us).cast("long")
+
+
 def _slots(step_us: int):
     """Grid slot indices for a key's (_t0, _t1) span: first slot strictly
     after _t0, last slot at/before _t1. Guarded for spans shorter than one
     step — Spark's sequence(a, b) DESCENDS when a > b (DuckDB's range is
     empty there), which would invent bogus grid points; found by the
     hypothesis differential in tests/test_property_interp.py."""
-    s0 = (F.unix_micros(F.col("_t0")) / step_us).cast("long") + 1
-    s1 = (F.unix_micros(F.col("_t1")) / step_us).cast("long")
+    s0 = _floordiv_us(F.col("_t0"), step_us) + 1
+    s1 = _floordiv_us(F.col("_t1"), step_us)
     return F.when(s0 <= s1, F.sequence(s0, s1)).otherwise(
         F.lit(None).cast("array<long>")
     )
@@ -69,8 +81,16 @@ def resample_ffill(
     (no driver loop) -> union grid with ticks -> one window pass carries
     last-tick values onto grid rows. Two shuffles total (bounds agg + window),
     both on the key.
+
+    The carried value is the whole latest tick (a struct), not a
+    NULL-skipping last() over the value column: a tick whose value is NULL
+    must yield a NULL fill (the oracle's single-row `ORDER BY ts DESC,
+    event_id DESC LIMIT 1` subquery does), not silently reach past it to an
+    older tick. The `_tie` column (event_id when present) makes the pick
+    among equal-timestamp ticks deterministic and oracle-identical.
     """
     step_us = step_s * 1_000_000
+    tiebreak = "event_id" if "event_id" in df.columns else None
     bounds = df.groupBy(key).agg(
         F.min(ts).alias("_t0"), F.max(ts).alias("_t1")
     )
@@ -81,24 +101,28 @@ def resample_ffill(
         F.col(key),
         F.timestamp_micros(F.col("_slot") * step_us).alias("grid_ts"),
         F.lit(1).alias("_is_grid"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(None).cast("long").alias("_tie"),
     )
     ticks = df.select(
         F.col(key),
         F.col(ts).alias("grid_ts"),
         F.lit(0).alias("_is_grid"),
         F.col(value).alias("_v"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("_tie"),
     )
-    unioned = grid.withColumn("_v", F.lit(None).cast("double")).unionByName(ticks)
+    unioned = grid.unionByName(ticks)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("grid_ts"), F.col("_is_grid"))
+        .orderBy(F.col("grid_ts"), F.col("_is_grid"), F.col("_tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    tick = F.when(F.col("_is_grid") == 0, F.struct(F.col("_v")))
     filled = unioned.select(
         F.col(key),
         "grid_ts",
         "_is_grid",
-        F.last("_v", ignorenulls=True).over(w).alias("ffill_value"),
+        F.last(tick, ignorenulls=True).over(w)["_v"].alias("ffill_value"),
     )
     return filled.filter(F.col("_is_grid") == 1).select(
         key, "grid_ts", "ffill_value"
@@ -169,25 +193,29 @@ def resample_interp(
     )
     prev = fwd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     nxt = rev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Carry each direction's pick as ONE struct (the whole tick), mirroring
+    # the oracle's single-row prev/next subqueries: a NULL-VALUED tick still
+    # IS the nearest tick — four independent ignorenulls last() calls would
+    # take its timestamp but reach past it for the value, producing an
+    # internally inconsistent (pt from one tick, pv from another) interpolation.
+    tick = F.when(F.col("_is_grid") == 0, F.struct(F.col("_tus"), F.col("_v")))
     enriched = unioned.select(
         F.col(key),
         "grid_ts",
         "_is_grid",
-        F.last("_v", ignorenulls=True).over(prev).alias("pv"),
-        F.last("_tus", ignorenulls=True).over(prev).alias("pt"),
-        F.last("_v", ignorenulls=True).over(nxt).alias("nv"),
-        F.last("_tus", ignorenulls=True).over(nxt).alias("nt"),
+        F.last(tick, ignorenulls=True).over(prev).alias("_p"),
+        F.last(tick, ignorenulls=True).over(nxt).alias("_n"),
     )
+    pv, pt = F.col("_p")["_v"], F.col("_p")["_tus"]
+    nv, nt = F.col("_n")["_v"], F.col("_n")["_tus"]
     g_us = F.unix_micros(F.col("grid_ts"))
-    frac = (g_us - F.col("pt")).cast("double") / (
-        (F.col("nt") - F.col("pt")).cast("double")
-    )
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    frac = (g_us - pt).cast("double") / (nt - pt).cast("double")
+    interp = pv + (nv - pv) * frac
     return (
         enriched.filter(F.col("_is_grid") == 1)
         .select(
             key,
             "grid_ts",
-            F.round(F.coalesce(interp, F.col("pv")), 6).alias("interp_value"),
+            F.round(F.coalesce(interp, pv), 6).alias("interp_value"),
         )
     )

@@ -80,9 +80,10 @@ def agg_regression(spark, sf_dir):
     "resample_interp",
     sql="""
     WITH bounds AS (
+        -- FLOOR, not integer // (truncates toward zero): see resample_ffill
         SELECT user_id,
-               CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) + 1 AS s0,
-               CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT) AS s1
+               CAST(FLOOR(epoch_us(MIN(ts)) / 3600000000.0) AS BIGINT) + 1 AS s0,
+               CAST(FLOOR(epoch_us(MAX(ts)) / 3600000000.0) AS BIGINT) AS s1
         FROM events GROUP BY user_id
     ), grid AS (
         SELECT user_id, make_timestamp(CAST(s * 3600000000 AS BIGINT)) AS grid_ts
@@ -127,7 +128,7 @@ def resample_interp(spark, sf_dir):
     sql="""
     WITH m AS (
         SELECT event_id, user_id, ts, value,
-               COUNT(*) OVER w AS n,
+               COUNT(value) OVER w AS n,
                CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
                    / 1000000 AS sv,
                CAST(SUM(CAST(round(value * value * 1000) AS BIGINT)) OVER w AS DOUBLE)
@@ -153,7 +154,7 @@ def events_anomaly(spark, sf_dir):
         "user_id",
         "ts",
         "value",
-        F.count("*").over(w).alias("n"),
+        F.count("value").over(w).alias("n"),
         (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).over(w)
          .cast("double") / 1_000_000).alias("sv"),
         (F.sum(F.round(F.col("value") * F.col("value") * 1_000).cast("bigint"))

