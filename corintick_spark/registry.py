@@ -50,7 +50,7 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # identical bar, but self-administered). Rotated-out queries keep that local
 # differential plus their r01/r02 driver rows; nothing loses signal.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- canaries (driver-green in r01+r02; one per family) ---
+    # --- canaries (driver-green in r01+r02+r03; one per family) ---
     "scan_filter",       # Tier A storage scan/predicate/projection
     "write_roundtrip",   # write/ingest path
     "join_inner",        # relational joins
@@ -61,46 +61,37 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",       # LLM dedup tier
     "similarity_topk",   # guarded cross join + vector path
     "stream_counts",     # streaming tier
-    # --- never-driver-verified until this round ---
-    # as-of variants + join strategies
-    "join_asof_forward", "join_asof_nearest", "join_anti", "join_nullsafe",
-    "join_bucketed",
-    # aggregation surface
-    "agg_cube", "agg_pivot", "agg_percentile",
-    # Tier-A/relational leftovers
-    "project_subset", "order_by_ts", "subquery_exists",
-    # windows / time series
-    "window_lag", "window_twap", "resample_ffill", "window_islands",
-    # warehouse lifecycle
-    "cdc_merge", "scd2_intervals",
+    # --- round-4 rotation: the never-driver-verified set (r03 verdict #1).
+    # All 39 oracle-paired queries that have only ever had the local DuckDB
+    # differential, plus graph_pagerank (rows-only, named by the judge).
+    # round-3 extras
+    "agg_regression", "resample_interp", "events_anomaly",
+    "text_contamination", "window_rolling_median", "sample_fixed_k",
+    "ml_linear_score", "window_ewma", "agg_entropy", "graph_pagerank",
+    # scalar variants
+    "scalar_trig", "scalar_null", "scalar_struct", "scalar_binary",
+    "scalar_pad",
+    # window variants
+    "window_returns", "window_zscore", "window_bollinger",
+    "window_drawdown", "window_ntile", "window_first_last",
+    "window_pct_change", "window_lag_default",
+    # aggregation variants
+    "agg_mode", "agg_weighted_avg", "rollup_multires",
+    # sampling / diagnostics / reshape
+    "sample_stratified", "skew_diagnose", "reshape_unpivot",
+    # text/LLM tier
+    "text_tokens", "text_repetition", "text_pii_scrub", "text_chunks",
+    "text_topngrams", "text_inverted_index", "vector_norms",
+    "dedup_containment", "dedup_fuzzy",
     # event analytics
-    "events_sessionize", "funnel_conversion", "events_attribution",
-    "event_autocorr",
-    # ingest / sources
-    "ingest_json", "ingest_orc", "source_python_ds",
-    # UDF/arrow extensions
-    "udf_arrow", "udtf_python",
-    # LLM-pipeline extensions
-    "dedup_clusters", "pipeline_semantic_dedup", "dedup_ngram",
-    "dedup_embedding", "text_tfidf", "text_quality", "text_langid",
-    "text_boilerplate", "multimodal_decode", "pipeline_clean_corpus",
-    # streaming (multi-batch watermark drop is NEW this round)
-    "stream_late_drop", "stream_enrich", "stream_join", "stream_stateful",
+    "event_transitions", "event_durations",
 )
-# Round-4 rotation plan: keep the 10 canaries, swap the 40 middle slots for
-# the remaining never-driver-verified set — the round-3 extras
-# (agg_regression, resample_interp, events_anomaly, text_contamination,
-# window_rolling_median, sample_fixed_k, ml_linear_score, window_ewma,
-# agg_entropy, graph_pagerank), the scalar/window/agg variants rotated out in r03
-# (scalar_trig/null/struct/binary/pad, window_returns/zscore/bollinger/
-# drawdown/ntile/percent/first_last/pct_change/lag_default/islands,
-# agg_corr/skew/stats/string/countif/minmax_by/bitwise/weighted_avg,
-# cohort_retention, sample_mod, subquery_scalar, join_shufflehash/
-# sortmerge, source_range, rollup_multires, text_tokens/inverted_index/
-# repetition/pii_scrub/chunks, dedup_simhash/containment/fuzzy,
-# event_transitions/durations, pipeline_clean_corpus, udf_ewma,
-# multimodal_decode) — then every registered query will have had hard
-# driver signal within two rounds.
+# Round-5 rotation plan: keep the 10 canaries; the only still-never-driver-
+# verified queries after r04 are the 7 rows-only-by-nature entries
+# (agg_hll_sketch, agg_approx_quantile, udf_ewma, dedup_simhash,
+# similarity_lsh, cluster_kmeans, similarity_ivf) — schedule them for their
+# weaker rows-only driver check, and backfill the window with rotated-out
+# r01-r03 queries for re-confirmation.
 
 
 def load_all() -> dict[str, Query]:
