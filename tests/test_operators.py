@@ -604,6 +604,27 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_tol_early_exit_matches_fixpoint(spark):
+    """tol-based termination must land on the same fixpoint as a long
+    fixed-iteration run (within ~tol), including the dangling-mass path —
+    the in-plan broadcast aggregate must equal the collected scalar it
+    replaced. Ranks still sum to 1."""
+    from corintick_spark.operators.pagerank import pagerank
+
+    # 'b' dangles (no out-edges): exercises the broadcast dangling aggregate
+    edges = [("a", "b", 1.0), ("c", "a", 2.0), ("a", "c", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    exact = {r.node: r.rank for r in pagerank(df, weight="w", iterations=80).collect()}
+    fast = {
+        r.node: r.rank
+        for r in pagerank(df, weight="w", iterations=80, tol=1e-10).collect()
+    }
+    assert set(exact) == set(fast) == {"a", "b", "c"}
+    for k in exact:
+        assert abs(exact[k] - fast[k]) < 1e-8, (k, exact[k], fast[k])
+    assert abs(sum(fast.values()) - 1.0) < 1e-9
+
+
 def test_operators_accept_empty_inputs(spark):
     """Fresh-deployment state: every operator API must return an empty
     result on empty input, never throw (pagerank previously divided by its
