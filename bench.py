@@ -72,21 +72,32 @@ def main() -> None:
         .save()
     )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry[name]
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Medians of 3 full suite passes (round-robin, so no query benefits
+    # from back-to-back cache warmth): single runs carry ±15% noise
+    # (SCALING.md), which made round-over-round per-query comparisons
+    # unadjudicable. `queries` quotes the median; `queries_min` the best
+    # observed run (the steady-state throughput bound).
+    passes = 3
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(passes):
+        for name in HEADLINE:
+            q = registry[name]
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
 
-    total = round(sum(timings.values()), 3)
+    med = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
+    best = {n: round(min(v), 3) for n, v in samples.items()}
+    total = round(sum(med.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": med,
+                "queries_min": best,
+                "runs": passes,
                 "sf": sf,
             }
         )
