@@ -59,8 +59,45 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    max_broadcast_rows: int | None = 100_000,
+    on_large: str = "lsh",
+    lsh_kwargs: dict | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query. Returns (q_id, c_id, score, rank)."""
+    """Exact cosine top-k per query. Returns (q_id, c_id, score, rank).
+
+    Scale guard: the plan broadcasts the query side and is O(|corpus|·|queries|)
+    — correct ONLY for the probe shape (a small query set). A caller passing
+    a huge query side used to silently get a cluster-melting
+    BroadcastNestedLoopJoin; now the query side is bounds-checked (one
+    ``limit(n+1).count()`` probe, cost capped at the threshold) and, above
+    ``max_broadcast_rows``:
+
+    - ``on_large="lsh"`` (default): route to :func:`lsh_topk` — approximate
+      recall, shuffle-bounded equi-join cost, the only sane corpus×corpus
+      plan. A UserWarning notes the switch.
+    - ``on_large="raise"``: ValueError for callers that require exactness.
+    - ``max_broadcast_rows=None``: explicit opt-out of the guard.
+    """
+    if max_broadcast_rows is not None:
+        probe = queries.limit(max_broadcast_rows + 1).count()
+        if probe > max_broadcast_rows:
+            if on_large == "raise":
+                raise ValueError(
+                    f"brute_force_topk: query side exceeds {max_broadcast_rows} "
+                    "rows — not broadcastable; use lsh_topk (approximate) or "
+                    "raise max_broadcast_rows explicitly"
+                )
+            import warnings
+
+            warnings.warn(
+                f"brute_force_topk: query side exceeds {max_broadcast_rows} "
+                "rows; routing to lsh_topk (approximate)",
+                stacklevel=2,
+            )
+            return lsh_topk(
+                queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
+                round_to=round_to, **(lsh_kwargs or {}),
+            )
     corpus = spread_input(corpus)
     q = queries.select(
         F.col(id_col).alias("q_id"),

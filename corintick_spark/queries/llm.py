@@ -107,7 +107,10 @@ def similarity_topk(spark, sf_dir):
     """Exact cosine top-5 for 10 probe vectors against the corpus —
     broadcast probes, one corpus pass (operators/similarity.py)."""
     e = table(spark, sf_dir, "embeddings")
-    return S.brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+    # probe is <10 rows by construction — skip the guard's count probe
+    return S.brute_force_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, max_broadcast_rows=None
+    )
 
 
 # T-B50 scale path — LSH-bucketed ANN (rows-only: hash-construction specific).

@@ -63,6 +63,27 @@ def test_no_cartesian_products(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in sim
 
 
+def test_brute_force_topk_guard_never_broadcasts_large_probe(spark, sf_dir):
+    """A query side above the broadcast threshold must NEVER reach the
+    BroadcastNestedLoopJoin plan: default routes to lsh_topk (equi-join,
+    no BNLJ/Cartesian), on_large='raise' refuses outright."""
+    import pytest as _pytest
+
+    from corintick_spark.catalog import table
+    from corintick_spark.operators.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    routed = brute_force_topk(e, e, k=3, max_broadcast_rows=10)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with _pytest.raises(ValueError, match="not broadcastable"):
+        brute_force_topk(e, e, k=3, max_broadcast_rows=10, on_large="raise")
+    # small probe keeps the exact broadcast plan
+    small = brute_force_topk(e.limit(5), e, k=3, max_broadcast_rows=10)
+    assert "BroadcastNestedLoopJoin" in small._jdf.queryExecution().executedPlan().toString()
+
+
 def test_asof_is_single_shuffle_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_asof")
     assert "Window" in plan
