@@ -2,12 +2,12 @@
 
 Design (SURVEY.md / north_star "multimodal columns"): media travels as a
 ``binary`` column next to typed metadata columns; decode / feature-extract /
-resize / frame-sample run as Arrow-batched functions over ``mapInPandas`` —
-the plumbing (schema, batch iteration, partition sizing) is real and tested;
-the actual codecs are STUBBED because image/audio libraries are not in this
-container. Each stub raises NotImplementedError unless ``fake=True``, in
-which case it derives deterministic metadata from the bytes so the Spark-side
-contract can be exercised end-to-end.
+resize / frame-sample run as Arrow-batched functions over ``mapInPandas``.
+Image METADATA decode (width/height/format for PNG/JPEG/GIF/BMP) is REAL —
+a dependency-free header parse (``parse_image_header``). Pixel decoding and
+video frame extraction remain clearly-marked stubs (PIL/libvips/ffmpeg are
+not in this container); ``fake=True`` derives deterministic metadata from
+the bytes so the Spark-side contract is exercised end-to-end regardless.
 
 Scale notes: binary payloads make rows wide — repartition so batches stay
 within executor memory (``target_rows_per_batch``), and never collect
@@ -29,6 +29,59 @@ DECODE_SCHEMA = (
 )
 
 
+def parse_image_header(b: bytes | None) -> tuple[int, int, str] | None:
+    """Dependency-free (width, height, format) from real image bytes.
+
+    Pure-``struct`` header parsing — no PIL/libvips needed — covering the
+    formats that dominate web-crawl corpora:
+
+    - PNG: 8-byte signature, then the IHDR chunk's big-endian width/height
+      (PNG spec §11.2.2 — IHDR is required to be first).
+    - JPEG: walk the marker segments to the first SOFn frame header
+      (0xC0–0xCF minus the non-frame C4/C8/CC) and read its big-endian
+      height/width.
+    - GIF: 6-byte version signature then little-endian logical-screen size.
+    - BMP: BITMAPINFOHEADER little-endian signed width/height at 18/22.
+
+    Returns None for unrecognized/truncated payloads.
+    """
+    import struct
+
+    if b is None or len(b) < 12:
+        return None
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return (w, h, "png")
+        return None
+    if b[:2] == b"\xff\xd8":  # JPEG SOI
+        off = 2
+        while off + 4 <= len(b):
+            if b[off] != 0xFF:
+                return None
+            marker = b[off + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                off += 2  # standalone markers have no length field
+                continue
+            if off + 4 > len(b):
+                return None
+            (seg_len,) = struct.unpack(">H", b[off + 2 : off + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if off + 9 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+                return (w, h, "jpeg")
+            off += 2 + seg_len
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return (w, h, "gif")
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return (w, abs(h), "bmp")  # negative height = top-down DIB
+    return None
+
+
 def attach_payload(df: DataFrame, text: str = "text", out: str = "payload") -> DataFrame:
     """Demo payload: utf-8 bytes of the text column (stands in for real media
     bytes; schema/partitioning behavior is identical)."""
@@ -40,34 +93,59 @@ def decode_image_meta(
     id_col: str = "doc_id",
     payload: str = "payload",
     fake: bool = False,
+    on_unknown: str = "error",
     target_rows_per_batch: int = 1024,
 ) -> DataFrame:
     """Extract (width, height, format) from an image payload column.
 
-    Real decode would use PIL/libvips here — not present in this container,
-    so ``fake=True`` derives deterministic pseudo-metadata from byte length;
-    ``fake=False`` raises NotImplementedError (clearly-marked stub).
+    ``fake=False`` is REAL for PNG/JPEG/GIF/BMP: dimensions come from a
+    dependency-free header parse (:func:`parse_image_header`) — no PIL
+    needed. Payloads in other formats hit ``on_unknown``:
+
+    - ``"error"`` (default): NotImplementedError naming the stub — pixel
+      decoding of further formats needs PIL/libvips, absent here;
+    - ``"null"``: null metadata, the 100 TB posture (one exotic blob must
+      not kill a corpus-wide scan). NULL payloads always null-propagate.
+
+    ``fake=True`` keeps the deterministic byte-length pseudo-metadata for
+    exercising the plumbing with non-image payloads (e.g. text bytes).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image decoding requires PIL/libvips (not in container); "
-                    "pass fake=True to exercise the plumbing"
-                )
             # null payloads (a 100 TB corpus has them) must null-propagate
             # through the metadata, not TypeError the batch
             n = pdf[payload].map(
                 lambda b: len(b) if b is not None else None
             ).astype("Int64")
+            if fake:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].astype("int64"),
+                        "n_bytes": n,
+                        "width": n % 640 + 1,
+                        "height": n % 480 + 1,
+                        "format": ["fake/raw"] * len(pdf),
+                    }
+                )
+                continue
+            metas = []
+            for b in pdf[payload]:
+                m = parse_image_header(b)
+                if m is None and b is not None and on_unknown == "error":
+                    raise NotImplementedError(
+                        "unrecognized image payload (not PNG/JPEG/GIF/BMP); "
+                        "full decoding requires PIL/libvips (not in "
+                        "container) — pass on_unknown='null' to skip"
+                    )
+                metas.append(m or (None, None, None))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": n,
-                    "width": n % 640 + 1,
-                    "height": n % 480 + 1,
-                    "format": ["fake/raw"] * len(pdf),
+                    "width": pd.array([m[0] for m in metas], dtype="Int64"),
+                    "height": pd.array([m[1] for m in metas], dtype="Int64"),
+                    "format": [m[2] for m in metas],
                 }
             )
 

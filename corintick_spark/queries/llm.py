@@ -307,6 +307,50 @@ def multimodal_decode(spark, sf_dir):
     return M.decode_image_meta(M.attach_payload(d), fake=True)
 
 
+# The REAL image-metadata decoder (struct header parse, no image libs):
+# deterministic PNG payloads are synthesized per doc_id Spark-side, decoded
+# by parse_image_header, and the oracle recomputes the dimension formula —
+# so the driver adjudicates the actual parser, not a fake.
+@query(
+    "multimodal_decode_png",
+    sql="""
+    SELECT doc_id,
+           CAST(33 AS BIGINT) AS n_bytes,
+           CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+           'png' AS format
+    FROM documents
+    """,
+)
+def multimodal_decode_png(spark, sf_dir):
+    """Real PNG header decode over synthesized payloads (width/height are a
+    known function of doc_id; operators/multimodal.py::parse_image_header)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                ihdr = struct.pack(">II5B", i % 640 + 1, i % 480 + 1, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", 13) + b"IHDR" + ihdr
+                    + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_meta(with_png, fake=False)
+
+
 # Embedding-cosine near-dup (north_star list) — blocked by label (IVF-style:
 # compare within coarse cells only).
 @query(

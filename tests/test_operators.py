@@ -223,11 +223,73 @@ def test_multimodal_stub_contract(spark, sf_dir):
     rows = meta.collect()
     assert len(rows) == 20
     assert all(1 <= r["width"] <= 640 and 1 <= r["height"] <= 480 for r in rows)
-    # real codec path is a clearly-marked stub
-    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+    # non-image payloads (text bytes here) hit the clearly-marked stub...
+    with pytest.raises(Exception, match="NotImplementedError|unrecognized image"):
         decode_image_meta(payload, fake=False).collect()
+    # ...or null-propagate under the 100 TB posture
+    nulled = decode_image_meta(payload, fake=False, on_unknown="null").collect()
+    assert len(nulled) == 20 and all(r["format"] is None for r in nulled)
     frames = frame_sample(payload.limit(2), fake=True)
     assert frames.count() > 2  # one doc → many frames
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    # SOI, APP0 segment, then a SOF0 frame header
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHH", 11, 8, h, w) + b"\x03\x01"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_decode_image_meta_real_headers(spark):
+    """fake=False is a REAL decoder for PNG/JPEG/GIF/BMP: width/height come
+    from the actual header bytes (struct parse, no image libs)."""
+    import struct
+
+    from corintick_spark.operators.multimodal import (
+        decode_image_meta,
+        parse_image_header,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + struct.pack("<ii", 123, -77)  # top-down DIB: negative height
+        + b"\x00" * 8
+    )
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _jpeg_bytes(1024, 768)),
+        (3, gif),
+        (4, bmp),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["format"])
+        for r in decode_image_meta(df, fake=False).collect()
+    }
+    assert got[1] == (640, 480, "png")
+    assert got[2] == (1024, 768, "jpeg")
+    assert got[3] == (320, 200, "gif")
+    assert got[4] == (123, 77, "bmp")
+    assert got[5] == (None, None, None)  # NULL payload null-propagates
+    # truncated signature never crashes the parser
+    assert parse_image_header(b"\x89PNG\r\n\x1a") is None
+    assert parse_image_header(b"\xff\xd8\xff") is None
 
 
 def test_langid_deterministic(spark, sf_dir):
