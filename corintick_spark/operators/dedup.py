@@ -170,6 +170,99 @@ def minhash_lsh_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """The durable form of the MinHash stage: (id, shingles, sig).
+
+    Write this to parquet once per corpus; every future batch then
+    deduplicates against it via :func:`incremental_minhash_dedup` without
+    re-reading or re-hashing a byte of corpus text — the incremental path
+    the ``minhash_lsh_pairs`` docstring promises at 100 TB, where the
+    corpus signature scan is a fraction of the corpus text scan and the
+    hashing CPU is paid exactly once per document ever ingested.
+    """
+    return minhash_signature(
+        shingles(spread_input(df), text, k), "shingles", num_hashes
+    ).select(F.col(id_col), "shingles", "sig")
+
+
+def _band_explode(df: DataFrame, id_alias: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) rows derived from a stored ``sig`` column —
+    pure arithmetic over the fixed-width signature, no text access."""
+    rows = num_hashes // bands
+    return df.select(
+        F.col("doc_id").alias(id_alias),
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {bands - 1}),
+                              b -> xxhash64(concat_ws(',',
+                                   transform(slice(sig, b * {rows} + 1, {rows}),
+                                             x -> CAST(x AS STRING)))))"""
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_batch: DataFrame,
+    signature_table: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an EXISTING corpus, touching
+    only the corpus's signature table.
+
+    Returns (new_id, corpus_id, jaccard >= threshold). Only the new batch
+    is shingled/hashed; corpus band hashes derive from the stored ``sig``
+    arrays and verification reads the stored ``shingles`` — the corpus
+    TEXT is never re-read (plan-asserted in tests/test_plans.py). Candidate
+    generation is the same banded equi-join as ``minhash_lsh_pairs``; the
+    band parameters must match the ones the signature table was built with.
+    """
+    new_sig = minhash_signature_table(new_batch, id_col, text, k, num_hashes)
+    # feeds the band join AND the verification join-back — materialize once
+    new_sig = new_sig.localCheckpoint(eager=True)
+    nb = _band_explode(new_sig.withColumnRenamed(id_col, "doc_id"), "new_id", num_hashes, bands)
+    cb = _band_explode(
+        signature_table.withColumnRenamed(id_col, "doc_id"), "corpus_id", num_hashes, bands
+    )
+    cand = (
+        nb.join(cb, ["band_id", "band_hash"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    jac = (
+        cand.join(
+            new_sig.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("n_sh")),
+            "new_id",
+        )
+        .join(
+            signature_table.select(
+                F.col(id_col).alias("corpus_id"), F.col("shingles").alias("c_sh")
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("n_sh", "c_sh"))
+            / F.nullif(F.size(F.array_union("n_sh", "c_sh")), F.lit(0)),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "new_id", "corpus_id", "jaccard"
+    )
+
+
 def simhash(df: DataFrame, text: str = "text", out: str = "simhash") -> DataFrame:
     """64-bit Charikar SimHash over whitespace tokens.
 

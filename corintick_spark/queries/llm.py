@@ -46,6 +46,27 @@ def dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_pairs(d, k=3, num_hashes=32, bands=8, threshold=0.3)
 
 
+# Incremental dedup: a new batch against the persisted corpus signature
+# table — the re-run posture of a 100 TB pipeline (hash-construction
+# specific → rows-only; unit-tested with planted dups + a plan assertion
+# that corpus text is never re-scanned).
+@query("dedup_incremental", sql=None)
+def dedup_incremental(spark, sf_dir):
+    """Docs arriving in the 'new' split (doc_id % 11 == 0) near-duplicating
+    the existing corpus, matched through a parquet signature table only
+    (operators/dedup.py::incremental_minhash_dedup)."""
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 11 != 0)
+    new_batch = d.filter(F.col("doc_id") % 11 == 0)
+    sig_path = tempfile.mkdtemp(prefix="sigtbl_") + "/sig"
+    D.minhash_signature_table(corpus).write.mode("overwrite").parquet(sig_path)
+    return D.incremental_minhash_dedup(
+        new_batch, spark.read.parquet(sig_path), threshold=0.3
+    ).orderBy("new_id", "corpus_id")
+
+
 # SimHash near-dup (training-pipeline extension; rows-only).
 @query("dedup_simhash", sql=None)
 def dedup_simhash(spark, sf_dir):

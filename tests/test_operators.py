@@ -666,6 +666,52 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_incremental_minhash_dedup(spark, tmp_path):
+    """New-batch dedup against a persisted signature table: planted dups
+    are found, novel docs are not, and the CORPUS TEXT file is never
+    scanned — only its signature table (the incremental 100 TB path)."""
+    from corintick_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature_table,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "completely unrelated text about spark adaptive query execution"),
+        (3, "another corpus document with its own distinct vocabulary set"),
+    ]
+    new_rows = [
+        # near-dup of corpus doc 1 (one word changed)
+        (101, "the quick brown fox jumps over the lazy cat near the river bank"),
+        # exact dup of corpus doc 2
+        (102, "completely unrelated text about spark adaptive query execution"),
+        # novel
+        (103, "nothing in the corpus resembles this freshly written sentence"),
+    ]
+    corpus_p = str(tmp_path / "corpus.parquet")
+    sig_p = str(tmp_path / "sig.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(corpus_p)
+    spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(new_p)
+    corpus = spark.read.parquet(corpus_p)
+    minhash_signature_table(corpus).write.parquet(sig_p)
+
+    out = incremental_minhash_dedup(
+        spark.read.parquet(new_p), spark.read.parquet(sig_p), threshold=0.5
+    )
+    pairs = {(r["new_id"], r["corpus_id"]) for r in out.collect()}
+    assert (101, 1) in pairs and (102, 2) in pairs
+    assert not any(n == 103 for n, _ in pairs)
+    # Corpus TEXT never re-read: every FileScan in the plan reads signature
+    # columns (sig/shingles), none reads a text column. (The new batch's
+    # own text scan is absorbed by the eager localCheckpoint; Location
+    # paths truncate at 100 chars in toString, so assert on ReadSchema.)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans, "expected signature-table scans in the plan"
+    assert all("text" not in l for l in scans), scans
+
+
 def test_pagerank_tol_early_exit_matches_fixpoint(spark):
     """tol-based termination must land on the same fixpoint as a long
     fixed-iteration run (within ~tol), including the dangling-mass path —
