@@ -484,3 +484,111 @@ def agg_entropy(spark, sf_dir):
         "n_types",
         q6(F.log2(F.col("total")) - F.col("s") / F.col("total")).alias("entropy"),
     )
+
+
+# Context-window sequence packing — the training-data op that turns a doc
+# stream into fixed-token-budget bins (greedy streaming pack: a doc goes to
+# bin floor(exclusive_prefix_tokens / BUDGET) within its source, ordered by
+# doc_id). One window pass over an exclusive running sum + one aggregation;
+# at 100 TB both shuffles key on source, and the per-bin summary (not the
+# packed text) is what crosses the wire.
+@query(
+    "pack_sequences",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, source,
+               COALESCE(len(list_filter(string_split(text, ' '),
+                                        x -> x != '')), 0) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM p
+    GROUP BY source, bin_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Greedy 4096-token context packing per source: bin assignment from an
+    exclusive prefix sum of whitespace token counts, summarized per bin."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')")), F.lit(0)
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = t.withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        p.groupBy(
+            "source",
+            F.floor(F.col("prefix") / 4096.0).cast("bigint").alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# Per-key winsorization — clip each user's values to their own [p5, p95]
+# band (the robust-stats preprocessing step before z-scoring a heavy-tailed
+# metric). Exact interpolated percentiles per key (one agg), joined back
+# broadcast (the stats side is |keys| rows), clip is a pure CASE so NULL
+# values pass through identically in both engines.
+@query(
+    "window_winsorize",
+    sql="""
+    WITH s AS (
+        SELECT user_id,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           ROUND(CASE WHEN e.value IS NULL THEN NULL
+                      WHEN e.value < s.lo THEN s.lo
+                      WHEN e.value > s.hi THEN s.hi
+                      ELSE e.value END, 6) AS clipped
+    FROM events e JOIN s USING (user_id)
+    """,
+)
+def window_winsorize(spark, sf_dir):
+    """Values clipped to the user's own 5th..95th percentile band."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clip = (
+        F.when(F.col("value").isNull(), F.lit(None).cast("double"))
+        .when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.join(F.broadcast(s), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(clip, 6).alias("clipped"),
+        )
+    )

@@ -247,6 +247,62 @@ def join_asof(spark, sf_dir):
     )
 
 
+# As-of join with a STALENESS BOUND (pandas merge_asof(tolerance=...)):
+# a prior match older than the tolerance is as good as no match — the
+# common tick-data rule ("use the last quote, but never one from before
+# the halt"). Same single-shuffle window plan as join_asof; the bound is a
+# post-window null-out, not a different join.
+@query(
+    "join_asof_tolerance",
+    sql="""
+    SELECT v.event_id, v.user_id, v.ts,
+           p.event_id AS last_purchase_id,
+           p.ts       AS last_purchase_ts,
+           p.value    AS last_purchase_value
+    FROM events v
+    LEFT JOIN LATERAL (
+        SELECT e.event_id, e.ts, e.value
+        FROM events e
+        WHERE e.user_id = v.user_id
+          AND e.event_type = 'purchase'
+          AND e.ts <= v.ts
+          AND e.ts >= v.ts - INTERVAL 30 MINUTE
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT 1
+    ) p ON TRUE
+    WHERE v.event_type = 'view'
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """Each view ← latest prior purchase per user IF within 30 minutes,
+    else NULLs (the row is kept). Tolerance applied after the as-of window:
+    a purchase inside the window is by construction the latest one, so
+    nulling stale matches equals the oracle's bounded LATERAL subquery."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        ts="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+        prefix="p_",
+    )
+    fresh = F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("p_event_id")).alias("last_purchase_id"),
+        F.when(fresh, F.col("p_ts")).alias("last_purchase_ts"),
+        F.when(fresh, F.col("p_value")).alias("last_purchase_value"),
+    )
+
+
 # T-B15 — TPC-H Q1-style partial+final hash aggregation.
 @query(
     "agg_basic",
