@@ -11,6 +11,7 @@ specific → rows-only per the driver contract).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from corintick_spark.catalog import table
 from corintick_spark.operators import dedup as D
@@ -448,6 +449,84 @@ def pipeline_clean_corpus(spark, sf_dir):
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_words").alias("total_words"),
+    )
+
+
+# The full pretraining-prep composition: quality filter -> exact dedup ->
+# context-window packing. Extends pipeline_clean_corpus with the packing
+# stage (the last mile before the tokenizer): kept docs are binned into
+# 4096-token windows per language by an exclusive prefix sum. Still one
+# declarative plan — filter fuses into the scan, dedup is one groupBy(text),
+# packing is one window + one agg, and partitioning on lang carries from
+# the window into the final aggregation (no extra exchange).
+@query(
+    "pipeline_pack_corpus",
+    sql="""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','to','and','in','is','for','on','with'))) AS BIGINT) AS n_stop,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(text) AS BIGINT) AS n_chars_calc
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, text, n_words,
+               least(n_words / 100.0, 1.0) * 0.4
+                   + (n_stop / NULLIF(n_words, 0)) * 0.3
+                   + (n_alpha / NULLIF(n_chars_calc, 0)) * 0.3 AS quality_score
+        FROM q WHERE n_words >= 10
+    ), kept AS (
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang,
+               ANY_VALUE(n_words) AS n_words
+        FROM scored
+        WHERE quality_score >= 0.4
+        GROUP BY text
+    ), p AS (
+        SELECT doc_id, lang, n_words,
+               COALESCE(SUM(n_words) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM kept
+    )
+    SELECT lang,
+           CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM p
+    GROUP BY lang, bin_id
+    """,
+)
+def pipeline_pack_corpus(spark, sf_dir):
+    """Quality-filter -> exact dedup -> 4096-token packing per language."""
+    d = table(spark, sf_dir, "documents")
+    scored = T.quality_features(d).filter(
+        (F.col("n_words") >= 10) & (F.col("quality_score") >= 0.4)
+    )
+    kept = scored.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("lang").alias("lang"),
+        F.any_value("n_words").alias("n_words"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = kept.withColumn("prefix", F.coalesce(F.sum("n_words").over(w), F.lit(0)))
+    return (
+        p.groupBy(
+            "lang",
+            F.floor(F.col("prefix") / 4096.0).cast("bigint").alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
     )
 
 
