@@ -1,0 +1,75 @@
+"""Distributed triangle enumeration over an undirected edge list.
+
+The classic MPC/MapReduce formulation (Suri & Vassilvitskii, "Counting
+Triangles and the Curse of the Last Reducer", WWW 2011 — public
+knowledge): orient every undirected edge from its lower to its higher
+endpoint in the TOTAL ORDER (degree, node), build wedges by self-joining
+oriented edges on their source, and close each wedge with one more
+equi-join. Degree orientation is the part that scales: every node's
+out-degree is bounded by O(sqrt(m)) on real (power-law) graphs, so the
+wedge join produces O(m^1.5) rows worst-case instead of sum(deg^2) —
+the hub node that would explode an id-ordered orientation becomes a
+wedge *target*, never a wedge *source*.
+
+Output is orientation-independent: each triangle appears exactly once and
+is emitted as its id-sorted triple, so an id-ordered SQL oracle matches
+even though the physical join order here is degree-ordered.
+
+Everything is equi-joins + one aggregation — no cross join, no driver
+round-trips; the plan is three shuffles on node keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate triangles of the undirected graph given as an edge list
+    (duplicates / self-loops / reversed duplicates tolerated). Returns one
+    row per triangle with columns (n1, n2, n3), id-sorted ascending."""
+    # canonical undirected edge set
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    # total order key (degree, node): ties broken by id so the order is total
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.struct("deg", F.col("node").alias("n")).alias("ku"))
+    dv = deg.select(F.col("node").alias("v"), F.struct("deg", F.col("node").alias("n")).alias("kv"))
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("y"),
+            F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("ky"),
+        )
+    )
+
+    # wedges from each low-order source; keep one ordering (b < c in the
+    # total order) so each wedge — and hence each triangle — appears once
+    a = oriented.select(F.col("x").alias("a"), F.col("y").alias("b"), F.col("ky").alias("kb"))
+    b = oriented.select(F.col("x").alias("a"), F.col("y").alias("c"), F.col("ky").alias("kc"))
+    wedges = a.join(b, "a").filter(F.col("kb") < F.col("kc")).select("a", "b", "c")
+
+    closing = oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+
+    srt = F.array_sort(F.array("a", "b", "c"))
+    return tri.select(
+        srt.getItem(0).alias("n1"),
+        srt.getItem(1).alias("n2"),
+        srt.getItem(2).alias("n3"),
+    )

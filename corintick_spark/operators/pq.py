@@ -1,0 +1,213 @@
+"""Product quantization (PQ) for billion-scale ANN: fit / encode / ADC scan.
+
+The memory-compression half of the FAISS-style ANN stack (Jégou, Douze,
+Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+public knowledge). IVF (operators/clustering.py) bounds *which* vectors a
+query touches; PQ bounds *how many bytes per vector* it touches: a d-dim
+float vector (d*4 bytes) becomes m sub-codes of log2(k) bits each — with
+the defaults (d=64, m=8, k=16) that is 256 bytes -> 8 bytes, 32x. At
+100 TB of raw embeddings the codes table is ~3 TB and each scan partition
+streams codes + a broadcast distance table instead of raw floats.
+
+Spark shape:
+- ``pq_fit``   — ONE distributed k-means over all m subspaces at once
+  (subspace id `j` is just another grouping column), so the driver loop is
+  `iters` rounds total, not `m * iters`. Only the m*k*(d/m) codebook floats
+  ever reach the driver.
+- ``pq_encode`` — one broadcast join + min_by per (vector, subspace);
+  output is (id, codes array<int>) — the compact table a real deployment
+  persists (durable parquet at scale; the raw floats are never re-read).
+- ``pq_topk``  — asymmetric distance computation (ADC): each query
+  precomputes a m x k distance table against the codebooks (m*k rows per
+  query, built distributedly and collapsed to one nested-array column),
+  then scores codes with a pure JVM fold: sum_j dtab[j][code_j]. The
+  corpus side touches only the codes column; the query side is broadcast
+  (probe sets are small by contract — same guard philosophy as
+  brute_force_topk).
+
+Determinism: init picks per-subspace seeds by smallest xxhash64(id) — no
+RNG. Float averaging in the centroid update is the only order-dependent
+step, so correctness checks are structural (code ranges, compression
+ratio, recall vs exact scan), i.e. the rows-only driver tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from corintick_spark.operators.spread import spread_input
+
+
+def _subvectors(df: DataFrame, m: int, sub: int, id_col: str, vec_col: str) -> DataFrame:
+    """Explode each vector into (id, j, sv): m rows of `sub`-dim slices."""
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), j ->"
+        f" transform(slice({vec_col}, j * {sub} + 1, {sub}),"
+        f" x -> CAST(x AS DOUBLE)))"
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.posexplode(slices).alias("j", "sv")
+    )
+
+
+def _sq(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (s, v) -> s + v)"
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train m per-subspace codebooks of k centroids each, in one
+    distributed loop (subspace id is a grouping column). Returns a
+    DataFrame (j int, cell int, centroid array<double>) of m*k rows —
+    always broadcastable (m*k*(d/m) = d*k doubles total)."""
+    spark = df.sparkSession
+    head = df.select(vec_col).first()  # one-row action at fit time only
+    if head is None:  # empty input -> empty codebooks, never throw
+        return spark.createDataFrame([], "j int, cell int, centroid array<double>")
+    dim = len(head[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    subs = _subvectors(spread_input(df), m, sub, id_col, vec_col).persist()
+
+    # per-subspace deterministic init: the k subvectors with smallest id hash
+    w = Window.partitionBy("j").orderBy(F.xxhash64("_id"), "_id")
+    init = (
+        subs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("j", (F.col("_rk") - 1).alias("cell"), F.col("sv").alias("centroid"))
+        .collect()
+    )
+    books = {(r["j"], r["cell"]): list(r["centroid"]) for r in init}
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(j, c, v) for (j, c), v in sorted(books.items())],
+            "j int, cell int, centroid array<double>",
+        )
+        assigned = (
+            subs.join(F.broadcast(cdf), "j")
+            .withColumn("_d", _sq("sv", "centroid"))
+            .groupBy("_id", "j")
+            .agg(F.min_by("cell", F.struct("_d", "cell")).alias("cell"))
+        )
+        comp = (
+            subs.join(assigned, ["_id", "j"])
+            .select("j", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("j", "cell", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("j", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select("j", "cell", F.expr("transform(pm, e -> e.mu)").alias("centroid"))
+            .collect()
+        )
+        new = {(r["j"], r["cell"]): list(r["centroid"]) for r in comp}
+        books = {jc: new.get(jc, v) for jc, v in books.items()}
+
+    subs.unpersist()
+    return spark.createDataFrame(
+        [(j, c, v) for (j, c), v in sorted(books.items())],
+        "j int, cell int, centroid array<double>",
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to its m nearest-cell codes. Returns
+    (id_col, codes array<int>) — the compact table that gets persisted at
+    scale; one broadcast join, no shuffle beyond the final per-id regroup."""
+    mj = codebooks.select(F.max("j")).first()[0]
+    if mj is None:  # empty codebooks (empty fit input) -> empty codes
+        return df.limit(0).select(
+            F.col(id_col), F.expr("CAST(array() AS array<int>)").alias("codes")
+        )
+    m = mj + 1
+    sub = len(codebooks.select("centroid").first()[0])
+    subs = _subvectors(df, m, sub, id_col, vec_col)
+    return (
+        subs.join(F.broadcast(codebooks), "j")
+        .withColumn("_d", _sq("sv", "centroid"))
+        .groupBy("_id", "j")
+        .agg(F.min_by("cell", F.struct("_d", "cell")).alias("cell"))
+        .groupBy("_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(j, cell))), e -> e.cell)")
+            .alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: per-query distance tables against the codebooks, then a
+    JVM-side fold over the corpus codes. The corpus side reads ONLY the
+    8-byte codes column; queries (with their m x k tables) are broadcast —
+    probe sets are small by contract, the corpus is the big side."""
+    mj = codebooks.select(F.max("j")).first()[0]
+    if mj is None:  # empty codebooks -> no candidates
+        return queries.limit(0).select(
+            F.col(id_col).alias("q_id"),
+            F.col(id_col).alias("c_id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("bigint").alias("rank"),
+        )
+    m = mj + 1
+    sub = len(codebooks.select("centroid").first()[0])
+
+    # distance table per query: m x k nested array, built distributedly
+    dtab = (
+        _subvectors(queries, m, sub, id_col, vec_col)
+        .join(F.broadcast(codebooks), "j")
+        .withColumn("_d", _sq("sv", "centroid"))
+        .groupBy("_id", "j")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(cell, _d))), e -> e._d)")
+            .alias("row")
+        )
+        .groupBy("_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(j, row))), e -> e.row)")
+            .alias("dtab")
+        )
+        .select(F.col("_id").alias("q_id"), "dtab")
+    )
+
+    adc = F.expr(
+        "aggregate(zip_with(codes, dtab, (c, row) -> element_at(row, c + 1)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        corpus_codes.select(F.col(id_col).alias("c_id"), "codes")
+        .join(F.broadcast(dtab), F.col("q_id") != F.col("c_id"))
+        .withColumn("adc_dist", F.round(adc, 6))
+        .select(
+            "q_id",
+            "c_id",
+            "adc_dist",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -1097,3 +1097,213 @@ def pipeline_semantic_dedup(spark, sf_dir):
         F.count("*").alias("n_members"),
         F.min("vec_id").alias("keeper_id"),
     )
+
+
+# Product-quantization ANN (rows-only: codebook training is iterative float
+# averaging, same tier as cluster_kmeans). PQ is the memory-compression
+# half of the billion-scale ANN stack — 64-dim float vectors become 8
+# one-byte codes (32x), and the ADC scan reads ONLY the codes column plus
+# a broadcast distance table (operators/pq.py; Jégou et al., TPAMI 2011).
+@query("similarity_pq", sql=None)
+def similarity_pq(spark, sf_dir):
+    """PQ-compressed cosine/L2 top-5: fit m=8 x k=16 codebooks, encode the
+    corpus to 8-byte codes, ADC-scan for the first 10 vectors as probes."""
+    from corintick_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    books = pq_fit(e, m=8, k=16, iters=3)
+    codes = pq_encode(e, books)
+    return pq_topk(e.filter(F.col("vec_id") < 10), codes, books, k=5)
+
+
+# Token-budget corpus mixture — the "data mixing" step of a pretraining
+# pipeline: given a global token budget split uniformly across sources,
+# compute each source's deterministic keep-rate and subsample docs by a
+# portable integer hash (Knuth multiplicative, same expression both
+# engines — rand() could never oracle-match). One aggregation for the
+# per-source totals (a |sources|-row broadcast), one map-side filtered
+# re-aggregation; the corpus is scanned twice but shuffled only at
+# |sources| granularity.
+@query(
+    "corpus_mixture",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), tot AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM tok GROUP BY source
+    ), rate AS (
+        SELECT source, src_tokens,
+               LEAST(1.0, (20000.0 / (SELECT COUNT(DISTINCT source)
+                                      FROM documents)) / src_tokens)
+                   AS keep_rate
+        FROM tot
+    )
+    SELECT r.source, r.src_tokens, ROUND(r.keep_rate, 6) AS keep_rate,
+           CAST(COALESCE(SUM(CASE WHEN ((t.doc_id * 2654435761) % 4294967296)
+                                       / 4294967296.0 < r.keep_rate
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN ((t.doc_id * 2654435761) % 4294967296)
+                                       / 4294967296.0 < r.keep_rate
+                                  THEN t.n_tokens ELSE 0 END), 0) AS BIGINT)
+               AS tokens_kept
+    FROM tok t JOIN rate r USING (source)
+    GROUP BY r.source, r.src_tokens, r.keep_rate
+    """,
+)
+def corpus_mixture(spark, sf_dir):
+    """Uniform-budget mixture sampling: per-source keep-rate for a 20k-token
+    budget, docs kept by deterministic hash threshold."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    nsrc = d.select(F.countDistinct("source").alias("nsrc"))
+    rate = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "src_tokens",
+            F.least(
+                F.lit(1.0), (F.lit(20000.0) / F.col("nsrc")) / F.col("src_tokens")
+            ).alias("keep_rate"),
+        )
+    )
+    frac = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    kept = F.when(frac < F.col("keep_rate"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        tok.join(F.broadcast(rate), "source")
+        .groupBy("source", "src_tokens", "keep_rate")
+        .agg(
+            F.coalesce(F.sum(kept), F.lit(0)).alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(F.when(kept == 1, F.col("n_tokens")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "src_tokens",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            "n_docs_kept",
+            "tokens_kept",
+        )
+    )
+
+
+# Benchmark decontamination — the REMOVAL composition on top of the
+# text_contamination screen: drop every training doc that shares a distinct
+# 5-gram with the benchmark split (doc_id % 97 == 0), report what survives
+# per language. The contaminated-id set is tiny relative to the corpus, so
+# the removal is a broadcast anti-join — the corpus is never shuffled.
+@query(
+    "pipeline_decontaminate",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(1, len(ws) + 1)) AS ord
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents)
+    ), five AS (
+        SELECT a.doc_id,
+               a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+                     || ' ' || e.tok AS gram
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+        JOIN toks d ON d.doc_id = a.doc_id AND d.ord = a.ord + 3
+        JOIN toks e ON e.doc_id = a.doc_id AND e.ord = a.ord + 4
+    ), u AS (
+        SELECT DISTINCT doc_id, gram FROM five
+    ), probe AS (
+        SELECT DISTINCT gram FROM u WHERE doc_id % 97 = 0
+    ), bad AS (
+        SELECT DISTINCT u.doc_id FROM u JOIN probe USING (gram)
+        WHERE u.doc_id % 97 <> 0
+    )
+    SELECT d.lang, COUNT(*) AS n_docs_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    GROUP BY d.lang
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Remove benchmark-contaminated docs (shared distinct 5-gram with the
+    doc_id%97==0 split); per-language counts of the surviving corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = D.tokenize(d)
+    grams = F.expr(
+        "transform(slice(words, 1, size(words) - 4), (w, i) -> concat_ws(' ',"
+        " w, element_at(words, i + 2), element_at(words, i + 3),"
+        " element_at(words, i + 4), element_at(words, i + 5)))"
+    )
+    per_doc = toks.filter(F.size("words") >= 5).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    probe = per_doc.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    bad = (
+        per_doc.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(probe), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bad), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )
+
+
+# Deterministic training-order shuffle — the global permutation a training
+# run needs, expressed as the SHARDED shape that scales: a portable hash
+# assigns each doc to one of 16 output shards, and position is assigned
+# WITHIN the shard (window partitioned by shard — parallel), never by a
+# single global row_number (which would collapse to one partition). At
+# 100 TB each shard is one writer task; global order is (shard, pos).
+@query(
+    "shuffle_shards",
+    sql="""
+    WITH h AS (
+        SELECT doc_id, source, n_chars,
+               (doc_id * 2654435761) % 4294967296 AS skey
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           skey % 16 AS shard,
+           ROW_NUMBER() OVER (PARTITION BY skey % 16
+                              ORDER BY skey, doc_id) AS pos_in_shard
+    FROM h
+    """,
+)
+def shuffle_shards(spark, sf_dir):
+    """Hash-sharded deterministic training shuffle: shard id + in-shard
+    position per doc."""
+    d = table(spark, sf_dir, "documents")
+    skey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = d.select("doc_id", "source", "n_chars", skey.alias("skey"))
+    w = Window.partitionBy(F.col("skey") % 16).orderBy("skey", "doc_id")
+    return h.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("skey") % 16).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )

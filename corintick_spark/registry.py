@@ -108,6 +108,7 @@ def load_all() -> dict[str, Query]:
         streaming_queries,
         events,
         extras,
+        graph,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
