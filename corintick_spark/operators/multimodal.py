@@ -205,3 +205,90 @@ def frame_sample(
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=schema)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate long, channels long,"
+    " bits long, n_frames long, duration_us double"
+)
+
+
+def parse_wav_header(b: bytes | None) -> tuple[int, int, int, int] | None:
+    """REAL dependency-free WAV (RIFF) header parse — same posture as
+    :func:`parse_image_header`: the metadata tier of audio decode needs no
+    audio library, just the container spec (RIFF 1991, public knowledge).
+
+    Walks the chunk list: ``RIFF<size>WAVE``, then ``fmt `` (PCM layout:
+    format/channels at 0/2, sample rate at 4, block align at 12, bits at
+    14, all little-endian) and ``data`` (payload size -> frame count =
+    size / block_align). Returns (sample_rate, channels, bits, n_frames)
+    or None if the bytes are not a parseable WAV."""
+    import struct
+
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = bits = block_align = None
+    n_frames = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16 and body + 16 <= len(b):
+            _, channels, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", b, body
+            )
+        elif cid == b"data" and block_align:
+            n_frames = csize // block_align
+        pos = body + csize + (csize & 1)  # chunks are word-aligned
+    if rate is None or n_frames is None:
+        return None
+    return rate, channels, bits, n_frames
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    on_unknown: str = "error",
+) -> DataFrame:
+    """Extract (sample_rate, channels, bits, n_frames, duration_us) from a
+    WAV payload column — REAL for RIFF/WAV via :func:`parse_wav_header`;
+    compressed formats (mp3/flac/ogg) would need libsndfile/ffmpeg (absent
+    here) and hit ``on_unknown`` ('error' raises the honest stub,
+    'null' null-propagates, the 100 TB posture). NULL payloads always
+    null-propagate."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf[payload].map(
+                lambda b: len(b) if b is not None else None
+            ).astype("Int64")
+            metas = []
+            for b in pdf[payload]:
+                m = parse_wav_header(b)
+                if m is None and b is not None and on_unknown == "error":
+                    raise NotImplementedError(
+                        "unrecognized audio payload (not RIFF/WAV); compressed"
+                        " formats need libsndfile/ffmpeg (not in container) —"
+                        " pass on_unknown='null' to skip"
+                    )
+                metas.append(m or (None, None, None, None))
+            rates = pd.array([m[0] for m in metas], dtype="Int64")
+            frames = pd.array([m[3] for m in metas], dtype="Int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n,
+                    "sample_rate": rates,
+                    "channels": pd.array([m[1] for m in metas], dtype="Int64"),
+                    "bits": pd.array([m[2] for m in metas], dtype="Int64"),
+                    "n_frames": frames,
+                    "duration_us": (
+                        frames.astype("Float64") * 1_000_000.0
+                        / rates.astype("Float64")
+                    ).round(6),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=AUDIO_SCHEMA)

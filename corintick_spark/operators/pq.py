@@ -211,3 +211,98 @@ def pq_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cell_centroids: DataFrame,
+    codebooks: DataFrame,
+    corpus_codes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed — the full FAISS IVFADC layout: the coarse
+    quantizer (operators/clustering.py k-means cells) bounds WHICH corpus
+    rows a query touches (equi-join on cell id, inverted lists are the
+    partitions), and PQ bounds HOW MANY BYTES each touched row costs (the
+    candidate join carries only the 8-byte codes). Simplification vs the
+    paper: codes quantize raw vectors, not cell residuals — documented
+    trade-off (slightly worse recall, one less join) that keeps every stage
+    a plain equi-join.
+
+    At 100 TB: corpus_codes is the durable signature table (re-used across
+    query batches), candidates per query ≈ nprobe/|cells| of the corpus,
+    and the scan per candidate is 8 bytes + a broadcast distance table."""
+    from pyspark.sql import Window as W
+
+    from corintick_spark.operators.clustering import kmeans_assign
+
+    mj = codebooks.select(F.max("j")).first()[0]
+    if mj is None:
+        return queries.limit(0).select(
+            F.col(id_col).alias("q_id"),
+            F.col(id_col).alias("c_id"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("bigint").alias("rank"),
+        )
+    m = mj + 1
+    sub = len(codebooks.select("centroid").first()[0])
+
+    c_cells = kmeans_assign(corpus, cell_centroids, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), "cell"
+    )
+
+    q_vecs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q_v"),
+    )
+    q_probe = (
+        q_vecs.crossJoin(F.broadcast(cell_centroids))
+        .withColumn("_d", _sq("q_v", "centroid"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(W.partitionBy("q_id").orderBy("_d", "cell")),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("q_id", "cell")
+    )
+
+    dtab = (
+        _subvectors(queries, m, sub, id_col, vec_col)
+        .join(F.broadcast(codebooks), "j")
+        .withColumn("_d", _sq("sv", "centroid"))
+        .groupBy("_id", "j")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(cell, _d))), e -> e._d)")
+            .alias("row")
+        )
+        .groupBy("_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(j, row))), e -> e.row)")
+            .alias("dtab")
+        )
+        .select(F.col("_id").alias("q_id"), "dtab")
+    )
+
+    adc = F.expr(
+        "aggregate(zip_with(codes, dtab, (c, row) -> element_at(row, c + 1)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        q_probe.join(c_cells, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .join(corpus_codes.select(F.col(id_col).alias("c_id"), "codes"), "c_id")
+        .join(F.broadcast(dtab), "q_id")
+        .withColumn("adc_dist", F.round(adc, 6))
+        .select(
+            "q_id",
+            "c_id",
+            "adc_dist",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -311,3 +311,59 @@ def events_attribution(spark, sf_dir):
             .alias("delay_us"),
         )
     )
+
+
+# Greedy rate-limit / throttle — keep an event only if >= 30 min have
+# passed since the last KEPT event of the same user. This is a sequential
+# left-fold per key (each decision depends on the previous KEPT row, not
+# the previous row), so no window function expresses it; the Spark side
+# folds the per-user ordered event list with aggregate() entirely JVM-side
+# (same engine-parity technique as window_ewma's aggregate==list_reduce),
+# the oracle walks the identical chain with a recursive CTE. Per-key state
+# is the user's event list — bounded by per-user cardinality; an unbounded
+# key would use the streaming stateful processor instead (stream_stateful).
+@query(
+    "events_throttle",
+    sql="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), keep(user_id, rn, tus, event_id) AS (
+        SELECT user_id, rn, tus, event_id FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.tus, e.event_id
+        FROM keep k JOIN ev e
+          ON e.user_id = k.user_id
+         AND e.rn = (SELECT MIN(e2.rn) FROM ev e2
+                     WHERE e2.user_id = k.user_id AND e2.rn > k.rn
+                       AND e2.tus - k.tus >= 1800000000)
+    )
+    SELECT user_id, event_id FROM keep
+    """,
+)
+def events_throttle(spark, sf_dir):
+    """Events surviving a per-user 30-minute greedy throttle (first event
+    kept, then each event >= 30 min after the last kept one)."""
+    ev = table(spark, sf_dir, "events")
+    lst = F.array_sort(
+        F.collect_list(
+            F.struct(F.unix_micros("ts").alias("tus"), F.col("event_id"))
+        )
+    )
+    kept = F.expr(
+        "aggregate(lst,"
+        " named_struct('last', CAST(NULL AS BIGINT),"
+        "              'ids', CAST(array() AS ARRAY<BIGINT>)),"
+        " (acc, e) -> IF(acc.last IS NULL OR e.tus - acc.last >= 1800000000,"
+        "   named_struct('last', e.tus,"
+        "                'ids', array_append(acc.ids, e.event_id)),"
+        "   acc),"
+        " acc -> acc.ids)"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(lst.alias("lst"))
+        .select("user_id", F.explode(kept).alias("event_id"))
+    )

@@ -1307,3 +1307,85 @@ def shuffle_shards(spark, sf_dir):
         (F.col("skey") % 16).alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
+
+
+# REAL WAV audio-metadata decode — widens the real-codec multimodal tier
+# (multimodal_decode_png) to audio: deterministic RIFF/WAV payloads are
+# synthesized per doc_id, parsed by the dependency-free header walker
+# (operators/multimodal.py::parse_wav_header), and the oracle recomputes
+# the rate/frames/duration formulas — the driver adjudicates the actual
+# parser. Rates are chosen so 1e6/rate is exact in binary (no rounding
+# divergence in duration_us).
+@query(
+    "multimodal_decode_wav",
+    sql="""
+    SELECT doc_id,
+           CAST(44 + (doc_id % 100 + 1) * 2 * (doc_id % 2 + 1) AS BIGINT)
+               AS n_bytes,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                WHEN 2 THEN 32000 ELSE 40000 END AS BIGINT)
+               AS sample_rate,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(doc_id % 100 + 1 AS BIGINT) AS n_frames,
+           ROUND((doc_id % 100 + 1) * 1000000.0
+                 / (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                    WHEN 2 THEN 32000 ELSE 40000 END), 6)
+               AS duration_us
+    FROM documents
+    """,
+)
+def multimodal_decode_wav(spark, sf_dir):
+    """Real WAV header decode over synthesized PCM payloads (rate/channels/
+    frames are known functions of doc_id)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        rates = [8000, 16000, 32000, 40000]
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                rate = rates[i % 4]
+                channels = i % 2 + 1
+                frames = i % 100 + 1
+                block = 2 * channels  # 16-bit PCM
+                data = b"\x00" * (frames * block)
+                fmt = struct.pack(
+                    "<HHIIHH", 1, channels, rate, rate * block, block, 16
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_wav = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_audio_meta(with_wav)
+
+
+# IVF + PQ composed (rows-only — both stages are iterative-float trained).
+# Completes the published billion-scale ANN stack: IVF bounds candidates,
+# PQ bounds bytes per candidate (operators/pq.py::ivfpq_topk).
+@query("similarity_ivfpq", sql=None)
+def similarity_ivfpq(spark, sf_dir):
+    """FAISS-IVFADC-shaped top-5: 16 coarse cells (nprobe=4) over 8x16 PQ
+    codes; candidate join carries only 8-byte codes."""
+    from corintick_spark.operators.clustering import kmeans_fit
+    from corintick_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit
+
+    e = table(spark, sf_dir, "embeddings")
+    cells = kmeans_fit(e, k=16, iters=5)
+    books = pq_fit(e, m=8, k=16, iters=3)
+    codes = pq_encode(e, books)
+    return ivfpq_topk(
+        e.filter(F.col("vec_id") < 10), e, cells, books, codes, k=5, nprobe=4
+    )

@@ -767,3 +767,83 @@ def test_operators_accept_empty_inputs(spark):
     assert minhash_lsh_pairs(docs).count() == 0
     assert connected_components(spark.createDataFrame([], "a_id long, b_id long")).count() == 0
     assert pagerank(spark.createDataFrame([], "src string, dst string, w double"), weight="w").count() == 0
+
+
+def test_wav_header_parse_and_decode(spark):
+    """Real WAV metadata decode: hand-built RIFF payloads parse exactly;
+    non-WAV bytes hit the honest stub or null-propagate per on_unknown."""
+    import struct
+
+    import pytest as _pytest
+
+    from corintick_spark.operators.multimodal import (
+        decode_audio_meta,
+        parse_wav_header,
+    )
+
+    def wav(rate, channels, frames, bits=16):
+        block = bits // 8 * channels
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", frames * block) + b"\x00" * (frames * block)
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert parse_wav_header(wav(44100, 2, 100)) == (44100, 2, 16, 100)
+    assert parse_wav_header(wav(8000, 1, 7, bits=8)) == (8000, 1, 8, 7)
+    assert parse_wav_header(None) is None
+    assert parse_wav_header(b"RIFFxxxx") is None
+    assert parse_wav_header(b"not audio at all") is None
+
+    df = spark.createDataFrame(
+        [(1, wav(16000, 1, 16000)), (2, None), (3, b"mp3-ish bytes")],
+        "doc_id long, payload binary",
+    )
+    ok = decode_audio_meta(df.filter("doc_id <= 2"), on_unknown="error").collect()
+    by_id = {r["doc_id"]: r for r in ok}
+    assert by_id[1]["sample_rate"] == 16000
+    assert by_id[1]["n_frames"] == 16000
+    assert by_id[1]["duration_us"] == 1_000_000.0
+    assert by_id[2]["sample_rate"] is None  # NULL payload null-propagates
+
+    with _pytest.raises(Exception) as ei:
+        decode_audio_meta(df, on_unknown="error").collect()
+    assert "NotImplementedError" in str(ei.value) or "libsndfile" in str(ei.value)
+
+    nulled = decode_audio_meta(df, on_unknown="null").collect()
+    assert {r["doc_id"]: r["sample_rate"] for r in nulled} == {
+        1: 16000, 2: None, 3: None
+    }
+
+
+def test_ivfpq_full_probe_equals_pq_scan(spark, sf_dir):
+    """Probing ALL cells makes IVFPQ candidate generation exhaustive, so the
+    result must equal the plain PQ ADC scan — pins the composition's
+    candidate-join + scoring against the already-differentialed pq_topk."""
+    import pyspark.sql.functions as F
+
+    from corintick_spark.operators.clustering import kmeans_fit
+    from corintick_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = kmeans_fit(e, k=4, iters=2)
+    books = pq_fit(e, m=8, k=16, iters=2)
+    codes = pq_encode(e, books)
+    probes = e.filter(F.col("vec_id") < 5)
+
+    full = ivfpq_topk(probes, e, cells, books, codes, k=5, nprobe=4)
+    plain = pq_topk(probes, codes, books, k=5)
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+    # and with a restrictive probe, results are a subset of some cells only
+    part = ivfpq_topk(probes, e, cells, books, codes, k=5, nprobe=1)
+    assert part.count() == 25
+    assert part.groupBy("q_id").count().agg(F.min("count")).first()[0] == 5

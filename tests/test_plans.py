@@ -214,3 +214,30 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_decontaminate_removal_is_broadcast_anti_join(spark, sf_dir):
+    """The contaminated-id set is tiny relative to the corpus; the removal
+    must be a broadcast anti-join so the corpus side is never shuffled."""
+    plan = plan_of(spark, sf_dir, "pipeline_decontaminate")
+    assert "LeftAnti" in plan, "removal is not an anti join"
+    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert any("BroadcastHashJoin" in l for l in anti_lines), (
+        "anti join not broadcast — corpus side would shuffle at scale"
+    )
+
+
+def test_shuffle_shards_never_single_partition(spark, sf_dir):
+    """The training-shuffle window must partition by shard (parallel), never
+    collapse to one global row_number partition."""
+    plan = plan_of(spark, sf_dir, "shuffle_shards")
+    assert "SinglePartition" not in plan, "global window collapsed to 1 partition"
+    assert plan.count("Window") >= 1
+
+
+def test_triangles_no_cartesian_and_degree_join_shape(spark, sf_dir):
+    """Triangle enumeration is equi-joins only — a CartesianProduct or
+    BroadcastNestedLoop here would explode on a real graph."""
+    plan = plan_of(spark, sf_dir, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
