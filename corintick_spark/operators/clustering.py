@@ -66,17 +66,17 @@ def kmeans_fit(
         cdf = spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
         )
-        assigned = (
+        # single pass per round: the assign agg carries _v through (it is
+        # constant per _id group), so no big-big rejoin against vecs;
+        # per-cell component means via positional explode (k*dim rows out)
+        comp = (
             vecs.crossJoin(F.broadcast(cdf))
             .withColumn("_d", _sq_dist("_v", "centroid"))
             .groupBy("_id")
             .agg(
                 F.min_by("cell", F.struct(F.col("_d"), F.col("cell"))).alias("cell"),
+                F.first("_v").alias("_v"),
             )
-        )
-        # per-cell component means via positional explode (k*dim rows out)
-        comp = (
-            vecs.join(assigned, "_id")
             .select("cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))

@@ -96,14 +96,16 @@ def pq_fit(
             [(j, c, v) for (j, c), v in sorted(books.items())],
             "j int, cell int, centroid array<double>",
         )
-        assigned = (
+        # single pass per round: the assign agg carries sv through (it is
+        # constant per (_id, j) group), so no big-big rejoin against subs
+        comp = (
             subs.join(F.broadcast(cdf), "j")
             .withColumn("_d", _sq("sv", "centroid"))
             .groupBy("_id", "j")
-            .agg(F.min_by("cell", F.struct("_d", "cell")).alias("cell"))
-        )
-        comp = (
-            subs.join(assigned, ["_id", "j"])
+            .agg(
+                F.min_by("cell", F.struct("_d", "cell")).alias("cell"),
+                F.first("sv").alias("sv"),
+            )
             .select("j", "cell", F.posexplode("sv").alias("pos", "x"))
             .groupBy("j", "cell", "pos")
             .agg(F.avg("x").alias("mu"))

@@ -335,3 +335,43 @@ def stream_join(spark, sf_dir):
         FF.min("v_id").cast("bigint").alias("first_view_id"),
         FF.max("v_id").cast("bigint").alias("last_view_id"),
     )
+
+
+# Cross-batch stateful throttle — the streaming twin of events_throttle.
+# A 4-batch CHRONOLOGICAL replay (events_stream_batched) drives the greedy
+# 30-min rate limit through the state store: the last-kept timestamp per
+# user survives micro-batch boundaries, so the appended output equals the
+# batch fold exactly — stream/batch parity is the oracle.
+@query(
+    "stream_throttle",
+    sql="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '1970-01-01'
+    ), keep(user_id, rn, tus, event_id) AS (
+        SELECT user_id, rn, tus, event_id FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.tus, e.event_id
+        FROM keep k JOIN ev e
+          ON e.user_id = k.user_id
+         AND e.rn = (SELECT MIN(e2.rn) FROM ev e2
+                     WHERE e2.user_id = k.user_id AND e2.rn > k.rn
+                       AND e2.tus - k.tus >= 1800000000)
+    )
+    SELECT user_id, event_id FROM keep
+    """,
+)
+def stream_throttle(spark, sf_dir):
+    """Greedy 30-min per-user rate limit as a cross-batch stateful
+    streaming operator (state = last kept timestamp)."""
+    from corintick_spark.streaming.events_stream import (
+        events_stream_batched,
+        run_append_to_memory,
+    )
+    from corintick_spark.streaming.stateful import throttle
+
+    src = events_stream_batched(spark, sf_dir, n_batches=4)
+    return run_append_to_memory(throttle(src), spark)

@@ -86,12 +86,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # event analytics
     "event_transitions", "event_durations",
 )
-# Round-5 rotation plan: keep the 10 canaries; the only still-never-driver-
-# verified queries after r04 are the 7 rows-only-by-nature entries
-# (agg_hll_sketch, agg_approx_quantile, udf_ewma, dedup_simhash,
-# similarity_lsh, cluster_kmeans, similarity_ivf) — schedule them for their
-# weaker rows-only driver check, and backfill the window with rotated-out
-# r01-r03 queries for re-confirmation.
+# Round-5 rotation plan: keep the 10 canaries; fill the first slots with
+# the never-driver-verified set after r04 —
+#   (a) the 8 oracle-paired queries added in the round-4 second session:
+#       graph_triangles, graph_clustering_coeff, corpus_mixture,
+#       pipeline_decontaminate, shuffle_shards, events_throttle,
+#       multimodal_decode_wav, stream_throttle;
+#   (b) the 9 rows-only-by-nature entries (agg_hll_sketch,
+#       agg_approx_quantile, udf_ewma, dedup_simhash, similarity_lsh,
+#       cluster_kmeans, similarity_ivf, similarity_pq, similarity_ivfpq)
+#       for their weaker rows-only driver check;
+# and backfill the remaining ~23 slots with rotated-out r01-r03 queries
+# for re-confirmation.
 
 
 def load_all() -> dict[str, Query]:

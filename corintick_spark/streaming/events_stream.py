@@ -202,3 +202,65 @@ def _run(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     # in the session, not the checkpoint — safe to drop the WAL now
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def events_stream_batched(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """events replayed as ``n_batches`` CHRONOLOGICAL micro-batches (time-
+    range splits, strictly increasing file mtimes, maxFilesPerTrigger=1) —
+    the replay for cross-batch stateful operators whose semantics must
+    equal the batch fold (e.g. stream_throttle): every row of batch i
+    precedes every row of batch i+1 in event time, so carrying per-key
+    state across batches reproduces the global per-key chronological scan.
+
+    Equal-ts rows never straddle a boundary (splits are half-open ts
+    ranges), and the epoch-floor contract applies before the boundaries
+    are computed (see _epoch_floor)."""
+    import shutil
+    import time
+
+    from corintick_spark.catalog import configure, normalize_event_time
+
+    configure(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw.dtypes)["ts"] != "bigint":
+        raw = raw.withColumn(
+            "ts",
+            F.expr("unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"),
+        )
+    raw = raw.filter(F.col("ts") >= 0)
+    head = raw.agg(F.min("ts"), F.max("ts")).first()
+    if head[0] is None:  # empty source -> single empty batch
+        bounds = []
+    else:
+        mn, mx = head
+        step = max(1, (mx - mn) // n_batches + 1)
+        bounds = [mn + i * step for i in range(1, n_batches)]
+    cuts = [None, *bounds, None]
+    batches = []
+    for i in range(len(cuts) - 1):
+        b = raw
+        if cuts[i] is not None:
+            b = b.filter(F.col("ts") >= F.lit(cuts[i]))
+        if cuts[i + 1] is not None:
+            b = b.filter(F.col("ts") < F.lit(cuts[i + 1]))
+        batches.append(b)
+
+    stage = tempfile.mkdtemp(prefix="events_batched_")
+    _cleanup_at_exit(stage)
+    t0 = time.time()
+    for i, b in enumerate(batches):
+        tmp = tempfile.mkdtemp(prefix="events_batched_w_")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return normalize_event_time(src)

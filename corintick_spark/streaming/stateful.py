@@ -82,3 +82,53 @@ def running_stats(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+THROTTLE_STATE_SCHEMA = "last_us long"
+THROTTLE_OUTPUT_SCHEMA = "user_id long, event_id long"
+
+
+def _throttle_batch(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Greedy per-key rate limit across micro-batches: keep an event iff
+    >= `gap` has passed since the last KEPT event (state = its timestamp).
+    With a chronological replay (events_stream_batched) the emitted set
+    equals the batch events_throttle fold exactly — the stream/batch
+    parity Structured Streaming promises. The per-row decision is a
+    sequential scan, so rows are folded in a tight loop over numpy arrays
+    (no vectorization exists for a chain recurrence)."""
+    gap = 1_800_000_000  # 30 min in µs
+    last = state.get[0] if state.exists else None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        yield pd.DataFrame({"user_id": [], "event_id": []}).astype("int64")
+        return
+    pdf = pd.concat(frames, ignore_index=True).sort_values(["ts_us", "event_id"])
+    kept = []
+    for tus, eid in zip(pdf["ts_us"].to_numpy(), pdf["event_id"].to_numpy()):
+        if last is None or tus - last >= gap:
+            kept.append(eid)
+            last = int(tus)
+    if last is not None:
+        state.update((last,))
+    yield pd.DataFrame(
+        {"user_id": [key[0]] * len(kept), "event_id": kept}, dtype="int64"
+    )
+
+
+def throttle(stream_df: DataFrame) -> DataFrame:
+    """Apply the greedy 30-min throttle state machine to an events stream
+    (expects user_id, event_id, ts)."""
+    import pyspark.sql.functions as F
+
+    prepared = stream_df.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _throttle_batch,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

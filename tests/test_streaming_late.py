@@ -55,3 +55,17 @@ def test_no_sentinel_leaks(spark, sf_dir):
     q = load_all()["stream_late_drop"]
     out = q.spark(spark, sf_dir)
     assert out.filter(F.col("event_type") == "__sentinel__").count() == 0
+
+
+def test_stream_throttle_equals_batch_fold(spark, sf_dir):
+    """Stream/batch parity: the cross-batch stateful throttle over the
+    4-batch chronological replay must emit exactly the batch greedy fold
+    (events_throttle) — pins that per-key state actually carries across
+    micro-batch boundaries."""
+    from corintick_spark.registry import load_all
+
+    qs = load_all()
+    got = sorted(map(tuple, qs["stream_throttle"].spark(spark, sf_dir).collect()))
+    want = sorted(map(tuple, qs["events_throttle"].spark(spark, sf_dir).collect()))
+    assert got == want
+    assert len(got) > 0
