@@ -1389,3 +1389,33 @@ def similarity_ivfpq(spark, sf_dir):
     return ivfpq_topk(
         e.filter(F.col("vec_id") < 10), e, cells, books, codes, k=5, nprobe=4
     )
+
+
+# Mergeable frequent-items sketch, deployed exactly (2-pass Misra-Gries:
+# per-partition capacity-200 summaries -> superset candidates -> exact
+# broadcast verification; operators/heavyhitters.py). Oracle-checkable
+# BECAUSE of the verification pass — the sketch bounds which items can be
+# heavy, the second pass makes their counts exact.
+@query(
+    "text_heavyhitters",
+    sql="""
+    WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+            AS item
+        FROM documents
+    )
+    SELECT item, COUNT(*) AS cnt
+    FROM w
+    GROUP BY item
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM w) / 200
+    """,
+)
+def text_heavyhitters(spark, sf_dir):
+    """Words with frequency > n/200 (exact counts) via per-partition
+    Misra-Gries candidates + broadcast verification — never a
+    full-vocabulary shuffle."""
+    from corintick_spark.operators.heavyhitters import heavy_hitters
+
+    d = table(spark, sf_dir, "documents")
+    words = D.tokenize(d).select(F.explode("words").alias("word"))
+    return heavy_hitters(words, "word", k=200)

@@ -69,3 +69,48 @@ def test_approx_quantile_tracks_exact(spark, sf_dir):
         assert lo1 - 1e-9 <= p50 <= hi1 + 1e-9, (k, p50, lo1, hi1)
         assert lo2 - 1e-9 <= p90 <= hi2 + 1e-9, (k, p90, lo2, hi2)
         assert lo3 - 1e-9 <= p99 <= hi3 + 1e-9, (k, p99, lo3, hi3)
+
+
+def test_misra_gries_exact_heavy_hitters(spark):
+    """2-pass MG must return EXACTLY the items with freq > n/k (superset
+    candidates + exact verification), on an adversarial distribution:
+    a few hot items drowned in a long unique tail."""
+    import pyspark.sql.functions as F
+
+    from corintick_spark.operators.heavyhitters import heavy_hitters
+
+    # 3 hot items (1200/800/600) + 8000 singletons + nulls; n=10600, k=100
+    # -> threshold 106: exactly {hot0, hot1, hot2} qualify
+    rows = (
+        [("hot0",)] * 1200
+        + [("hot1",)] * 800
+        + [("hot2",)] * 600
+        + [(f"u{i}",) for i in range(8000)]
+        + [(None,)] * 50
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(16)
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(df, "item", k=100).collect()
+    }
+    assert got == {("hot0", 1200), ("hot1", 800), ("hot2", 600)}
+
+    # differential vs plain groupBy on a borderline threshold (k=5000 ->
+    # threshold ~2.1: everything with cnt >= 3)
+    exact = {
+        (r["item"], r["cnt"])
+        for r in df.filter("item is not null")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 10600 / 5000)
+        .collect()
+    }
+    got2 = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(df, "item", k=5000).collect()
+    }
+    assert got2 == exact
+
+    # empty input
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, "item", k=10).count() == 0
