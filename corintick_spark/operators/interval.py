@@ -25,12 +25,18 @@ import pyspark.sql.functions as F
 
 
 def _bucketize(df: DataFrame, start: str, end: str, width_s: int, out: str) -> DataFrame:
+    # FLOOR, not cast (truncation toward zero): keeps buckets uniform across
+    # epoch 0 — correctness never depended on it (the residual filter is
+    # exact and bucket id is a pure function of time, so overlapping
+    # intervals always share a bucket), but floor avoids the double-width
+    # bucket straddling 1970 that truncation creates
+    w = width_s * 1_000_000
     return df.select(
         "*",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start)) / (width_s * 1_000_000)).cast("long"),
-                (F.unix_micros(F.col(end)) / (width_s * 1_000_000)).cast("long"),
+                F.floor(F.unix_micros(F.col(start)) / w).cast("long"),
+                F.floor(F.unix_micros(F.col(end)) / w).cast("long"),
             )
         ).alias(out),
     )

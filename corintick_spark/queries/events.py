@@ -367,3 +367,57 @@ def events_throttle(spark, sf_dir):
         .agg(lst.alias("lst"))
         .select("user_id", F.explode(kept).alias("event_id"))
     )
+
+
+# Point-in-interval temporal join through the range-bucketed rewrite
+# (operators/interval.py) — the first ORACLE-adjudicated exercise of that
+# operator (previously unit/plan-tested only). Global maintenance windows
+# (every 7th hourly slot of the observed span, derived in-plan from the
+# events min/max) have NO equi key against events, so a naive overlap join
+# is a nested-loop — the rewrite makes it an equi-join on the hour bucket
+# with an exact residual filter. Windows are disjoint, so each event
+# matches at most once and the oracle is a plain BETWEEN join.
+@query(
+    "join_interval_point",
+    sql="""
+    WITH bounds AS (
+        SELECT CAST(FLOOR(epoch_us(MIN(ts)) / 3600000000.0) AS BIGINT) AS s0,
+               CAST(FLOOR(epoch_us(MAX(ts)) / 3600000000.0) AS BIGINT) AS s1
+        FROM events
+    ), slots AS (
+        SELECT make_timestamp(s * 3600000000) AS w_start,
+               make_timestamp(s * 3600000000 + 3599999999) AS w_end
+        FROM bounds, UNNEST(range(s0, s1 + 1)) t(s)
+        WHERE s % 7 = 0
+    )
+    SELECT e.event_id, e.user_id, e.ts, s.w_start
+    FROM events e JOIN slots s ON e.ts BETWEEN s.w_start AND s.w_end
+    """,
+)
+def join_interval_point(spark, sf_dir):
+    """Events falling inside any maintenance window (every 7th hourly slot),
+    joined via the range-bucketed interval join."""
+    from corintick_spark.operators.interval import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.floor(F.unix_micros(F.min("ts")) / 3_600_000_000).cast("bigint").alias("s0"),
+        F.floor(F.unix_micros(F.max("ts")) / 3_600_000_000).cast("bigint").alias("s1"),
+    )
+    slots = (
+        b.select(F.explode(F.sequence("s0", "s1")).alias("s"))
+        .filter(F.col("s") % 7 == 0)
+        .select(
+            F.timestamp_micros(F.col("s") * 3_600_000_000).alias("w_start"),
+            F.timestamp_micros(F.col("s") * 3_600_000_000 + 3_599_999_999).alias(
+                "w_end"
+            ),
+        )
+    )
+    pts = ev.select(
+        "event_id", "user_id", "ts", F.col("ts").alias("_ts2")
+    )
+    joined = interval_overlap_join(
+        pts, slots, "ts", "_ts2", "w_start", "w_end", bucket_width_s=3600
+    )
+    return joined.select("event_id", "user_id", "ts", "w_start")

@@ -592,3 +592,40 @@ def window_winsorize(spark, sf_dir):
             F.round(clip, 6).alias("clipped"),
         )
     )
+
+
+# Deterministic fixed-k sample PER GROUP — the "k examples per class"
+# sampler (eval-set building, per-language inspection). Same portable
+# Knuth-hash ordering as sample_fixed_k, but ranked within each group: a
+# parallel window partitioned by the group key, never a global sort. At
+# scale Spark plans WindowGroupLimit (rank pushdown) so only k rows per
+# group survive the exchange.
+@query(
+    "sample_per_group",
+    sql="""
+    SELECT doc_id, lang, source, rk
+    FROM (
+        SELECT doc_id, lang, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    )
+    WHERE rk <= 10
+    """,
+)
+def sample_per_group(spark, sf_dir):
+    """10 hash-selected docs per language (reproducible per-class sample)."""
+    d = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+    )

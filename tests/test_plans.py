@@ -241,3 +241,18 @@ def test_triangles_no_cartesian_and_degree_join_shape(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_point_join_is_bucketed_equi(spark, sf_dir):
+    """The no-equi-key temporal join must plan as the bucketed equi-join
+    (hash join on the hour bucket), never a nested loop over all pairs."""
+    plan = plan_of(spark, sf_dir, "join_interval_point")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_per_group_rank_pushdown(spark, sf_dir):
+    """Per-group fixed-k sampling must push the rank limit below the window
+    (WindowGroupLimit) so only k rows per group survive the exchange."""
+    plan = plan_of(spark, sf_dir, "sample_per_group")
+    assert "WindowGroupLimit" in plan
