@@ -629,3 +629,139 @@ def sample_per_group(spark, sf_dir):
         )
         .filter(F.col("rk") <= 10)
     )
+
+
+# Context packing WITH document splitting — the real training packer:
+# a doc whose tokens cross a 4096 boundary contributes a fragment to each
+# window it spans (pack_sequences only assigns whole docs to the bin where
+# they start). Fully declarative despite the "sequential" feel: the
+# exclusive prefix sum fixes each doc's global token interval, and the
+# fragment set is just that interval exploded over the windows it
+# intersects — one window pass + one explode, no fold. Fragment sizes are
+# interval intersections (pure integer arithmetic, identical in both
+# engines).
+@query(
+    "pack_fragments",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, source,
+               COALESCE(len(list_filter(string_split(text, ' '),
+                                        x -> x != '')), 0) AS n
+        FROM documents
+    ), p AS (
+        SELECT doc_id, source, n,
+               COALESCE(SUM(n) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+        FROM t
+    ), f AS (
+        SELECT doc_id, source, n, prefix,
+               CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS b0,
+               CAST(FLOOR((prefix + n - 1) / 4096.0) AS BIGINT) AS b1
+        FROM p WHERE n > 0
+    )
+    SELECT source, doc_id, b AS bin_id,
+           CAST(b - b0 AS BIGINT) AS frag_idx,
+           CAST(LEAST(prefix + n, (b + 1) * 4096)
+                - GREATEST(prefix, b * 4096) AS BIGINT) AS frag_tokens
+    FROM f, UNNEST(range(b0, b1 + 1)) u(b)
+    """,
+)
+def pack_fragments(spark, sf_dir):
+    """4096-token context packing with cross-boundary document splitting:
+    one fragment row per (doc, spanned window)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')")), F.lit(0)
+        ).alias("n"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = t.withColumn("prefix", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    f = (
+        p.filter(F.col("n") > 0)
+        .withColumn("b0", F.floor(F.col("prefix") / 4096.0).cast("bigint"))
+        .withColumn(
+            "b1", F.floor((F.col("prefix") + F.col("n") - 1) / 4096.0).cast("bigint")
+        )
+    )
+    frag_tokens = F.least(
+        F.col("prefix") + F.col("n"), (F.col("b") + 1) * 4096
+    ) - F.greatest(F.col("prefix"), F.col("b") * 4096)
+    return (
+        f.select(
+            "source", "doc_id", "prefix", "n", "b0",
+            F.explode(F.sequence("b0", "b1")).alias("b"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.col("b").alias("bin_id"),
+            (F.col("b") - F.col("b0")).cast("bigint").alias("frag_idx"),
+            frag_tokens.cast("bigint").alias("frag_tokens"),
+        )
+    )
+
+
+# Numeric table profiler — the ANALYZE/data-quality pass every pipeline
+# runs before training: null share, exact distinct count, min/max, exact
+# scaled-long totals, per numeric column. One stack() explode (JVM
+# generator, no Python) melts the columns, then a single partial-aggregated
+# shuffle keyed by column name — |columns| output rows regardless of table
+# size. The oracle is the literal per-column UNION ALL.
+@query(
+    "profile_numeric",
+    sql="""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n, COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS ndv,
+           MIN(l_quantity) AS vmin, MAX(l_quantity) AS vmax,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount),
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(l_tax),
+           COUNT(DISTINCT l_tax),
+           MIN(l_tax), MAX(l_tax),
+           CAST(SUM(CAST(round(l_tax * 100) AS BIGINT)) AS DOUBLE) / 100
+    FROM lineitem
+    """,
+)
+def profile_numeric(spark, sf_dir):
+    """Per-column numeric profile of lineitem (null share, exact NDV,
+    min/max, exact total) in one stacked pass."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    stacked = li.select(
+        F.expr(
+            "stack(4, " + ", ".join(f"'{c}', {c}" for c in cols) + ") AS (col, v)"
+        )
+    )
+    return stacked.groupBy("col").agg(
+        F.count("*").alias("n"),
+        F.count("v").alias("n_nonnull"),
+        F.countDistinct("v").alias("ndv"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        (F.sum(F.round(F.col("v") * 100).cast("bigint")).cast("double") / 100).alias(
+            "total"
+        ),
+    )
