@@ -1419,3 +1419,60 @@ def text_heavyhitters(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     words = D.tokenize(d).select(F.explode("words").alias("word"))
     return heavy_hitters(words, "word", k=200)
+
+
+# Unigram-LM perplexity scoring — the CCNet-style quality filter: docs
+# whose tokens are improbable under the corpus language model score high
+# (gibberish/noise), low scores mean stereotypical text. avg_nll =
+# log2(N) - mean(log2 cnt(w)) per doc. The per-word log terms go through
+# the scaled-long trick (round(log2(cnt)*1e6) summed as BIGINT), which
+# makes the sum order-independent AND washes out last-ulp log differences
+# between engines; the q6 floor quantizes the final float (agg_entropy
+# technique). Two shuffles at scale: vocab counts (keyed by word) and the
+# tok⋈vocab equi-join — the LM is derived and joined in-plan, never
+# driver-held.
+@query(
+    "text_perplexity",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM tok
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           FLOOR((log2((SELECT n FROM tot))
+                  - CAST(SUM(CAST(round(log2(v.cnt) * 1000000) AS BIGINT))
+                         AS DOUBLE) / 1000000 / COUNT(*)) * 1000000) / 1000000
+               AS avg_nll
+    FROM tok t JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def text_perplexity(spark, sf_dir):
+    """Per-doc average negative log2-likelihood under the corpus unigram
+    LM (in-plan derived)."""
+    from corintick_spark.exact import q6
+
+    d = table(spark, sf_dir, "documents")
+    tok = D.tokenize(d).select("doc_id", F.explode("words").alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("n"))
+    s = (
+        F.sum(F.round(F.log2("cnt") * 1_000_000).cast("bigint")).cast("double")
+        / 1_000_000
+    )
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "n")
+        .agg(F.count("*").alias("n_tokens"), s.alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            q6(F.log2("n") - F.col("s") / F.col("n_tokens")).alias("avg_nll"),
+        )
+    )
