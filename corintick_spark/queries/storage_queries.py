@@ -251,3 +251,53 @@ def join_bucketed(spark, sf_dir):
             (F.sum(F.round(F.col("l_extendedprice") * 1_000_000).cast("bigint")).cast("double") / 1_000_000).alias("total_price"),
         )
     )
+
+
+# Custom Python STREAMING data source (PySpark 4 SimpleDataSourceStreamReader)
+# — the streaming twin of source_python_ds: the tick generator replayed as
+# 5 offset-tracked micro-batches (1000 rows each) through a complete-mode
+# aggregation. Offsets are row indices; readBetweenOffsets makes any batch
+# range replayable for exactly-once recovery; the exhausted source stops
+# advancing its offset, which is what lets processAllAvailable() terminate.
+@query(
+    "source_python_stream",
+    sql=f"""
+    WITH t AS (
+        SELECT i % 50 AS uid,
+               ((i * 2654435761) % 1000003) / 1000.0 AS value
+        FROM range(5000) r(i)
+    )
+    SELECT uid, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_value
+    FROM t GROUP BY uid
+    """,
+)
+def source_python_stream(spark, sf_dir):
+    """Python streaming DataSource: 5 offset-tracked micro-batches of the
+    deterministic tick generator, aggregated in complete mode."""
+    from corintick_spark.sources.tick_source import make_stream_datasource
+    from corintick_spark.streaming.events_stream import run_processall_to_memory
+
+    # closure-built class: pickles BY VALUE into the driver-side streaming
+    # source runner, which (unlike executor workers) never sees addPyFile
+    try:
+        spark.dataSource.register(make_stream_datasource())
+    except Exception as e:
+        msg = str(e).lower()
+        if not ("already" in msg and ("exist" in msg or "register" in msg)):
+            raise
+    src = (
+        spark.readStream.format("pyticks_stream")
+        .option("rows", 5000)
+        .option("batchRows", 1000)
+        .load()
+    )
+    agg = src.groupBy("uid").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double")
+            / 1_000_000
+        ).alias("total_value"),
+    )
+    return run_processall_to_memory(agg, spark)

@@ -264,3 +264,28 @@ def events_stream_batched(
         .parquet(stage)
     )
     return normalize_event_time(src)
+
+
+def run_processall_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run a stream whose SOURCE exhausts itself (offset stops advancing) to
+    quiescence: processAllAvailable() blocks until no new data, then the
+    query stops. The termination idiom for custom Python streaming sources,
+    where Trigger.AvailableNow's end-offset snapshot is not supported."""
+    import shutil
+
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_ckpt_base())
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, name))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
