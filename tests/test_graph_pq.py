@@ -163,3 +163,37 @@ def test_pq_empty_inputs(spark):
     codes = pq_encode(emp, books)
     assert codes.count() == 0
     assert pq_topk(emp, codes, books).count() == 0
+
+
+def test_ann_index_lifecycle(spark, sf_dir, tmp_path):
+    """build -> save -> load (fresh handle, no embeddings) -> search must
+    equal searching the in-memory index, and the persisted codes table must
+    be partitioned by cell (the inverted-list pruning layout)."""
+    import os
+
+    from corintick_spark.operators.ann_index import AnnIndex
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = AnnIndex.build(e, cells=8, m=8, k=16, cell_iters=2, pq_iters=2)
+    probes = e.filter(F.col("vec_id") < 5)
+    direct = sorted(map(tuple, idx.search(probes, topk=5, nprobe=8).collect()))
+
+    path = str(tmp_path / "annidx")
+    idx.save(path)
+    assert os.path.exists(os.path.join(path, "manifest.json"))
+    # partitioned-by-cell layout => cell=N subdirectories
+    cell_dirs = [d for d in os.listdir(os.path.join(path, "codes")) if d.startswith("cell=")]
+    assert len(cell_dirs) > 1
+
+    idx2 = AnnIndex.load(spark, path)
+    loaded = sorted(map(tuple, idx2.search(probes, topk=5, nprobe=8).collect()))
+    assert loaded == direct
+    assert len(loaded) == 25
+
+    # nprobe=all equals the plain PQ ADC scan over the same artifacts
+    from corintick_spark.operators.pq import pq_topk
+
+    plain = sorted(
+        map(tuple, pq_topk(probes, idx2.codes, idx2.codebooks, k=5).collect())
+    )
+    assert loaded == plain
