@@ -382,6 +382,67 @@ class TickStore:
             if f.endswith(".parquet")
         )
 
+    def vacuum(self, before) -> int:
+        """Retention pass: drop all rows with ``ts`` date earlier than
+        ``before`` (a date / 'YYYY-MM-DD' string). Two execution paths:
+
+        - **date-partitioned store** (``partition_by_date=True``): expired
+          data is whole ``_date=...`` directories — removed with pure file
+          operations, NO data rewrite. This is the 100 TB path: retention
+          on a properly partitioned store is a metadata operation (the
+          same shape as dropping table-format partitions).
+        - otherwise: filter-and-rewrite via the compact() swap pattern —
+          correct everywhere, but rewrites the surviving data; the
+          docstring contract tells users to date-partition stores that
+          need retention.
+
+        Returns the number of partition directories (date path) or files
+        (rewrite path) removed.
+        """
+        import shutil
+        from datetime import date as _date
+
+        cutoff = before if isinstance(before, _date) else _date.fromisoformat(str(before))
+        data_dir = self._data_dir()
+        if self.partition_by_date:
+            removed = 0
+            for root, dirs, _ in os.walk(data_dir):
+                for d in list(dirs):
+                    if not d.startswith("_date="):
+                        continue
+                    try:
+                        part_date = _date.fromisoformat(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if part_date < cutoff:
+                        shutil.rmtree(os.path.join(root, d))
+                        removed += 1
+            return removed
+        before_files = sum(
+            1 for r, _, fs in os.walk(data_dir) for f in fs if f.endswith(".parquet")
+        )
+        tmp_dir = data_dir + ".vacuum_tmp"
+        old_dir = data_dir + ".vacuum_old"
+        kept, part_cols = self._partitioned(
+            self.read(merge_schema=True).filter(
+                F.col(self.ts_col).cast("date") >= F.lit(cutoff.isoformat()).cast("date")
+            )
+        )
+        (
+            kept.repartition(*[F.col(c) for c in part_cols])
+            .sortWithinPartitions(self.ts_col)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp_dir)
+        )
+        os.rename(data_dir, old_dir)
+        os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir)
+        after_files = sum(
+            1 for r, _, fs in os.walk(data_dir) for f in fs if f.endswith(".parquet")
+        )
+        return max(0, before_files - after_files)
+
     # -- helpers -------------------------------------------------------------
     def _data_dir(self) -> str:
         return os.path.join(self.root, "data")

@@ -847,3 +847,54 @@ def test_ivfpq_full_probe_equals_pq_scan(spark, sf_dir):
     part = ivfpq_topk(probes, e, cells, books, codes, k=5, nprobe=1)
     assert part.count() == 25
     assert part.groupBy("q_id").count().agg(F.min("count")).first()[0] == 5
+
+
+def test_tickstore_vacuum_both_paths(spark, sf_dir, tmp_path):
+    """Retention: the date-partitioned store drops expired data with pure
+    directory removal (no rewrite); the plain store rewrites-and-swaps.
+    Both must keep exactly the rows at/after the cutoff."""
+    from corintick_spark.catalog import table
+    from corintick_spark.storage import TickStore
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid"), "ts", "value"
+    )
+    cutoff = "2024-01-10"
+    expect = ev.filter(F.col("ts").cast("date") >= F.lit(cutoff).cast("date")).count()
+    assert 0 < expect < ev.count()  # cutoff actually splits the data
+
+    dated = TickStore(spark, str(tmp_path / "vac_dated"), partition_by_date=True)
+    dated.write(ev, mode="overwrite")
+    removed = dated.vacuum(cutoff)
+    assert removed > 0  # whole partition dirs dropped, no rewrite
+    assert dated.read().count() == expect
+
+    plain = TickStore(spark, str(tmp_path / "vac_plain"))
+    plain.write(ev, mode="overwrite")
+    plain.vacuum(cutoff)
+    assert plain.read().count() == expect
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """Observation metrics must agree with independently computed counts and
+    come from the SAME job as the action (no extra scans)."""
+    from corintick_spark.operators.observe import instrument_quality_filter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out, obs_in, obs_kept = instrument_quality_filter(d)
+
+    n_result = out.count()  # ONE action
+    m_in, m_kept = obs_in.get, obs_kept.get
+
+    assert m_in["n_in"] == d.count()
+    assert m_kept["n_kept"] == n_result
+    # telemetry is consistent with a direct computation of the filter
+    from corintick_spark.operators.text import quality_features
+    import pyspark.sql.functions as FF
+
+    direct = quality_features(d).filter(
+        (FF.col("n_words") >= 10) & (FF.col("quality_score") >= 0.4)
+    )
+    assert m_kept["n_kept"] == direct.count()
+    assert m_kept["kept_words"] == direct.agg(FF.sum("n_words")).first()[0]
+    assert m_in["n_null_text"] == d.filter("text is null").count()
