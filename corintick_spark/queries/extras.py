@@ -765,3 +765,72 @@ def profile_numeric(spark, sf_dir):
             "total"
         ),
     )
+
+
+# Gini coefficient per event type over per-user value mass — the
+# inequality/imbalance metric (is one user dominating the stream? is a
+# source dominating the corpus?). Sorted-rank formula
+# G = 2*Σ(i·x_i)/(n·Σx) - (n+1)/n over ascending (x, user_id) ranks; both
+# Σ terms go through scaled-long integers so the only floats are the
+# final identical expressions. One exchange for the per-user sums, one
+# rank window, one aggregation.
+@query(
+    "agg_gini",
+    sql="""
+    WITH s AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000 AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, user_id
+    ), r AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, user_id) AS i
+        FROM s
+    ), g AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000 AS sx,
+               CAST(SUM(i * CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000 AS six
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(2 * six / NULLIF(n * sx, 0) - (n + 1.0) / n, 6) AS gini
+    FROM g
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of per-user value mass within each event type."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.groupBy("event_type", "user_id").agg(
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast("double")
+            / 1_000_000
+        ).alias("x")
+    )
+    r = s.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("x", "user_id"))
+        .alias("i"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("x") * 1_000_000).cast("bigint")).cast("double")
+            / 1_000_000
+        ).alias("sx"),
+        (
+            F.sum(F.col("i") * F.round(F.col("x") * 1_000_000).cast("bigint")).cast(
+                "double"
+            )
+            / 1_000_000
+        ).alias("six"),
+    )
+    gini = 2 * F.col("six") / F.nullif(F.col("n") * F.col("sx"), F.lit(0.0)) - (
+        F.col("n") + 1.0
+    ) / F.col("n")
+    return g.select("event_type", "n", F.round(gini, 6).alias("gini"))

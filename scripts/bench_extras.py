@@ -26,6 +26,15 @@ EXTRAS = [
     "sample_fixed_k",
     "ml_linear_score",
     "graph_pagerank",
+    # round-4 second-session additions
+    "graph_triangles",
+    "corpus_mixture",
+    "pipeline_decontaminate",
+    "events_throttle",
+    "text_heavyhitters",
+    "text_perplexity",
+    "pack_fragments",
+    "similarity_pq",
 ]
 
 

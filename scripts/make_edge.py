@@ -117,6 +117,15 @@ def main() -> None:
         # the utf-8 byte payloads must agree across engines
         (9010, "数据处理引擎 très bien 🚀🚀 naïve café", "zh", "edge", 23),
         (9011, "étude résumé (combining accents)", "fr", "edge", 30),
+        # giant document: ~20k tokens over a 997-word vocabulary — the
+        # long-tail doc a 100 TB crawl always contains; stresses shingle
+        # explosion (contamination/boilerplate 5-grams), prefix-sum packing
+        # (spans many 4096-token windows), perplexity joins, heavy hitters
+        (9012, " ".join(f"w{i % 997}tok{i % 31}" for i in range(20_000)), "en", "edge", 0),
+        # pathological repetition at scale: ONE word 30k times — a single
+        # n/1 vocabulary entry (heavy-hitter magnet, zero-entropy LM doc,
+        # constant shingles)
+        (9013, "spam " * 30_000, "en", "edge", 0),
     ]
     d = pd.concat(
         [d, pd.DataFrame(edge_docs, columns=["doc_id", "text", "lang", "source", "n_chars"])],
