@@ -28,6 +28,14 @@ NOTES = {
     "join_asof_tolerance": "identical single-shuffle union+window plan as join_asof; the staleness bound is a projection-level null-out, not a second join.",
     "dedup_incremental": "new-batch signatures checkpointed once; corpus side reads ONLY the signature table (no text column in any FileScan — pinned by tests/test_operators.py); candidates meet in a (band_id, band_hash) hash join.",
     "resample_ffill": "grid rows are sequence()+explode from per-key bounds (no driver loop); ONE window pass carries the last tick struct onto grid rows — a NULL-valued tick correctly fills NULL.",
+    "graph_triangles": "equi-joins only (edge derivation: one fact-fact shuffle + broadcast dims; wedge + closing joins on node keys) — no CartesianProduct/BNLJ anywhere; degree orientation bounds wedge fan-out to the low-degree endpoint.",
+    "pipeline_decontaminate": "the removal is a BroadcastHashJoin LeftAnti against the tiny contaminated-id set — the corpus is never shuffled to be cleaned.",
+    "join_interval_point": "no equi key exists, yet the plan is a hash join: intervals exploded to hour buckets, equi-join on bucket, exact residual filter — the BNLJ a naive overlap join would plan never appears.",
+    "shuffle_shards": "the training permutation is windowed PER SHARD (hash partition) — no SinglePartition global row_number; each shard is one writer task at scale.",
+    "text_heavyhitters": "per-partition Misra-Gries summaries (mapInPandas) emit <= k rows each; the exact verification is a broadcast semi-join + partial-aggregated count — the full vocabulary never crosses an exchange.",
+    "sample_per_group": "WindowGroupLimit pushes the rank<=k bound below the window, so only k rows per group survive the exchange.",
+    "pack_fragments": "one exchange on source feeds the prefix-sum window; fragments are a sequence()+explode over each doc's token interval — splitting needs no sequential fold.",
+    "profile_numeric": "stack() melts 4 columns inside the scan's stage; ONE partial+final aggregation keyed by column name — |columns| rows out regardless of table size.",
 }
 
 
