@@ -366,3 +366,68 @@ def scalar_pad(spark, sf_dir):
         F.repeat(F.lit("-"), (F.col("n_nationkey") % 5).cast("int")).alias("dashes"),
         F.translate("n_name", "_", " ").alias("name_spaced"),
     )
+
+
+# Timezone conversion — the exchange-local-time operation tick data needs
+# (naive wall time in a named zone -> absolute UTC instant, DST-aware).
+# Engine-parity notes:
+# - results compare as ABSOLUTE epoch microseconds (Spark
+#   unix_micros(to_utc_timestamp(ts, tz)) == DuckDB
+#   epoch_us(timezone(tz, ts))) — a TIMESTAMPTZ->naive cast would depend
+#   on the oracle session's TZ setting;
+# - local times WITHOUT a unique interpretation are excluded by contract:
+#   at the fall-back overlap Spark (JSR-310) resolves to the EARLIER
+#   offset and ICU to the LATER one (found by the edge dataset's
+#   2024-11-03 01:30 America/New_York row), and nonexistent spring-forward
+#   times are shifted engine-specifically. The uniqueness predicate is the
+#   portable roundtrip pair below: ts is kept iff converting back yields
+#   ts and neither utc±1h does (i.e. exactly one valid offset).
+# The derived offset column makes the DST transition visible (-240 summer
+# / -300 winter for New York).
+@query(
+    "scalar_timezone",
+    sql="""
+    WITH conv AS (
+        SELECT event_id, ts,
+               timezone('America/New_York', ts) AS ny_utc,
+               timezone('Asia/Tokyo', ts) AS tokyo_utc
+        FROM events
+    )
+    SELECT event_id, ts,
+           CAST(epoch_us(ny_utc) AS BIGINT) AS ny_utc_us,
+           CAST(epoch_us(tokyo_utc) AS BIGINT) AS tokyo_utc_us,
+           CAST((epoch_us(ts) - epoch_us(ny_utc)) / 60000000 AS BIGINT)
+               AS ny_offset_min
+    FROM conv
+    WHERE timezone('America/New_York', ny_utc) = ts
+      AND timezone('America/New_York', ny_utc + INTERVAL 1 HOUR) <> ts
+      AND timezone('America/New_York', ny_utc - INTERVAL 1 HOUR) <> ts
+    """,
+)
+def scalar_timezone(spark, sf_dir):
+    """Events' wall time interpreted as New York / Tokyo local, as absolute
+    UTC epoch micros + the DST-aware NY offset; ambiguous/nonexistent
+    local instants excluded (unique-interpretation contract)."""
+    ev = table(spark, sf_dir, "events")
+    z = "America/New_York"
+    ny = F.to_utc_timestamp("ts", z)
+    back = F.from_utc_timestamp(ny, z)
+    back_p1 = F.from_utc_timestamp(ny + F.expr("INTERVAL 1 HOUR"), z)
+    back_m1 = F.from_utc_timestamp(ny - F.expr("INTERVAL 1 HOUR"), z)
+    tokyo = F.unix_micros(F.to_utc_timestamp("ts", "Asia/Tokyo"))
+    return (
+        ev.filter(
+            (back == F.col("ts"))
+            & (back_p1 != F.col("ts"))
+            & (back_m1 != F.col("ts"))
+        )
+        .select(
+            "event_id",
+            "ts",
+            F.unix_micros(ny).alias("ny_utc_us"),
+            tokyo.alias("tokyo_utc_us"),
+            ((F.unix_micros("ts") - F.unix_micros(ny)) / 60_000_000)
+            .cast("bigint")
+            .alias("ny_offset_min"),
+        )
+    )
