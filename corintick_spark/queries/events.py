@@ -421,3 +421,54 @@ def join_interval_point(spark, sf_dir):
         pts, slots, "ts", "_ts2", "w_start", "w_end", bucket_width_s=3600
     )
     return joined.select("event_id", "user_id", "ts", "w_start")
+
+
+# Time-to-convert distribution — funnel_conversion's temporal complement:
+# how long from a user's first view to their first subsequent purchase.
+# Per-user anchors are two tiny aggregates; durations are integer
+# microseconds; percentiles are exact interpolated (agg_percentile
+# rationale: oracle-checkable; at 100 TB swap in approx_percentile).
+@query(
+    "events_funnel_time",
+    sql="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id,
+               MIN(epoch_us(e.ts) - epoch_us(v.t0)) AS dur_us
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+        GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(dur_us, 0.5), 4) AS p50_us,
+           ROUND(quantile_cont(dur_us, 0.9), 4) AS p90_us,
+           CAST(MAX(dur_us) AS BIGINT) AS max_us
+    FROM p
+    """,
+)
+def events_funnel_time(spark, sf_dir):
+    """First-view -> first-purchase latency: converted-user count and exact
+    p50/p90/max in integer microseconds."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("t0")).alias("dur_us")
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(dur_us, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(dur_us, 0.9)"), 4).alias("p90_us"),
+        F.max("dur_us").cast("bigint").alias("max_us"),
+    )

@@ -150,3 +150,78 @@ def graph_clustering_coeff(spark, sf_dir):
             "node", "degree", "n_triangles", F.round(coeff, 6).alias("coeff")
         )
     )
+
+
+# Common-neighbor link prediction — "which non-adjacent nation pairs trade
+# with the same partners?" Candidate pairs come from a self-join of the
+# adjacency list ON THE SHARED NEIGHBOR (equi-join; never all-pairs), the
+# existing-edge exclusion is an anti-join, and the Jaccard denominator
+# uses |N(a)|+|N(b)|-common from precomputed degrees — three node-keyed
+# shuffles total, the standard you-may-also-trade-with shape.
+@query(
+    "graph_link_predict",
+    sql="""
+    WITH e0 AS (
+        SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ), e AS (
+        SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0
+    ), adj AS (
+        SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM adj GROUP BY node
+    ), cand AS (
+        SELECT x.node AS a, y.node AS b, COUNT(*) AS common
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        GROUP BY x.node, y.node
+    ), nonedge AS (
+        SELECT c.a, c.b, c.common FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)
+    )
+    SELECT n.a, n.b, n.common,
+           ROUND(CAST(n.common AS DOUBLE)
+                 / (da.d + db.d - n.common), 6) AS jaccard
+    FROM nonedge n
+    JOIN deg da ON da.node = n.a
+    JOIN deg db ON db.node = n.b
+    """,
+)
+def graph_link_predict(spark, sf_dir):
+    """Common-neighbor / Jaccard scores for non-adjacent nation pairs."""
+    edges = _trade_edges(spark, sf_dir)
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("node").alias("a"), "nbr")
+    y = adj.select(F.col("node").alias("b"), "nbr")
+    cand = (
+        x.join(y, "nbr")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    nonedge = cand.join(
+        e, (cand.a == e.u) & (cand.b == e.v), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    jac = F.col("common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("common")
+    )
+    return (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select("a", "b", "common", F.round(jac, 6).alias("jaccard"))
+    )
