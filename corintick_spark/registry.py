@@ -88,16 +88,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 # Round-5 rotation plan: keep the 10 canaries; fill the first slots with
 # the never-driver-verified set after r04 —
-#   (a) the 8 oracle-paired queries added in the round-4 second session:
-#       graph_triangles, graph_clustering_coeff, corpus_mixture,
-#       pipeline_decontaminate, shuffle_shards, events_throttle,
-#       multimodal_decode_wav, stream_throttle;
-#   (b) the 9 rows-only-by-nature entries (agg_hll_sketch,
+#   (a) ALL oracle-paired queries added in the round-4 second session
+#       (registered after the window, so the r04 driver never saw them):
+#       graph_triangles, graph_clustering_coeff, graph_link_predict,
+#       corpus_mixture, pipeline_decontaminate, shuffle_shards,
+#       events_throttle, stream_throttle, multimodal_decode_wav,
+#       text_heavyhitters, text_perplexity, join_interval_point,
+#       sample_per_group, pack_fragments, profile_numeric,
+#       source_python_stream, agg_gini, scalar_timezone,
+#       events_funnel_time;
+#   (b) the rows-only-by-nature entries (agg_hll_sketch,
 #       agg_approx_quantile, udf_ewma, dedup_simhash, similarity_lsh,
-#       cluster_kmeans, similarity_ivf, similarity_pq, similarity_ivfpq)
-#       for their weaker rows-only driver check;
-# and backfill the remaining ~23 slots with rotated-out r01-r03 queries
-# for re-confirmation.
+#       cluster_kmeans, similarity_ivf, dedup_incremental, similarity_pq,
+#       similarity_ivfpq) for their weaker rows-only driver check;
+# and backfill any remaining slots with rotated-out r01-r03 queries for
+# re-confirmation. (a) alone is 19 — with the canaries that fills 29 of
+# 50; schedule (b)'s 10 next, leaving ~11 backfills.
 
 
 def load_all() -> dict[str, Query]:
