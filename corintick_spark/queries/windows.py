@@ -698,3 +698,84 @@ def window_pct_change(spark, sf_dir):
             "pct_change"
         ),
     )
+
+
+# Rolling correlation — the pairs-trading / regime-detection staple:
+# Pearson corr of (value, previous value) over a trailing 20-pair frame
+# per user. Same engine-parity recipe as agg_corr, but the five moment
+# sums are WINDOWED scaled-long sums over the identical frame, so every
+# per-row correlation is a pure expression over exact integers — one
+# (user_id) exchange, one sort, five frame aggregates sharing the window.
+@query(
+    "window_rolling_corr",
+    sql="""
+    WITH lagged AS (
+        SELECT event_id, user_id, ts, value AS x,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS y
+        FROM events WHERE value IS NOT NULL
+    ), p AS (
+        SELECT * FROM lagged WHERE y IS NOT NULL
+    ), m AS (
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000 AS sx,
+               CAST(SUM(CAST(round(y * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000 AS sy,
+               CAST(SUM(CAST(round(x * x * 1000) AS BIGINT)) OVER w AS DOUBLE) / 1000 AS sxx,
+               CAST(SUM(CAST(round(y * y * 1000) AS BIGINT)) OVER w AS DOUBLE) / 1000 AS syy,
+               CAST(SUM(CAST(round(x * y * 1000) AS BIGINT)) OVER w AS DOUBLE) / 1000 AS sxy
+        FROM p
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, n,
+           -- GREATEST(...,0): scaled-long quantization can leave a tiny
+           -- negative variance residue on constant frames; DuckDB SQRT
+           -- raises on negatives (Spark yields NaN) — clamp both engines
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0))
+                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0), 6) AS rho
+    FROM m
+    """,
+)
+def window_rolling_corr(spark, sf_dir):
+    """Rolling 20-pair Pearson correlation of value vs its lag per user."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.select(
+            "event_id", "user_id", "ts", F.col("value").alias("x"),
+            F.lag("value").over(wl).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+
+    def ssum(e, scale):
+        return (
+            F.sum(F.round(e * scale).cast("bigint")).over(w).cast("double") / scale
+        )
+
+    m = p.select(
+        "event_id", "user_id", "ts",
+        F.count("*").over(w).alias("n"),
+        ssum(F.col("x"), 1_000_000).alias("sx"),
+        ssum(F.col("y"), 1_000_000).alias("sy"),
+        ssum(F.col("x") * F.col("x"), 1_000).alias("sxx"),
+        ssum(F.col("y") * F.col("y"), 1_000).alias("syy"),
+        ssum(F.col("x") * F.col("y"), 1_000).alias("sxy"),
+    )
+    # greatest(...,0) mirrors the oracle's clamp: quantization can leave a
+    # tiny negative variance residue on constant frames
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(F.greatest(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)))
+        * F.sqrt(F.greatest(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))),
+        F.lit(0.0),
+    )
+    return m.select(
+        "event_id", "user_id", "ts", "n", F.round(rho, 6).alias("rho")
+    )
