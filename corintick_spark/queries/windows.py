@@ -732,9 +732,12 @@ def window_pct_change(spark, sf_dir):
            -- GREATEST(...,0): scaled-long quantization can leave a tiny
            -- negative variance residue on constant frames; DuckDB SQRT
            -- raises on negatives (Spark yields NaN) — clamp both engines
+           -- + 0.0 collapses IEEE -0.0 to 0.0 (engines disagree on the
+           -- rounded zero's sign; the values hash by repr)
            ROUND((n * sxy - sx * sy)
                  / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0))
-                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0), 6) AS rho
+                          * SQRT(GREATEST(n * syy - sy * sy, 0)), 0), 6)
+               + 0.0 AS rho
     FROM m
     """,
 )
@@ -776,6 +779,9 @@ def window_rolling_corr(spark, sf_dir):
         * F.sqrt(F.greatest(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))),
         F.lit(0.0),
     )
+    # + 0.0: collapse IEEE -0.0 to 0.0 (sign of the rounded zero differs
+    # between engines and the driver hashes values by repr)
     return m.select(
-        "event_id", "user_id", "ts", "n", F.round(rho, 6).alias("rho")
+        "event_id", "user_id", "ts", "n",
+        (F.round(rho, 6) + F.lit(0.0)).alias("rho"),
     )
