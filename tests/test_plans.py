@@ -256,3 +256,13 @@ def test_sample_per_group_rank_pushdown(spark, sf_dir):
     (WindowGroupLimit) so only k rows per group survive the exchange."""
     plan = plan_of(spark, sf_dir, "sample_per_group")
     assert "WindowGroupLimit" in plan
+
+
+def test_rolling_corr_single_exchange_shared_sort(spark, sf_dir):
+    """Both window passes (lag derivation + 20-pair moment frame) must share
+    ONE (user_id) exchange and ONE sort — the stacked-windows plan every
+    per-key time-series operator here relies on."""
+    plan = plan_of(spark, sf_dir, "window_rolling_corr")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Sort") == 1
+    assert plan.count("Window") >= 2
