@@ -132,3 +132,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Expose the testdata tables as temp views so users can drive the
+    engine through plain ``spark.sql`` — the SQL half of the API surface.
+    Views go through :func:`table`, so the events time normalization and
+    runtime confs apply identically to SQL and DataFrame callers."""
+    for name in names or (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

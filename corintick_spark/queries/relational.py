@@ -1482,3 +1482,44 @@ def agg_approx_quantile(spark, sf_dir):
         F.col("qs")[1].alias("p90"),
         F.col("qs")[2].alias("p99"),
     )
+
+
+# The pure-SQL interface, demonstrated with the iconic TPC-H Q1 pricing
+# summary: ONE dialect-neutral SQL text executed VERBATIM by Spark SQL
+# (over catalog.register_views temp views) and by the DuckDB oracle — the
+# strongest possible parity statement for the SQL surface. Aggregates use
+# the scaled-long trick inline (plain-SQL-expressible), so even the
+# averages are bit-equal. Catalyst plans the identical partial+final
+# hash aggregation it gives the DataFrame API.
+_SQL_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS sum_charge,
+           ROUND(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100 / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_q1", sql=_SQL_Q1)
+def sql_q1(spark, sf_dir):
+    """TPC-H Q1 via spark.sql over registered views — the SAME SQL text the
+    DuckDB oracle runs."""
+    from corintick_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_Q1)
