@@ -1523,3 +1523,68 @@ def sql_q1(spark, sf_dir):
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_SQL_Q1)
+
+
+# TPC-H Q3 (shipping priority) through the same verbatim-SQL mechanism:
+# two fact joins + aggregation + deterministic top-10 (revenue ties broken
+# by orderkey in BOTH engines; o_shippriority omitted — constant in the
+# spec and absent from the column-trimmed edge dataset). Catalyst turns the LIMIT into
+# TakeOrderedAndProject; the customer join broadcasts.
+_SQL_Q3 = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS DOUBLE) / 10000
+               AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_q3", sql=_SQL_Q3)
+def sql_q3(spark, sf_dir):
+    """TPC-H Q3 via spark.sql — same text as the oracle."""
+    from corintick_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_SQL_Q3)
+
+
+# TPC-H Q5 (local supplier volume): the 6-way star+snowflake join with the
+# customer-and-supplier-in-same-nation constraint, one verbatim SQL text.
+_SQL_Q5 = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS DOUBLE) / 10000
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_q5", sql=_SQL_Q5)
+def sql_q5(spark, sf_dir):
+    """TPC-H Q5 via spark.sql — same text as the oracle."""
+    from corintick_spark.catalog import register_views
+
+    register_views(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    return spark.sql(_SQL_Q5)
