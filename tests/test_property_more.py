@@ -99,3 +99,56 @@ def test_corintick_roundtrip_fuzz(spark, tmp_path_factory, rows):
     store.write("FUZZ", df, check_overlap=False)
     back = store.read("FUZZ")
     pd.testing.assert_frame_equal(back, df, check_freq=False)
+
+
+@pytest.mark.slow
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(  # (user, ts_offset_seconds) — ties and dense bursts included
+        st.tuples(st.integers(0, 3), st.integers(0, 7200)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_throttle_fold_matches_python_reference(spark, rows):
+    """The JVM aggregate() greedy-throttle fold must equal a straight
+    Python implementation of the rule (keep iff >= gap since last KEPT)
+    on arbitrary event streams — bursts, exact-gap boundaries, ties."""
+    gap_s = 600
+    data = [
+        (i, u, 1_700_000_000 + off) for i, (u, off) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, tus long")
+
+    lst = F.array_sort(
+        F.collect_list(F.struct(F.col("tus"), F.col("event_id")))
+    )
+    kept = F.expr(
+        "aggregate(lst,"
+        " named_struct('last', CAST(NULL AS BIGINT),"
+        "              'ids', CAST(array() AS ARRAY<BIGINT>)),"
+        f" (acc, e) -> IF(acc.last IS NULL OR e.tus - acc.last >= {gap_s},"
+        "   named_struct('last', e.tus,"
+        "                'ids', array_append(acc.ids, e.event_id)),"
+        "   acc),"
+        " acc -> acc.ids)"
+    )
+    got = sorted(
+        (r["user_id"], r["event_id"])
+        for r in df.groupBy("user_id")
+        .agg(lst.alias("lst"))
+        .select("user_id", F.explode(kept).alias("event_id"))
+        .collect()
+    )
+
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, u, tus in data:
+        by_user.setdefault(u, []).append((tus, eid))
+    want = []
+    for u, evs in by_user.items():
+        last = None
+        for tus, eid in sorted(evs):
+            if last is None or tus - last >= gap_s:
+                want.append((u, eid))
+                last = tus
+    assert got == sorted(want)
