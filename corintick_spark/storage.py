@@ -382,6 +382,100 @@ class TickStore:
             if f.endswith(".parquet")
         )
 
+    def upsert(self, df: DataFrame, keys: list[str] | None = None) -> None:
+        """MERGE semantics on the store: rows of ``df`` REPLACE existing
+        rows with the same key (default key: (uid, ts)); everything else
+        appends. Implemented as the read-side cdc_merge compaction turned
+        into a write: union old + new with a batch-priority flag, keep the
+        newest row per key (new batch wins ties), rewrite-and-swap (the
+        compact() pattern). On a table format (Iceberg/Delta) this is the
+        engine-level MERGE INTO; on plain parquet the rewrite is the
+        correct — if heavier — equivalent, and the per-uid layout bounds
+        the rewrite to touched partitions on a real cluster.
+        """
+        if self.uid_col not in df.columns or self.ts_col not in df.columns:
+            raise ValueError(f"frame must have {self.uid_col!r} and {self.ts_col!r}")
+        keys = keys or [self.uid_col, self.ts_col]
+        if not self._exists():
+            self.write(df, mode="overwrite")
+            return
+        from pyspark.sql import Window as W
+
+        old = self.read(merge_schema=True).withColumn("_prio", F.lit(0))
+        new = df.withColumn("_prio", F.lit(1))
+        for c in old.columns:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(dict(old.dtypes)[c]))
+        for c in new.columns:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+        merged = (
+            old.unionByName(new)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy(*keys).orderBy(F.desc("_prio"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_prio", "_rn")
+        )
+        import shutil
+
+        data_dir = self._data_dir()
+        tmp_dir = data_dir + ".upsert_tmp"
+        old_dir = data_dir + ".upsert_old"
+        out, part_cols = self._partitioned(merged)
+        (
+            out.repartition(*[F.col(c) for c in part_cols])
+            .sortWithinPartitions(self.ts_col)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp_dir)
+        )
+        os.rename(data_dir, old_dir)
+        os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir)
+
+    def delete_uid(self, uid) -> bool:
+        """Drop one uid's data. With plain uid partitioning this is a pure
+        directory removal (metadata-operation shape, like vacuum's date
+        path); bucketed layouts share directories between uids, so there
+        it falls back to a layout-preserving filtered rewrite (compact()
+        swap pattern). Returns True if anything was deleted."""
+        import shutil
+
+        data_dir = self._data_dir()
+        if not self._exists():
+            return False
+        if not self.bucket_uids:
+            # one uid == one partition directory (possibly with date
+            # sub-partitions inside) — removal is a file operation
+            part = os.path.join(data_dir, f"{self.uid_col}={uid}")
+            if not os.path.exists(part):
+                return False
+            shutil.rmtree(part)
+            return True
+        existing = self.read(merge_schema=True)
+        if existing.filter(F.col(self.uid_col) == F.lit(uid)).limit(1).count() == 0:
+            return False
+        kept, part_cols = self._partitioned(
+            existing.filter(F.col(self.uid_col) != F.lit(uid))
+        )
+        tmp_dir = data_dir + ".delete_tmp"
+        old_dir = data_dir + ".delete_old"
+        (
+            kept.repartition(*[F.col(c) for c in part_cols])
+            .sortWithinPartitions(self.ts_col)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp_dir)
+        )
+        os.rename(data_dir, old_dir)
+        os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir)
+        return True
+
     def vacuum(self, before) -> int:
         """Retention pass: drop all rows with ``ts`` date earlier than
         ``before`` (a date / 'YYYY-MM-DD' string). Two execution paths:

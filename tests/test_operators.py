@@ -898,3 +898,41 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     assert m_kept["n_kept"] == direct.count()
     assert m_kept["kept_words"] == direct.agg(FF.sum("n_words")).first()[0]
     assert m_in["n_null_text"] == d.filter("text is null").count()
+
+
+def test_tickstore_upsert_and_delete(spark, tmp_path):
+    """CRUD completion: upsert replaces same-key rows and appends the rest;
+    delete_uid removes a uid (directory drop on plain layout, filtered
+    rewrite on bucketed)."""
+    import datetime as dt
+
+    from corintick_spark.storage import TickStore
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    base = spark.createDataFrame(
+        [("a", t(1), 1.0), ("a", t(2), 2.0), ("b", t(1), 9.0)],
+        "uid string, ts timestamp, value double",
+    )
+    store = TickStore(spark, str(tmp_path / "crud"))
+    store.write(base, mode="overwrite")
+
+    patch = spark.createDataFrame(
+        [("a", t(2), 20.0), ("a", t(3), 3.0)],  # replace one, append one
+        "uid string, ts timestamp, value double",
+    )
+    store.upsert(patch)
+    got = {
+        (r["uid"], r["ts"].second, r["value"]) for r in store.read().collect()
+    }
+    assert got == {("a", 1, 1.0), ("a", 2, 20.0), ("a", 3, 3.0), ("b", 1, 9.0)}
+
+    assert store.delete_uid("a") is True
+    assert store.delete_uid("missing") is False
+    assert {r["uid"] for r in store.read().collect()} == {"b"}
+
+    # bucketed layout: delete goes through the filtered rewrite
+    bucketed = TickStore(spark, str(tmp_path / "crud_b"), bucket_uids=4)
+    bucketed.write(base, mode="overwrite")
+    assert bucketed.delete_uid("b") is True
+    assert {r["uid"] for r in bucketed.read().collect()} == {"a"}
+    assert bucketed.read().count() == 2
