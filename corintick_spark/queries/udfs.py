@@ -161,7 +161,10 @@ def udtf_python(spark, sf_dir):
     generator logic. (Here it can, which is exactly what the oracle checks.)"""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word string, pos bigint")
+    # useArrow: the UDTF tier is Arrow-batched like every other Python
+    # surface here (plan shows ArrowEvalPythonUDTF, not row-at-a-time
+    # BatchEvalPythonUDTF — pinned by tests/test_plan_invariants.py)
+    @udtf(returnType="word string, pos bigint", useArrow=True)
     class SplitWords:
         def eval(self, doc_id: int, text: str):
             pos = 0
