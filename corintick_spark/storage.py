@@ -186,12 +186,19 @@ class TickStore:
         stream_df: DataFrame,
         checkpoint_dir: str,
         trigger_available_now: bool = False,
+        merge: bool = False,
     ):
         """Continuously append a streaming frame into the store layout
         (same partitioning as batch writes; readers see files as micro-
         batches commit). Returns the StreamingQuery; caller manages its
         lifecycle. Overlap checking is a batch-maintenance concern — run
-        `overlapping_uids` on compaction, not per micro-batch."""
+        `overlapping_uids` on compaction, not per micro-batch.
+
+        ``merge=True`` routes each micro-batch through :meth:`upsert`
+        instead of a blind append — the streaming CDC-ingestion shape
+        (late corrections replace earlier rows for the same (uid, ts)).
+        foreachBatch makes this exactly-once-ish the standard way: the
+        upsert is idempotent per key, so a replayed batch converges."""
         if self.bucket_uids or self.partition_by_date:
             raise NotImplementedError(
                 "streaming append currently supports the plain uid layout"
@@ -204,6 +211,9 @@ class TickStore:
         # of the directory ignore every non-streaming-written file (so a
         # store seeded by batch writes would silently lose them).
         def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            if merge:
+                self.upsert(batch_df)
+                return
             (
                 batch_df.repartition(F.col(uid_col))
                 .sortWithinPartitions(ts_col)

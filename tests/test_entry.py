@@ -19,3 +19,14 @@ def test_queries_and_oracles_consistent():
     sqls = e.oracle_sql()
     assert set(sqls) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_driver_window_occupies_first_slots():
+    """The external driver adjudicates the FIRST 50 registered queries;
+    load_all must keep DRIVER_WINDOW in those slots no matter how many
+    queries later modules register."""
+    from corintick_spark.registry import DRIVER_WINDOW, load_all
+
+    names = list(load_all())
+    assert tuple(names[: len(DRIVER_WINDOW)]) == DRIVER_WINDOW
+    assert len(DRIVER_WINDOW) == 50

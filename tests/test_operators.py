@@ -936,3 +936,60 @@ def test_tickstore_upsert_and_delete(spark, tmp_path):
     assert bucketed.delete_uid("b") is True
     assert {r["uid"] for r in bucketed.read().collect()} == {"a"}
     assert bucketed.read().count() == 2
+
+
+def test_tickstore_streaming_merge_ingestion(spark, tmp_path):
+    """append_stream(merge=True): a replayed correction batch REPLACES the
+    earlier row for the same (uid, ts) instead of duplicating it — the
+    streaming CDC-ingestion shape."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from corintick_spark.storage import TickStore
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    store = TickStore(spark, str(tmp_path / "cdc"))
+    store.write(
+        spark.createDataFrame(
+            [("a", t(1), 1.0)], "uid string, ts timestamp, value double"
+        ),
+        mode="overwrite",
+    )
+
+    # two staged micro-batches: new data + a correction for (a, t(1))
+    stage = tempfile.mkdtemp(prefix="cdc_src_")
+    b1 = spark.createDataFrame(
+        [("a", t(2), 2.0), ("b", t(1), 9.0)],
+        "uid string, ts timestamp, value double",
+    )
+    b2 = spark.createDataFrame(
+        [("a", t(1), 100.0)], "uid string, ts timestamp, value double"
+    )
+    t0 = time.time()
+    for i, b in enumerate([b1, b2]):
+        tmp = tempfile.mkdtemp(prefix="cdc_w_")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"b{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    src = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = store.append_stream(
+        src,
+        checkpoint_dir=str(tmp_path / "cdc_ckpt"),
+        trigger_available_now=True,
+        merge=True,
+    )
+    q.awaitTermination()
+
+    got = {(r["uid"], r["ts"].second, r["value"]) for r in store.read().collect()}
+    assert got == {("a", 1, 100.0), ("a", 2, 2.0), ("b", 1, 9.0)}
