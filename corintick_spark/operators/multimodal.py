@@ -292,3 +292,71 @@ def decode_audio_meta(
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame_bytes long"
+
+
+def parse_frames_header(b: bytes | None) -> tuple[int, int, int, int] | None:
+    """Minimal deterministic video-ish container ("FRMS"): magic + u32
+    frame count + u16 width/height + u32 bytes-per-frame, then the frame
+    payloads back to back. A stand-in CONTAINER (the pixel codec stays
+    honest-stubbed — that needs ffmpeg), but the container walk — the part
+    Spark plumbing actually touches for frame sampling — is real, same
+    posture as the PNG/WAV header parsers. Returns
+    (n_frames, width, height, frame_bytes) or None."""
+    import struct
+
+    if b is None or len(b) < 16 or b[:4] != b"FRMS":
+        return None
+    n, w, h, fb = struct.unpack_from("<IHHI", b, 4)
+    if len(b) < 16 + n * fb:
+        return None
+    return n, w, h, fb
+
+
+def sample_container_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL frame sampling over FRMS containers: parse the header, emit
+    every Nth frame's (index, byte length) — the metadata a downstream
+    vision pipeline keys its decode work off. NULL / non-FRMS payloads
+    null-propagate as zero rows (the corpus-scan posture). Vectorized
+    batch shape per the frame_sample template (np.repeat, no iterrows);
+    the only per-blob Python is the header walk itself."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, sizes = [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload]):
+                m = parse_frames_header(b)
+                if m is None:
+                    continue
+                n, _, _, fb = m
+                keep = np.arange(0, n, every_n, dtype="int64")
+                ids.append(np.full(len(keep), i, dtype="int64"))
+                idxs.append(keep)
+                sizes.append(np.full(len(keep), fb, dtype="int64"))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "frame_idx": np.concatenate(idxs),
+                        "frame_bytes": np.concatenate(sizes),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.array([], dtype="int64"),
+                        "frame_idx": pd.array([], dtype="int64"),
+                        "frame_bytes": pd.array([], dtype="int64"),
+                    }
+                )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=FRAMES_SCHEMA)

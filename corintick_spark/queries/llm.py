@@ -1476,3 +1476,47 @@ def text_perplexity(spark, sf_dir):
             q6(F.log2("n") - F.col("s") / F.col("n_tokens")).alias("avg_nll"),
         )
     )
+
+
+# REAL video-container frame sampling — the third modality's container
+# walk made real (FRMS header parse + every-2nd-frame sampling), same
+# synthesized-payload adjudication pattern as the PNG/WAV decoders: the
+# oracle recomputes which frame indices survive from the doc_id formula.
+@query(
+    "multimodal_frames",
+    sql="""
+    SELECT doc_id,
+           CAST(f * 2 AS BIGINT) AS frame_idx,
+           CAST(64 + doc_id % 32 AS BIGINT) AS frame_bytes
+    FROM documents,
+         UNNEST(range(0, CAST(FLOOR((doc_id % 7 + 2 + 1) / 2.0) AS BIGINT)))
+             t(f)
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Every-2nd-frame sample over synthesized FRMS containers
+    (n_frames = doc_id%7+2, frame_bytes = 64+doc_id%32)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                n = i % 7 + 2
+                fb = 64 + i % 32
+                payloads.append(
+                    b"FRMS"
+                    + struct.pack("<IHHI", n, 320, 240, fb)
+                    + b"\x00" * (n * fb)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_frms = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.sample_container_frames(with_frms, every_n=2)
