@@ -472,3 +472,77 @@ def events_funnel_time(spark, sf_dir):
         F.round(F.expr("percentile(dur_us, 0.9)"), 4).alias("p90_us"),
         F.max("dur_us").cast("bigint").alias("max_us"),
     )
+
+
+# Local-extrema detection — the signal-processing primitive (alert on
+# spikes): an event is a peak iff its value strictly exceeds both
+# neighbors in the user's (ts, event_id) sequence. Pure lag/lead on the
+# one per-user exchange every event operator here shares; NULL-valued
+# events are excluded up front (a NULL neighbor cannot certify a peak).
+@query(
+    "events_peaks",
+    sql="""
+    WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               LAG(value) OVER w AS prev_v,
+               LEAD(value) OVER w AS next_v
+        FROM events WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts, value
+    FROM s
+    WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND value > prev_v AND value > next_v
+    """,
+)
+def events_peaks(spark, sf_dir):
+    """Strict local maxima of each user's value sequence."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    return s.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("value") > F.col("prev_v"))
+        & (F.col("value") > F.col("next_v"))
+    ).select("event_id", "user_id", "ts", "value")
+
+
+# Hour-of-day seasonality profile — the diurnal-pattern aggregate behind
+# capacity planning and anomaly baselines: per (event_type, hour-of-day),
+# event count and exact mean value. One partial-aggregated shuffle on a
+# 24x|types| key space.
+@query(
+    "events_seasonality",
+    sql="""
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / NULLIF(COUNT(value), 0), 6) AS mean_value
+    FROM events
+    GROUP BY event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT)
+    """,
+)
+def events_seasonality(spark, sf_dir):
+    """Diurnal profile: count + exact mean value per (type, hour-of-day)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(
+            (
+                F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).cast(
+                    "double"
+                )
+                / 1_000_000
+            )
+            / F.nullif(F.count("value"), F.lit(0)),
+            6,
+        ).alias("mean_value"),
+    )
