@@ -1520,3 +1520,157 @@ def multimodal_frames(spark, sf_dir):
 
     with_frms = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.sample_container_frames(with_frms, every_n=2)
+
+
+# The GRAND composition — a full pretraining-data pipeline as ONE
+# declarative plan: quality filter -> benchmark decontamination -> exact
+# dedup -> token-budget mixture sampling -> context packing. Every stage
+# reuses an individually driver-adjudicated building block
+# (text_quality / pipeline_decontaminate / dedup_exact / corpus_mixture /
+# pack_sequences); the value of the composition is that Catalyst fuses it:
+# the quality filter rides the scan, the contaminated-id set broadcasts
+# into an anti-join, dedup is one text-hash shuffle, the mixture rates are
+# a |sources|-row broadcast, and packing shares the source partitioning —
+# no stage materializes a corpus-sized intermediate.
+@query(
+    "pipeline_training_mix",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(1, len(ws) + 1)) AS ord
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents)
+    ), five AS (
+        SELECT a.doc_id,
+               a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok
+                     || ' ' || e.tok AS gram
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+        JOIN toks d ON d.doc_id = a.doc_id AND d.ord = a.ord + 3
+        JOIN toks e ON e.doc_id = a.doc_id AND e.ord = a.ord + 4
+    ), u AS (
+        SELECT DISTINCT doc_id, gram FROM five
+    ), probe AS (
+        SELECT DISTINCT gram FROM u WHERE doc_id % 97 = 0
+    ), bad AS (
+        SELECT DISTINCT u.doc_id FROM u JOIN probe USING (gram)
+        WHERE u.doc_id % 97 <> 0
+    ), q AS (
+        SELECT doc_id, source, text,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                    AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','to','and','in','is','for',
+                               'on','with'))) AS BIGINT) AS n_stop,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS BIGINT) AS n_alpha,
+               CAST(length(text) AS BIGINT) AS n_chars_calc
+        FROM documents
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ), scored AS (
+        SELECT doc_id, source, text, n_words
+        FROM q
+        WHERE n_words >= 10
+          AND least(n_words / 100.0, 1.0) * 0.4
+              + (n_stop / NULLIF(n_words, 0)) * 0.3
+              + (n_alpha / NULLIF(n_chars_calc, 0)) * 0.3 >= 0.4
+    ), kept AS (
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(source) AS source,
+               ANY_VALUE(n_words) AS n_words
+        FROM scored GROUP BY text
+    ), tot AS (
+        SELECT source, CAST(SUM(n_words) AS BIGINT) AS src_tokens
+        FROM kept GROUP BY source
+    ), rate AS (
+        SELECT source, LEAST(1.0, (20000.0 / (SELECT COUNT(*) FROM tot))
+                                  / src_tokens) AS keep_rate
+        FROM tot
+    ), sampled AS (
+        SELECT k.doc_id, k.source, k.n_words
+        FROM kept k JOIN rate r USING (source)
+        WHERE ((k.doc_id * 2654435761) % 4294967296) / 4294967296.0
+                  < r.keep_rate
+    ), p AS (
+        SELECT doc_id, source, n_words,
+               COALESCE(SUM(n_words) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+        FROM sampled
+    )
+    SELECT source,
+           CAST(FLOOR(prefix / 2048.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS bin_tokens
+    FROM p
+    GROUP BY source, CAST(FLOOR(prefix / 2048.0) AS BIGINT)
+    """,
+)
+def pipeline_training_mix(spark, sf_dir):
+    """Quality -> decontaminate -> dedup -> mixture-sample -> 2048-token
+    pack, one fused plan."""
+    d = table(spark, sf_dir, "documents")
+
+    # decontamination set (broadcast anti-join side)
+    toks = D.tokenize(d)
+    grams = F.expr(
+        "transform(slice(words, 1, size(words) - 4), (w, i) -> concat_ws(' ',"
+        " w, element_at(words, i + 2), element_at(words, i + 3),"
+        " element_at(words, i + 4), element_at(words, i + 5)))"
+    )
+    per_doc = toks.filter(F.size("words") >= 5).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    probe = per_doc.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    bad = (
+        per_doc.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(probe), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+
+    scored = (
+        T.quality_features(d.filter(F.col("doc_id") % 97 != 0))
+        .join(F.broadcast(bad), "doc_id", "left_anti")
+        .filter((F.col("n_words") >= 10) & (F.col("quality_score") >= 0.4))
+    )
+    kept = scored.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("source").alias("source"),
+        F.any_value("n_words").alias("n_words"),
+    )
+    tot = kept.groupBy("source").agg(
+        F.sum("n_words").cast("bigint").alias("src_tokens")
+    )
+    nsrc = tot.agg(F.count("*").alias("nsrc"))
+    rate = tot.crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        F.least(
+            F.lit(1.0), (F.lit(20000.0) / F.col("nsrc")) / F.col("src_tokens")
+        ).alias("keep_rate"),
+    )
+    frac = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    sampled = (
+        kept.join(F.broadcast(rate), "source")
+        .filter(frac < F.col("keep_rate"))
+        .select("doc_id", "source", "n_words")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = sampled.withColumn(
+        "prefix", F.coalesce(F.sum("n_words").over(w), F.lit(0))
+    )
+    return p.groupBy(
+        "source", F.floor(F.col("prefix") / 2048.0).cast("bigint").alias("bin_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("bin_tokens"),
+    )
