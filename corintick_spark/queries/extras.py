@@ -834,3 +834,93 @@ def agg_gini(spark, sf_dir):
         F.col("n") + 1.0
     ) / F.col("n")
     return g.select("event_type", "n", F.round(gini, 6).alias("gini"))
+
+
+# Median absolute deviation per group — the robust dispersion measure
+# (outlier-resistant counterpart to agg_stats' stddev; winsorize's
+# natural partner). Two exact interpolated medians: one per group, one
+# over the absolute deviations after a broadcast join of the |groups|-row
+# median table back onto the facts.
+@query(
+    "agg_mad",
+    sql="""
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(ANY_VALUE(m.med), 6) AS med,
+           ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad
+    FROM events e JOIN m USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def agg_mad(spark, sf_dir):
+    """Median absolute deviation of value per event type (exact medians)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )
+
+
+# Source-pair vocabulary overlap — the corpus-diversity diagnostic (are
+# two ingestion sources the same crawl in disguise?). Vocabularies are
+# per-source distinct token sets built with ONE aggregation; the 20x20
+# pair comparison joins the |sources|-row vocab table against itself —
+# the corpus is never pair-joined, only its per-source summaries.
+@query(
+    "source_overlap",
+    sql="""
+    WITH v AS (
+        SELECT source, list_sort(list_distinct(flatten(
+                   list(list_filter(string_split(text, ' '), x -> x != ''))
+               ))) AS vocab
+        FROM documents GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(len(list_intersect(a.vocab, b.vocab)) AS BIGINT) AS shared,
+           ROUND(len(list_intersect(a.vocab, b.vocab))
+                 / CAST(len(list_distinct(a.vocab || b.vocab)) AS DOUBLE),
+                 6) AS jaccard
+    FROM v a JOIN v b ON a.source < b.source
+    """,
+)
+def source_overlap(spark, sf_dir):
+    """Vocabulary Jaccard for every source pair (corpus diversity)."""
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "source", F.expr("filter(split(text, ' '), x -> x != '')").alias("w")
+        )
+        .groupBy("source")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("w")))
+            ).alias("vocab")
+        )
+    )
+    a = v.select(F.col("source").alias("src_a"), F.col("vocab").alias("va"))
+    b = v.select(F.col("source").alias("src_b"), F.col("vocab").alias("vb"))
+    inter = F.size(F.array_intersect("va", "vb"))
+    union = F.size(F.array_distinct(F.concat("va", "vb")))
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            inter.cast("bigint").alias("shared"),
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+    )
