@@ -546,3 +546,43 @@ def events_seasonality(spark, sf_dir):
             6,
         ).alias("mean_value"),
     )
+
+
+# Inter-arrival process statistics — the arrival-rate profile behind
+# capacity planning and burst detection: per event type, the exact
+# median/p90/max of per-user successive gaps in integer microseconds.
+# One per-user LAG pass on the shared exchange, then a small per-type
+# aggregation over the gap column.
+@query(
+    "events_interarrival",
+    sql="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT event_type, COUNT(gap_us) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5), 4) AS p50_us,
+           ROUND(quantile_cont(gap_us, 0.9), 4) AS p90_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival(spark, sf_dir):
+    """Per-type inter-arrival gap distribution (exact percentiles, µs)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )
