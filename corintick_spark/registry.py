@@ -86,24 +86,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # event analytics
     "event_transitions", "event_durations",
 )
-# Round-5 rotation plan: keep the 10 canaries; fill the first slots with
-# the never-driver-verified set after r04 —
-#   (a) ALL oracle-paired queries added in the round-4 second session
-#       (registered after the window, so the r04 driver never saw them):
-#       graph_triangles, graph_clustering_coeff, graph_link_predict,
-#       corpus_mixture, pipeline_decontaminate, shuffle_shards,
-#       events_throttle, stream_throttle, multimodal_decode_wav,
-#       text_heavyhitters, text_perplexity, join_interval_point,
-#       sample_per_group, pack_fragments, profile_numeric,
-#       source_python_stream, agg_gini, scalar_timezone,
-#       events_funnel_time;
-#   (b) the rows-only-by-nature entries (agg_hll_sketch,
-#       agg_approx_quantile, udf_ewma, dedup_simhash, similarity_lsh,
-#       cluster_kmeans, similarity_ivf, dedup_incremental, similarity_pq,
-#       similarity_ivfpq) for their weaker rows-only driver check;
-# and backfill any remaining slots with rotated-out r01-r03 queries for
-# re-confirmation. (a) alone is 19 — with the canaries that fills 29 of
-# 50; schedule (b)'s 10 next, leaving ~11 backfills.
+# Round-5 rotation plan: keep the 10 canaries; fill the next slots with
+# the never-driver-verified set after r04 — every ORACLE-PAIRED query
+# registered after the 50-slot window this round (positions 51+ of
+# load_all() that are absent from CORRECTNESS_r01..r04; 22 as of session
+# end: the graph tier, the training-pipeline wave incl.
+# pipeline_training_mix, the verbatim-SQL q1/q3/q5, scalar_timezone,
+# rolling_corr, throttle pair, WAV/FRMS multimodal, profiler/sampler/gini/
+# MAD/overlap/interarrival event+stats additions) — then the 10
+# rows-only-by-nature entries for their weaker check, and backfill any
+# remaining slots with rotated-out r01-r03 queries for re-confirmation.
 
 
 def load_all() -> dict[str, Query]:
