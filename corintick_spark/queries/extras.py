@@ -924,3 +924,56 @@ def source_overlap(spark, sf_dir):
             F.round(inter / union.cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+# Tukey-fence outlier census — the boxplot rule (beyond Q1-1.5*IQR or
+# Q3+1.5*IQR) per event type: exact interpolated quartiles in one
+# aggregation, fences as pure float expressions, then a conditional
+# re-count against the |groups|-row broadcast. The robust-stats family's
+# third member alongside winsorize (clip) and MAD (dispersion).
+@query(
+    "agg_iqr_outliers",
+    sql="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(ANY_VALUE(q.q1), 6) AS q1,
+           ROUND(ANY_VALUE(q.q3), 6) AS q3,
+           CAST(COALESCE(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                                    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_outliers
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def agg_iqr_outliers(spark, sf_dir):
+    """Boxplot-rule outlier counts per event type (exact quartiles)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("q1"), 6).alias("q1"),
+            F.round(F.any_value("q3"), 6).alias("q3"),
+            F.coalesce(
+                F.sum(F.when(is_out, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

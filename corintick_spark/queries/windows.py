@@ -785,3 +785,35 @@ def window_rolling_corr(spark, sf_dir):
         "event_id", "user_id", "ts", "n",
         (F.round(rho, 6) + F.lit(0.0)).alias("rho"),
     )
+
+
+# Per-key min-max normalization — the feature-scaling primitive before
+# model input: x' = (x - min)/(max - min) over the user's own range.
+# Whole-partition window aggregates on the shared (user_id) exchange;
+# constant series (max == min) normalize to NULL by contract (no
+# information), identical in both engines via NULLIF.
+@query(
+    "window_minmax_scale",
+    sql="""
+    SELECT event_id, user_id, value,
+           ROUND((value - MIN(value) OVER w)
+                 / NULLIF(MAX(value) OVER w - MIN(value) OVER w, 0), 6)
+               AS scaled
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def window_minmax_scale(spark, sf_dir):
+    """Each user's values min-max scaled into [0, 1]."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round((F.col("value") - lo) / F.nullif(hi - lo, F.lit(0.0)), 6).alias(
+            "scaled"
+        ),
+    )
