@@ -62,8 +62,14 @@ def heavy_hitters(
     their EXACT counts (column names: item, cnt). Two passes over the
     input; the only shuffles are the tiny candidate union and the
     partial-aggregated verification count."""
-    src = df.select(F.col(col).cast("string").alias("item")).filter(
-        F.col("item").isNotNull()
+    # persisted: the item stream is read three times (candidate fold, the
+    # n scalar, the verification count) — without this the upstream
+    # tokenize/explode re-executes per pass. At 100 TB swap the persist
+    # for a durable staging table and take n from table statistics.
+    src = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .persist()
     )
 
     def fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -76,9 +82,14 @@ def heavy_hitters(
         .select("item")
     )
     n = src.count()  # one scalar action; at scale read from table stats
-    return (
+    out = (
         src.join(F.broadcast(candidates), "item")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > n / k)
     )
+    # eagerly materialize so src can be released before returning (the
+    # result is <= |candidates| rows)
+    out = out.localCheckpoint(eager=True)
+    src.unpersist()
+    return out
