@@ -977,3 +977,70 @@ def agg_iqr_outliers(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+# Top-N concentration share — Gini's blunt cousin: what fraction of each
+# event type's value mass do its 10 heaviest users carry? Per-user sums
+# (exact scaled-long), rank within type (WindowGroupLimit prunes to 10
+# per group before the exchange completes), then the top-10 sum over the
+# broadcast per-type totals.
+@query(
+    "agg_topn_share",
+    sql="""
+    WITH s AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000 AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, user_id
+    ), r AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x DESC, user_id) AS rk
+        FROM s
+    ), t AS (
+        SELECT event_type,
+               CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000 AS total,
+               COUNT(*) AS n_users
+        FROM s GROUP BY event_type
+    )
+    SELECT r.event_type, ANY_VALUE(t.n_users) AS n_users,
+           ROUND(CAST(SUM(CAST(round(r.x * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000, 6) AS top10_value,
+           ROUND(CAST(SUM(CAST(round(r.x * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / NULLIF(ANY_VALUE(t.total), 0), 6) AS top10_share
+    FROM r JOIN t USING (event_type)
+    WHERE r.rk <= 10
+    GROUP BY r.event_type
+    """,
+)
+def agg_topn_share(spark, sf_dir):
+    """Share of each event type's value mass held by its top-10 users."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ssum = lambda c: (
+        F.sum(F.round(F.col(c) * 1_000_000).cast("bigint")).cast("double")
+        / 1_000_000
+    )
+    s = ev.groupBy("event_type", "user_id").agg(ssum("value").alias("x"))
+    r = s.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.desc("x"), "user_id"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 10)
+    t = s.groupBy("event_type").agg(
+        ssum("x").alias("total"), F.count("*").alias("n_users")
+    )
+    return (
+        r.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n_users").alias("n_users"),
+            F.round(ssum("x"), 6).alias("top10_value"),
+            F.round(
+                ssum("x") / F.nullif(F.any_value("total"), F.lit(0.0)), 6
+            ).alias("top10_share"),
+        )
+    )
