@@ -1,0 +1,404 @@
+"""The verbatim-SQL surface, wave 2: TPC-H Q6-Q22 over the driver schema.
+
+Extends the sql_q1/q3/q5 tier (queries/relational.py) to the full set of
+TPC-H classics expressible on the driver's trimmed schema. Each entry is
+ONE dialect-neutral SQL text executed VERBATIM by both Spark SQL (over
+``catalog.register_views`` temp views) and the DuckDB oracle — the
+strongest possible parity statement for the SQL half of the API surface
+(the reference exposed query-by-API only; SURVEY.md §2.1 † notes analytics
+happened client-side, so a SQL surface is the Spark-native replacement).
+
+Schema adaptations (the driver testdata omits partsupp, l_commitdate /
+l_receiptdate / l_shipmode / l_shipinstruct, p_container / p_mfgr,
+c_phone / c_address / o_comment):
+
+- Q13 substitutes an ``o_orderpriority`` exclusion for the o_comment
+  NOT-LIKE filter (same left-join + double-aggregation shape).
+- Q16 derives the part↔supplier association from lineitem instead of the
+  missing partsupp (same distinct-supplier-count shape).
+- Q17's "avg yearly" gate is evaluated in scaled-long integer arithmetic
+  (qty·100·5·n < Σqty·100) so the 0.2·avg comparison is bit-identical in
+  both engines — a double AVG would make row membership engine-dependent.
+- Q19 keys its OR-arms on p_brand + p_size ranges instead of p_container;
+  the join stays equi (p_partkey) with the OR as a residual filter.
+- Q22 buckets by c_nationkey instead of the phone country code, and
+  "without orders" becomes "without orders since 2000-01-01" (every
+  customer has life-time orders in this data).
+- Q2/Q4/Q9/Q11/Q12/Q20/Q21 need columns that do not exist in any form
+  (supplycost, commit/receipt dates, shipmode); their shapes are covered
+  elsewhere (subquery_exists is the Q4 EXISTS shape, agg_minmax_by the Q2
+  arg-min shape).
+
+Float determinism follows corintick_spark.exact: money sums are
+scaled-long (``CAST(round(x*10000) AS BIGINT)``), ratio outputs are
+FLOOR-quantized (``FLOOR(x*1e6)/1e6`` — ROUND(x, 6) is not portable on
+doubles, see exact.q6), and every ORDER BY carries a unique tiebreak.
+
+Scale notes: these plans are exactly what Catalyst should produce at
+100 TB — dimension joins (nation/region/part/supplier) broadcast, fact
+joins (lineitem⋈orders) shuffle on their keys with AQE skew handling,
+aggregates are partial+final, LIMIT+ORDER BY becomes
+TakeOrderedAndProject, and the IN/EXISTS subqueries decorrelate to
+semi/anti hash joins (plan-pinned in tests/test_plans.py for the q18/q22
+shapes via the invariant sweep).
+"""
+
+from __future__ import annotations
+
+from corintick_spark.catalog import register_views
+from corintick_spark.registry import query
+
+
+def _run(spark, sf_dir, sql_text, *tables):
+    register_views(spark, sf_dir, *tables)
+    return spark.sql(sql_text)
+
+
+# Q6 — forecast revenue change: the canonical full-scan predicate +
+# single global aggregate. At 100 TB this is a pure map-side query: the
+# shipdate/discount/quantity predicates all push to parquet row-group
+# stats, and the partial sums collapse into one exchange of one row.
+_SQL_Q6 = """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("sql_q6", sql=_SQL_Q6)
+def sql_q6(spark, sf_dir):
+    """TPC-H Q6 via spark.sql — same text as the oracle."""
+    return _run(spark, sf_dir, _SQL_Q6, "lineitem")
+
+
+# Q7 — volume shipping between two nations: the two-role nation join
+# (n1 = supplier side, n2 = customer side). Both nation joins broadcast;
+# the OR'd nation-pair predicate prunes before the fact shuffle.
+_SQL_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(round(volume * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_q7", sql=_SQL_Q7)
+def sql_q7(spark, sf_dir):
+    """TPC-H Q7 via spark.sql — same text as the oracle."""
+    return _run(
+        spark, sf_dir, _SQL_Q7,
+        "supplier", "lineitem", "orders", "customer", "nation",
+    )
+
+
+# Q8 — national market share: numerator/denominator as one conditional
+# aggregation over scaled longs; the share is FLOOR-quantized (portable,
+# unlike ROUND — exact.q6). Seven broadcastable dims around one fact scan.
+_SQL_Q8 = """
+    SELECT o_year,
+           FLOOR(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                               THEN vol_scaled ELSE 0 END) AS DOUBLE)
+                 * 1000000 / SUM(vol_scaled)) / 1000000 AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS vol_scaled,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND p.p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query("sql_q8", sql=_SQL_Q8)
+def sql_q8(spark, sf_dir):
+    """TPC-H Q8 via spark.sql — same text as the oracle."""
+    return _run(
+        spark, sf_dir, _SQL_Q8,
+        "part", "lineitem", "supplier", "orders", "customer", "nation",
+        "region",
+    )
+
+
+# Q10 — returned-item reporting: quarter of orders x returned lineitems,
+# revenue-ranked customers. Top-20 with a c_custkey tiebreak →
+# TakeOrderedAndProject (no global sort materialization).
+_SQL_Q10 = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS DOUBLE) / 10000
+               AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_q10", sql=_SQL_Q10)
+def sql_q10(spark, sf_dir):
+    """TPC-H Q10 via spark.sql — same text as the oracle."""
+    return _run(
+        spark, sf_dir, _SQL_Q10, "customer", "orders", "lineitem", "nation",
+    )
+
+
+# Q13 — customer order-count distribution: LEFT JOIN keeps order-less
+# customers (c_count = 0), then a second aggregation over the counts.
+# Adapted: the o_comment NOT-LIKE exclusion becomes an o_orderpriority
+# exclusion (same join-side filter position — it must sit in the ON
+# clause, not WHERE, to preserve the left join's null rows).
+_SQL_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("sql_q13", sql=_SQL_Q13)
+def sql_q13(spark, sf_dir):
+    """TPC-H Q13 (priority-exclusion adaptation) via spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q13, "customer", "orders")
+
+
+# Q14 — promotion effect: conditional share of one month's revenue.
+# FLOOR-quantized ratio of two exact scaled-long sums.
+_SQL_Q14 = """
+    SELECT FLOOR(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE)
+                 * 1000000
+                 / SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT))) / 1000000
+               AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("sql_q14", sql=_SQL_Q14)
+def sql_q14(spark, sf_dir):
+    """TPC-H Q14 via spark.sql — same text as the oracle."""
+    return _run(spark, sf_dir, _SQL_Q14, "lineitem", "part")
+
+
+# Q15 — top supplier: CTE referenced twice (group + scalar-subquery MAX).
+# The MAX comparison happens on the exact scaled long, so the winning
+# supplier set is engine-independent even under revenue ties.
+_SQL_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS total_scaled
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_scaled AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_scaled = (SELECT MAX(total_scaled) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("sql_q15", sql=_SQL_Q15)
+def sql_q15(spark, sf_dir):
+    """TPC-H Q15 via spark.sql — same text as the oracle."""
+    return _run(spark, sf_dir, _SQL_Q15, "lineitem", "supplier")
+
+
+# Q16 — supplier-count by part attributes, with the part↔supplier
+# association derived from lineitem (partsupp does not exist here).
+# COUNT(DISTINCT l_suppkey) is a two-phase distinct aggregate — at scale
+# Catalyst expands it to a partial-distinct + final count (no naive
+# global distinct materialization).
+_SQL_Q16 = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("sql_q16", sql=_SQL_Q16)
+def sql_q16(spark, sf_dir):
+    """TPC-H Q16 (lineitem-derived association) via spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q16, "lineitem", "part")
+
+
+# Q17 — small-quantity-order revenue: the correlated 0.2·avg(qty) gate,
+# decorrelated into a per-part aggregate CTE and evaluated in pure
+# integer arithmetic (qty·100 · 5 · n < Σ(qty·100)) so row membership is
+# bit-identical across engines. The per-part aggregate is a broadcastable
+# side at any scale (|part| rows).
+_SQL_Q17 = """
+    WITH part_avg AS (
+        SELECT l_partkey,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_scaled,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * a.n < a.qty_scaled
+"""
+
+
+@query("sql_q17", sql=_SQL_Q17)
+def sql_q17(spark, sf_dir):
+    """TPC-H Q17 (integer-exact avg gate) via spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q17, "lineitem", "part")
+
+
+# Q18 — large-volume customers: IN over a HAVING subquery → left semi
+# hash join on orderkey; the 300-unit threshold compares scaled longs.
+_SQL_Q18 = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@query("sql_q18", sql=_SQL_Q18)
+def sql_q18(spark, sf_dir):
+    """TPC-H Q18 via spark.sql — same text as the oracle."""
+    return _run(spark, sf_dir, _SQL_Q18, "customer", "orders", "lineitem")
+
+
+# Q19 — discounted revenue over three OR'd brand/size/quantity arms.
+# Adapted: p_container → p_size ranges. The part join remains a plain
+# equi-join on p_partkey; the OR block is a residual filter after it —
+# Catalyst must NOT plan a cartesian here (covered by the global
+# no-CartesianProduct invariant sweep).
+_SQL_Q19 = """
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS DOUBLE) / 10000
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size >= 1 AND p.p_size <= 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size >= 1 AND p.p_size <= 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size >= 1 AND p.p_size <= 25
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@query("sql_q19", sql=_SQL_Q19)
+def sql_q19(spark, sf_dir):
+    """TPC-H Q19 (brand/size arms) via spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q19, "lineitem", "part")
+
+
+# Q22 — global sales opportunity: above-average positive balances with no
+# recent orders. The 1-row average CTE cross-joins in (broadcast
+# nested-loop of one row — NOT a cartesian); the balance comparison is
+# integer-exact (bal·100 · n > Σ(bal·100)); NOT EXISTS decorrelates to an
+# anti hash join on custkey.
+_SQL_Q22 = """
+    WITH pos AS (
+        SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_scaled,
+               COUNT(*) AS n
+        FROM customer
+        WHERE c_acctbal > 0.0
+          AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS totacctbal
+    FROM customer c CROSS JOIN pos
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.bal_scaled
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+"""
+
+
+@query("sql_q22", sql=_SQL_Q22)
+def sql_q22(spark, sf_dir):
+    """TPC-H Q22 (nationkey buckets, recent-order anti-join) via
+    spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q22, "customer", "orders")

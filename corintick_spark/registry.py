@@ -113,6 +113,7 @@ def load_all() -> dict[str, Query]:
         events,
         extras,
         graph,
+        sql_suite,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
