@@ -1,0 +1,259 @@
+"""Training-data curation wave: weighted sampling, corpus/stream
+histograms, per-class embedding centroids, and k-NN label assignment.
+
+These extend the LLM-pipeline tier (queries/llm.py) with the selection and
+diagnostics steps a pretraining data pipeline runs between dedup and
+packing. The reference kept raw series and left derivation client-side
+(SURVEY.md §2.1 †); here every step is a declarative Spark plan with an
+exact DuckDB oracle.
+
+Determinism conventions (corintick_spark.exact): randomness comes from the
+portable Knuth multiplicative hash (same integer expression in both
+engines — the corpus_mixture convention); float outputs are either exact
+scaled-long derivations or single IEEE expressions evaluated identically
+by both engines; every ORDER BY carries a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from corintick_spark.catalog import table
+from corintick_spark.registry import query
+
+# (doc_id * K) % 2^32 — Knuth multiplicative hash; uniform enough for
+# sampling and bit-identical in Spark and DuckDB (pure int64 arithmetic).
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _knuth(col):
+    return (col * F.lit(_KNUTH)) % F.lit(_M32)
+
+
+# Priority sampling (Duffield-Lund-Thorup, "Priority sampling for
+# estimation of arbitrary subset sums", JACM 2007): weight-proportional
+# sample without replacement by taking the k largest priorities
+# q_i = w_i / u_i with u_i uniform in (0,1). Unlike Efraimidis-Spirakis
+# (u^(1/w)) the priority needs NO transcendental call — one IEEE division
+# of exact integers, so both engines compute bit-identical priorities and
+# the selected set is engine-independent. At 100 TB this is a single scan
+# + TakeOrderedAndProject: per-partition heaps of k rows, no global sort,
+# no shuffle of the full corpus.
+@query(
+    "sample_priority",
+    sql=f"""
+    SELECT doc_id, source, n_chars,
+           CAST(n_chars AS DOUBLE) * {_M32}.0
+               / (CAST((doc_id * {_KNUTH}) % {_M32} AS DOUBLE) + 0.5)
+               AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_priority(spark, sf_dir):
+    """Weighted (by n_chars) priority sample of 100 docs — deterministic
+    weighted selection without replacement, no transcendentals."""
+    d = table(spark, sf_dir, "documents")
+    pr = (F.col("n_chars").cast("double") * F.lit(float(_M32))) / (
+        _knuth(F.col("doc_id")).cast("double") + F.lit(0.5)
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", pr.alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(100)
+    )
+
+
+# Corpus length histogram: power-of-two-ish doc-length buckets per
+# language — the standard "what does my corpus look like" diagnostic
+# before length filtering. Bucketing is a CASE ladder (integer compares —
+# no log2 call whose boundary ulp could differ between engines); the
+# share is a FLOOR-quantized ratio of exact counts. One partial+final
+# hash aggregate; the per-lang totals come from a window over the tiny
+# aggregated result, not a second scan.
+@query(
+    "docs_length_histogram",
+    sql="""
+    WITH b AS (
+        SELECT lang,
+               CASE WHEN n_chars < 64 THEN '0-63'
+                    WHEN n_chars < 128 THEN '64-127'
+                    WHEN n_chars < 256 THEN '128-255'
+                    WHEN n_chars < 512 THEN '256-511'
+                    ELSE '512+' END AS bucket,
+               COUNT(*) AS n
+        FROM documents
+        GROUP BY 1, 2
+    )
+    SELECT lang, bucket, n,
+           FLOOR(CAST(n AS DOUBLE) * 1000000
+                 / SUM(n) OVER (PARTITION BY lang)) / 1000000 AS share
+    FROM b
+    ORDER BY lang, bucket
+    """,
+)
+def docs_length_histogram(spark, sf_dir):
+    """Per-language doc-length histogram with in-language share."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 64, "0-63")
+        .when(F.col("n_chars") < 128, "64-127")
+        .when(F.col("n_chars") < 256, "128-255")
+        .when(F.col("n_chars") < 512, "256-511")
+        .otherwise("512+")
+    )
+    b = d.groupBy("lang", bucket.alias("bucket")).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    share = F.floor(
+        F.col("n").cast("double") * F.lit(1_000_000) / F.sum("n").over(w)
+    ) / F.lit(1_000_000)
+    return b.select("lang", "bucket", "n", share.alias("share")).orderBy(
+        "lang", "bucket"
+    )
+
+
+# Fixed-width value histogram per event type. The bin index is the one
+# shared expression FLOOR(value/25) clamped to [0,19] — deliberately NOT
+# width_bucket(), whose internal rounding is implementation-defined and
+# can disagree between engines for boundary doubles. NULL values form
+# their own NULL bin (SQL grouping semantics in both engines).
+@query(
+    "events_value_histogram",
+    sql="""
+    SELECT event_type,
+           CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS INTEGER)
+               AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS bin_min,
+           CAST(MAX(value) AS DOUBLE) AS bin_max
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bin
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """20-bin fixed-width histogram of event values per type."""
+    ev = table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(25.0)), F.lit(0)), F.lit(19)
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("bin_min"),
+            F.max("value").cast("double").alias("bin_max"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+# Per-label embedding centroids, melted to (label, dim, centroid): the
+# class-prototype computation behind centroid-based dedup/clustering
+# seeding. posexplode keeps the dimension index JVM-side; the mean is an
+# exact scaled-long sum over float→double-exact values divided by the
+# group count. Scale shape: one shuffle keyed (label, dim) — 64·|labels|
+# cells regardless of corpus size, with map-side partial aggregation
+# doing the heavy reduction.
+@query(
+    "embedding_centroids",
+    sql="""
+    WITH m AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 / COUNT(*) AS centroid
+    FROM m
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Exact per-label mean embedding, one row per (label, dimension)."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "val"))
+    centroid = (
+        F.sum(F.round(F.col("val").cast("double") * 1_000_000).cast("bigint"))
+        .cast("double")
+        / 1_000_000
+        / F.count("*")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(centroid.alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+# k-NN classification: majority label among the 10 nearest corpus
+# neighbours of each probe vector — the standard embedding-quality /
+# label-propagation primitive. Reuses brute_force_topk (broadcast probes,
+# one corpus pass, rounded-score ranking with c_id tiebreak — identical
+# CTE structure in the oracle) and resolves vote ties toward the smaller
+# label in both engines.
+@query(
+    "knn_classify",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < 20
+    ), c AS (
+        SELECT vec_id AS c_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id >= 20
+    ), pairs AS (
+        SELECT q.q_id, c.c_id, c.label,
+               ROUND(list_inner_product(q.e, c.e)
+                     / (SQRT(list_inner_product(q.e, q.e))
+                        * SQRT(list_inner_product(c.e, c.e))), 6) AS score
+        FROM c, q
+    ), ranked AS (
+        SELECT q_id, c_id, label, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, c_id
+               ) AS rnk
+        FROM pairs
+    ), votes AS (
+        SELECT q_id, label, COUNT(*) AS n_votes
+        FROM ranked WHERE rnk <= 10
+        GROUP BY q_id, label
+    )
+    SELECT q_id, label AS pred_label, n_votes
+    FROM (
+        SELECT q_id, label, n_votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY n_votes DESC, label
+               ) AS vr
+        FROM votes
+    ) v
+    WHERE vr = 1
+    ORDER BY q_id
+    """,
+)
+def knn_classify(spark, sf_dir):
+    """10-NN majority-label prediction for 20 probe vectors."""
+    from corintick_spark.operators.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    corpus = e.filter(F.col("vec_id") >= 20)
+    top = brute_force_topk(probes, corpus, k=10, max_broadcast_rows=None)
+    labeled = top.join(
+        e.select(F.col("vec_id").alias("c_id"), "label"), "c_id"
+    )
+    votes = labeled.groupBy("q_id", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+        .orderBy("q_id")
+    )

@@ -114,6 +114,7 @@ def load_all() -> dict[str, Query]:
         extras,
         graph,
         sql_suite,
+        training,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
