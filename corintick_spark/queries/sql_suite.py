@@ -402,3 +402,68 @@ def sql_q22(spark, sf_dir):
     """TPC-H Q22 (nationkey buckets, recent-order anti-join) via
     spark.sql."""
     return _run(spark, sf_dir, _SQL_Q22, "customer", "orders")
+
+
+# WITH RECURSIVE (new in Spark 4.0 — SPARK-24497): min-hop reachability
+# from nation 0 over the observed trade graph (customer-nation →
+# supplier-nation edges). The SAME recursive SQL text runs in both
+# engines — the recursion's working set is bounded by the 25-node nation
+# graph regardless of fact size, and the edge derivation is the usual
+# fact-join + DISTINCT (shuffle on the 625-cell pair space). Depth-capped
+# at 3 so the UNION ALL expansion stays finite on a dense graph in both
+# engines' semantics.
+_SQL_RECURSIVE = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ), reach(nation, hops) AS (
+        SELECT CAST(0 AS INTEGER) AS nation, 0 AS hops
+        UNION ALL
+        SELECT e.dst AS nation, r.hops + 1 AS hops
+        FROM reach r JOIN edges e ON e.src = r.nation
+        WHERE r.hops < 3
+    )
+    SELECT nation, MIN(hops) AS min_hops
+    FROM reach
+    GROUP BY nation
+    ORDER BY nation
+"""
+
+
+@query("sql_recursive", sql=_SQL_RECURSIVE)
+def sql_recursive(spark, sf_dir):
+    """Recursive-CTE reachability (min hops from nation 0) via spark.sql —
+    same text as the oracle."""
+    return _run(
+        spark, sf_dir, _SQL_RECURSIVE,
+        "lineitem", "orders", "customer", "supplier",
+    )
+
+
+# LATERAL correlated subquery with per-row ORDER BY + LIMIT — the SQL-
+# standard top-k-per-group spelling (Spark 4 decorrelates it; the
+# DataFrame equivalent is the window row_number pattern of
+# topk_per_group). Ties broken by o_orderkey in both engines.
+_SQL_LATERAL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey < 100
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("sql_lateral", sql=_SQL_LATERAL)
+def sql_lateral(spark, sf_dir):
+    """LATERAL top-2 orders per customer via spark.sql — same text as the
+    oracle."""
+    return _run(spark, sf_dir, _SQL_LATERAL, "customer", "orders")
