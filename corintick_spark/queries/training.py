@@ -257,3 +257,176 @@ def knn_classify(spark, sf_dir):
         .select("q_id", F.col("label").alias("pred_label"), "n_votes")
         .orderBy("q_id")
     )
+
+
+# Exact covariance matrix of the embedding corpus (upper triangle):
+# Arrow-batched partial Gram folds (numpy matmul per batch — vectorized,
+# never per-row Python) reduced through a (i, j)-keyed hash aggregate —
+# d² cells of shuffle however large the corpus. The oracle computes the
+# identical integers via a per-vector dim×dim self-join. See
+# operators/linalg.py for the exactness argument.
+@query(
+    "embedding_covariance",
+    sql="""
+    WITH m AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), pairs AS (
+        SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS g, COUNT(*) AS n
+        FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    ), marg AS (
+        SELECT dim, SUM(q) AS s, COUNT(*) AS cnt FROM m GROUP BY dim
+    )
+    SELECT p.i, p.j,
+           CAST(p.g AS DOUBLE) / 1000000.0 / p.n
+           - (CAST(ma.s AS DOUBLE) / 1000.0 / ma.cnt)
+             * (CAST(mb.s AS DOUBLE) / 1000.0 / mb.cnt) AS cov
+    FROM pairs p
+    JOIN marg ma ON ma.dim = p.i
+    JOIN marg mb ON mb.dim = p.j
+    ORDER BY p.i, p.j
+    """,
+)
+def embedding_covariance(spark, sf_dir):
+    """Exact 64×64 embedding covariance via distributed scaled-long Gram
+    partials (operators/linalg.py)."""
+    from corintick_spark.operators.linalg import covariance
+
+    e = table(spark, sf_dir, "embeddings")
+    return covariance(e)
+
+
+# PCA top-component projection: the d×d covariance (data-size-independent)
+# solves driver-side by power iteration; the dominant eigenvector
+# broadcasts back as a literal and the projection is a JVM zip_with fold.
+# Eigenvector values are iteration-path-specific → rows-only; the numpy
+# differential (tests/test_linalg.py) pins projections against
+# np.linalg.eigh to 1e-6.
+@query("embedding_pca", sql=None)
+def embedding_pca(spark, sf_dir):
+    """Per-vector projection onto the corpus's top principal component."""
+    from corintick_spark.operators.linalg import pca_top_component
+
+    e = table(spark, sf_dir, "embeddings")
+    return pca_top_component(e)
+
+
+# Lagged cross-correlation between two event streams: do 'view' spikes
+# lead 'purchase' spikes? Hourly counts on a DENSE hour grid (missing
+# hours are real zeros — an inner join on observed hours only would bias
+# every moment), then Pearson r at lags −3h..+3h from exact integer
+# moments: n·Sxy − Sx·Sy over integer counts is exact, the one final
+# sqrt/division is the same IEEE expression in both engines, FLOOR-
+# quantized. Scale shape: the grid is |hours| rows (bounded by calendar
+# time, not event count), so the lag join is a tiny-table self-join after
+# one partial+final count aggregation over the events scan.
+@query(
+    "events_cross_corr",
+    sql="""
+    WITH h AS (
+        SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
+               event_type, COUNT(*) AS cnt
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM h
+    ), grid AS (
+        SELECT unnest(generate_series(h0, h1)) AS hour FROM bounds
+    ), x AS (
+        SELECT g.hour, COALESCE(h.cnt, 0) AS v
+        FROM grid g LEFT JOIN h ON h.hour = g.hour AND h.event_type = 'view'
+    ), y AS (
+        SELECT g.hour, COALESCE(h.cnt, 0) AS v
+        FROM grid g LEFT JOIN h ON h.hour = g.hour AND h.event_type = 'purchase'
+    ), lags AS (
+        SELECT unnest(generate_series(-3, 3)) AS lag
+    ), mo AS (
+        SELECT l.lag, COUNT(*) AS n,
+               SUM(x.v) AS sx, SUM(y.v) AS sy,
+               SUM(x.v * x.v) AS sxx, SUM(y.v * y.v) AS syy,
+               SUM(x.v * y.v) AS sxy
+        FROM lags l
+        JOIN x ON TRUE
+        JOIN y ON y.hour = x.hour + l.lag
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n AS n_hours,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+                 * 1000000) / 1000000 AS corr
+    FROM mo
+    ORDER BY lag
+    """,
+)
+def events_cross_corr(spark, sf_dir):
+    """Pearson cross-correlation of hourly view vs purchase counts at lags
+    −3h..+3h, on a dense hour grid with exact integer moments."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    h = (
+        ev.select(
+            F.floor(F.unix_micros("ts") / F.lit(3_600_000_000.0))
+            .cast("bigint")
+            .alias("hour"),
+            "event_type",
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = h.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    def series(etype):
+        side = h.filter(F.col("event_type") == etype).select(
+            "hour", F.col("cnt").alias("v")
+        )
+        return grid.join(side, "hour", "left").select(
+            "hour", F.coalesce("v", F.lit(0)).alias("v")
+        )
+
+    x = series("view")
+    y = series("purchase").select(
+        F.col("hour").alias("y_hour"), F.col("v").alias("yv")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    mo = (
+        F.broadcast(lags)
+        .join(x)
+        .join(y, F.col("y_hour") == F.col("hour") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sx"),
+            F.sum("yv").alias("sy"),
+            F.sum(F.col("v") * F.col("v")).alias("sxx"),
+            F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+            F.sum(F.col("v") * F.col("yv")).alias("sxy"),
+        )
+    )
+    corr = F.floor(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.nullif(
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            F.lit(0.0),
+        )
+        * F.lit(1_000_000)
+    ) / F.lit(1_000_000)
+    return mo.select(
+        "lag", F.col("n").alias("n_hours"), corr.alias("corr")
+    ).orderBy("lag")

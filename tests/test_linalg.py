@@ -1,0 +1,62 @@
+"""Numpy differentials for the distributed linear-algebra tier
+(operators/linalg.py): the Spark covariance must equal the locally
+computed quantized covariance exactly, and the PCA projections must match
+np.linalg.eigh's dominant component up to the documented sign convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from corintick_spark.catalog import table
+from corintick_spark.operators.linalg import Q_SCALE, covariance, pca_top_component
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark, sf_dir):
+    pdf = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    return ids, X
+
+
+def _local_cov(X: np.ndarray) -> np.ndarray:
+    q = np.round(X * Q_SCALE).astype(np.int64)
+    n = len(q)
+    g = (q.T @ q).astype(np.float64)
+    s = q.sum(axis=0).astype(np.float64)
+    return g / (Q_SCALE * Q_SCALE) / n - np.outer(s / Q_SCALE / n, s / Q_SCALE / n)
+
+
+def test_covariance_matches_numpy_exactly(spark, sf_dir, emb_np):
+    _, X = emb_np
+    local = _local_cov(X)
+    rows = covariance(table(spark, sf_dir, "embeddings")).collect()
+    d = X.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        # identical integer moments + identical float expression ⇒ exact
+        assert r["cov"] == pytest.approx(local[r["i"], r["j"]], abs=0.0, rel=0.0), (
+            r["i"],
+            r["j"],
+        )
+
+
+def test_pca_projection_matches_eigh(spark, sf_dir, emb_np):
+    ids, X = emb_np
+    local = _local_cov(X)
+    evals, evecs = np.linalg.eigh(local)
+    v = evecs[:, -1]
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    # spectral-gap guard: power iteration needs λ1 > λ2 to converge to v1
+    assert evals[-1] > evals[-2] * 1.0001
+    expected = dict(zip(ids.tolist(), (X @ v).tolist()))
+    got = pca_top_component(table(spark, sf_dir, "embeddings")).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        assert r["pc1_projection"] == pytest.approx(
+            expected[r["vec_id"]], abs=1e-6
+        )
