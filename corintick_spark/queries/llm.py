@@ -1674,3 +1674,89 @@ def pipeline_training_mix(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("bin_tokens"),
     )
+
+
+# Survivorship policy over near-duplicate clusters: dedup_clusters keeps
+# the min-id doc; real curation keeps the RICHEST copy. One row per
+# cluster: the survivor under (longest text, then smallest id), member
+# count, and the chars discarded by deduplication. The cluster fixpoint
+# reuses dup_clusters (alternating min-label propagation, O(log n)
+# rounds); the ranking is one tiny window over the cluster table — at
+# 100 TB the cluster table is |docs| rows of two ids, and the documents
+# join for n_chars is key-partitioned.
+@query(
+    "dedup_survivors",
+    sql="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, source,
+               list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS wset
+        FROM documents
+    ), p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.wset, b.wset))
+                  / len(list_distinct(a.wset || b.wset)) >= 0.5
+    ), e AS (
+        SELECT a_id AS u, b_id AS v FROM p
+        UNION
+        SELECT b_id AS u, a_id AS v FROM p
+    ), reach(node, r) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT u, u FROM e
+        UNION
+        SELECT reach.node, e.v FROM reach, e WHERE reach.r = e.u
+    ), comp AS (
+        SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    ), members AS (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), ranked AS (
+        SELECT cluster_id, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+               CAST(SUM(n_chars) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS total_chars
+        FROM members
+    )
+    SELECT cluster_id, doc_id AS survivor_doc_id, n_members,
+           total_chars - n_chars AS chars_discarded
+    FROM ranked WHERE rk = 1
+    ORDER BY cluster_id
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """One survivor per near-dup cluster (longest text wins, id breaks
+    ties) with member count and discarded volume."""
+    from corintick_spark.operators.dup_clusters import dup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5).select(
+        "a_id", "b_id"
+    )
+    members = dup_clusters(d, pairs).join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    ranked = members.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wc).alias("n_members"),
+        F.sum("n_chars").over(wc).alias("total_chars"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_members",
+            (F.col("total_chars") - F.col("n_chars")).alias("chars_discarded"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -375,3 +375,33 @@ def stream_throttle(spark, sf_dir):
 
     src = events_stream_batched(spark, sf_dir, n_batches=4)
     return run_append_to_memory(throttle(src), spark)
+
+
+# Streaming histogram: the fixed-width value histogram as a continuously
+# maintained aggregate (complete mode — the bin table is tiny and fully
+# re-emittable each trigger). Same engine-parity bin expression as the
+# batch events_value_histogram; the oracle is that batch SQL under the
+# streaming epoch-floor contract.
+@query(
+    "stream_histogram",
+    sql="""
+    SELECT event_type,
+           CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS INTEGER)
+               AS bin,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01'
+    GROUP BY 1, 2
+    ORDER BY event_type, bin
+    """,
+)
+def stream_histogram(spark, sf_dir):
+    """20-bin per-type value histogram maintained over the event stream."""
+    src = events_stream(spark, sf_dir)
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(25.0)), F.lit(0)), F.lit(19)
+    ).cast("int")
+    agg = src.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count("*").alias("n")
+    )
+    return run_to_memory(agg, spark).orderBy("event_type", "bin")

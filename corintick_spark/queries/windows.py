@@ -817,3 +817,61 @@ def window_minmax_scale(spark, sf_dir):
             "scaled"
         ),
     )
+
+
+# One-sided CUSUM change detection per user — the classic Page (1954)
+# control chart. The recursive definition s_i = max(0, s_{i-1} + d_i)
+# looks like a sequential fold (events_throttle's class), but it has a
+# closed window form: s_i = P_i − min(0, min_{j≤i} P_j) with P the running
+# sum of deviations — so it stays a pure two-window plan (one shuffle on
+# user_id, one sort, two passes over the frame) instead of a per-key
+# list fold. Deviations are scaled longs (reference level 250), so every
+# prefix sum / running min is exact integer arithmetic in both engines.
+@query(
+    "window_cusum",
+    sql="""
+    WITH d AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 1000000) AS BIGINT) - 250000000 AS dev
+        FROM events
+        WHERE value IS NOT NULL
+    ), p AS (
+        SELECT user_id, event_id, ts,
+               SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS pre
+        FROM d
+    ), s AS (
+        SELECT user_id, event_id,
+               pre - LEAST(MIN(pre) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING),
+                           0) AS cu
+        FROM p
+    )
+    SELECT user_id, event_id,
+           CAST(cu AS DOUBLE) / 1000000 AS cusum,
+           (cu > 500000000) AS alarm
+    FROM s
+    """,
+)
+def window_cusum(spark, sf_dir):
+    """Per-user one-sided CUSUM (level 250, alarm at +500) via the
+    prefix-sum/running-min closed form — no sequential fold needed."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dev = (F.round(F.col("value") * 1_000_000).cast("bigint")
+           - F.lit(250_000_000))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = ev.select(
+        "user_id", "event_id", "ts", F.sum(dev).over(wp).alias("pre")
+    )
+    cu = F.col("pre") - F.least(F.min("pre").over(wp), F.lit(0))
+    return p.select(
+        "user_id",
+        "event_id",
+        (cu.cast("double") / F.lit(1_000_000)).alias("cusum"),
+        (cu > F.lit(500_000_000)).alias("alarm"),
+    )

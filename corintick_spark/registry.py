@@ -86,16 +86,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # event analytics
     "event_transitions", "event_durations",
 )
-# Round-5 rotation plan: keep the 10 canaries; fill the next slots with
-# the never-driver-verified set after r04 — every ORACLE-PAIRED query
-# registered after the 50-slot window this round (positions 51+ of
-# load_all() that are absent from CORRECTNESS_r01..r04; 22 as of session
-# end: the graph tier, the training-pipeline wave incl.
-# pipeline_training_mix, the verbatim-SQL q1/q3/q5, scalar_timezone,
-# rolling_corr, throttle pair, WAV/FRMS multimodal, profiler/sampler/gini/
-# MAD/overlap/interarrival event+stats additions) — then the 10
-# rows-only-by-nature entries for their weaker check, and backfill any
-# remaining slots with rotated-out r01-r03 queries for re-confirmation.
+# Round-5 rotation plan: keep the 10 canaries; fill the 40 slots from the
+# never-driver-verified ORACLE-PAIRED set (registered names absent from
+# CORRECTNESS_r01..r04 — 59 as of this session's end: the graph tier, the
+# training-pipeline + curation waves, the verbatim-SQL tier q1..q22 +
+# recursive/lateral, scalar_timezone, rolling_corr, throttle pair,
+# WAV/FRMS multimodal, profiler/sampler/gini/MAD/overlap/interarrival
+# stats, histograms, centroids/knn/covariance/cross-corr). 59 > 40 slots →
+# prioritize by family breadth (every new module represented), schedule
+# the overflow (~19) plus the 11 rows-only-by-nature entries for r06, then
+# backfill with rotated-out r01-r03 queries for re-confirmation.
 
 
 def load_all() -> dict[str, Query]:
