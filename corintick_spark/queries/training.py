@@ -430,3 +430,101 @@ def events_cross_corr(spark, sf_dir):
     return mo.select(
         "lag", F.col("n").alias("n_hours"), corr.alias("corr")
     ).orderBy("lag")
+
+
+# Per-user feature extraction — the "feature store" step that turns an
+# event log into an ML feature vector: per-type counts (static pivot —
+# the type vocabulary is known, so no dynamic two-pass pivot), exact
+# monetary totals, activity span in distinct days, recency. One
+# partial+final hash aggregate over the events scan; every feature is
+# integer-exact (day indexes via the portable FLOOR division, totals via
+# scaled longs).
+@query(
+    "features_per_user",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_value,
+           COUNT(DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000.0)
+                               AS BIGINT)) AS n_days_active,
+           MAX(CAST(epoch_us(ts) AS BIGINT)) AS last_seen_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def features_per_user(spark, sf_dir):
+    """Event-log → per-user ML feature vector (type counts, exact spend,
+    active days, recency)."""
+    ev = table(spark, sf_dir, "events")
+
+    def cnt(t):
+        return F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).cast("bigint").alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        cnt("view"), cnt("click"), cnt("purchase"), cnt("error"),
+        cnt("signup"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("double") / 1_000_000
+        ).alias("total_value"),
+        F.countDistinct(
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)).cast(
+                "bigint"
+            )
+        ).alias("n_days_active"),
+        F.max(F.unix_micros("ts").cast("bigint")).alias("last_seen_us"),
+    )
+
+
+# Stratified deterministic train/test split: the hash threshold keys on
+# vec_id (Knuth — the corpus_mixture convention) so membership is stable
+# across runs and engines; stratification is verified by reporting the
+# per-label split shares. At 100 TB the split column is a pure map-side
+# expression — no shuffle beyond the audit aggregate itself.
+@query(
+    "ml_split_stratified",
+    sql=f"""
+    WITH s AS (
+        SELECT label,
+               CASE WHEN ((vec_id * {_KNUTH}) % {_M32}) / {_M32}.0 < 0.8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM embeddings
+    )
+    SELECT label, split, COUNT(*) AS n,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) * 1000000
+                 / SUM(COUNT(*)) OVER (PARTITION BY label)) / 1000000
+               AS share
+    FROM s
+    GROUP BY label, split
+    ORDER BY label, split
+    """,
+)
+def ml_split_stratified(spark, sf_dir):
+    """Deterministic 80/20 train-test split with per-label share audit."""
+    e = table(spark, sf_dir, "embeddings")
+    split = F.when(
+        _knuth(F.col("vec_id")) / F.lit(float(_M32)) < 0.8, "train"
+    ).otherwise("test")
+    s = e.select("label", split.alias("split"))
+    g = s.groupBy("label", "split").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("label")
+    share = F.floor(
+        F.col("n").cast("double") * F.lit(1_000_000) / F.sum("n").over(w)
+    ) / F.lit(1_000_000)
+    return g.select("label", "split", "n", share.alias("share")).orderBy(
+        "label", "split"
+    )
