@@ -301,3 +301,46 @@ def source_python_stream(spark, sf_dir):
         ).alias("total_value"),
     )
     return run_processall_to_memory(agg, spark)
+
+
+@query(
+    "sink_roundtrip",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_value
+    FROM events
+    WHERE user_id < 20
+    GROUP BY event_type
+    """,
+)
+def sink_roundtrip(spark, sf_dir):
+    """Custom Python data SINK round-trip (PySpark 4 DataSourceArrowWriter,
+    sources/arrow_sink.py): push an events slice through the Arrow-IPC
+    two-phase-commit sink, read the committed files back with pyarrow, and
+    aggregate — the oracle recomputes from the source table, proving the
+    sink is lossless and commits exactly once."""
+    import tempfile as _tf
+
+    from corintick_spark.sources.arrow_sink import read_back, register
+
+    register(spark)
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    path = _tf.mkdtemp(prefix="arrow_sink_rt_")
+    (
+        ev.select("event_id", "event_type", "value")
+        .write.format("arrowsink")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    t = read_back(path)
+    back = spark.createDataFrame(t.to_pandas())
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("double") / 1_000_000
+        ).alias("total_value"),
+    )
