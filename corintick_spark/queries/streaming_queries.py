@@ -405,3 +405,80 @@ def stream_histogram(spark, sf_dir):
         F.count("*").alias("n")
     )
     return run_to_memory(agg, spark).orderBy("event_type", "bin")
+
+
+# Streaming AS-OF enrichment — the non-equi join Structured Streaming's
+# built-in stream-static joins cannot express (they are equi-only): each
+# event picks up the most recent purchase value at-or-before its
+# timestamp for the same user. The reference-quote table derives from the
+# batch events (deduped per (user, ts) by max event_id), ships to every
+# executor inside the Arrow-batched closure, and each micro-batch does a
+# vectorized pandas merge_asof — stateless, so the stream stays in append
+# mode with no state store. Scale contract: the quote side must be
+# broadcast-sized (here |purchases|; at 100 TB you'd snapshot per-key
+# LATEST quotes — bounded by key cardinality — or fall back to the batch
+# as-of join on micro-batch tables via foreachBatch). The oracle is
+# DuckDB's native ASOF JOIN over the identical deduped quote set.
+@query(
+    "stream_asof",
+    sql="""
+    WITH q AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS qv
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           q.qv AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN q ON e.user_id = q.user_id AND q.ts <= e.ts
+    WHERE e.ts >= TIMESTAMP '1970-01-01'
+    """,
+)
+def stream_asof(spark, sf_dir):
+    """Enrich the event stream with each user's most recent purchase value
+    (as-of semantics) via per-batch vectorized merge_asof."""
+    import pandas as pd
+
+    from corintick_spark.catalog import table as _table
+    from corintick_spark.streaming.events_stream import run_append_to_memory
+
+    ev = _table(spark, sf_dir, "events")
+    qpdf = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("qv"))
+        .select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "qv"
+        )
+        .toPandas()
+        .sort_values(["ts_us", "user_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    def enrich(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            left = pdf.sort_values(["ts_us", "user_id"], kind="mergesort")
+            merged = pd.merge_asof(
+                left,
+                qpdf,
+                on="ts_us",
+                by="user_id",
+                direction="backward",
+            )
+            yield merged[["event_id", "user_id", "ts_us", "qv"]].rename(
+                columns={"qv": "last_purchase_value"}
+            )
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = src.mapInPandas(
+        enrich,
+        schema="event_id long, user_id long, ts_us long, "
+        "last_purchase_value double",
+    )
+    return run_append_to_memory(out, spark)
