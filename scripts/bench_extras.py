@@ -35,6 +35,14 @@ EXTRAS = [
     "text_perplexity",
     "pack_fragments",
     "similarity_pq",
+    # round-4 third-session additions
+    "sql_q18",
+    "sql_recursive",
+    "knn_classify",
+    "embedding_covariance",
+    "dedup_survivors",
+    "window_cusum",
+    "stream_asof",
 ]
 
 

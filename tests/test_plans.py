@@ -266,3 +266,51 @@ def test_rolling_corr_single_exchange_shared_sort(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("+- Sort") == 1
     assert plan.count("Window") >= 2
+
+
+def test_sample_priority_is_take_ordered(spark, sf_dir):
+    """Weighted priority sampling must stay a per-partition heap top-k —
+    a global sort of the corpus would be the 100 TB mistake."""
+    plan = plan_of(spark, sf_dir, "sample_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_sql_q10_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sql_q10")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_q18_semi_join_and_pruned_scans(spark, sf_dir):
+    """The IN-subquery must decorrelate to a semi join, and the lineitem
+    scans must read only the 2 needed columns."""
+    plan = plan_of(spark, sf_dir, "sql_q18")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "FileScan" in line and "lineitem" in line:
+            assert "l_extendedprice" not in line and "l_shipdate" not in line
+
+
+def test_sql_q22_anti_join(spark, sf_dir):
+    """NOT EXISTS must decorrelate to an anti hash join (never a
+    per-row subquery / nested loop over orders)."""
+    plan = plan_of(spark, sf_dir, "sql_q22")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_centroids_partial_final(spark, sf_dir):
+    """The (label, dim) aggregation must map-side combine — the shuffle
+    carries 64·|labels| cells, not exploded rows."""
+    plan = plan_of(spark, sf_dir, "embedding_centroids")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_covariance_shuffles_cells_not_vectors(spark, sf_dir):
+    """embedding_covariance's only wide exchange is keyed on (i, j) —
+    the raw embedding column must never cross a shuffle."""
+    plan = plan_of(spark, sf_dir, "embedding_covariance")
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Exchange") or "Exchange hashpartitioning" in line:
+            assert "embedding#" not in line, line
