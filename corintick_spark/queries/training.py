@@ -528,3 +528,59 @@ def ml_split_stratified(spark, sf_dir):
     return g.select("label", "split", "n", share.alias("share")).orderBy(
         "label", "split"
     )
+
+
+# Frequent co-occurring event-type pairs (market-basket support over
+# user-day baskets) — the exact small-vocabulary case of frequent-itemset
+# mining: with a bounded type vocabulary the pair lattice is tiny, so the
+# A-priori machinery collapses to one DISTINCT + one self-join on the
+# basket key + one count — all declarative, no iterative candidate
+# generation. Scale shape: the DISTINCT prunes each basket to ≤|vocab|
+# rows before the join, and the join key (user, day) is the basket id —
+# never a cross join over raw events.
+@query(
+    "events_frequent_pairs",
+    sql="""
+    WITH b AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+               event_type
+        FROM events
+    ), p AS (
+        SELECT a.event_type AS ta, c.event_type AS tb
+        FROM b a
+        JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                AND a.event_type < c.event_type
+    )
+    SELECT ta, tb, COUNT(*) AS support
+    FROM p
+    GROUP BY ta, tb
+    ORDER BY support DESC, ta, tb
+    """,
+)
+def events_frequent_pairs(spark, sf_dir):
+    """Support counts for event-type pairs co-occurring within a user-day
+    basket."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0))
+        .cast("bigint")
+        .alias("day"),
+        "event_type",
+    ).distinct()
+    a = b.alias("a")
+    c = b.alias("c")
+    p = a.join(
+        c,
+        (F.col("a.user_id") == F.col("c.user_id"))
+        & (F.col("a.day") == F.col("c.day"))
+        & (F.col("a.event_type") < F.col("c.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"), F.col("c.event_type").alias("tb")
+    )
+    return (
+        p.groupBy("ta", "tb")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "ta", "tb")
+    )
