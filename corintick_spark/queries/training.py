@@ -584,3 +584,97 @@ def events_frequent_pairs(spark, sf_dir):
         .agg(F.count("*").alias("support"))
         .orderBy(F.desc("support"), "ta", "tb")
     )
+
+
+# Token-pair pointwise mutual information across the corpus — the
+# collocation/association primitive behind phrase mining and embedding
+# evaluation. Document-level co-occurrence: c_xy = docs containing both
+# (support-filtered), PMI = log2(c_xy·D / (c_x·c_y)). Float discipline:
+# each log2 term is quantized independently (round(log2(int)·1e6) — the
+# text_perplexity technique) and PMI is an INTEGER combination of the
+# four quantized terms, so both engines agree bit-for-bit. Scale shape:
+# the co-occurrence self-join runs over the TOP-100 vocabulary only
+# (derived in-plan via TakeOrdered), so the per-doc pair lattice is
+# ≤ C(100,2) however long the document — the edge sweep's adversarial
+# long doc made the uncapped version quadratic in doc length; the
+# support HAVING then prunes before the dimension joins.
+@query(
+    "text_pmi_pairs",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+        FROM documents
+    ), dt AS (
+        SELECT DISTINCT doc_id, w FROM tok
+    ), cx AS (
+        SELECT w, COUNT(*) AS c FROM dt GROUP BY w
+    ), top AS (
+        SELECT w, c FROM cx ORDER BY c DESC, w LIMIT 100
+    ), dtt AS (
+        SELECT dt.doc_id, dt.w FROM dt JOIN top ON top.w = dt.w
+    ), dd AS (
+        SELECT COUNT(*) AS d FROM documents
+    ), pairs AS (
+        SELECT a.w AS x, c.w AS y, COUNT(*) AS cxy
+        FROM dtt a JOIN dtt c ON a.doc_id = c.doc_id AND a.w < c.w
+        GROUP BY a.w, c.w
+        HAVING COUNT(*) >= 5
+    )
+    SELECT p.x, p.y, p.cxy,
+           CAST(CAST(round(log2(p.cxy) * 1000000) AS BIGINT)
+                + CAST(round(log2(dd.d) * 1000000) AS BIGINT)
+                - CAST(round(log2(ca.c) * 1000000) AS BIGINT)
+                - CAST(round(log2(cb.c) * 1000000) AS BIGINT) AS DOUBLE)
+               / 1000000 AS pmi
+    FROM pairs p
+    JOIN top ca ON ca.w = p.x
+    JOIN top cb ON cb.w = p.y
+    CROSS JOIN dd
+    ORDER BY pmi DESC, p.x, p.y
+    LIMIT 50
+    """,
+)
+def text_pmi_pairs(spark, sf_dir):
+    """Top-50 document-level PMI token pairs (support ≥ 5)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias("w"),
+    )
+    dt = tok.distinct()
+    cx = dt.groupBy("w").agg(F.count("*").alias("c"))
+    # bound the pair lattice: only the top-100 vocabulary participates —
+    # an adversarial long doc (edge sweep!) otherwise makes the per-doc
+    # self-join quadratic in DOC LENGTH; with the cap it is ≤ C(100,2)
+    # per doc however long the doc. TakeOrdered, not a global sort.
+    top = cx.orderBy(F.desc("c"), "w").limit(100)
+    dtt = dt.join(F.broadcast(top.select("w")), "w")
+    dd = d.agg(F.count("*").alias("d"))
+    a = dtt.alias("a")
+    c = dtt.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.doc_id") == F.col("c.doc_id"))
+            & (F.col("a.w") < F.col("c.w")),
+        )
+        .groupBy(F.col("a.w").alias("x"), F.col("c.w").alias("y"))
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+
+    def r(col):
+        return F.round(F.log2(col) * 1_000_000).cast("bigint")
+
+    pmi = (
+        r(F.col("cxy")) + r(F.col("d")) - r(F.col("ca.c")) - r(F.col("cb.c"))
+    ).cast("double") / F.lit(1_000_000)
+    return (
+        pairs.join(F.broadcast(top.alias("ca")), F.col("ca.w") == F.col("x"))
+        .join(F.broadcast(top.alias("cb")), F.col("cb.w") == F.col("y"))
+        .crossJoin(F.broadcast(dd))
+        .select("x", "y", "cxy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(50)
+    )
