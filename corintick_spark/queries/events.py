@@ -586,3 +586,56 @@ def events_interarrival(spark, sf_dir):
         F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_us"),
         F.max("gap_us").cast("bigint").alias("max_us"),
     )
+
+
+# Cart abandonment: views with NO purchase by the same user within the
+# following hour — the time-bounded anti-join (NOT EXISTS with a range
+# predicate). Spark decorrelates to a hash anti join on the user_id equi
+# key with the time window as a residual — never a nested loop over
+# purchases (the equi component is what makes this 100 TB-safe; an
+# anti-join keyed only on time would be a broadcast nested loop).
+@query(
+    "events_abandonment",
+    sql="""
+    SELECT v.user_id,
+           COUNT(*) AS n_views,
+           CAST(SUM(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.user_id = v.user_id
+                      AND p.ts >= v.ts
+                      AND p.ts <= v.ts + INTERVAL 1 HOUR
+                ) THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+    FROM events v
+    WHERE v.event_type = 'view'
+    GROUP BY v.user_id
+    """,
+)
+def events_abandonment(spark, sf_dir):
+    """Per-user view count and views not followed by a purchase within
+    one hour."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    followed = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_uid"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("user_id", "event_id")
+    flagged = views.join(
+        followed.withColumn("followed", F.lit(1)),
+        ["user_id", "event_id"],
+        "left",
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_views"),
+        F.sum(
+            F.when(F.col("followed").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_abandoned"),
+    )

@@ -467,3 +467,64 @@ def sql_lateral(spark, sf_dir):
     """LATERAL top-2 orders per customer via spark.sql — same text as the
     oracle."""
     return _run(spark, sf_dir, _SQL_LATERAL, "customer", "orders")
+
+
+# Verbatim window-function SQL: ranking + running share inside one text.
+# The share divides two exact scaled-long window sums evaluated over
+# deterministic frames; rank ties are impossible (revenue ties broken by
+# nation inside the rank's ORDER BY).
+_SQL_WFUNC = """
+    WITH rev AS (
+        SELECT n.n_name,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000) AS BIGINT)) AS r_scaled
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(r_scaled AS DOUBLE) / 10000 AS revenue,
+           CAST(RANK() OVER (ORDER BY r_scaled DESC, n_name) AS BIGINT)
+               AS rev_rank,
+           FLOOR(CAST(SUM(r_scaled) OVER (ORDER BY r_scaled DESC, n_name
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE) * 1000000
+                 / SUM(r_scaled) OVER ()) / 1000000 AS cum_share
+    FROM rev
+    ORDER BY rev_rank
+"""
+
+
+@query("sql_wfunc", sql=_SQL_WFUNC)
+def sql_wfunc(spark, sf_dir):
+    """Window functions (rank + cumulative share) as one verbatim SQL
+    text in both engines."""
+    return _run(
+        spark, sf_dir, _SQL_WFUNC, "lineitem", "orders", "customer", "nation",
+    )
+
+
+# Verbatim GROUPING SETS with the GROUPING() disambiguator — the explicit
+# multi-grouping syntax (agg_rollup/agg_cube cover the sugar forms through
+# the DataFrame API; this is the SQL-standard general form, same text in
+# both engines). Catalyst plans one Expand + single aggregate — one scan
+# for all three groupings.
+_SQL_GSETS = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+@query("sql_groupingsets", sql=_SQL_GSETS)
+def sql_groupingsets(spark, sf_dir):
+    """Explicit GROUPING SETS + GROUPING() via one verbatim SQL text."""
+    return _run(spark, sf_dir, _SQL_GSETS, "orders")
