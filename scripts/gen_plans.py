@@ -36,6 +36,14 @@ NOTES = {
     "sample_per_group": "WindowGroupLimit pushes the rank<=k bound below the window, so only k rows per group survive the exchange.",
     "pack_fragments": "one exchange on source feeds the prefix-sum window; fragments are a sequence()+explode over each doc's token interval — splitting needs no sequential fold.",
     "profile_numeric": "stack() melts 4 columns inside the scan's stage; ONE partial+final aggregation keyed by column name — |columns| rows out regardless of table size.",
+    "sample_priority": "weighted top-k is TakeOrderedAndProject (per-partition heaps of k) — the corpus is scanned once and never globally sorted or shuffled.",
+    "sql_q18": "the IN-subquery decorrelates to LeftSemi hash joins fed by a broadcast of the per-order aggregate; every lineitem scan reads only (l_orderkey, l_quantity).",
+    "sql_q22": "NOT EXISTS decorrelates to a hash anti join on custkey; the 1-row average CTE enters as a single-row broadcast, never a cartesian.",
+    "embedding_covariance": "Arrow-batched partial Gram folds (numpy matmul per batch); the only wide exchange carries (i, j, partial) cells — d² rows whatever the corpus size; the embedding column never crosses a shuffle.",
+    "knn_classify": "broadcast nested loop ONLY over the <=20-row probe set (the guarded cross-join shape), then one windowed top-k and a tiny vote aggregate — the corpus is scanned once.",
+    "window_cusum": "the recursive max(0, s+d) folds into prefix-sum minus running-min: two window passes sharing ONE (user_id) exchange and sort — no per-key list fold, no sequential state.",
+    "text_pmi_pairs": "the co-occurrence self-join is capped to the in-plan top-100 vocabulary (TakeOrdered), bounding the per-doc pair lattice at C(100,2) regardless of document length; dimension joins broadcast.",
+    "events_abandonment": "the time-bounded NOT EXISTS is a LeftSemi hash join on the user_id equi key with the 1-hour window as residual — never a nested loop over purchases.",
 }
 
 
