@@ -243,3 +243,56 @@ def udf_arrow(spark, sf_dir):
     return ev.mapInArrow(
         scale, "event_id bigint, user_id bigint, scaled double"
     )
+
+
+# T-B47 extension — POLYMORPHIC Python UDTF (PySpark 4 `analyze()`):
+# the output schema is computed at plan time from the constant argument
+# (k ⇒ columns tok0..tok{k-1}), the table-function feature that fixed-
+# returnType UDTFs can't express. Arrow-batched like the rest of the
+# Python surface.
+@query(
+    "udtf_dynamic",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+        WHERE doc_id < 100
+    )
+    SELECT doc_id, w[1] AS tok0, w[2] AS tok1, w[3] AS tok2
+    FROM tok
+    """,
+)
+def udtf_dynamic(spark, sf_dir):
+    """UDTF with plan-time dynamic schema: first-k tokens as k columns,
+    k supplied as a literal argument and reflected in the schema by
+    analyze()."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, k: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType().add("doc_id", LongType())
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, k):
+            toks = [w for w in (text or "").split(" ") if w]
+            yield tuple(
+                [doc_id]
+                + [toks[i] if i < len(toks) else None for i in range(k)]
+            )
+
+    fn = udtf(FirstTokens, useArrow=True)
+    spark.udtf.register("first_tokens", fn)
+    d = table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") < 100).createOrReplaceTempView("_docs_udtf_dyn")
+    return spark.sql(
+        """SELECT t.* FROM _docs_udtf_dyn d,
+           LATERAL first_tokens(d.doc_id, d.text, 3) t"""
+    )
