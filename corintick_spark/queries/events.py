@@ -639,3 +639,53 @@ def events_abandonment(spark, sf_dir):
             F.when(F.col("followed").isNull(), 1).otherwise(0)
         ).cast("bigint").alias("n_abandoned"),
     )
+
+
+# Sequence mining: the most frequent 3-step event-type paths, where a
+# path is three consecutive events of one user within one day. LEAD
+# windows build the trigram in one pass over the per-user sort — no
+# self-joins on position; the count is a partial+final aggregate over
+# short strings; top-20 is TakeOrdered. Day boundaries (portable FLOOR
+# division) keep the window frames bounded for infinite logs.
+@query(
+    "events_top_paths",
+    sql="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+               event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id,
+                     CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                     ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           COUNT(*) AS n
+    FROM seq
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top-20 three-step event-type paths within user-days."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)).cast("bigint")
+    w = Window.partitionBy("user_id", day.alias("day")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    path = F.concat_ws(">", "event_type", "t2", "t3")
+    return (
+        seq.groupBy(path.alias("path"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

@@ -482,3 +482,40 @@ def stream_asof(spark, sf_dir):
         "last_purchase_value double",
     )
     return run_append_to_memory(out, spark)
+
+
+# Streaming OHLC resample — the batch resample_ohlc shape maintained as a
+# continuous aggregate (the Structured Streaming symmetry claim made
+# concrete: identical groupBy/agg code, readStream source). first/last
+# within the bar are argmin/argmax on (ts, event_id) — order-insensitive
+# aggregates that work in streaming where window-function firsts cannot.
+@query(
+    "stream_ohlc",
+    sql="""
+    SELECT user_id,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           COUNT(*) AS volume
+    FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01' AND user_id < 30
+    GROUP BY 1, 2
+    ORDER BY user_id, bar
+    """,
+)
+def stream_ohlc(spark, sf_dir):
+    """Hourly OHLC bars per user maintained over the event stream."""
+    src = events_stream(spark, sf_dir).filter(F.col("user_id") < 30)
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    agg = src.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bar")
+    ).agg(
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.count("*").alias("volume"),
+    )
+    return run_to_memory(agg, spark).orderBy("user_id", "bar")
