@@ -60,3 +60,45 @@ def test_pca_projection_matches_eigh(spark, sf_dir, emb_np):
         assert r["pc1_projection"] == pytest.approx(
             expected[r["vec_id"]], abs=1e-6
         )
+
+
+def test_cusum_closed_form_equals_recursive_fold(spark, sf_dir):
+    """window_cusum's prefix-sum − running-min closed form must equal the
+    textbook recursion s_i = max(0, s_{i-1} + d_i) exactly (integer
+    arithmetic end to end)."""
+    from collections import defaultdict
+
+    from corintick_spark.registry import load_all
+
+    rows = (
+        load_all()["window_cusum"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    got = {(r["user_id"], r["event_id"]): (r["cusum"], r["alarm"]) for r in rows}
+
+    import pyspark.sql.functions as F
+
+    from corintick_spark.catalog import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    n_checked = 0
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        s = 0
+        for r in evs:
+            d = round(r["value"] * 1_000_000) - 250_000_000
+            s = max(0, s + d)
+            cus, alarm = got[(uid, r["event_id"])]
+            assert cus == s / 1_000_000, (uid, r["event_id"])
+            assert alarm == (s > 500_000_000)
+            n_checked += 1
+    assert n_checked == len(got) > 0
