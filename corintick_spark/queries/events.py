@@ -590,10 +590,13 @@ def events_interarrival(spark, sf_dir):
 
 # Cart abandonment: views with NO purchase by the same user within the
 # following hour — the time-bounded anti-join (NOT EXISTS with a range
-# predicate). Spark decorrelates to a hash anti join on the user_id equi
-# key with the time window as a residual — never a nested loop over
-# purchases (the equi component is what makes this 100 TB-safe; an
-# anti-join keyed only on time would be a broadcast nested loop).
+# predicate). A plain (user_id)-keyed semi join with the window as a
+# residual is CORRECT but quadratic in per-user event density (each view
+# probes ALL of that user's purchases — measured unacceptably slow at
+# sf1's 10×-denser timeline). The 100 TB shape adds the hour bucket to
+# the join key (the interval.py rewrite): a 1-hour window spans at most
+# two hour buckets, so each view meets only the purchases of its own two
+# buckets and the residual check is O(purchases-per-user-hour).
 @query(
     "events_abandonment",
     sql="""
@@ -618,16 +621,43 @@ def events_abandonment(spark, sf_dir):
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "event_id", "ts"
     )
+    hour_us = 3_600_000_000
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.unix_micros("ts") / F.lit(float(hour_us)))
+        .cast("bigint")
+        .alias("p_bucket"),
     )
-    followed = views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_uid"))
-        & (F.col("p_ts") >= F.col("ts"))
-        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_semi",
-    ).select("user_id", "event_id")
+    # each view's 1h window intersects exactly its own and the next bucket
+    cand = views.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("ts") / F.lit(float(hour_us))).cast(
+                    "bigint"
+                ),
+                F.floor(F.unix_micros("ts") / F.lit(float(hour_us))).cast(
+                    "bigint"
+                )
+                + 1,
+            )
+        ).alias("bucket"),
+    )
+    followed = (
+        cand.join(
+            purchases,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("bucket") == F.col("p_bucket"))
+            & (F.col("p_ts") >= F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        .select("user_id", "event_id")
+        .distinct()
+    )
     flagged = views.join(
         followed.withColumn("followed", F.lit(1)),
         ["user_id", "event_id"],
