@@ -43,6 +43,8 @@ EXTRAS = [
     "dedup_survivors",
     "window_cusum",
     "stream_asof",
+    "events_abandonment",
+    "text_pmi_pairs",
 ]
 
 
