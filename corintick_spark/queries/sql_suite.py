@@ -25,9 +25,12 @@ c_phone / c_address / o_comment):
   "without orders" becomes "without orders since 2000-01-01" (every
   customer has life-time orders in this data).
 - Q2/Q4/Q9/Q11/Q12/Q20/Q21 need columns that do not exist in any form
-  (supplycost, commit/receipt dates, shipmode); their shapes are covered
-  elsewhere (subquery_exists is the Q4 EXISTS shape, agg_minmax_by the Q2
-  arg-min shape).
+  (supplycost, commit/receipt dates, shipmode); wave 3 (end of this file)
+  adapts each so its defining plan shape survives — correlated-scalar
+  arg-min (Q2), correlated non-equi EXISTS (Q4), LIKE-gated profit rollup
+  (Q9), HAVING vs global scalar (Q11), derived-bucket conditional counts
+  (Q12), nested IN over a correlated-threshold aggregate (Q20), paired
+  EXISTS/NOT-EXISTS self-joins (Q21) — completing all 22 TPC-H shapes.
 
 Float determinism follows corintick_spark.exact: money sums are
 scaled-long (``CAST(round(x*10000) AS BIGINT)``), ratio outputs are
@@ -528,3 +531,264 @@ _SQL_GSETS = """
 def sql_groupingsets(spark, sf_dir):
     """Explicit GROUPING SETS + GROUPING() via one verbatim SQL text."""
     return _run(spark, sf_dir, _SQL_GSETS, "orders")
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: the seven TPC-H queries whose ORIGINAL columns don't exist in the
+# driver schema (partsupp, l_commitdate/l_receiptdate/l_shipmode), adapted
+# so their defining PLAN SHAPES survive intact: Q2's correlated-scalar
+# arg-min, Q4's correlated non-equi EXISTS, Q9's LIKE-gated profit rollup,
+# Q11's HAVING-vs-global-scalar, Q12's derived-bucket conditional counts,
+# Q20's nested IN over a correlated-threshold aggregate, Q21's paired
+# EXISTS / NOT-EXISTS self-joins. Substitutions per query are documented
+# inline; every one is a single dialect-neutral text run verbatim by both
+# engines, with scaled-long exactness wherever row MEMBERSHIP or an output
+# value depends on an aggregate.
+# ---------------------------------------------------------------------------
+
+
+# Q2 — minimum-cost supplier: the partsupp "cost" becomes s_acctbal and the
+# part↔supplier association derives from lineitem (as Q16 already does).
+# The defining shape is intact: a correlated scalar subquery computing the
+# per-part regional minimum, equated against the outer join's value —
+# Catalyst decorrelates it to an aggregate + join, DuckDB to a window;
+# equality on the raw parquet double is exact in both (MIN selects, never
+# arithmetizes). DISTINCT collapses the lineitem-induced multiplicity that
+# partsupp's uniqueness used to guarantee.
+_SQL_Q2 = """
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 10 AND p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+      AND s.s_acctbal = (
+          SELECT MIN(s2.s_acctbal)
+          FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'AMERICA'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+
+@query("sql_q2", sql=_SQL_Q2)
+def sql_q2(spark, sf_dir):
+    """TPC-H Q2 shape (correlated-scalar arg-min supplier) via spark.sql."""
+    return _run(
+        spark, sf_dir, _SQL_Q2,
+        "part", "lineitem", "supplier", "nation", "region",
+    )
+
+
+# Q4 — order-priority checking. "Late" (l_commitdate < l_receiptdate) has
+# no source columns; the adapted predicate is shipment >90 days after the
+# order date — which preserves the interesting part, a correlated EXISTS
+# whose condition references the OUTER row non-equijoin-wise
+# (l.l_shipdate > o.o_orderdate + ...). Catalyst plans a left-semi hash
+# join on orderkey with the date inequality as a residual condition.
+_SQL_Q4 = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("sql_q4", sql=_SQL_Q4)
+def sql_q4(spark, sf_dir):
+    """TPC-H Q4 shape (correlated non-equi EXISTS) via spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q4, "orders", "lineitem")
+
+
+# Q9 — product-type profit by nation and year. ps_supplycost is absent, so
+# unit cost is proxied as 10% of p_retailprice (documented adaptation; the
+# plan shape — LIKE-gated part dim, four joins around the fact, year
+# extraction, two-key rollup — is unchanged). Profit is rounded to scaled
+# long PER ROW before summing, so group totals are exact in both engines.
+_SQL_Q9 = """
+    SELECT nation, o_year,
+           CAST(SUM(amount_scaled) AS DOUBLE) / 10000 AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                           - 0.1 * p.p_retailprice * l.l_quantity) * 10000)
+                    AS BIGINT) AS amount_scaled
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%plate%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query("sql_q9", sql=_SQL_Q9)
+def sql_q9(spark, sf_dir):
+    """TPC-H Q9 shape (LIKE-gated profit rollup) via spark.sql."""
+    return _run(
+        spark, sf_dir, _SQL_Q9,
+        "part", "lineitem", "supplier", "orders", "nation",
+    )
+
+
+# Q11 — important stock. partsupp value becomes shipped quantity by the
+# chosen nation's suppliers, but the defining shape stays: a grouped sum
+# filtered by HAVING against an UNCORRELATED scalar subquery over the same
+# filtered fact — the global threshold forces one extra full aggregate
+# that Catalyst evaluates once as a subquery-scalar and broadcasts into
+# the filter. Both sides and the threshold are scaled-long; membership is
+# an exact integer comparison (fraction 1/1000 expressed as ×1000 vs ×1).
+_SQL_Q11 = """
+    SELECT l.l_partkey AS p_partkey,
+           CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS part_value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+    GROUP BY l.l_partkey
+    HAVING SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) * 1000 > (
+        SELECT SUM(CAST(round(l2.l_quantity * 100) AS BIGINT))
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        WHERE n2.n_name = 'NATION_5'
+    )
+    ORDER BY part_value DESC, p_partkey
+"""
+
+
+@query("sql_q11", sql=_SQL_Q11)
+def sql_q11(spark, sf_dir):
+    """TPC-H Q11 shape (HAVING vs global scalar subquery) via spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q11, "lineitem", "supplier", "nation")
+
+
+# Q12 — shipping-mode priority counts. l_shipmode is absent; the bucket is
+# derived from shipping latency (CASE over date arithmetic), keeping the
+# shape: fact join, bucket column, paired conditional counts over
+# o_orderpriority. Counts are integers — exact by construction.
+_SQL_Q12 = """
+    SELECT ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT CASE
+                 WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                   THEN 'FAST'
+                 WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                   THEN 'MEDIUM'
+                 ELSE 'SLOW'
+               END AS ship_bucket,
+               o.o_orderpriority
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY ship_bucket
+    ORDER BY ship_bucket
+"""
+
+
+@query("sql_q12", sql=_SQL_Q12)
+def sql_q12(spark, sf_dir):
+    """TPC-H Q12 shape (latency buckets, conditional counts) via
+    spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q12, "orders", "lineitem")
+
+
+# Q20 — excess-inventory suppliers. The partsupp availqty-vs-half-demand
+# gate becomes: suppliers who shipped MORE THAN HALF of some blue part's
+# 1997 volume (dominant supplier). The nested structure is intact: outer
+# IN over a grouped derived table, whose filter is a CORRELATED scalar
+# subquery re-aggregating the fact per part — all in exact scaled-long
+# integers, so dominance membership can't flap between engines.
+_SQL_Q20 = """
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT sp.l_suppkey
+        FROM (
+            SELECT l.l_suppkey, l.l_partkey,
+                   SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS q
+            FROM lineitem l
+            WHERE l.l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+                  )
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l.l_suppkey, l.l_partkey
+        ) sp
+        WHERE sp.q * 2 > (
+            SELECT SUM(CAST(round(l2.l_quantity * 100) AS BIGINT))
+            FROM lineitem l2
+            WHERE l2.l_partkey = sp.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+    )
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("sql_q20", sql=_SQL_Q20)
+def sql_q20(spark, sf_dir):
+    """TPC-H Q20 shape (nested IN over correlated-threshold agg) via
+    spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q20, "supplier", "lineitem", "part")
+
+
+# Q21 — suppliers who kept orders waiting. "Late" is adapted as >60 days
+# after the order date (no commit/receipt dates), preserving the hard
+# part: a multi-supplier EXISTS plus a sole-late-supplier NOT EXISTS, both
+# self-joins on lineitem correlated to the outer fact row AND (for the
+# NOT EXISTS) to the outer orders row non-equijoin-wise. Catalyst plans a
+# semi + anti hash join pair on orderkey with residual conditions.
+_SQL_Q21 = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+"""
+
+
+@query("sql_q21", sql=_SQL_Q21)
+def sql_q21(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT-EXISTS self-join pair) via
+    spark.sql."""
+    return _run(spark, sf_dir, _SQL_Q21, "supplier", "lineitem", "orders")
