@@ -1,0 +1,184 @@
+"""Streaming incremental near-dedup: a document stream folded against a
+growing signature store.
+
+The production posture of a 100 TB training-data pipeline is not "dedup the
+corpus once" but "dedup every arriving batch against everything kept so
+far". Batch-side that is :func:`corintick_spark.operators.dedup.
+incremental_minhash_dedup` (new batch vs a persisted signature table);
+this module closes the loop for Structured Streaming: ``foreachBatch``
+deduplicates each micro-batch against the store, emits per-document
+decisions, and appends only the SURVIVORS' signatures — so later batches
+automatically dedupe against earlier ones, and the corpus text behind the
+store is never re-read or re-hashed (the store carries (doc_id, shingles,
+sig) only).
+
+Semantics (deterministic fold): documents arrive in doc_id-ordered
+micro-batches; a document is a duplicate iff it (a) MinHash-matches the
+kept store (earlier batches + any warm-start corpus), or (b) is a
+non-minimum member of an intra-batch duplicate CLUSTER (transitive
+closure of the batch's pair graph — the same min-id survivorship policy
+as ``dedup_survivors``). Survivors (= store-clean cluster minima and
+unpaired store-clean docs) enter the store; ``matched_id`` is the
+smallest of the doc's store match and its cluster minimum. Both rules
+are order-free within a batch, so the outcome depends only on the batch
+partition, never on task scheduling.
+
+Scale notes: each micro-batch pays one banded equi-join against the store
+(band hashes derive from stored ``sig`` arrays — pure arithmetic, no
+text), one shingle-verification join on the candidates, and one append
+write. State lives in the parquet store, not executor memory, so the
+stream's state size is O(0) in Spark's state store and the store itself
+scales as any parquet table (partition by band at real scale). This is
+`foreachBatch` + idempotent-append rather than `applyInPandasWithState`
+because the kept-set is corpus-sized — orders of magnitude beyond what a
+per-key state store should hold — and because the store must be readable
+by the BATCH incremental path between stream runs (one store, two APIs).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from corintick_spark.operators import dedup as D
+
+
+def documents_stream_batched(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """documents replayed as ``n_batches`` micro-batches split by doc_id
+    range (ascending, half-open), strictly increasing file mtimes +
+    maxFilesPerTrigger=1 — so the stream delivers the corpus in the same
+    id-ascending order the batch survivor fold scans it."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    head = raw.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if head[0] is None:
+        bounds: list[int] = []
+    else:
+        mn, mx = int(head[0]), int(head[1])
+        step = max(1, (mx - mn) // n_batches + 1)
+        bounds = [mn + i * step for i in range(1, n_batches)]
+    cuts = [None, *bounds, None]
+
+    stage = tempfile.mkdtemp(prefix="docs_batched_")
+    _cleanup_at_exit(stage)
+    t0 = time.time()
+    for i in range(len(cuts) - 1):
+        b = raw
+        if cuts[i] is not None:
+            b = b.filter(F.col("doc_id") >= F.lit(cuts[i]))
+        if cuts[i + 1] is not None:
+            b = b.filter(F.col("doc_id") < F.lit(cuts[i + 1]))
+        tmp = tempfile.mkdtemp(prefix="docs_batched_w_")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    return (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+def _cleanup_at_exit(path: str) -> None:
+    import atexit
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    store_path: str | None = None,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Run ``doc_stream`` to quiescence through the incremental-dedup fold
+    and return the decisions frame (doc_id, is_dup, matched_id).
+
+    ``store_path``: the signature store parquet dir. May already contain a
+    corpus's signatures (built by ``minhash_signature_table``) — the
+    warm-start posture; defaults to a fresh temp dir (cold start: the
+    first batch keeps everything not self-duplicated).
+    """
+    work = tempfile.mkdtemp(prefix="incdedup_")
+    _cleanup_at_exit(work)
+    if store_path is None:
+        store_path = os.path.join(work, "store")
+    decisions_path = os.path.join(work, "decisions")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # one physical pass over the batch feeds signature build, the
+        # store join, and the intra-batch join
+        sig = D.minhash_signature_table(
+            batch_df, id_col, text, k, num_hashes
+        ).localCheckpoint(eager=True)
+
+        # vs the store (earlier batches + any warm-start corpus)
+        if os.path.isdir(store_path) and any(
+            f.endswith(".parquet") for f in os.listdir(store_path)
+        ):
+            store = spark.read.parquet(store_path)
+            vs_store = D.incremental_minhash_dedup(
+                batch_df, store, id_col, text, k, num_hashes, bands, threshold
+            ).select("new_id", F.col("corpus_id").alias("matched_id"))
+        else:
+            vs_store = None
+
+        # intra-batch duplicate clusters: transitive closure of the batch's
+        # pair graph, min-id survivorship (dedup_survivors policy) — a
+        # non-minimum cluster member is a dup of its cluster minimum
+        from corintick_spark.operators.dup_clusters import connected_components
+
+        intra_pairs = D.minhash_lsh_pairs(
+            batch_df, id_col, text, k, num_hashes, bands, threshold
+        )
+        intra = (
+            connected_components(intra_pairs)
+            .filter(F.col("node") != F.col("comp"))
+            .select(F.col("comp").alias("matched_id"), F.col("node").alias("new_id"))
+        )
+        matches = intra if vs_store is None else vs_store.unionByName(intra)
+        dup = matches.groupBy("new_id").agg(F.min("matched_id").alias("matched_id"))
+
+        decisions = (
+            batch_df.select(F.col(id_col))
+            .join(dup, F.col(id_col) == F.col("new_id"), "left")
+            .select(
+                id_col,
+                F.col("matched_id").isNotNull().alias("is_dup"),
+                "matched_id",
+            )
+            .localCheckpoint(eager=True)
+        )
+        survivors = sig.join(
+            decisions.filter("is_dup").select(F.col(id_col).alias("_d")),
+            sig[id_col] == F.col("_d"),
+            "left_anti",
+        )
+        survivors.write.mode("append").parquet(store_path)
+        decisions.write.mode("append").parquet(decisions_path)
+
+    ckpt = os.path.join(work, "ckpt")
+    q = (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("incdedup_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_path)

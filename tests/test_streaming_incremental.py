@@ -1,0 +1,149 @@
+"""Streaming incremental dedup: cross-batch semantics with planted dups.
+
+The claim under test (streaming/incremental_dedup.py): a document is a
+duplicate iff it MinHash-matches the kept store from EARLIER batches or is
+a non-minimum member of an intra-batch duplicate cluster; survivors' and
+only survivors' signatures enter the store. Planted near-copies across and
+within batches make every branch observable with exact expected output.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from corintick_spark.operators import dedup as D
+from corintick_spark.streaming.incremental_dedup import streaming_incremental_dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green bottles hang on the wall near the old stone bridge"
+)
+OTHER = (
+    "completely different material about spark partitions shuffles "
+    "and columnar parquet row groups for distributed analytics engines"
+)
+THIRD = (
+    "unrelated verse counting stars above the harbor where ships "
+    "carry crates of oranges lemons and ripe pomegranates to market"
+)
+
+
+def _stage_stream(spark, batches):
+    """Write doc batches as single parquet files with increasing mtimes and
+    return a maxFilesPerTrigger=1 file stream over them."""
+    stage = tempfile.mkdtemp(prefix="incdedup_test_")
+    t0 = time.time()
+    schema = None
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        schema = df.schema
+        tmp = tempfile.mkdtemp(prefix="incdedup_w_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(
+            os.path.join(tmp, part), os.path.join(stage, f"b{i}.parquet")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(os.path.join(stage, f"b{i}.parquet"), (t0 + i * 10, t0 + i * 10))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return src, stage
+
+
+def test_cross_batch_planted_dup(spark):
+    """A batch-2 near-copy of a batch-1 survivor is flagged against it;
+    batch-2 fresh text is kept."""
+    b1 = [(1, BASE), (2, OTHER)]
+    b2 = [(10, BASE + " tail"), (11, THIRD)]
+    src, stage = _stage_stream(spark, [b1, b2])
+    try:
+        out = streaming_incremental_dedup(spark, src, threshold=0.5).toPandas()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    got = {int(r.doc_id): (bool(r.is_dup), None if r.matched_id != r.matched_id else int(r.matched_id))
+           for r in out.itertuples()}
+    assert got[1] == (False, None)
+    assert got[2] == (False, None)
+    assert got[10] == (True, 1)
+    assert got[11] == (False, None)
+
+
+def test_intra_batch_cluster_min_survives(spark):
+    """Within one batch, a duplicate cluster keeps its minimum id; the
+    non-minimum member is matched to it."""
+    b1 = [(5, BASE), (7, BASE + " extra"), (8, OTHER)]
+    src, stage = _stage_stream(spark, [b1])
+    try:
+        out = streaming_incremental_dedup(spark, src, threshold=0.5).toPandas()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    got = {int(r.doc_id): bool(r.is_dup) for r in out.itertuples()}
+    assert got == {5: False, 7: True, 8: False}
+    m = out.set_index("doc_id")["matched_id"]
+    assert int(m.loc[7]) == 5
+
+
+def test_dup_does_not_enter_store(spark):
+    """A batch-2 dup must NOT become a match target for batch 3: only
+    survivors' signatures enter the store. Doc 20 dups doc 1; doc 30 (a
+    near-copy of both) must match the SURVIVOR 1, not 20."""
+    b1 = [(1, BASE)]
+    b2 = [(20, BASE + " tail")]
+    b3 = [(30, BASE + " tip")]
+    src, stage = _stage_stream(spark, [b1, b2, b3])
+    try:
+        out = streaming_incremental_dedup(spark, src, threshold=0.5).toPandas()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    m = out.set_index("doc_id")
+    assert bool(m.loc[20, "is_dup"]) and int(m.loc[20, "matched_id"]) == 1
+    assert bool(m.loc[30, "is_dup"]) and int(m.loc[30, "matched_id"]) == 1
+
+
+def test_warm_start_store(spark):
+    """With a pre-built corpus signature table, batch 1 already dedupes
+    against it (the warm-start posture of a pipeline re-run)."""
+    corpus = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    store = tempfile.mkdtemp(prefix="incdedup_store_") + "/sig"
+    D.minhash_signature_table(corpus).write.parquet(store)
+    b1 = [(1, BASE + " tail"), (2, OTHER)]
+    src, stage = _stage_stream(spark, [b1])
+    try:
+        out = streaming_incremental_dedup(
+            spark, src, store_path=store, threshold=0.5
+        ).toPandas()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+    m = out.set_index("doc_id")
+    assert bool(m.loc[1, "is_dup"]) and int(m.loc[1, "matched_id"]) == 100
+    assert not bool(m.loc[2, "is_dup"])
+
+
+def test_determinism_on_documents(spark, sf_dir):
+    """Two runs over the real documents table agree row-for-row (the
+    driver's rows-only bar, strengthened to full equality)."""
+    from corintick_spark.streaming.incremental_dedup import (
+        documents_stream_batched,
+    )
+
+    def run():
+        src = documents_stream_batched(spark, sf_dir, n_batches=3)
+        return (
+            streaming_incremental_dedup(spark, src, threshold=0.3)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+
+    a, b = run(), run()
+    assert a.equals(b)
+    assert (~a.is_dup).sum() > 0
