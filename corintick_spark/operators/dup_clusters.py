@@ -27,12 +27,19 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
-def _large_star(sym: DataFrame) -> DataFrame:
+def _large_star(sym: DataFrame, bcast: bool) -> DataFrame:
     """One large-star round over a symmetric directed edge list (u, v):
     connect every neighbor larger than the center to the neighborhood
-    minimum m = min(Γ(u) ∪ {u}). Output edges are (larger, smaller)."""
+    minimum m = min(Γ(u) ∪ {u}). Output edges are (larger, smaller).
+
+    ``bcast``: broadcast the per-center minimum table into the edge join —
+    m has at most |nodes| rows, so when the node set is small relative to
+    the edge list (the common dedup-graph shape) this removes the edge-side
+    shuffle of the round's heaviest join."""
     m = sym.groupBy("u").agg(F.min("v").alias("_mn"))
     m = m.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+    if bcast:
+        m = F.broadcast(m)
     return (
         sym.filter(F.col("v") > F.col("u"))
         .join(m, "u")
@@ -41,12 +48,13 @@ def _large_star(sym: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(directed: DataFrame) -> DataFrame:
+def _small_star(directed: DataFrame, bcast: bool) -> DataFrame:
     """One small-star round over edges already directed (larger, smaller):
     for each center u, connect u and all its smaller neighbors to the
     minimum of that set. Output stays directed (larger, smaller)."""
     m = directed.groupBy("u").agg(F.min("v").alias("m"))
-    nbrs = directed.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    mj = F.broadcast(m) if bcast else m
+    nbrs = directed.join(mj, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     centers = m.select(F.col("u"), F.col("m").alias("v"))
     return nbrs.unionByName(centers).filter(F.col("u") != F.col("v")).distinct()
 
@@ -56,20 +64,23 @@ def connected_components(
     a: str = "a_id",
     b: str = "b_id",
     max_iter: int = 25,
+    broadcast_nodes_max: int = 1_000_000,
 ) -> DataFrame:
     """Return (node, comp) where comp = min node id of the component.
 
     edges: undirected pair list (each edge once, any orientation). Node ids
     must be totally ordered (numeric or string). Converges in O(log n)
     alternating-star rounds; ``max_iter`` is a safety cap far above that.
+
+    ``broadcast_nodes_max``: when the node count is at or below this, each
+    star round's per-center minimum table (≤ |nodes| rows) is broadcast
+    into its edge join instead of shuffled — AQE cannot infer that from a
+    localCheckpointed frame (no size statistics). Above the threshold the
+    shuffle path is the correct plan. The node count costs one aggregate
+    over the already-checkpointed edge list, paid once before the loop.
     """
     raw = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).filter(
         F.col("u") != F.col("v")
-    )
-    nodes = (
-        raw.select(F.col("u").alias("node"))
-        .unionByName(raw.select(F.col("v").alias("node")))
-        .distinct()
     )
 
     # canonical directed (larger, smaller) start state
@@ -78,11 +89,27 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
     ).localCheckpoint(eager=True)
+    # nodes derives from raw (not the checkpointed e): it is re-evaluated
+    # for the final label join AFTER the loop has unpersisted e's blocks,
+    # and a localCheckpointed lineage cannot be recomputed. The count for
+    # the broadcast decision, though, runs NOW against the materialized e.
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    bcast = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+        <= broadcast_nodes_max
+    )
     prev_stat = None
     for _ in range(max_iter):
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # eager localCheckpoint: materialize AND truncate lineage each round
-        new_e = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        new_e = _small_star(_large_star(sym, bcast), bcast).localCheckpoint(eager=True)
         # one tiny action on the materialized frame: count + order-free hash
         # (bit_xor, not sum: ANSI mode throws on int64 sum overflow, and the
         # edge list is distinct so xor has no self-cancellation pairs)

@@ -88,14 +88,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 # Round-5 rotation plan: keep the 10 canaries; fill the 40 slots from the
 # never-driver-verified ORACLE-PAIRED set (registered names absent from
-# CORRECTNESS_r01..r04 — 59 as of this session's end: the graph tier, the
-# training-pipeline + curation waves, the verbatim-SQL tier q1..q22 +
+# CORRECTNESS_r01..r04 — ~81 as of this session's end: the graph tier, the
+# training-pipeline + curation waves, the verbatim-SQL tier — now ALL 22
+# TPC-H shapes (wave 3 added adapted q2/q4/q9/q11/q12/q20/q21) +
 # recursive/lateral, scalar_timezone, rolling_corr, throttle pair,
 # WAV/FRMS multimodal, profiler/sampler/gini/MAD/overlap/interarrival
-# stats, histograms, centroids/knn/covariance/cross-corr). 59 > 40 slots →
+# stats, histograms, centroids/knn/covariance/cross-corr). 81 > 40 slots →
 # prioritize by family breadth (every new module represented), schedule
-# the overflow (~19) plus the 11 rows-only-by-nature entries for r06, then
-# backfill with rotated-out r01-r03 queries for re-confirmation.
+# the overflow plus the rows-only-by-nature entries (incl. the new
+# stream_dedup_incremental) for r06, then backfill with rotated-out
+# r01-r03 queries for re-confirmation.
 
 
 def load_all() -> dict[str, Query]:
