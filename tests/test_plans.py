@@ -314,3 +314,50 @@ def test_covariance_shuffles_cells_not_vectors(spark, sf_dir):
     for line in plan.splitlines():
         if line.strip().startswith("+- Exchange") or "Exchange hashpartitioning" in line:
             assert "embedding#" not in line, line
+
+
+def test_cc_star_rounds_broadcast_min_tables(spark):
+    """connected_components' star rounds must plan BroadcastHashJoin for
+    the per-center minimum tables when bcast is on (AQE can't make that
+    call — localCheckpointed inputs have no size statistics), and fall
+    back to a shuffle join when it is off (the >1M-node posture)."""
+    from corintick_spark.operators.dup_clusters import _large_star
+
+    e = spark.createDataFrame(
+        [(2, 1), (3, 2), (5, 4)], "u long, v long"
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(e.selectExpr("v as u", "u as v"))
+    on = _large_star(sym, True)._jdf.queryExecution().executedPlan().toString()
+    off = _large_star(sym, False)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in on
+    assert "BroadcastHashJoin" not in off
+
+
+def test_prefix_filter_path_has_no_block_selfjoin(spark, sf_dir):
+    """When the prefix path is forced, no join may pair docs on the block
+    key alone (the quadratic candidate stage); the candidate join must key
+    on the token. The naive path keeps the single-key block join."""
+    from corintick_spark.catalog import table
+    from corintick_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents").limit(100)
+
+    def join_keys(plan: str) -> list[str]:
+        return [
+            l for l in plan.splitlines()
+            if "Join" in l and "_blk" in l
+        ]
+
+    prefix_plan = (
+        ngram_jaccard_pairs(d, "source", naive_block_max=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    naive_plan = (
+        ngram_jaccard_pairs(d, "source", naive_block_max=10**9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # naive: at least one join keyed on _blk only; prefix: every _blk join
+    # also carries the token key
+    assert any("_tok" not in l for l in join_keys(naive_plan))
+    assert join_keys(prefix_plan), "prefix path lost its (block, token) join"
+    assert all("_tok" in l for l in join_keys(prefix_plan))
