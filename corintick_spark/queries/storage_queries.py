@@ -344,3 +344,60 @@ def sink_roundtrip(spark, sf_dir):
             .cast("double") / 1_000_000
         ).alias("total_value"),
     )
+
+
+@query(
+    "sink_stream_python",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01' AND user_id < 20
+    GROUP BY event_type
+    """,
+)
+def sink_stream_python(spark, sf_dir):
+    """Custom Python STREAMING sink round-trip (PySpark 4
+    DataSourceStreamWriter, sources/stream_sink.py): replay events as 3
+    chronological micro-batches through the epoch-manifest JSON-lines
+    sink, read back ONLY manifest-committed rows, and aggregate — the
+    oracle recomputes from the source table, proving the sink commits
+    each epoch exactly once and loses nothing across epochs."""
+    import tempfile as _tf
+
+    from corintick_spark.sources.stream_sink import (
+        committed_epochs,
+        read_back,
+        register as register_sink,
+    )
+    from corintick_spark.streaming.events_stream import events_stream_batched
+
+    register_sink(spark)
+    src = events_stream_batched(spark, sf_dir, n_batches=3).filter(
+        F.col("user_id") < 20
+    ).select("event_id", "event_type", "value")
+    path = _tf.mkdtemp(prefix="jsonl_sink_rt_")
+    ckpt = _tf.mkdtemp(prefix="jsonl_sink_ckpt_")
+    q = (
+        src.writeStream.format("jsonlsink")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(committed_epochs(path)) >= 1
+    rows = read_back(path)
+    back = spark.createDataFrame(
+        [(r["event_id"], r["event_type"], r["value"]) for r in rows],
+        "event_id long, event_type string, value double",
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("double") / 1_000_000
+        ).alias("total_value"),
+    )
