@@ -540,3 +540,36 @@ def stream_dedup_incremental(spark, sf_dir):
     src = documents_stream_batched(spark, sf_dir, n_batches=3)
     out = streaming_incremental_dedup(spark, src, threshold=0.3)
     return out.orderBy("doc_id")
+
+
+# Streaming heavy hitters — bounded-state frequent tokens over the
+# document stream (streaming/stateful.py::heavy_hitters). Sketch-
+# construction specific → rows-only; the MG undercount bound and the
+# stream≡merged-batch determinism are pinned by
+# tests/test_streaming_heavyhitters.py.
+@query("stream_heavyhitters", sql=None)
+def stream_heavyhitters(spark, sf_dir):
+    """Final Misra-Gries summaries (8 shards x 20 counters) after folding
+    a 3-batch document-token stream; only each shard's last snapshot."""
+    from corintick_spark.streaming.incremental_dedup import (
+        documents_stream_batched,
+    )
+    from corintick_spark.streaming.events_stream import run_update_to_memory
+    from corintick_spark.streaming.stateful import heavy_hitters
+
+    src = documents_stream_batched(spark, sf_dir, n_batches=3)
+    toks = src.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    out = run_update_to_memory(heavy_hitters(toks, k=20, shards=8), spark)
+    # update-mode memory sink appends each batch's snapshot; keep each
+    # shard's LAST (largest shard_n) summary only
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard")
+    return (
+        out.withColumn("_mx", F.max("shard_n").over(w))
+        .filter(F.col("shard_n") == F.col("_mx"))
+        .select("shard", "token", "est_count")
+        .orderBy("shard", F.desc("est_count"), "token")
+    )
