@@ -431,3 +431,73 @@ def scalar_timezone(spark, sf_dir):
             .alias("ny_offset_min"),
         )
     )
+
+
+# Spark 4 VARIANT — the binary semi-structured type (SPARK-45891): JSON is
+# parsed ONCE into a typed binary encoding and every subsequent path
+# extraction is a cheap binary probe, not a re-parse; at 100 TB this (plus
+# shredded storage) is the difference between scanning JSON text per
+# predicate and columnar-style access into semi-structured blobs. The
+# query builds a nested document per event in-plan, parses it to VARIANT,
+# and extracts typed paths + the inferred schema; the DuckDB oracle runs
+# the same construction through its JSON type. Only integers/strings cross
+# the JSON boundary (float text formatting is engine-specific).
+@query(
+    "scalar_variant",
+    sql="""
+    WITH j AS (
+        SELECT event_id,
+               json_object(
+                   'uid', user_id,
+                   'kind', event_type,
+                   'meta', json_object(
+                       'k', CAST(json_extract_string(props, '$.k') AS BIGINT),
+                       'hour', CAST(EXTRACT(HOUR FROM ts) AS BIGINT)
+                   )
+               ) AS v
+        FROM events
+        WHERE props IS NOT NULL
+    )
+    SELECT event_id,
+           CAST(json_extract(v, '$.uid') AS BIGINT) AS uid,
+           json_extract_string(v, '$.kind') AS kind,
+           CAST(json_extract(v, '$.meta.k') AS BIGINT) AS meta_k,
+           CAST(json_extract(v, '$.meta.hour') AS BIGINT) AS meta_hour,
+           CAST(json_extract(v, '$.meta.k') AS BIGINT) % 7 AS k_mod,
+           CAST(json_extract(v, '$.missing') AS BIGINT) AS absent
+    FROM j
+    WHERE json_extract_string(v, '$.kind') <> 'view'
+    """,
+)
+def scalar_variant(spark, sf_dir):
+    """Typed path extraction from a VARIANT column built in-plan; missing
+    paths null-propagate via try_variant_get."""
+    from corintick_spark.catalog import normalize_event_time
+
+    ev = normalize_event_time(table(spark, sf_dir, "events")).filter(
+        F.col("props").isNotNull()
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("kind"),
+            F.struct(
+                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+                F.hour("ts").cast("bigint").alias("hour"),
+            ).alias("meta"),
+        )
+    )
+    v = F.parse_json(doc)
+    get = lambda path, t: F.try_variant_get(v, path, t)  # noqa: E731
+    return (
+        ev.select(
+            "event_id",
+            get("$.uid", "bigint").alias("uid"),
+            get("$.kind", "string").alias("kind"),
+            get("$.meta.k", "bigint").alias("meta_k"),
+            get("$.meta.hour", "bigint").alias("meta_hour"),
+            (get("$.meta.k", "bigint") % 7).alias("k_mod"),
+            get("$.missing", "bigint").alias("absent"),
+        )
+        .filter(F.col("kind") != "view")
+    )
