@@ -792,3 +792,55 @@ def sql_q21(spark, sf_dir):
     """TPC-H Q21 shape (EXISTS + NOT-EXISTS self-join pair) via
     spark.sql."""
     return _run(spark, sf_dir, _SQL_Q21, "supplier", "lineitem", "orders")
+
+
+# Spark 4 SQL UDFs (SPARK-44076): CREATE FUNCTION ... RETURN <expr> —
+# named, typed, catalog-managed scalar functions whose bodies Catalyst
+# INLINES into the calling plan (they stay whole-stage-codegen JVM
+# expressions, unlike Python UDFs; the physical plan is identical to
+# writing the expression inline, which is exactly what the DuckDB oracle
+# does). The query defines a discounted-price function and a quantity
+# band function, then aggregates through them.
+_SQL_UDF_BODY = """
+    SELECT l_returnflag,
+           band(l_quantity) AS qband,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(disc_price(l_extendedprice, l_discount)
+                               * 10000) AS BIGINT)) AS DOUBLE) / 10000
+               AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag, band(l_quantity)
+    ORDER BY l_returnflag, qband
+"""
+
+
+@query(
+    "sql_udf",
+    sql="""
+    SELECT l_returnflag,
+           CASE WHEN l_quantity > 30 THEN 'hi'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'lo' END AS qband,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                               * 10000) AS BIGINT)) AS DOUBLE) / 10000
+               AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def sql_udf(spark, sf_dir):
+    """SQL-defined scalar functions (CREATE FUNCTION ... RETURN) inlined
+    by Catalyst; the oracle writes the same expressions inline."""
+    register_views(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION band(q DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN q > 30 THEN 'hi' WHEN q > 10 THEN 'mid' "
+        "ELSE 'lo' END"
+    )
+    return spark.sql(_SQL_UDF_BODY)
