@@ -844,3 +844,57 @@ def sql_udf(spark, sf_dir):
         "ELSE 'lo' END"
     )
     return spark.sql(_SQL_UDF_BODY)
+
+
+# Spark 4 SQL scripting (SPARK-48338): BEGIN/DECLARE/WHILE/IF procedural
+# blocks. The script binary-searches the smallest integer quantity
+# threshold covering half the lineitem rows — a genuinely ITERATIVE
+# computation (each probe is a full query against the fact table, the
+# loop state lives in session variables) whose FIXPOINT has a closed
+# form: the minimal present quantity whose cumulative count reaches n/2.
+# The DuckDB oracle computes that closed form; agreement proves the
+# scripted control flow converges to the declarative answer. All-integer
+# comparisons — no membership can flap on float rounding.
+_SQL_SCRIPT = """
+    BEGIN
+      DECLARE lo INT DEFAULT -1;
+      DECLARE hi INT DEFAULT 51;
+      DECLARE mid INT;
+      DECLARE cnt BIGINT;
+      DECLARE n BIGINT;
+      SET n = (SELECT COUNT(*) FROM lineitem);
+      WHILE lo < hi - 1 DO
+        SET mid = CAST((lo + hi) / 2 AS INT);
+        SET cnt = (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= mid);
+        IF cnt * 2 >= n THEN
+          SET hi = mid;
+        ELSE
+          SET lo = mid;
+        END IF;
+      END WHILE;
+      SELECT CAST(hi AS BIGINT) AS median_qty, n AS n_rows;
+    END
+"""
+
+
+@query(
+    "sql_scripting",
+    sql="""
+    WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+    c AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (SELECT q, SUM(cnt) OVER (ORDER BY q) AS cc FROM c)
+    SELECT COALESCE(
+               (SELECT MIN(q) FROM cum, n WHERE cc * 2 >= n.n), 0
+           ) AS median_qty,
+           (SELECT n FROM n) AS n_rows
+    """,
+)
+def sql_scripting(spark, sf_dir):
+    """Procedural SQL script (binary-search median quantity) vs the
+    closed-form declarative oracle."""
+    register_views(spark, sf_dir, "lineitem")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(_SQL_SCRIPT)
