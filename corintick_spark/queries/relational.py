@@ -1588,3 +1588,42 @@ def sql_q5(spark, sf_dir):
         "nation", "region",
     )
     return spark.sql(_SQL_Q5)
+
+
+# Salted skew join under driver adjudication: the explicit skew-mitigation
+# rewrite (operators/joins.py::salted_join — left rows spread over salt
+# lanes by a row hash, right rows replicated per lane) must be
+# SEMANTICALLY IDENTICAL to the plain equi-join, so its oracle is simply
+# the unsalted join's SQL. AQE's skew rule covers sort-merge shuffles it
+# can see (SCALING.md §Skew); explicit salting is the tool for the cases
+# it can't — skewed keys hidden by compression, or CPU-per-row skew —
+# and this query pins that the rewrite never changes results.
+@query(
+    "join_salted",
+    sql="""
+    SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity,
+           l.l_extendedprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Fact-fact equi-join through the 8-lane salted rewrite; result must
+    equal the plain join exactly."""
+    from corintick_spark.operators.joins import salted_join
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return salted_join(
+        li, o, on="o_orderkey", salt=8, how="inner"
+    ).select(
+        "o_orderkey", "o_custkey", "l_linenumber", "l_quantity",
+        "l_extendedprice",
+    )
