@@ -1044,3 +1044,83 @@ def agg_topn_share(spark, sf_dir):
             ).alias("top10_share"),
         )
     )
+
+
+# Data-quality verification suite (operators/dq.py) — the batch-gating
+# checks a 100 TB ingestion pipeline runs before committing a write: all
+# row-level checks over events compile into ONE aggregate pass
+# (conditional aggregates in a single hash agg), the referential check is
+# one left-anti join aggregate. The oracle recomputes every check in SQL;
+# the edge dataset's planted orphan lineitems make the RI check's
+# violation path observable under the driver.
+@query(
+    "dq_suite",
+    sql="""
+    WITH ev AS (
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT event_id) AS d,
+               COUNT(value) AS nn,
+               SUM(CASE WHEN value IS NULL
+                         OR (value >= -100000 AND value <= 100000)
+                        THEN 1 ELSE 0 END) AS rng,
+               SUM(CASE WHEN event_type IN
+                        ('view', 'click', 'purchase', 'refund')
+                        THEN 1 ELSE 0 END) AS dom
+        FROM events
+    ), li AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT 'event_id_unique' AS check_name, CAST(d AS BIGINT) AS metric,
+           CAST(n - d AS BIGINT) AS violations, n - d = 0 AS passed FROM ev
+    UNION ALL
+    SELECT 'value_complete_90', CAST(nn AS BIGINT), CAST(n - nn AS BIGINT),
+           nn * 1000000 >= n * 900000 FROM ev
+    UNION ALL
+    SELECT 'value_range', CAST(rng AS BIGINT), CAST(n - rng AS BIGINT),
+           n - rng = 0 FROM ev
+    UNION ALL
+    SELECT 'event_type_domain', CAST(dom AS BIGINT), CAST(n - dom AS BIGINT),
+           n - dom = 0 FROM ev
+    UNION ALL
+    SELECT 'lineitem_order_ref', CAST(n - v AS BIGINT), CAST(v AS BIGINT),
+           v = 0 FROM li
+    ORDER BY check_name
+    """,
+)
+def dq_suite(spark, sf_dir):
+    """Five-check DQ gate: uniqueness, completeness budget, value range,
+    categorical domain (one pass over events) + lineitem->orders
+    referential integrity (one anti-join aggregate)."""
+    from corintick_spark.operators.dq import (
+        Complete,
+        InRange,
+        Satisfies,
+        Unique,
+        compile_checks,
+        referential_check,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    row_level = compile_checks(
+        ev,
+        [
+            Unique(("event_id",), name="event_id_unique"),
+            Complete("value", ratio=0.9, name="value_complete_90"),
+            InRange("value", -100_000, 100_000, name="value_range"),
+            Satisfies(
+                "event_type IN ('view','click','purchase','refund')",
+                name="event_type_domain",
+            ),
+        ],
+    )
+    ri = referential_check(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+        name="lineitem_order_ref",
+    )
+    return row_level.unionByName(ri).orderBy("check_name")
