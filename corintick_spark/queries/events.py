@@ -719,3 +719,89 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+# Sweep-line concurrency: how many user sessions are open at every change
+# point — the classic interval-stabbing aggregate (max concurrent users,
+# capacity planning). The naive formulation is a GLOBAL cumulative sum =
+# one SinglePartition window over every boundary; this implementation is
+# the DISTRIBUTED PREFIX SUM: per-instant deltas aggregate map-side, hour
+# buckets carry partial sums, the global prefix runs over the tiny bucket
+# table only (|hours| rows), and each bucket's interior cumsum is a
+# window partitioned BY BUCKET — no corpus-sized single partition
+# anywhere. All-integer microsecond arithmetic; the DuckDB oracle is the
+# textbook global-window form, so agreement proves the two-level
+# decomposition exact.
+@query(
+    "events_concurrency",
+    sql="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ), flags AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+        SELECT user_id, ts_us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flags
+    ), iv AS (
+        SELECT user_id, session_id, MIN(ts_us) AS s, MAX(ts_us) AS e
+        FROM sess GROUP BY user_id, session_id
+    ), d AS (
+        SELECT s AS t_us, 1 AS d FROM iv
+        UNION ALL
+        SELECT e + 1 AS t_us, -1 AS d FROM iv
+    ), agg AS (
+        SELECT t_us, CAST(SUM(d) AS BIGINT) AS d FROM d GROUP BY t_us
+    )
+    SELECT t_us,
+           CAST(SUM(d) OVER (ORDER BY t_us ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS concurrency
+    FROM agg
+    """,
+)
+def events_concurrency(spark, sf_dir):
+    """Concurrent open sessions at every boundary instant via a two-level
+    distributed prefix sum (hour buckets; no global single partition)."""
+    from pyspark.sql import Window
+    from corintick_spark.operators import sessions as SS
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    iv = SS.session_stats(
+        SS.sessionize(e, key="user_id", ts_us="ts_us"),
+        key="user_id",
+        ts_us="ts_us",
+    ).select("first_us", "last_us")
+    deltas = (
+        iv.select(F.col("first_us").alias("t_us"), F.lit(1).alias("d"))
+        .unionByName(
+            iv.select((F.col("last_us") + 1).alias("t_us"), F.lit(-1).alias("d"))
+        )
+        .groupBy("t_us")
+        .agg(F.sum("d").cast("bigint").alias("d"))
+        .withColumn("_bucket", F.col("t_us") - F.pmod("t_us", F.lit(3_600_000_000)))
+    )
+    per_bucket = deltas.groupBy("_bucket").agg(F.sum("d").alias("_bd"))
+    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bucket",
+        F.coalesce(F.sum("_bd").over(wb), F.lit(0)).alias("_off"),
+    )
+    wi = (
+        Window.partitionBy("_bucket")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "t_us",
+            (F.col("_off") + F.sum("d").over(wi)).cast("bigint").alias("concurrency"),
+        )
+    )
