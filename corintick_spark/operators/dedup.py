@@ -472,3 +472,124 @@ def containment_pairs(
         )
         .select("outer_id", "inner_id")
     )
+
+
+def edit_pairs_qgram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 2,
+    q: int = 3,
+    prefix_len: int = 40,
+) -> DataFrame:
+    """Exact edit-distance join: (a_id, b_id, edit_dist <= k) over the
+    first ``prefix_len`` characters, via POSITIONAL Q-GRAM COUNT FILTERING
+    (Gravano et al., approximate string joins) -- no blocking key needed
+    and no quadratic candidate stage for the long-string population.
+
+    Candidate rule: strings are padded with q-1 sentinel chars on both
+    ends, so a length-L string yields L + q - 1 positional grams. One edit
+    operation destroys at most q grams and shifts surviving grams by at
+    most k positions overall, so ED(s,t) <= k implies at least
+    ``max(Ls, Lt) + q - 1 - q*k`` positional gram matches with position
+    offset <= k. The candidate join keys on the gram string, filters
+    |pos_a - pos_b| <= k, and keeps pairs whose DISTINCT matched a-side
+    positions reach the bound; verification computes the exact
+    levenshtein. Length filter |Ls - Lt| <= k prunes first. The sentinel
+    need not be absent from real text: a colliding sentinel can only ADD
+    candidates (pruned by verification), never lose one.
+
+    Exactness edge: when BOTH strings are short enough that the bound is
+    <= 0 (len <= q*k + q - 1), zero shared grams is possible at ED <= k,
+    so the SHORT x SHORT stratum (strings of a few characters -- a
+    bounded, broadcastable set) is joined directly under the length
+    filter. Pairs with one long side always clear a positive gram bound,
+    so the union of the two strata equals the naive join's output exactly
+    -- pinned by tests/test_editjoin.py forcing both paths.
+    """
+    short_max = q * k + q - 1
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text), 1, prefix_len).alias("_s"),
+    ).withColumn("_len", F.length("_s"))
+    pad = "\x01" * (q - 1)
+    padded = base.withColumn("_p", F.concat(F.lit(pad), F.col("_s"), F.lit(pad)))
+    short_side = base.filter(F.col("_len") <= short_max)
+
+    grams = padded.select(
+        "_id",
+        "_len",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(_p) - {q - 1}),"
+                f" i -> substring(_p, i, {q}))"
+            )
+        ).alias("_pos", "_gram"),
+    )
+    ga = grams.select(
+        F.col("_id").alias("a_id"), F.col("_len").alias("_la"),
+        F.col("_pos").alias("_pa"), "_gram",
+    )
+    gb = grams.select(
+        F.col("_id").alias("b_id"), F.col("_len").alias("_lb"),
+        F.col("_pos").alias("_pb"), "_gram",
+    )
+    cand = (
+        ga.join(gb, "_gram")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
+            & ((F.col("_la") > short_max) | (F.col("_lb") > short_max))
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count_distinct("_pa").alias("_ca"),
+            F.count_distinct("_pb").alias("_cb"),
+            F.first("_la").alias("_la"),
+            F.first("_lb").alias("_lb"),
+        )
+        .filter(
+            # the destroys-at-most-q-grams bound is guaranteed for the
+            # LONGER side's distinct matched positions (transform the
+            # longer into the shorter: every surviving longer-side gram
+            # occurs in the shorter string within the position window);
+            # counting the shorter side can undercount on repetitive text
+            F.when(F.col("_la") >= F.col("_lb"), F.col("_ca")).otherwise(
+                F.col("_cb")
+            )
+            >= F.greatest("_la", "_lb") + F.lit(q - 1) - F.lit(q * k)
+        )
+        .select("a_id", "b_id")
+    )
+    shorts = (
+        short_side.select(
+            F.col("_id").alias("a_id"), F.col("_len").alias("_la")
+        )
+        .crossJoin(
+            F.broadcast(
+                short_side.select(
+                    F.col("_id").alias("b_id"), F.col("_len").alias("_lb")
+                )
+            )
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .select("a_id", "b_id")
+    )
+    pairs = cand.unionByName(shorts).dropDuplicates(["a_id", "b_id"])
+    verify = (
+        pairs.join(
+            base.select(F.col("_id").alias("a_id"), F.col("_s").alias("_ta")),
+            "a_id",
+        )
+        .join(
+            base.select(F.col("_id").alias("b_id"), F.col("_s").alias("_tb")),
+            "b_id",
+        )
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("bigint"))
+        .filter(F.col("edit_dist") <= k)
+    )
+    return verify.select("a_id", "b_id", "edit_dist")

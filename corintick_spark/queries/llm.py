@@ -1760,3 +1760,30 @@ def dedup_survivors(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# Exact small-k edit-distance join WITHOUT a blocking key — the
+# positional-q-gram count filter (operators/dedup.py::edit_pairs_qgram;
+# same lossless-pruning family as the Jaccard prefix filter). The oracle
+# is the naive quadratic join, so agreement proves the filter exact; the
+# operator's own equivalence battery (repetitive text, short strings,
+# sentinel collisions, random tiny-alphabet differential) lives in
+# tests/test_editjoin.py.
+@query(
+    "dedup_editjoin",
+    sql="""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+                AS BIGINT) AS edit_dist
+    FROM documents a
+    JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
+      AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 2
+    """,
+)
+def dedup_editjoin(spark, sf_dir):
+    """All pairs within edit distance 2 on 40-char prefixes, via the
+    positional q-gram count filter (no blocking key, no quadratic
+    candidate stage)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return D.edit_pairs_qgram(d, k=2, q=3, prefix_len=40)
