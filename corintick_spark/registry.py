@@ -93,7 +93,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # TPC-H shapes (wave 3 added adapted q2/q4/q9/q11/q12/q20/q21) +
 # recursive/lateral, scalar_timezone, rolling_corr, throttle pair,
 # WAV/FRMS multimodal, profiler/sampler/gini/MAD/overlap/interarrival
-# stats, histograms, centroids/knn/covariance/cross-corr). 81 > 40 slots →
+# stats, histograms, centroids/knn/covariance/cross-corr; plus this
+# session's late wave — dq_suite, events_concurrency, dedup_editjoin,
+# join_salted, sink_stream_python, scalar_variant, sql_udf/scripting,
+# ~86 total). 86 > 40 slots →
 # prioritize by family breadth (every new module represented), schedule
 # the overflow plus the rows-only-by-nature entries (incl. the new
 # stream_dedup_incremental) for r06, then backfill with rotated-out
