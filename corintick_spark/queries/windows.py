@@ -875,3 +875,40 @@ def window_cusum(spark, sf_dir):
         (cu.cast("double") / F.lit(1_000_000)).alias("cusum"),
         (cu > F.lit(500_000_000)).alias("alarm"),
     )
+
+
+# Windowed DISTINCT aggregation — a shape Spark's window functions do NOT
+# support natively (COUNT(DISTINCT) OVER raises); the engine expresses it
+# as size(collect_set() OVER), which stays a single exchange + sort like
+# any other running window (set state is bounded by the distinct-value
+# cardinality of the column, here the 4-value event_type domain — at
+# 100 TB pick such bounded-domain columns or use the HLL sketch tier for
+# unbounded ones). DuckDB runs the native COUNT(DISTINCT ... ) OVER, so
+# agreement proves the rewrite exact, including NULL handling
+# (collect_set skips NULLs; COUNT(DISTINCT col) does too).
+@query(
+    "window_distinct",
+    sql="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(DISTINCT event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS types_seen
+    FROM events
+    """,
+)
+def window_distinct(spark, sf_dir):
+    """Running distinct event_type count per user — COUNT(DISTINCT) OVER
+    via the collect_set window rewrite."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("types_seen"),
+    )
