@@ -573,3 +573,67 @@ def stream_heavyhitters(spark, sf_dir):
         .select("shard", "token", "est_count")
         .orderBy("shard", F.desc("est_count"), "token")
     )
+
+
+# Continuous data-quality monitoring: the SAME check compiler that gates
+# batch ingestion (operators/dq.py, dq_suite) applied to the live stream —
+# row-level checks stay ONE streaming aggregate in complete mode, so the
+# DQ dashboard row is maintained incrementally batch over batch. The
+# Unique check is omitted (streaming count_distinct is unsupported by
+# design — its state is unbounded; the HLL sketch tier is the streaming
+# answer); the remaining checks are conditional sums, exactly mergeable.
+@query(
+    "stream_dq",
+    sql="""
+    SELECT check_name, metric, violations, passed
+    FROM (
+        SELECT 'value_complete_90' AS check_name,
+               CAST(COUNT(value) AS BIGINT) AS metric,
+               CAST(COUNT(*) - COUNT(value) AS BIGINT) AS violations,
+               COUNT(value) * 1000000 >= COUNT(*) * 900000 AS passed
+        FROM events WHERE ts >= TIMESTAMP '1970-01-01'
+        UNION ALL
+        SELECT 'value_range',
+               CAST(SUM(CASE WHEN value IS NULL
+                              OR (value >= -100000 AND value <= 100000)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) - SUM(CASE WHEN value IS NULL
+                              OR (value >= -100000 AND value <= 100000)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*) = SUM(CASE WHEN value IS NULL
+                              OR (value >= -100000 AND value <= 100000)
+                             THEN 1 ELSE 0 END)
+        FROM events WHERE ts >= TIMESTAMP '1970-01-01'
+        UNION ALL
+        SELECT 'event_type_domain',
+               CAST(SUM(CASE WHEN event_type IN
+                             ('view','click','purchase','refund')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) - SUM(CASE WHEN event_type IN
+                             ('view','click','purchase','refund')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*) = SUM(CASE WHEN event_type IN
+                             ('view','click','purchase','refund')
+                             THEN 1 ELSE 0 END)
+        FROM events WHERE ts >= TIMESTAMP '1970-01-01'
+    )
+    ORDER BY check_name
+    """,
+)
+def stream_dq(spark, sf_dir):
+    """DQ checks maintained as one streaming aggregate (complete mode)."""
+    from corintick_spark.operators.dq import Complete, InRange, Satisfies, compile_checks
+
+    src = events_stream(spark, sf_dir)
+    checks = compile_checks(
+        src,
+        [
+            Complete("value", ratio=0.9, name="value_complete_90"),
+            InRange("value", -100_000, 100_000, name="value_range"),
+            Satisfies(
+                "event_type IN ('view','click','purchase','refund')",
+                name="event_type_domain",
+            ),
+        ],
+    )
+    return run_to_memory(checks, spark).orderBy("check_name")
