@@ -1124,3 +1124,28 @@ def dq_suite(spark, sf_dir):
         name="lineitem_order_ref",
     )
     return row_level.unionByName(ri).orderBy("check_name")
+
+
+# Count-Min sketch (operators/sketch_cm.py) — the mergeable approximate
+# frequency counter completing the sketch tier (HLL = distinct counts,
+# Misra-Gries = heavy hitters, CM = point frequencies over unbounded
+# domains in depth x width fixed space). Construction-specific hashing →
+# rows-only; the one-sided-error bound, EXACT cell-wise mergeability, and
+# fixed-seed determinism are pinned by tests/test_sketch_cm.py.
+@query("agg_cm_sketch", sql=None)
+def agg_cm_sketch(spark, sf_dir):
+    """Per-user CM frequency estimates (4x8192 sketch) next to the exact
+    count — est >= exact for every user by construction."""
+    from corintick_spark.operators.sketch_cm import cm_build, cm_estimate
+
+    ev = table(spark, sf_dir, "events")
+    sketch = cm_build(ev, "user_id")
+    est = cm_estimate(sketch, ev.select("user_id").distinct(), "user_id")
+    exact = ev.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "exact_count", "est_count")
+        .orderBy("user_id")
+    )
