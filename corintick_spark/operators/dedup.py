@@ -481,6 +481,7 @@ def edit_pairs_qgram(
     k: int = 2,
     q: int = 3,
     prefix_len: int = 40,
+    max_short_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact edit-distance join: (a_id, b_id, edit_dist <= k) over the
     first ``prefix_len`` characters, via POSITIONAL Q-GRAM COUNT FILTERING
@@ -506,6 +507,16 @@ def edit_pairs_qgram(
     filter. Pairs with one long side always clear a positive gram bound,
     so the union of the two strata equals the naive join's output exactly
     -- pinned by tests/test_editjoin.py forcing both paths.
+
+    The short x short stratum is inherently pairwise (any two strings of
+    length <= q*k+q-1 within the length filter are candidates -- no gram
+    can prune them), so its broadcast crossJoin is GUARDED: a
+    ``limit(n+1).count()`` probe (cost capped at the threshold, same
+    pattern as similarity.brute_force_topk) raises ValueError when the
+    stratum exceeds ``max_short_rows``. A corpus of millions of tiny docs
+    must be deduped exactly (cheap at those lengths) or length-bucketed
+    upstream; silently building an m^2 plan is never acceptable at 100 TB.
+    Pass ``max_short_rows=None`` to opt out explicitly.
     """
     short_max = q * k + q - 1
     base = df.select(
@@ -515,6 +526,15 @@ def edit_pairs_qgram(
     pad = "\x01" * (q - 1)
     padded = base.withColumn("_p", F.concat(F.lit(pad), F.col("_s"), F.lit(pad)))
     short_side = base.filter(F.col("_len") <= short_max)
+    if max_short_rows is not None:
+        probe = short_side.limit(max_short_rows + 1).count()
+        if probe > max_short_rows:
+            raise ValueError(
+                f"edit_pairs_qgram: short-string stratum (len <= {short_max}) "
+                f"exceeds {max_short_rows} rows — not broadcastable and "
+                "inherently all-pairs; exact-dedup or length-bucket the "
+                "short population first, or raise max_short_rows explicitly"
+            )
 
     grams = padded.select(
         "_id",

@@ -61,11 +61,14 @@ def heavy_hitters(
     """Items of ``df[col]`` with frequency strictly greater than n/k, with
     their EXACT counts (column names: item, cnt). Two passes over the
     input; the only shuffles are the tiny candidate union and the
-    partial-aggregated verification count."""
-    # persisted: the item stream is read three times (candidate fold, the
-    # n scalar, the verification count) — without this the upstream
-    # tokenize/explode re-executes per pass. At 100 TB swap the persist
-    # for a durable staging table and take n from table statistics.
+    partial-aggregated verification count. No driver-side scalar action:
+    the total row count n rides along with the candidate pass (one
+    NULL-item sentinel row per partition) and enters the final filter as
+    a 1-row broadcast — the n/k threshold is evaluated inside the plan."""
+    # persisted: the item stream is read twice (candidate fold + the
+    # verification count) — without this the upstream tokenize/explode
+    # re-executes per pass. At 100 TB swap the persist for a durable
+    # staging table.
     src = (
         df.select(F.col(col).cast("string").alias("item"))
         .filter(F.col("item").isNotNull())
@@ -73,23 +76,40 @@ def heavy_hitters(
     )
 
     def fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _mg_partition(it, k, "item")
+        n_part = 0
 
+        def counting(inner: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nonlocal n_part
+            for pdf in inner:
+                n_part += len(pdf)
+                yield pdf
+
+        yield from _mg_partition(counting(it), k, "item")
+        # sentinel: item=NULL carries this partition's total row count
+        # (src items are non-null by construction, so NULL is unambiguous)
+        yield pd.DataFrame({"item": [None], "w": [n_part]})
+
+    folded = src.mapInPandas(fold, schema="item string, w long").persist()
     candidates = (
-        src.mapInPandas(fold, schema="item string, w long")
+        folded.filter(F.col("item").isNotNull())
         .groupBy("item")
         .agg(F.sum("w").alias("w"))
         .select("item")
     )
-    n = src.count()  # one scalar action; at scale read from table stats
+    total = folded.filter(F.col("item").isNull()).agg(
+        F.sum("w").alias("_n")
+    )
     out = (
         src.join(F.broadcast(candidates), "item")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > n / k)
+        .crossJoin(F.broadcast(total))  # 1-row aggregate — safe broadcast
+        .filter(F.col("cnt") > F.col("_n") / F.lit(k))
+        .select("item", "cnt")
     )
     # eagerly materialize so src can be released before returning (the
     # result is <= |candidates| rows)
     out = out.localCheckpoint(eager=True)
     src.unpersist()
+    folded.unpersist()
     return out

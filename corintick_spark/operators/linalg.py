@@ -55,9 +55,14 @@ def gram_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                 by_len.setdefault(len(v), []).append(v)
             out_i, out_j, out_g, out_n = [], [], [], []
             for d, group in by_len.items():
-                q = np.round(
-                    np.asarray(group, dtype=np.float64) * Q_SCALE
-                ).astype(np.int64)
+                # one rounding convention module-wide: HALF_UP (half away
+                # from zero), matching Spark F.round in covariance's
+                # marginals and DuckDB round() in the oracle. np.round is
+                # half-to-even and would quantize exact .5 boundaries
+                # (e.g. 0.0625*1000 = 62.5, representable in float32)
+                # differently from the other two paths.
+                x = np.asarray(group, dtype=np.float64) * Q_SCALE
+                q = np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
                 gram = q.T @ q  # d×d int64 — exact
                 iu, ju = np.triu_indices(d)
                 out_i.append(iu)

@@ -64,11 +64,14 @@ def cm_estimate(
     depth: int = 4,
     width: int = 8192,
 ) -> DataFrame:
-    """Point estimates for every row of ``items``: est = min over the
-    item's depth cells (absent cell -> 0). Returns items' column plus
-    ``est_count``. The sketch side is depth*width rows at most — Spark
-    broadcasts it, so the probe never shuffles."""
-    probes = items.filter(F.col(col).isNotNull()).select(
+    """Point estimates per DISTINCT value of ``items[col]``: est = min
+    over the value's depth cells (absent cell -> 0). Returns exactly one
+    row per distinct non-null probe value with schema ``(col,
+    est_count)`` — duplicate probe rows collapse and other columns of
+    ``items`` are dropped (join the result back on ``col`` to re-attach
+    them). The sketch side is depth*width rows at most — Spark broadcasts
+    it, so the probe never shuffles."""
+    probes = items.filter(F.col(col).isNotNull()).select(col).distinct().select(
         F.col(col),
         F.explode(
             F.expr(

@@ -410,15 +410,15 @@ def stream_histogram(spark, sf_dir):
 # Streaming AS-OF enrichment — the non-equi join Structured Streaming's
 # built-in stream-static joins cannot express (they are equi-only): each
 # event picks up the most recent purchase value at-or-before its
-# timestamp for the same user. The reference-quote table derives from the
-# batch events (deduped per (user, ts) by max event_id), ships to every
-# executor inside the Arrow-batched closure, and each micro-batch does a
-# vectorized pandas merge_asof — stateless, so the stream stays in append
-# mode with no state store. Scale contract: the quote side must be
-# broadcast-sized (here |purchases|; at 100 TB you'd snapshot per-key
-# LATEST quotes — bounded by key cardinality — or fall back to the batch
-# as-of join on micro-batch tables via foreachBatch). The oracle is
-# DuckDB's native ASOF JOIN over the identical deduped quote set.
+# timestamp for the same user. Executed per micro-batch via foreachBatch:
+# each batch is a plain Spark DataFrame, and the batch as-of operator
+# (operators/asof.py union+window — one shuffle on user_id, no crossJoin)
+# joins it against the *distributed* static quote DataFrame. Nothing is
+# ever collected to the driver, so the quote side can be arbitrarily
+# large — this is the 100 TB ingestion shape. Per-batch output commits to
+# a batch_id-named subdir with mode=overwrite, making micro-batch retries
+# idempotent (same epoch-keyed pattern as sources/stream_sink.py). The
+# oracle is DuckDB's native ASOF JOIN over the identical deduped quotes.
 @query(
     "stream_asof",
     sql="""
@@ -438,50 +438,57 @@ def stream_histogram(spark, sf_dir):
 )
 def stream_asof(spark, sf_dir):
     """Enrich the event stream with each user's most recent purchase value
-    (as-of semantics) via per-batch vectorized merge_asof."""
-    import pandas as pd
+    (as-of semantics) via per-micro-batch distributed as-of join."""
+    import os
+    import tempfile
+    import uuid
 
     from corintick_spark.catalog import table as _table
-    from corintick_spark.streaming.events_stream import run_append_to_memory
+    from corintick_spark.operators.asof import asof_join
+    from corintick_spark.streaming.events_stream import _cleanup_at_exit
 
     ev = _table(spark, sf_dir, "events")
-    qpdf = (
+    quotes = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
         .agg(F.max_by("value", "event_id").alias("qv"))
-        .select(
-            "user_id", F.unix_micros("ts").alias("ts_us"), "qv"
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="stream_asof_")
+    _cleanup_at_exit(out_dir)
+
+    def enrich(batch_df, batch_id):
+        joined = asof_join(
+            batch_df, quotes, on="user_id", ts="ts", right_cols=["qv"]
         )
-        .toPandas()
-        .sort_values(["ts_us", "user_id"], kind="mergesort")
-        .reset_index(drop=True)
-    )
-
-    def enrich(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            left = pdf.sort_values(["ts_us", "user_id"], kind="mergesort")
-            merged = pd.merge_asof(
-                left,
-                qpdf,
-                on="ts_us",
-                by="user_id",
-                direction="backward",
+        (
+            joined.select(
+                "event_id",
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("asof_qv").alias("last_purchase_value"),
             )
-            yield merged[["event_id", "user_id", "ts_us", "qv"]].rename(
-                columns={"qv": "last_purchase_value"}
-            )
+            # overwrite into a batch_id-keyed subdir: a retried epoch
+            # replaces its own previous partial output instead of
+            # double-appending
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"b{batch_id}"))
+        )
 
-    src = events_stream(spark, sf_dir).select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    src = events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_asof_")
+    q = (
+        src.writeStream.foreachBatch(enrich)
+        .queryName("asof" + uuid.uuid4().hex[:8])
+        .option("checkpointLocation", os.path.join(ckpt, "wal"))
+        .trigger(availableNow=True)
+        .start()
     )
-    out = src.mapInPandas(
-        enrich,
-        schema="event_id long, user_id long, ts_us long, "
-        "last_purchase_value double",
-    )
-    return run_append_to_memory(out, spark)
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
 
 
 # Streaming OHLC resample — the batch resample_ohlc shape maintained as a

@@ -879,13 +879,14 @@ def window_cusum(spark, sf_dir):
 
 # Windowed DISTINCT aggregation — a shape Spark's window functions do NOT
 # support natively (COUNT(DISTINCT) OVER raises); the engine expresses it
-# as size(collect_set() OVER), which stays a single exchange + sort like
-# any other running window (set state is bounded by the distinct-value
-# cardinality of the column, here the 4-value event_type domain — at
-# 100 TB pick such bounded-domain columns or use the HLL sketch tier for
-# unbounded ones). DuckDB runs the native COUNT(DISTINCT ... ) OVER, so
-# agreement proves the rewrite exact, including NULL handling
-# (collect_set skips NULLs; COUNT(DISTINCT col) does too).
+# via operators/running_distinct.py, whose contract ENFORCES the rewrite's
+# memory constraint: collect_set state is bounded by the column's
+# distinct-value cardinality, so the operator probes approx_count_distinct
+# and raises on unbounded columns (use the HLL sketch tier there). Here
+# event_type is a 4-value domain — well inside the bound. DuckDB runs the
+# native COUNT(DISTINCT ...) OVER, so agreement proves the rewrite exact,
+# including NULL handling (collect_set skips NULLs; COUNT(DISTINCT col)
+# does too).
 @query(
     "window_distinct",
     sql="""
@@ -899,7 +900,11 @@ def window_cusum(spark, sf_dir):
 )
 def window_distinct(spark, sf_dir):
     """Running distinct event_type count per user — COUNT(DISTINCT) OVER
-    via the collect_set window rewrite."""
+    via the cardinality-guarded collect_set window rewrite."""
+    from corintick_spark.operators.running_distinct import (
+        running_distinct_count,
+    )
+
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -910,5 +915,5 @@ def window_distinct(spark, sf_dir):
         "event_id",
         "user_id",
         "ts",
-        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("types_seen"),
+        running_distinct_count(ev, "event_type", w).alias("types_seen"),
     )

@@ -86,18 +86,28 @@ def make_arrow_sink_datasource():
             import os as _os
 
             staging = _os.path.join(self.path, "_staging")
-            if self.overwrite:
-                for f in _os.listdir(self.path):
-                    if f.endswith(".arrow"):
-                        _os.remove(_os.path.join(self.path, f))
+            # crash-safety ordering: move the NEW set in first (staged
+            # names are fresh uuids — no collision with the old set), then
+            # retire old files. A crash mid-commit leaves old+new files
+            # with the PRIOR _SUCCESS intact — a superset readable state —
+            # never a partial set that still looks committed.
+            old = (
+                {f for f in _os.listdir(self.path) if f.endswith(".arrow")}
+                if self.overwrite
+                else set()
+            )
             total = 0
+            new_names = set()
             for m in messages:
                 if m is not None and m.name:
                     _os.rename(
                         _os.path.join(staging, m.name),
                         _os.path.join(self.path, m.name),
                     )
+                    new_names.add(m.name)
                     total += m.rows
+            for f in old - new_names:
+                _os.remove(_os.path.join(self.path, f))
             with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
                 fh.write(str(total))
             self._clean_staging()

@@ -149,7 +149,11 @@ def read_back(path: str) -> list[dict]:
     rows: list[dict] = []
     if not os.path.isdir(commits):
         return rows
-    for batch in sorted(os.listdir(commits), key=lambda s: int(s)):
+    # skip dot-entries: a crash between writing '.{batchId}.tmp' and the
+    # os.replace leaves a tmp manifest that must stay invisible (same
+    # filter committed_epochs applies)
+    batches = (b for b in os.listdir(commits) if not b.startswith("."))
+    for batch in sorted(batches, key=lambda s: int(s)):
         with open(os.path.join(commits, batch)) as fh:
             manifest = json.load(fh)
         for name in manifest["files"]:

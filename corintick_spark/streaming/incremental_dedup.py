@@ -28,8 +28,11 @@ Scale notes: each micro-batch pays one banded equi-join against the store
 text), one shingle-verification join on the candidates, and one append
 write. State lives in the parquet store, not executor memory, so the
 stream's state size is O(0) in Spark's state store and the store itself
-scales as any parquet table (partition by band at real scale). This is
-`foreachBatch` + idempotent-append rather than `applyInPandasWithState`
+scales as any parquet table (partition by band at real scale). Stream
+epochs commit to ``b{batch_id}`` subdirs with mode=overwrite and the store
+read excludes the current epoch, so retries are exactly-once (a batch
+reader of a stream-grown store uses ``recursiveFileLookup``). This is
+`foreachBatch` + epoch-keyed commits rather than `applyInPandasWithState`
 because the kept-set is corpus-sized — orders of magnitude beyond what a
 per-key state store should hold — and because the store must be readable
 by the BATCH incremental path between stream runs (one store, two APIs).
@@ -120,6 +123,29 @@ def streaming_incremental_dedup(
         store_path = os.path.join(work, "store")
     decisions_path = os.path.join(work, "decisions")
 
+    def _store_paths(batch_id: int) -> list[str]:
+        # the store is root-level parquet files (warm-start corpus built by
+        # minhash_signature_table) plus one b{N} subdir per committed
+        # stream epoch. A retried epoch must NOT see its own partial
+        # survivors — it would MinHash-match every doc against itself and
+        # poison all later batches — so the read takes only epochs < this
+        # one (plus the warm start).
+        if not os.path.isdir(store_path):
+            return []
+        out = []
+        for name in os.listdir(store_path):
+            p = os.path.join(store_path, name)
+            if name.endswith(".parquet") and os.path.isfile(p):
+                out.append(p)
+            elif (
+                os.path.isdir(p)
+                and name.startswith("b")
+                and name[1:].isdigit()
+                and int(name[1:]) < batch_id
+            ):
+                out.append(p)
+        return out
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # one physical pass over the batch feeds signature build, the
         # store join, and the intra-batch join
@@ -128,10 +154,9 @@ def streaming_incremental_dedup(
         ).localCheckpoint(eager=True)
 
         # vs the store (earlier batches + any warm-start corpus)
-        if os.path.isdir(store_path) and any(
-            f.endswith(".parquet") for f in os.listdir(store_path)
-        ):
-            store = spark.read.parquet(store_path)
+        prior = _store_paths(batch_id)
+        if prior:
+            store = spark.read.parquet(*prior)
             vs_store = D.incremental_minhash_dedup(
                 batch_df, store, id_col, text, k, num_hashes, bands, threshold
             ).select("new_id", F.col("corpus_id").alias("matched_id"))
@@ -169,8 +194,18 @@ def streaming_incremental_dedup(
             sig[id_col] == F.col("_d"),
             "left_anti",
         )
-        survivors.write.mode("append").parquet(store_path)
-        decisions.write.mode("append").parquet(decisions_path)
+        # epoch-keyed OVERWRITE commits (not blind appends): a micro-batch
+        # retry replaces its own previous partial output instead of
+        # double-appending — the same batch_id-manifest idempotency
+        # contract sources/stream_sink.py implements. Combined with the
+        # epoch-filtered store read above, the fold is exactly-once under
+        # any crash/retry point.
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"b{batch_id}")
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_path, f"b{batch_id}")
+        )
 
     ckpt = os.path.join(work, "ckpt")
     q = (
@@ -181,4 +216,6 @@ def streaming_incremental_dedup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(decisions_path)
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        decisions_path
+    )

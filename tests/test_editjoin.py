@@ -81,3 +81,18 @@ def test_random_differential(spark):
         got = _rows(edit_pairs_qgram(d, k=k))
         want = _rows(_naive(spark, d, k))
         assert got == want, f"k={k}: missing={set(want)-set(got)}"
+
+
+def test_short_stratum_guard(spark):
+    """A short-string population above max_short_rows must raise (never
+    silently build the all-pairs plan); opting out still works."""
+    import pytest
+
+    rows = [(i, "ab"[: i % 3]) for i in range(50)]  # all len <= 2 (short)
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="short-string stratum"):
+        edit_pairs_qgram(d, k=1, max_short_rows=10)
+    # explicit opt-out: exactness unchanged vs naive
+    got = _rows(edit_pairs_qgram(d, k=1, max_short_rows=None))
+    want = _rows(_naive(spark, d, 1))
+    assert got == want

@@ -21,8 +21,14 @@ def emb_np(spark, sf_dir):
     return ids, X
 
 
+def _half_up(x: np.ndarray) -> np.ndarray:
+    # HALF_UP (away from zero) — the module-wide convention shared by
+    # gram_partials (np.trunc+copysign), F.round, and DuckDB round()
+    return np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+
+
 def _local_cov(X: np.ndarray) -> np.ndarray:
-    q = np.round(X * Q_SCALE).astype(np.int64)
+    q = _half_up(X * Q_SCALE)
     n = len(q)
     g = (q.T @ q).astype(np.float64)
     s = q.sum(axis=0).astype(np.float64)
@@ -102,3 +108,34 @@ def test_cusum_closed_form_equals_recursive_fold(spark, sf_dir):
             assert alarm == (s > 500_000_000)
             n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_quantization_boundary_half_values(spark):
+    """Exact-.5 boundary components (0.0625·1000 = 62.5, representable in
+    float32) must quantize identically in gram_partials, F.round-based
+    marginals, and the DuckDB-convention local model — HALF_UP everywhere.
+    np.round (half-to-even) would give 62 here and break cov's internal
+    gram-vs-mean consistency."""
+    import pyspark.sql.functions as F
+
+    from corintick_spark.operators.linalg import covariance, gram_partials
+
+    vals = [0.0625, 0.1875, -0.0625, -0.1875]
+    rows = [(i, [float(v), float(-v)]) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # gram diag for dim 0 must use q = HALF_UP(x*1000): 63, 188, -63, -188
+    g = {
+        (r["i"], r["j"]): r["g"]
+        for r in gram_partials(df).groupBy("i", "j").agg(
+            F.sum("g").alias("g")
+        ).collect()
+    }
+    q = np.array([63, 188, -63, -188], dtype=np.int64)
+    assert g[(0, 0)] == int((q * q).sum())
+    assert g[(0, 1)] == int((q * -q).sum())
+
+    X = np.array([[v, -v] for v in vals], dtype=np.float64)
+    local = _local_cov(X)
+    for r in covariance(df).collect():
+        assert r["cov"] == pytest.approx(local[r["i"], r["j"]], abs=0.0)

@@ -1044,3 +1044,33 @@ def test_tickstore_full_lifecycle_integration(spark, tmp_path):
 
     # 6. range read still prunes and answers post-everything
     assert store.read(start="2024-01-03").count() == 2
+
+
+def test_running_distinct_guard_high_cardinality(spark, sf_dir):
+    """The collect_set window rewrite must refuse unbounded-cardinality
+    columns (the state bound promoted from comment to contract)."""
+    import pytest
+    from pyspark.sql import Window
+
+    from corintick_spark.catalog import table
+    from corintick_spark.operators.running_distinct import (
+        running_distinct_count,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        running_distinct_count(ev, "event_id", w, max_distinct=100)
+    # bounded column passes the guard; explicit opt-out always passes
+    ev.select(running_distinct_count(ev, "event_type", w).alias("d")).limit(
+        1
+    ).collect()
+    ev.select(
+        running_distinct_count(ev, "event_id", w, max_distinct=None).alias(
+            "d"
+        )
+    ).limit(1).collect()
