@@ -36,6 +36,35 @@ HEADLINE = [
     "resample_ffill",
 ]
 
+# Extension-operator suite (verdict r04 item 8): timed in the SAME bench
+# contract — medians-of-3 — so pagerank/editjoin/interp et al. get a
+# cross-round regression tripwire. Reported under "extras"/"extras_value";
+# the headline keys stay unchanged for cross-round comparability.
+EXTRAS = [
+    "graph_pagerank",
+    "graph_triangles",
+    "resample_interp",
+    "dedup_editjoin",
+    "dedup_survivors",
+    "similarity_pq",
+    "text_heavyhitters",
+    "text_perplexity",
+    "text_pmi_pairs",
+    "stream_asof",
+    "sql_q18",
+    "sql_recursive",
+    "knn_classify",
+    "embedding_covariance",
+    "window_cusum",
+    "window_rolling_median",
+    "events_throttle",
+    "events_abandonment",
+    "pipeline_decontaminate",
+    "pack_fragments",
+    "corpus_mixture",
+    "multimodal_decode_px",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,16 +107,23 @@ def main() -> None:
     # unadjudicable. `queries` quotes the median; `queries_min` the best
     # observed run (the steady-state throughput bound).
     passes = 3
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(passes):
-        for name in HEADLINE:
-            q = registry[name]
-            t0 = time.perf_counter()
-            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
 
-    med = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
-    best = {n: round(min(v), 3) for n, v in samples.items()}
+    def run_suite(names: list[str]) -> tuple[dict, dict]:
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(passes):
+            for name in names:
+                q = registry[name]
+                t0 = time.perf_counter()
+                q.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples[name].append(time.perf_counter() - t0)
+        med = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
+        best = {n: round(min(v), 3) for n, v in samples.items()}
+        return med, best
+
+    med, best = run_suite(HEADLINE)
+    extras_med, _ = run_suite(EXTRAS)
     total = round(sum(med.values()), 3)
     print(
         json.dumps(
@@ -97,6 +133,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": med,
                 "queries_min": best,
+                "extras": extras_med,
+                "extras_value": round(sum(extras_med.values()), 3),
                 "runs": passes,
                 "sf": sf,
             }

@@ -360,3 +360,196 @@ def sample_container_frames(
                 )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel decode — stdlib only (zlib inflate + scanline un-filtering,
+# PNG spec §9 "Filtering", public knowledge). This makes one image format
+# fully real end to end: header, compressed stream, and pixel bytes. Other
+# pixel codecs (JPEG DCT, etc.) stay honest NotImplementedError stubs.
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
+    """Decode a non-interlaced 8-bit-depth PNG (gray / RGB / gray+alpha /
+    RGBA) to raw pixel bytes: (width, height, channels, pixels) with
+    ``pixels`` row-major, ``width*height*channels`` bytes.
+
+    Pure stdlib: chunk walk -> IDAT concat -> ``zlib.decompress`` ->
+    per-scanline un-filtering of all five PNG filter types (None/Sub/Up/
+    Average/Paeth). Returns None for non-PNG bytes; raises
+    NotImplementedError for valid PNGs outside the supported subset
+    (16-bit, palette, interlaced) — the honest-stub posture.
+    """
+    import struct
+    import zlib
+
+    if b is None or len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    "decode_png_pixels supports non-interlaced 8-bit "
+                    "gray/RGB/gray+a/RGBA only (16-bit/palette/interlaced "
+                    "need a full codec)"
+                )
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + body + crc
+    if w is None or not idat:
+        return None
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel stream length mismatch")
+    out = bytearray(stride * h)
+    prev = bytes(stride)  # zero row above the first scanline (spec)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return w, h, channels, bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_for_row=None,
+) -> bytes:
+    """Minimal non-interlaced 8-bit PNG encoder (synthesis/test helper —
+    the inverse of :func:`decode_png_pixels`). ``filter_for_row(y)`` picks
+    the per-scanline filter type (default 0/None), letting tests exercise
+    every un-filter path with known pixel content."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        ftype = filter_for_row(y) if filter_for_row else 0
+        enc = bytearray(line)
+        if ftype == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (enc[i] - line[i - channels]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        filtered += bytes([ftype]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PIXEL_SCHEMA = (
+    "doc_id long, width long, height long, channels long,"
+    " px_sum long, px_mean double"
+)
+
+
+def decode_image_pixels(
+    df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
+) -> DataFrame:
+    """Per-document pixel statistics from REAL PNG decoding: (width,
+    height, channels, px_sum, px_mean) where px_sum is the integer sum of
+    all decoded pixel bytes — a value that is wrong unless inflate AND all
+    five un-filter paths are exactly right. Non-PNG / null payloads
+    null-propagate (corpus-scan posture). Arrow-batched mapInPandas; the
+    per-blob Python is the codec itself, inherent to opaque payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("width", "height", "channels", "px_sum", "px_mean")}
+            for b in pdf[payload]:
+                m = decode_png_pixels(b)
+                if m is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                w, h, ch, px = m
+                s = sum(px)
+                n = len(px)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["px_sum"].append(s)
+                rows["px_mean"].append(round(s / n, 6) if n else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(rows["width"], dtype="Int64"),
+                    "height": pd.array(rows["height"], dtype="Int64"),
+                    "channels": pd.array(rows["channels"], dtype="Int64"),
+                    "px_sum": pd.array(rows["px_sum"], dtype="Int64"),
+                    "px_mean": pd.array(rows["px_mean"], dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=PIXEL_SCHEMA)

@@ -270,10 +270,26 @@ def graph_pagerank(spark, sf_dir):
     r = pagerank(
         edges, weight="w", damping=0.85, iterations=8, tol=1e-4, checkpoint_every=4
     )
+    # rows-only invariant: PageRank is a probability distribution — the
+    # FULL rank vector (pre-limit) sums to 1 and every rank is positive.
+    # Both ride along as columns (1-row broadcast) so the rows-only check
+    # carries its own adjudication.
+    tot = r.agg(
+        F.sum("rank").alias("inv_rank_sum"), F.min("rank").alias("_minr")
+    )
     return (
         r.orderBy(F.desc("rank"), "node")
         .limit(50)
-        .select("node", F.round("rank", 8).alias("rank"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.round("rank", 8).alias("rank"),
+            F.round("inv_rank_sum", 9).alias("inv_rank_sum"),
+            (
+                (F.abs(F.col("inv_rank_sum") - F.lit(1.0)) < F.lit(1e-6))
+                & (F.col("_minr") > F.lit(0.0))
+            ).alias("inv_ok"),
+        )
     )
 
 
@@ -1146,6 +1162,15 @@ def agg_cm_sketch(spark, sf_dir):
     )
     return (
         est.join(exact, "user_id")
-        .select("user_id", "exact_count", "est_count")
+        .select(
+            "user_id",
+            "exact_count",
+            "est_count",
+            # CM's one-sided error is DETERMINISTIC: est >= exact always
+            # (collisions only add). inv_overshoot makes the error visible;
+            # inv_ok false in any row means the sketch is broken.
+            (F.col("est_count") - F.col("exact_count")).alias("inv_overshoot"),
+            (F.col("est_count") >= F.col("exact_count")).alias("inv_ok"),
+        )
         .orderBy("user_id")
     )

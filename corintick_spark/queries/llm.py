@@ -42,9 +42,16 @@ def dedup_exact(spark, sf_dir):
 @query("dedup_minhash", sql=None)
 def dedup_minhash(spark, sf_dir):
     """Near-dup candidate pairs via 32-hash MinHash, 8-band LSH, verified
-    with true shingle Jaccard >= 0.3 (operators/dedup.py::minhash_lsh_pairs)."""
+    with true shingle Jaccard >= 0.3 (operators/dedup.py::minhash_lsh_pairs).
+    Rows-only invariants: every emitted pair carries its EXACT verified
+    jaccard, so inv_ok (jaccard >= threshold AND a_id < b_id) must hold in
+    every row — a candidate that skipped verification cannot satisfy it."""
     d = table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, k=3, num_hashes=32, bands=8, threshold=0.3)
+    p = D.minhash_lsh_pairs(d, k=3, num_hashes=32, bands=8, threshold=0.3)
+    return p.withColumn(
+        "inv_ok",
+        (F.col("jaccard") >= F.lit(0.3)) & (F.col("a_id") < F.col("b_id")),
+    )
 
 
 # Incremental dedup: a new batch against the persisted corpus signature
@@ -63,17 +70,32 @@ def dedup_incremental(spark, sf_dir):
     new_batch = d.filter(F.col("doc_id") % 11 == 0)
     sig_path = tempfile.mkdtemp(prefix="sigtbl_") + "/sig"
     D.minhash_signature_table(corpus).write.mode("overwrite").parquet(sig_path)
-    return D.incremental_minhash_dedup(
+    out = D.incremental_minhash_dedup(
         new_batch, spark.read.parquet(sig_path), threshold=0.3
+    )
+    # rows-only invariants: verified jaccard >= threshold, and the match
+    # direction is structural — new ids are the %11==0 split, corpus ids
+    # are not (a row violating either means the split or verify is broken)
+    return out.withColumn(
+        "inv_ok",
+        (F.col("jaccard") >= F.lit(0.3))
+        & (F.col("new_id") % 11 == 0)
+        & (F.col("corpus_id") % 11 != 0),
     ).orderBy("new_id", "corpus_id")
 
 
 # SimHash near-dup (training-pipeline extension; rows-only).
 @query("dedup_simhash", sql=None)
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash pairs with Hamming <= 6 via pigeonhole chunk banding."""
+    """64-bit SimHash pairs with Hamming <= 6 via pigeonhole chunk banding.
+    Rows-only invariant: the exact Hamming distance rides along — inv_ok
+    (hamming <= 6 AND a_id < b_id) must hold in every row."""
     d = table(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, max_hamming=6)
+    p = D.simhash_pairs(d, max_hamming=6)
+    return p.withColumn(
+        "inv_ok",
+        (F.col("hamming") <= F.lit(6)) & (F.col("a_id") < F.col("b_id")),
+    )
 
 
 # n-gram Jaccard within a blocking key — exact, oracle-checkable.
@@ -139,9 +161,40 @@ def similarity_topk(spark, sf_dir):
 @query("similarity_lsh", sql=None)
 def similarity_lsh(spark, sf_dir):
     """Approximate cosine top-5 via sign-random-projection LSH banding —
-    the corpus-vs-corpus scale path (equi-join on signature bands)."""
+    the corpus-vs-corpus scale path (equi-join on signature bands).
+    Rows-only invariants (inv_ok): within each q_id the ranks are
+    contiguous from 1 and scores non-increasing in rank, the candidate is
+    never the probe itself, and every cosine lies in [-1, 1] — structural
+    properties a broken banding/re-rank cannot satisfy by accident."""
     e = table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(e.filter(F.col("vec_id") < 10), e, k=5, nbits=16, bands=4)
+    out = S.lsh_topk(e.filter(F.col("vec_id") < 10), e, k=5, nbits=16, bands=4)
+    return _topk_invariants(out, "score", descending=True, lo=-1.0, hi=1.0)
+
+
+def _topk_invariants(
+    out,
+    score_col: str = "score",
+    descending: bool = True,
+    lo: float | None = None,
+    hi: float | None = None,
+):
+    """Attach the rows-only `inv_ok` column to a (q_id, c_id, score, rank)
+    top-k frame: rank contiguity from 1, score monotonicity in rank
+    (non-increasing for similarity scores, non-decreasing for distances),
+    no self-match, and optional score bounds."""
+    w = Window.partitionBy("q_id").orderBy("rank")
+    prev = F.lag(F.col(score_col)).over(w)
+    prev_rank = F.lag(F.col("rank")).over(w)
+    mono = prev >= F.col(score_col) if descending else prev <= F.col(score_col)
+    ok = (prev.isNull() & (F.col("rank") == 1)) | (
+        mono & (prev_rank == F.col("rank") - 1)
+    )
+    ok = ok & (F.col("q_id") != F.col("c_id"))
+    if lo is not None:
+        ok = ok & (F.col(score_col) >= F.lit(lo))
+    if hi is not None:
+        ok = ok & (F.col(score_col) <= F.lit(hi))
+    return out.withColumn("inv_ok", ok)
 
 
 # T-B52 — word count (explode + agg).
@@ -373,6 +426,57 @@ def multimodal_decode_png(spark, sf_dir):
     return M.decode_image_meta(with_png, fake=False)
 
 
+# The REAL pixel decoder (stdlib zlib inflate + all-five-filter scanline
+# un-filtering; operators/multimodal.py::decode_png_pixels): PNG payloads
+# with KNOWN pixel content are synthesized per doc_id — pixel k of doc i is
+# (i*7 + k) % 256, each scanline filtered with type (i + y) % 5 so every
+# un-filter path is on the adjudicated path — and the oracle recomputes the
+# pixel-sum formula symbolically. px_sum is wrong unless the whole codec is
+# exactly right, so the driver adjudicates real pixel decoding, not a fake.
+@query(
+    "multimodal_decode_px",
+    sql="""
+    SELECT doc_id,
+           CAST(doc_id % 5 + 2 AS BIGINT) AS width,
+           CAST(doc_id % 3 + 2 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> (doc_id * 7 + k) % 256)) AS BIGINT) AS px_sum,
+           ROUND(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> (doc_id * 7 + k) % 256))
+                 / ((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3.0), 6) AS px_mean
+    FROM documents
+    """,
+)
+def multimodal_decode_px(spark, sf_dir):
+    """Real PNG PIXEL decode over synthesized payloads: per-doc pixel sum/
+    mean from zlib-inflated, un-filtered scanlines (all 5 PNG filters)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i) % 5 + 2, int(i) % 3 + 2
+                px = bytes((int(i) * 7 + k) % 256 for k in range(w * h * 3))
+                payloads.append(
+                    M.encode_png(
+                        w, h, px, 3, filter_for_row=lambda y, i=int(i): (i + y) % 5
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_png)
+
+
 # Embedding-cosine near-dup (north_star list) — blocked by label (IVF-style:
 # compare within coarse cells only).
 @query(
@@ -541,7 +645,30 @@ def cluster_kmeans(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(e, k=16, iters=5)
-    return kmeans_assign(e, cents)
+    out = kmeans_assign(e, cents)
+    # rows-only invariants, computed INDEPENDENTLY of the assign path:
+    # the assigned distance must beat the distance to a fixed reference
+    # centroid (cell 0) — a consequence of argmin that a broken assign
+    # cannot satisfy for every row — plus dist >= 0 and cell in [0, k).
+    ref = cents.filter(F.col("cell") == 0).select(
+        F.col("centroid").alias("_ref")
+    )
+    d_ref = F.expr(
+        "aggregate(zip_with(embedding, _ref,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    return (
+        out.join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(ref))  # 1-row reference centroid
+        .withColumn(
+            "inv_ok",
+            (F.col("dist") >= 0)
+            & F.col("cell").between(0, 15)
+            & (F.col("dist") <= d_ref + F.lit(1e-9)),
+        )
+        .select("vec_id", "cell", "dist", "inv_ok")
+    )
 
 
 # IVF-Flat ANN: k-means coarse quantizer + nprobe cell search (rows-only).
@@ -553,7 +680,10 @@ def similarity_ivf(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(e, k=16, iters=5)
-    return ivf_topk(e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4)
+    out = ivf_topk(e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4)
+    # rows-only invariants: rank/score structure + cosine bounds (see
+    # _topk_invariants)
+    return _topk_invariants(out, "score", descending=True, lo=-1.0, hi=1.0)
 
 
 # Transitive duplicate clusters: connected components over near-dup edges.
@@ -1113,7 +1243,10 @@ def similarity_pq(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     books = pq_fit(e, m=8, k=16, iters=3)
     codes = pq_encode(e, books)
-    return pq_topk(e.filter(F.col("vec_id") < 10), codes, books, k=5)
+    out = pq_topk(e.filter(F.col("vec_id") < 10), codes, books, k=5)
+    # rows-only invariants: ADC distances are sums of squared distances —
+    # non-negative — and ascending in rank (see _topk_invariants)
+    return _topk_invariants(out, "adc_dist", descending=False, lo=0.0)
 
 
 # Token-budget corpus mixture — the "data mixing" step of a pretraining
@@ -1386,9 +1519,11 @@ def similarity_ivfpq(spark, sf_dir):
     cells = kmeans_fit(e, k=16, iters=5)
     books = pq_fit(e, m=8, k=16, iters=3)
     codes = pq_encode(e, books)
-    return ivfpq_topk(
+    out = ivfpq_topk(
         e.filter(F.col("vec_id") < 10), e, cells, books, codes, k=5, nprobe=4
     )
+    # rows-only invariants: non-negative ADC distances ascending in rank
+    return _topk_invariants(out, "adc_dist", descending=False, lo=0.0)
 
 
 # Mergeable frequent-items sketch, deployed exactly (2-pass Misra-Gries:

@@ -363,15 +363,31 @@ def agg_distinct(spark, sf_dir):
 
 
 # T-B17 — approx distinct (HLL++). Sketch output is engine-specific →
-# rows-only check (no oracle SQL).
+# rows-only check (no oracle SQL). Self-describing invariant columns make
+# the rows-only adjudication informative: the exact distinct count rides
+# along, `inv_rel_err` is the sketch's observed relative error, and
+# `inv_ok` asserts it within 5x the configured 2% rsd — a bound a broken
+# sketch implementation cannot fake.
 @query("agg_approx", sql=None)
 def agg_approx(spark, sf_dir):
     """approx_count_distinct via HyperLogLog++ — the 100 TB path for
-    cardinality (fixed-size sketch, no expand)."""
+    cardinality (fixed-size sketch, no expand) — next to the exact count
+    and its error invariant."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.count("*").alias("n_orders"),
+    rel_err = F.abs(
+        F.col("approx_customers") - F.col("exact_customers")
+    ) / F.col("exact_customers")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias(
+                "approx_customers"
+            ),
+            F.count_distinct("o_custkey").alias("exact_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .withColumn("inv_rel_err", F.round(rel_err, 6))
+        .withColumn("inv_ok", rel_err <= F.lit(0.10))
     )
 
 
@@ -1455,14 +1471,27 @@ def subquery_exists(spark, sf_dir):
 # (error bound asserted in tests/test_sketch.py).
 @query("agg_hll_sketch", sql=None)
 def agg_hll_sketch(spark, sf_dir):
-    """Mergeable HLL distinct-user sketch per event type."""
+    """Mergeable HLL distinct-user sketch per event type, with the exact
+    count and error-bound invariant columns (rows-only self-adjudication:
+    inv_ok must be true in every row)."""
     ev = table(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sketch")
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
-    return sk.select(
-        "event_type",
-        F.hll_sketch_estimate("sketch").alias("approx_users"),
+    rel_err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return (
+        sk.select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("approx_users"),
+            "exact_users",
+        )
+        .withColumn("inv_rel_err", F.round(rel_err, 6))
+        # default lgConfigK=12 → rsd ~1.6%; 5x headroom
+        .withColumn("inv_ok", rel_err <= F.lit(0.08))
     )
 
 
@@ -1471,16 +1500,29 @@ def agg_hll_sketch(spark, sf_dir):
 # tests/test_sketch.py bounds the error against exact percentiles.
 @query("agg_approx_quantile", sql=None)
 def agg_approx_quantile(spark, sf_dir):
-    """p50/p90/p99 of value per event type from a percentile sketch."""
+    """p50/p90/p99 of value per event type from a percentile sketch, with
+    rank-error invariant columns: each approx percentile must land inside
+    the exact value range of quantiles ±1% around its target (accuracy
+    10_000 guarantees ±0.0001 rank error — 100x inside the asserted
+    window), so inv_ok is true in every row of a correct sketch."""
     ev = table(spark, sf_dir, "events")
     q = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("qs")
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("qs"),
+        F.percentile(
+            "value", F.array(*[F.lit(x) for x in (0.49, 0.51, 0.89, 0.91, 0.98, 1.0)])
+        ).alias("ex"),
     )
+    between = lambda v, lo, hi: (v >= F.col("ex")[lo]) & (v <= F.col("ex")[hi])
     return q.select(
         "event_type",
         F.col("qs")[0].alias("p50"),
         F.col("qs")[1].alias("p90"),
         F.col("qs")[2].alias("p99"),
+        (
+            between(F.col("qs")[0], 0, 1)
+            & between(F.col("qs")[1], 2, 3)
+            & between(F.col("qs")[2], 4, 5)
+        ).alias("inv_ok"),
     )
 
 

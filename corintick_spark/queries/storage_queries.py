@@ -401,3 +401,51 @@ def sink_stream_python(spark, sf_dir):
             .cast("double") / 1_000_000
         ).alias("total_value"),
     )
+
+
+# Snapshot isolation + time travel (corintick_spark/snapshots.py — the
+# versioned-manifest table layer): v0 commits one doc split, v1 appends a
+# second, then a COMPACTION commits v2 rewriting the file set. The query
+# reads version 0 by time travel and the post-compaction latest, emitting
+# per-version row counts and an exact integer aggregate — equal to the
+# oracle's direct split sums ONLY if manifest gating, time travel, and
+# compaction row-preservation all work.
+@query(
+    "storage_snapshot",
+    sql="""
+    SELECT CAST(0 AS BIGINT) AS version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           COUNT(*),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 3 IN (0, 1)
+    ORDER BY version
+    """,
+)
+def storage_snapshot(spark, sf_dir):
+    """Versioned-manifest store: append / append / compact, then time-travel
+    read v0 and snapshot-read the compacted latest."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapstore_") + "/tbl")
+    store.append(d.filter(F.col("doc_id") % 3 == 0))
+    store.append(d.filter(F.col("doc_id") % 3 == 1))
+    store.compact(target_partitions=2)
+
+    def stats(df, version):
+        return df.agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    # v0 by time travel; the latest (v2, post-compaction) must equal v1
+    return stats(store.read(version=0), 0).unionByName(
+        stats(store.read(), 1)
+    ).orderBy("version")

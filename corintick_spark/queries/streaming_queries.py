@@ -546,7 +546,15 @@ def stream_dedup_incremental(spark, sf_dir):
 
     src = documents_stream_batched(spark, sf_dir, n_batches=3)
     out = streaming_incremental_dedup(spark, src, threshold=0.3)
-    return out.orderBy("doc_id")
+    # rows-only invariant: batches arrive id-ascending and survivorship is
+    # min-id, so every dup must point at a STRICTLY SMALLER doc_id and
+    # every keep must carry a null matched_id — violated by any ordering
+    # or survivorship bug in the fold.
+    return out.withColumn(
+        "inv_ok",
+        F.when(F.col("is_dup"), F.col("matched_id") < F.col("doc_id"))
+        .otherwise(F.col("matched_id").isNull()),
+    ).orderBy("doc_id")
 
 
 # Streaming heavy hitters — bounded-state frequent tokens over the
@@ -574,10 +582,36 @@ def stream_heavyhitters(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("shard")
-    return (
+    last = (
         out.withColumn("_mx", F.max("shard_n").over(w))
         .filter(F.col("shard_n") == F.col("_mx"))
-        .select("shard", "token", "est_count")
+        .select("shard", "token", "est_count", "shard_n")
+    )
+    # rows-only invariant — the Misra-Gries sandwich, adjudicated against
+    # EXACT batch counts (a token hash-routes to exactly one shard, so its
+    # global count is its shard count): true - shard_n/k <= est <= true.
+    from corintick_spark.catalog import table as _table
+
+    exact = (
+        _table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("inv_exact"))
+    )
+    return (
+        last.join(exact, "token", "left")
+        .withColumn(
+            "inv_ok",
+            (F.col("est_count") <= F.col("inv_exact"))
+            & (
+                F.col("est_count")
+                >= F.col("inv_exact") - F.col("shard_n") / F.lit(20)
+            ),
+        )
+        .select("shard", "token", "est_count", "inv_exact", "inv_ok")
         .orderBy("shard", F.desc("est_count"), "token")
     )
 
@@ -644,3 +678,42 @@ def stream_dq(spark, sf_dir):
         ],
     )
     return run_to_memory(checks, spark).orderBy("check_name")
+
+
+# Streaming AS-OF via per-user keyed state — the state-machine twin of
+# stream_asof (VERDICT r04 item 2 named both shapes). Three chronological
+# micro-batches; per-user state is ONE latest-purchase tuple, so a
+# purchase in batch 1 enriches events in batch 3 without any static-table
+# join — O(|users|) total state, O(arriving rows) work per batch: the
+# live-tick-enrichment plan a 100 TB stream wants.
+# The oracle is the identical DuckDB ASOF JOIN (batch boundaries cannot
+# change results: batches are time-ordered, so every quote at-or-before an
+# event is in the same or an earlier batch).
+@query(
+    "stream_asof_state",
+    sql="""
+    WITH q AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS qv
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           q.qv AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN q ON e.user_id = q.user_id AND q.ts <= e.ts
+    WHERE e.ts >= TIMESTAMP '1970-01-01'
+    """,
+)
+def stream_asof_state(spark, sf_dir):
+    """As-of enrichment through per-user latest-purchase state
+    (applyInPandasWithState) carried across chronological micro-batches."""
+    from corintick_spark.streaming.events_stream import (
+        events_stream_batched,
+        run_append_to_memory,
+    )
+    from corintick_spark.streaming.asof_state import asof_enrich_stream
+
+    src = events_stream_batched(spark, sf_dir, n_batches=3)
+    return run_append_to_memory(asof_enrich_stream(src), spark)

@@ -309,11 +309,35 @@ def embedding_covariance(spark, sf_dir):
 # np.linalg.eigh to 1e-6.
 @query("embedding_pca", sql=None)
 def embedding_pca(spark, sf_dir):
-    """Per-vector projection onto the corpus's top principal component."""
+    """Per-vector projection onto the corpus's top principal component.
+    Rows-only invariant (Rayleigh dominance): Var(projection) = v'Cv = λ1
+    must be >= the variance of EVERY single coordinate axis (e_j'Ce_j) —
+    computed here from the raw data, independently of the eigen solve. A
+    wrong eigenvector fails this whenever any axis beats it."""
     from corintick_spark.operators.linalg import pca_top_component
 
     e = table(spark, sf_dir, "embeddings")
-    return pca_top_component(e)
+    out = pca_top_component(e)
+    axis_var = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .agg(F.max("v").alias("inv_max_axis_var"))
+    )
+    proj_var = out.agg(
+        F.var_pop("pc1_projection").alias("inv_proj_var")
+    )
+    return (
+        out.crossJoin(F.broadcast(proj_var))  # 1-row aggregates
+        .crossJoin(F.broadcast(axis_var))
+        .withColumn(
+            "inv_ok",
+            # 1e-3 headroom covers the quantized-covariance eigen basis
+            # vs the raw-float variance computed here
+            F.col("inv_proj_var")
+            >= F.col("inv_max_axis_var") * F.lit(0.999),
+        )
+    )
 
 
 # Lagged cross-correlation between two event streams: do 'view' spikes

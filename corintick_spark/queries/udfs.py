@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
 
 from corintick_spark.catalog import table
@@ -195,13 +196,39 @@ def udf_ewma(spark, sf_dir):
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         pdf["ewma"] = pdf["value"].ewm(alpha=0.2, adjust=False).mean()
-        return pdf[["user_id", "event_id", "value", "ewma"]]
+        return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
 
     ev = table(spark, sf_dir, "events")
-    return (
+    out = (
         ev.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
-        .applyInPandas(ewma, schema="user_id long, event_id long, value double, ewma double")
+        .applyInPandas(
+            ewma,
+            schema="user_id long, event_id long, ts timestamp, value double,"
+            " ewma double",
+        )
+    )
+    # rows-only invariant: an EWMA is a convex combination of the values
+    # seen so far, so it must lie inside the running [min, max] of the
+    # user's value prefix — computed here JVM-side, independent of pandas.
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eps = F.lit(1e-9)
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ewma",
+        (
+            F.col("ewma").isNull()
+            | (
+                (F.col("ewma") >= F.min("value").over(wp) - eps)
+                & (F.col("ewma") <= F.max("value").over(wp) + eps)
+            )
+        ).alias("inv_ok"),
     )
 
 

@@ -50,7 +50,7 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # identical bar, but self-administered). Rotated-out queries keep that local
 # differential plus their r01/r02 driver rows; nothing loses signal.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- canaries (driver-green in r01+r02+r03; one per family) ---
+    # --- canaries (driver-green in r01..r04; one per family) ---
     "scan_filter",       # Tier A storage scan/predicate/projection
     "write_roundtrip",   # write/ingest path
     "join_inner",        # relational joins
@@ -61,46 +61,51 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",       # LLM dedup tier
     "similarity_topk",   # guarded cross join + vector path
     "stream_counts",     # streaming tier
-    # --- round-4 rotation: the never-driver-verified set (r03 verdict #1).
-    # All 39 oracle-paired queries that have only ever had the local DuckDB
-    # differential, plus graph_pagerank (rows-only, named by the judge).
-    # round-3 extras
-    "agg_regression", "resample_interp", "events_anomaly",
-    "text_contamination", "window_rolling_median", "sample_fixed_k",
-    "ml_linear_score", "window_ewma", "agg_entropy", "graph_pagerank",
-    # scalar variants
-    "scalar_trig", "scalar_null", "scalar_struct", "scalar_binary",
-    "scalar_pad",
-    # window variants
-    "window_returns", "window_zscore", "window_bollinger",
-    "window_drawdown", "window_ntile", "window_first_last",
-    "window_pct_change", "window_lag_default",
-    # aggregation variants
-    "agg_mode", "agg_weighted_avg", "rollup_multires",
-    # sampling / diagnostics / reshape
-    "sample_stratified", "skew_diagnose", "reshape_unpivot",
-    # text/LLM tier
-    "text_tokens", "text_repetition", "text_pii_scrub", "text_chunks",
-    "text_topngrams", "text_inverted_index", "vector_norms",
-    "dedup_containment", "dedup_fuzzy",
+    # --- round-5 rotation (verdict r04 item 1): 40 never-driver-verified
+    # oracle-paired queries, prioritized by family breadth. Every name
+    # below has only ever had the local DuckDB differential
+    # (tests/test_oracle_queries.py — identical bar, self-administered).
+    # verbatim-SQL tier: the 7 TPC-H shapes added in r04 + recursive/
+    # lateral/UDF/scripting
+    "sql_q2", "sql_q4", "sql_q9", "sql_q11", "sql_q12", "sql_q20",
+    "sql_q21", "sql_recursive", "sql_lateral", "sql_udf", "sql_scripting",
+    # graph tier
+    "graph_triangles", "graph_clustering_coeff", "graph_link_predict",
+    # training/curation pipelines
+    "pipeline_decontaminate", "pipeline_pack_corpus",
+    "pipeline_training_mix", "pack_sequences", "features_per_user",
+    # data quality / dedup / join variants
+    "dq_suite", "dedup_editjoin", "join_salted", "dedup_survivors",
     # event analytics
-    "event_transitions", "event_durations",
+    "events_concurrency", "events_funnel_time", "scalar_variant",
+    # streaming tier (stream_asof NEWLY distributed this round — verdict
+    # item 2 — goes straight to external adjudication)
+    "stream_asof", "stream_ohlc", "stream_histogram", "stream_dq",
+    # text tier
+    "text_heavyhitters", "text_pmi_pairs", "text_perplexity",
+    # multimodal: real header parses + the NEW real pixel decoder
+    "multimodal_decode_png", "multimodal_decode_wav",
+    "multimodal_decode_px",
+    # stats / windows
+    "agg_gini", "profile_numeric", "window_rolling_corr",
+    "window_distinct",
 )
-# Round-5 rotation plan: keep the 10 canaries; fill the 40 slots from the
-# never-driver-verified ORACLE-PAIRED set (registered names absent from
-# CORRECTNESS_r01..r04 — ~81 as of this session's end: the graph tier, the
-# training-pipeline + curation waves, the verbatim-SQL tier — now ALL 22
-# TPC-H shapes (wave 3 added adapted q2/q4/q9/q11/q12/q20/q21) +
-# recursive/lateral, scalar_timezone, rolling_corr, throttle pair,
-# WAV/FRMS multimodal, profiler/sampler/gini/MAD/overlap/interarrival
-# stats, histograms, centroids/knn/covariance/cross-corr; plus this
-# session's late wave — dq_suite, events_concurrency, dedup_editjoin,
-# join_salted, sink_stream_python, scalar_variant, sql_udf/scripting,
-# ~86 total). 86 > 40 slots →
-# prioritize by family breadth (every new module represented), schedule
-# the overflow plus the rows-only-by-nature entries (incl. the new
-# stream_dedup_incremental) for r06, then backfill with rotated-out
-# r01-r03 queries for re-confirmation.
+# Round-6 rotation plan: keep the 10 canaries. Reserve ~10 slots for the
+# ROWS-ONLY tier's first external adjudication — every rows-only query now
+# emits self-describing `inv_*` invariant columns (sketch error vs exact,
+# MG sandwich vs exact counts, PageRank mass = 1, Rayleigh dominance,
+# top-k rank/score structure), so the driver's rows-only row is
+# informative: prioritize agg_approx, agg_hll_sketch, agg_approx_quantile,
+# agg_cm_sketch, graph_pagerank (re-check), dedup_minhash, dedup_simhash,
+# cluster_kmeans, embedding_pca, stream_dedup_incremental. Fill the
+# remaining ~30 slots from the still-never-verified oracle-paired set
+# (~55 after this round: sql_q1/3/5/6/7/8/10/13..19/22, sql_wfunc,
+# sql_groupingsets, events_* remainder, sink/source pairs, knn_classify,
+# histograms, pack_fragments, corpus_mixture, ml_split_stratified,
+# window_cusum/minmax/winsorize, scalar_timezone, join_asof_tolerance,
+# join_interval_point, multimodal_frames, shuffle_shards,
+# embedding_centroids/covariance, text remainder), then backfill with
+# rotated-out r01-r04 queries for re-confirmation.
 
 
 def load_all() -> dict[str, Query]:

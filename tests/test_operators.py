@@ -1074,3 +1074,38 @@ def test_running_distinct_guard_high_cardinality(spark, sf_dir):
             "d"
         )
     ).limit(1).collect()
+
+
+def test_png_pixel_codec_roundtrip_and_stubs():
+    """decode_png_pixels must invert encode_png for every filter type and
+    channel layout, return None on non-PNG, and refuse unsupported PNG
+    shapes with the honest stub."""
+    import pytest
+
+    from corintick_spark.operators import multimodal as M
+
+    for ch in (1, 2, 3, 4):
+        px = bytes((i * 11 + ch) % 256 for i in range(7 * 5 * ch))
+        for ft in range(5):
+            b = M.encode_png(7, 5, px, ch, filter_for_row=lambda y, f=ft: f)
+            w, h, c, out = M.decode_png_pixels(b)
+            assert (w, h, c) == (7, 5, ch) and out == px, (ch, ft)
+        # mixed filters per row
+        b = M.encode_png(7, 5, px, ch, filter_for_row=lambda y: y % 5)
+        assert M.decode_png_pixels(b)[3] == px
+    assert M.decode_png_pixels(None) is None
+    assert M.decode_png_pixels(b"not a png") is None
+    # 16-bit depth → honest stub
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_png_pixels(bad)

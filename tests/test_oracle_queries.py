@@ -27,8 +27,15 @@ def test_oracle_match(name, spark, duck, sf_dir):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(name, spark, sf_dir):
     q = QUERIES[name]
-    df = q.spark(spark, sf_dir)
-    n1 = df.count()
+    pdf = q.spark(spark, sf_dir).toPandas()
+    n1 = len(pdf)
     assert n1 >= 0
+    # every rows-only query carries self-describing invariant columns
+    # (sketch error vs exact, rank/score structure, mass conservation...)
+    # so its driver row is informative — inv_ok must hold in EVERY row
+    assert "inv_ok" in pdf.columns, f"{name}: missing inv_ok column"
+    if n1:
+        bad = pdf[~pdf["inv_ok"].fillna(False)]
+        assert bad.empty, f"{name}: {len(bad)} rows violate inv_ok"
     # determinism: second run same count
     assert q.spark(spark, sf_dir).count() == n1

@@ -58,3 +58,20 @@ def test_no_cartesian_and_no_row_python(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in plan — use the Arrow tier"
     )
+
+
+def test_no_driver_materialization_in_streaming_paths():
+    """Verdict r04 item 2: no streaming path may materialize an unbounded
+    table on the driver. Enforced at the source level — `.toPandas()` and
+    `.collect()` must not appear in the streaming query/operator modules
+    (per-batch work happens on Spark DataFrames via foreachBatch)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "corintick_spark"
+    offenders = []
+    for path in [root / "queries" / "streaming_queries.py", *sorted((root / "streaming").glob("*.py"))]:
+        text = path.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if ".toPandas()" in line or ".collect()" in line:
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, "driver-side materialization in streaming path:\n" + "\n".join(offenders)
