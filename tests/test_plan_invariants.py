@@ -32,6 +32,7 @@ SELF_EXECUTING = {
     or name
     in {
         "write_roundtrip",      # writes a store then reads it
+        "storage_snapshot",     # commits snapshot versions then reads them
         "cluster_kmeans",       # driver-loop fit
         "similarity_ivf",       # fit + probe
         "similarity_pq",        # fit + encode
