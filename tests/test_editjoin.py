@@ -39,8 +39,8 @@ def _rows(df):
 def test_equals_naive_on_documents(spark, sf_dir):
     d = table(spark, sf_dir, "documents").limit(300)
     for k in (1, 2):
-        got = _rows(edit_pairs_qgram(d, k=k))
         want = _rows(_naive(spark, d, k))
+        got = _rows(edit_pairs_qgram(d, k=k))
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
 
 
@@ -60,8 +60,8 @@ def test_adversarial_shapes(spark):
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     for k in (1, 2, 3):
-        got = _rows(edit_pairs_qgram(d, k=k))
         want = _rows(_naive(spark, d, k))
+        got = _rows(edit_pairs_qgram(d, k=k))
         assert got == want, f"k={k}"
     got2 = {(a, b): e for a, b, e in _rows(edit_pairs_qgram(d, k=2))}
     assert got2[(1, 2)] == 1 and got2[(3, 4)] == 1
@@ -78,8 +78,8 @@ def test_random_differential(spark):
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     for k in (1, 2):
-        got = _rows(edit_pairs_qgram(d, k=k))
         want = _rows(_naive(spark, d, k))
+        got = _rows(edit_pairs_qgram(d, k=k))
         assert got == want, f"k={k}: missing={set(want)-set(got)}"
 
 
