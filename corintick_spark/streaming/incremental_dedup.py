@@ -98,30 +98,20 @@ def _cleanup_at_exit(path: str) -> None:
     atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
-def streaming_incremental_dedup(
+def make_batch_processor(
     spark: SparkSession,
-    doc_stream: DataFrame,
-    store_path: str | None = None,
+    store_path: str,
+    decisions_path: str,
     id_col: str = "doc_id",
     text: str = "text",
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-) -> DataFrame:
-    """Run ``doc_stream`` to quiescence through the incremental-dedup fold
-    and return the decisions frame (doc_id, is_dup, matched_id).
-
-    ``store_path``: the signature store parquet dir. May already contain a
-    corpus's signatures (built by ``minhash_signature_table``) — the
-    warm-start posture; defaults to a fresh temp dir (cold start: the
-    first batch keeps everything not self-duplicated).
-    """
-    work = tempfile.mkdtemp(prefix="incdedup_")
-    _cleanup_at_exit(work)
-    if store_path is None:
-        store_path = os.path.join(work, "store")
-    decisions_path = os.path.join(work, "decisions")
+):
+    """Build the foreachBatch fold callback. Module-level (not a closure
+    of the stream runner) so tests can drive it directly with repeated
+    batch_ids — the retry-idempotency contract is part of the API."""
 
     def _store_paths(batch_id: int) -> list[str]:
         # the store is root-level parquet files (warm-start corpus built by
@@ -206,6 +196,38 @@ def streaming_incremental_dedup(
         decisions.write.mode("overwrite").parquet(
             os.path.join(decisions_path, f"b{batch_id}")
         )
+
+    return _process
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    store_path: str | None = None,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Run ``doc_stream`` to quiescence through the incremental-dedup fold
+    and return the decisions frame (doc_id, is_dup, matched_id).
+
+    ``store_path``: the signature store parquet dir. May already contain a
+    corpus's signatures (built by ``minhash_signature_table``) — the
+    warm-start posture; defaults to a fresh temp dir (cold start: the
+    first batch keeps everything not self-duplicated).
+    """
+    work = tempfile.mkdtemp(prefix="incdedup_")
+    _cleanup_at_exit(work)
+    if store_path is None:
+        store_path = os.path.join(work, "store")
+    decisions_path = os.path.join(work, "decisions")
+    _process = make_batch_processor(
+        spark, store_path, decisions_path,
+        id_col, text, k, num_hashes, bands, threshold,
+    )
 
     ckpt = os.path.join(work, "ckpt")
     q = (

@@ -147,3 +147,41 @@ def test_determinism_on_documents(spark, sf_dir):
     a, b = run(), run()
     assert a.equals(b)
     assert (~a.is_dup).sum() > 0
+
+
+def test_batch_retry_is_exactly_once(spark):
+    """The ADVICE r04 scenario: a micro-batch that crashes after its
+    survivors commit and retries must NOT (a) double-append decisions,
+    (b) match its own just-committed signatures (every doc flagged as its
+    own dup), or (c) poison later batches. Epoch-keyed overwrite commits
+    + the epoch-filtered store read make the retry a no-op rewrite."""
+    import tempfile as _tf
+
+    from corintick_spark.streaming.incremental_dedup import (
+        make_batch_processor,
+    )
+
+    work = _tf.mkdtemp(prefix="incretry_")
+    store, decisions = os.path.join(work, "store"), os.path.join(work, "dec")
+    proc = make_batch_processor(spark, store, decisions, threshold=0.5)
+
+    b0 = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, BASE + " extra"), (4, THIRD)], "doc_id long, text string"
+    )
+    proc(b0, 0)
+    proc(b0, 0)  # retry of epoch 0 AFTER its survivors committed
+    out0 = spark.read.option("recursiveFileLookup", "true").parquet(decisions)
+    rows0 = {r.doc_id: (r.is_dup, r.matched_id) for r in out0.collect()}
+    assert out0.count() == 2  # no double-append
+    assert rows0[1] == (False, None) and rows0[2] == (False, None)  # no self-match
+
+    proc(b1, 1)
+    proc(b1, 1)  # retried later epoch still dedupes against epoch 0 only
+    out = spark.read.option("recursiveFileLookup", "true").parquet(decisions)
+    rows = {r.doc_id: (r.is_dup, r.matched_id) for r in out.collect()}
+    assert out.count() == 4
+    assert rows[3] == (True, 1)  # near-copy of batch-0 survivor
+    assert rows[4] == (False, None)
