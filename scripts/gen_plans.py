@@ -29,7 +29,7 @@ NOTES = {
     "dedup_incremental": "new-batch signatures checkpointed once; corpus side reads ONLY the signature table (no text column in any FileScan — pinned by tests/test_operators.py); candidates meet in a (band_id, band_hash) hash join.",
     "resample_ffill": "grid rows are sequence()+explode from per-key bounds (no driver loop); ONE window pass carries the last tick struct onto grid rows — a NULL-valued tick correctly fills NULL.",
     "events_concurrency": "two-level distributed prefix sum: per-instant deltas aggregate map-side, the global prefix runs over the tiny hour-bucket table (broadcast back), interior cumsums are bucket-partitioned windows — no corpus-sized SinglePartition window anywhere.",
-    "dedup_editjoin": "positional q-gram count filter: candidate generation is a hash join on the gram string with position/length residuals; only the bounded short-short stratum uses a (broadcast) direct join; verification joins text back on candidate ids only.",
+    "dedup_editjoin": "probing-prefix candidates: each string's q*k+1 corpus-rarest positional grams (rarity via one gram-frequency aggregate) probe the full gram index as an equi-join on (gram, pos-band) with position/length residuals; only the bounded short-short stratum uses a (broadcast) direct join; verification computes levenshtein on deduped candidate ids only.",
     "dq_suite": "all four row-level checks compile into ONE partial+final HashAggregate over a single scan (plan test pins <=1 Scan); the referential check is a LeftAnti join collapsed to a 1-row aggregate.",
     "graph_triangles": "equi-joins only (edge derivation: one fact-fact shuffle + broadcast dims; wedge + closing joins on node keys) — no CartesianProduct/BNLJ anywhere; degree orientation bounds wedge fan-out to the low-degree endpoint.",
     "pipeline_decontaminate": "the removal is a BroadcastHashJoin LeftAnti against the tiny contaminated-id set — the corpus is never shuffled to be cleaned.",
