@@ -363,10 +363,11 @@ def sample_container_frames(
 
 
 # ---------------------------------------------------------------------------
-# REAL PNG pixel decode — stdlib only (zlib inflate + scanline un-filtering,
-# PNG spec §9 "Filtering", public knowledge). This makes one image format
-# fully real end to end: header, compressed stream, and pixel bytes. Other
-# pixel codecs (JPEG DCT, etc.) stay honest NotImplementedError stubs.
+# REAL pixel decode — stdlib only. PNG (zlib inflate + scanline
+# un-filtering, PNG spec §9 "Filtering") and uncompressed 24-bit BMP
+# (bottom-up BGR rows, 4-byte padding) are fully real end to end: header,
+# stream, and pixel bytes, both normalized to top-down RGB. Other pixel
+# codecs (JPEG DCT, etc.) stay honest NotImplementedError stubs.
 # ---------------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
@@ -508,27 +509,109 @@ def encode_png(
     )
 
 
+def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) to raw
+    pixel bytes: (width, height, 3, pixels) with ``pixels`` row-major
+    TOP-DOWN RGB — the same canonical layout :func:`decode_png_pixels`
+    emits, so downstream stats are format-agnostic.
+
+    Pure stdlib: the pixel-array offset comes from the file header, rows
+    are 4-byte aligned (padding stripped), stored bottom-up unless the DIB
+    height is negative (top-down), and samples are BGR on disk (swapped to
+    RGB here) — all per the public Windows BMP format. Returns None for
+    non-BMP bytes; raises NotImplementedError for valid BMPs outside the
+    supported subset (bpp != 24 or compressed) — the honest-stub posture.
+    """
+    import struct
+
+    if b is None or len(b) < 54 or b[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    bpp, comp = struct.unpack_from("<HI", b, 28)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            "decode_bmp_pixels supports uncompressed 24-bit BMPs only "
+            "(other depths/RLE need a full codec)"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(b) < data_off + stride * h:
+        return None
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        # positive DIB height = bottom-up storage; negative = top-down
+        src_row = (h - 1 - y) if h_signed > 0 else y
+        row = b[data_off + src_row * stride : data_off + src_row * stride + w * 3]
+        dst = y * w * 3
+        out[dst : dst + w * 3 : 3] = row[2::3]  # R  <- disk B,G,R order
+        out[dst + 1 : dst + w * 3 : 3] = row[1::3]  # G
+        out[dst + 2 : dst + w * 3 : 3] = row[0::3]  # B
+    return w, h, 3, bytes(out)
+
+
+def encode_bmp(width: int, height: int, pixels: bytes, top_down: bool = False) -> bytes:
+    """Minimal uncompressed 24-bit BMP encoder (synthesis/test helper — the
+    inverse of :func:`decode_bmp_pixels`). ``pixels`` is top-down row-major
+    RGB; ``top_down=False`` (the common on-disk layout) stores rows
+    bottom-up with a positive DIB height, exercising the decoder's row
+    flip; padding bytes are nonzero so a decoder that reads them shows up
+    as a wrong checksum."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pad = b"\xAA" * (stride - width * 3)
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for y in order:
+        line = pixels[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray(len(line))
+        bgr[0::3] = line[2::3]
+        bgr[1::3] = line[1::3]
+        bgr[2::3] = line[0::3]
+        rows.append(bytes(bgr) + pad)
+    body = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height if not top_down else -height,
+        1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + dib
+        + body
+    )
+
+
 PIXEL_SCHEMA = (
     "doc_id long, width long, height long, channels long,"
-    " px_sum long, px_mean double"
+    " px_sum long, px_wsum long, px_mean double"
 )
 
 
 def decode_image_pixels(
     df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
 ) -> DataFrame:
-    """Per-document pixel statistics from REAL PNG decoding: (width,
-    height, channels, px_sum, px_mean) where px_sum is the integer sum of
-    all decoded pixel bytes — a value that is wrong unless inflate AND all
-    five un-filter paths are exactly right. Non-PNG / null payloads
+    """Per-document pixel statistics from REAL pixel decoding — PNG
+    (:func:`decode_png_pixels`) and 24-bit BMP (:func:`decode_bmp_pixels`)
+    dispatched on magic bytes, both emitting the same canonical top-down
+    RGB layout: (width, height, channels, px_sum, px_wsum, px_mean).
+    px_sum is the integer sum of all decoded pixel bytes; px_wsum is the
+    position-weighted sum(k * byte_k) over the canonical order, which is
+    wrong unless row order, BGR swap, and padding handling are exactly
+    right (a plain sum is order-blind). Other-format / null payloads
     null-propagate (corpus-scan posture). Arrow-batched mapInPandas; the
     per-blob Python is the codec itself, inherent to opaque payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "channels", "px_sum", "px_wsum", "px_mean")
         for pdf in it:
-            rows = {k: [] for k in ("width", "height", "channels", "px_sum", "px_mean")}
+            rows = {k: [] for k in cols}
             for b in pdf[payload]:
                 m = decode_png_pixels(b)
+                if m is None:
+                    m = decode_bmp_pixels(b)
                 if m is None:
                     for k in rows:
                         rows[k].append(None)
@@ -540,6 +623,7 @@ def decode_image_pixels(
                 rows["height"].append(h)
                 rows["channels"].append(ch)
                 rows["px_sum"].append(s)
+                rows["px_wsum"].append(sum(k * v for k, v in enumerate(px)))
                 rows["px_mean"].append(round(s / n, 6) if n else None)
             yield pd.DataFrame(
                 {
@@ -548,8 +632,126 @@ def decode_image_pixels(
                     "height": pd.array(rows["height"], dtype="Int64"),
                     "channels": pd.array(rows["channels"], dtype="Int64"),
                     "px_sum": pd.array(rows["px_sum"], dtype="Int64"),
+                    "px_wsum": pd.array(rows["px_wsum"], dtype="Int64"),
                     "px_mean": pd.array(rows["px_mean"], dtype="Float64"),
                 }
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV PCM sample decode — stdlib only (RIFF chunk walk + array-typed
+# sample views). Extends the audio tier from header metadata
+# (parse_wav_header) to the actual samples, same posture as the PNG/BMP
+# pixel decoders: compressed audio codecs stay honest stubs.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
+    """Decode integer PCM samples from a WAV payload: (sample_rate,
+    channels, samples) with ``samples`` the interleaved signed values —
+    16-bit little-endian signed, or 8-bit unsigned recentred to signed by
+    -128 (both per the public RIFF/WAVE PCM spec). Returns None for
+    non-WAV bytes; raises NotImplementedError for valid WAVs outside the
+    supported subset (float/24-bit/compressed) — the honest-stub posture.
+    """
+    import struct
+    import sys
+    from array import array
+
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_tag = rate = channels = bits = None
+    data: bytes | None = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16 and body + 16 <= len(b):
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", b, body
+            )
+        elif cid == b"data":
+            data = b[body : body + csize]
+        pos = body + csize + (csize & 1)
+    if rate is None or data is None:
+        return None
+    if fmt_tag != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            "decode_wav_pcm supports integer PCM (8/16-bit) only — "
+            "float/24-bit/compressed audio needs libsndfile/ffmpeg "
+            "(not in container)"
+        )
+    if bits == 16:
+        arr = array("h")
+        arr.frombytes(data[: len(data) & ~1])
+        if sys.byteorder == "big":  # WAV PCM is little-endian on disk
+            arr.byteswap()
+        samples = arr.tolist()
+    else:
+        samples = [v - 128 for v in data]  # 8-bit WAV is unsigned
+    return rate, channels, samples
+
+
+AUDIO_PCM_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, n_samples long,"
+    " sample_sum long, sample_mean double, peak_abs long, rms double"
+)
+
+
+def decode_audio_samples(
+    df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
+) -> DataFrame:
+    """Per-document audio features from REAL PCM decoding
+    (:func:`decode_wav_pcm`): sample count/sum/mean, peak absolute
+    amplitude, and RMS over the interleaved samples — the loudness /
+    clipping-screen features an audio-corpus curation pass keys off.
+    sample_sum and peak_abs are integers that are wrong unless the byte
+    width, signedness, and data-chunk walk are exactly right. Non-WAV /
+    null payloads null-propagate (corpus-scan posture)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        cols = (
+            "sample_rate", "channels", "n_samples",
+            "sample_sum", "sample_mean", "peak_abs", "rms",
+        )
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for b in pdf[payload]:
+                m = decode_wav_pcm(b)
+                if m is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                rate, ch, samples = m
+                n = len(samples)
+                s = sum(samples)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_samples"].append(n)
+                rows["sample_sum"].append(s)
+                rows["sample_mean"].append(round(s / n, 6) if n else None)
+                rows["peak_abs"].append(max(abs(v) for v in samples) if n else 0)
+                rows["rms"].append(
+                    round(math.sqrt(sum(v * v for v in samples) / n), 6)
+                    if n
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int64"),
+                    "channels": pd.array(rows["channels"], dtype="Int64"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
+                    "sample_sum": pd.array(rows["sample_sum"], dtype="Int64"),
+                    "sample_mean": pd.array(rows["sample_mean"], dtype="Float64"),
+                    "peak_abs": pd.array(rows["peak_abs"], dtype="Int64"),
+                    "rms": pd.array(rows["rms"], dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=AUDIO_PCM_SCHEMA)

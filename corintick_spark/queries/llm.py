@@ -443,6 +443,9 @@ def multimodal_decode_png(spark, sf_dir):
            CAST(list_sum(list_transform(
                     range(0, ((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3)::INT),
                     k -> (doc_id * 7 + k) % 256)) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> k * ((doc_id * 7 + k) % 256))) AS BIGINT) AS px_wsum,
            ROUND(list_sum(list_transform(
                     range(0, ((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3)::INT),
                     k -> (doc_id * 7 + k) % 256))
@@ -475,6 +478,133 @@ def multimodal_decode_px(spark, sf_dir):
 
     with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_png)
+
+
+# REAL BMP pixel decode (operators/multimodal.py::decode_bmp_pixels):
+# 24-bit bottom-up BGR payloads with 4-byte row padding (padding bytes are
+# nonzero) synthesized per doc_id; pixel k of doc i — in the CANONICAL
+# top-down RGB order the decoder must reconstruct — is (i*11 + k*5) % 256.
+# px_wsum (position-weighted) is wrong unless the row flip, the BGR->RGB
+# swap, and padding stripping are all exactly right; the plain px_sum alone
+# would pass under any byte reordering. Widths 2..7 make most strides
+# non-aligned, so padding is on the adjudicated path.
+@query(
+    "multimodal_decode_bmp",
+    sql="""
+    SELECT doc_id,
+           CAST(doc_id % 6 + 2 AS BIGINT) AS width,
+           CAST(doc_id % 4 + 2 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 6 + 2) * (doc_id % 4 + 2) * 3)::INT),
+                    k -> (doc_id * 11 + k * 5) % 256)) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 6 + 2) * (doc_id % 4 + 2) * 3)::INT),
+                    k -> k * ((doc_id * 11 + k * 5) % 256))) AS BIGINT)
+               AS px_wsum,
+           ROUND(list_sum(list_transform(
+                    range(0, ((doc_id % 6 + 2) * (doc_id % 4 + 2) * 3)::INT),
+                    k -> (doc_id * 11 + k * 5) % 256))
+                 / ((doc_id % 6 + 2) * (doc_id % 4 + 2) * 3.0), 6) AS px_mean
+    FROM documents
+    """,
+)
+def multimodal_decode_bmp(spark, sf_dir):
+    """Real BMP pixel decode over synthesized bottom-up 24-bit payloads:
+    per-doc pixel sum / position-weighted sum / mean through the same
+    format-dispatched decode_image_pixels path as PNG."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i) % 6 + 2, int(i) % 4 + 2
+                px = bytes((int(i) * 11 + k * 5) % 256 for k in range(w * h * 3))
+                payloads.append(M.encode_bmp(w, h, px, top_down=False))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_bmp)
+
+
+# REAL WAV PCM sample decode (operators/multimodal.py::decode_wav_pcm) —
+# the audio twin of multimodal_decode_px: 16-bit PCM payloads whose sample
+# k is ((doc_id*31 + k*7) % 65536) - 32768 are synthesized per doc_id, and
+# the oracle recomputes sum/mean/peak/RMS symbolically. sample_sum and
+# peak_abs are integers that are wrong unless byte width, signedness, and
+# the data-chunk walk are exactly right.
+@query(
+    "multimodal_decode_pcm",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                               WHEN 2 THEN 32000 ELSE 40000 END AS rate,
+               doc_id % 2 + 1 AS channels,
+               (doc_id % 50 + 1) * (doc_id % 2 + 1) AS n,
+               list_transform(
+                   range(0, ((doc_id % 50 + 1) * (doc_id % 2 + 1))::INT),
+                   k -> (doc_id * 31 + k * 7) % 65536 - 32768) AS v
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(v) AS BIGINT) AS sample_sum,
+           ROUND(list_sum(v) / (1.0 * n), 6) AS sample_mean,
+           CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT)
+               AS peak_abs,
+           ROUND(SQRT(list_sum(list_transform(v, x -> 1.0 * x * x)) / n), 6)
+               AS rms
+    FROM s
+    """,
+)
+def multimodal_decode_pcm(spark, sf_dir):
+    """Real WAV PCM sample decode over synthesized 16-bit payloads: per-doc
+    sample sum/mean, peak amplitude, and RMS (the loudness/clipping screen
+    of an audio-curation pass) via decode_audio_samples."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        rates = [8000, 16000, 32000, 40000]
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                rate, channels = rates[i % 4], i % 2 + 1
+                n = (i % 50 + 1) * channels
+                data = struct.pack(
+                    f"<{n}h",
+                    *((i * 31 + k * 7) % 65536 - 32768 for k in range(n)),
+                )
+                fmt = struct.pack(
+                    "<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                    2 * channels, 16,
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_wav = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_audio_samples(with_wav)
 
 
 # Embedding-cosine near-dup (north_star list) — blocked by label (IVF-style:

@@ -1109,3 +1109,68 @@ def test_png_pixel_codec_roundtrip_and_stubs():
     )
     with pytest.raises(NotImplementedError):
         M.decode_png_pixels(bad)
+
+
+def test_bmp_pixel_codec_roundtrip_and_stubs():
+    """decode_bmp_pixels must invert encode_bmp for both row orders
+    (bottom-up and top-down DIBs), strip nonzero padding, swap BGR->RGB,
+    return None on non-BMP, and refuse unsupported depths honestly."""
+    import struct
+
+    import pytest
+
+    from corintick_spark.operators import multimodal as M
+
+    for w, h in ((2, 3), (5, 4), (7, 2)):  # strides 6/15/21 exercise padding
+        px = bytes((i * 13 + 5) % 256 for i in range(w * h * 3))
+        for top_down in (False, True):
+            b = M.encode_bmp(w, h, px, top_down=top_down)
+            got = M.decode_bmp_pixels(b)
+            assert got == (w, h, 3, px), (w, h, top_down)
+        # header parse agrees with the pixel decode
+        assert M.parse_image_header(M.encode_bmp(w, h, px))[:2] == (w, h)
+    assert M.decode_bmp_pixels(None) is None
+    assert M.decode_bmp_pixels(b"not a bmp") is None
+    assert M.decode_bmp_pixels(b"BM" + b"\x00" * 20) is None  # truncated
+    # 8-bit palette BMP -> honest stub
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+    bad = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        M.decode_bmp_pixels(bad)
+
+
+def test_wav_pcm_codec_roundtrip_and_stubs():
+    """decode_wav_pcm must recover 16-bit signed and 8-bit unsigned PCM
+    samples exactly, agree with parse_wav_header on the layout, and refuse
+    float PCM honestly."""
+    import struct
+
+    import pytest
+
+    from corintick_spark.operators import multimodal as M
+
+    def wav(rate, channels, samples, bits=16, fmt_tag=1):
+        if bits == 16:
+            data = struct.pack(f"<{len(samples)}h", *samples)
+        else:
+            data = bytes(s + 128 for s in samples)
+        block = channels * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, channels, rate, rate * block, block, bits
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    vals = [0, 1, -1, 32767, -32768, 1234, -4321]
+    assert M.decode_wav_pcm(wav(16000, 1, vals)) == (16000, 1, vals)
+    small = [0, 127, -128, 5, -5, 64]
+    assert M.decode_wav_pcm(wav(8000, 2, small, bits=8)) == (8000, 2, small)
+    assert M.decode_wav_pcm(None) is None
+    assert M.decode_wav_pcm(b"RIFFxxxx") is None
+    assert M.decode_wav_pcm(b"plain text") is None
+    with pytest.raises(NotImplementedError):  # IEEE float PCM -> stub
+        M.decode_wav_pcm(wav(16000, 1, vals, fmt_tag=3))
