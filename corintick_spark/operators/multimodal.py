@@ -584,6 +584,181 @@ def encode_bmp(width: int, height: int, pixels: bytes, top_down: bool = False) -
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> "list[int]":
+    """GIF variable-width LZW decode (GIF89a spec appendix F, public
+    knowledge): LSB-first bit packing, clear/end codes, dictionary grows to
+    12 bits, code width bumps when the next free code reaches 2^width.
+    Returns the palette-index stream. Handles the KwKwK case (a code equal
+    to the next unassigned entry)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + (prev[0],)  # KwKwK
+            else:
+                raise ValueError(f"corrupt GIF LZW stream: code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def decode_gif_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
+    """Decode a non-interlaced single-image GIF87a/89a to raw pixel bytes:
+    (width, height, 3, pixels) top-down row-major RGB via the color table —
+    the same canonical layout as :func:`decode_png_pixels`.
+
+    Pure stdlib: logical-screen descriptor, global/local color table,
+    extension-block skip, sub-block reassembly, then real variable-width
+    LZW decompression (:func:`_gif_lzw_decode`). Returns None for non-GIF
+    bytes; raises NotImplementedError for interlaced images or frames
+    smaller than the logical screen (animation/composition needs a full
+    renderer) — the honest-stub posture."""
+    import struct
+
+    if b is None or len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40 or (left, top, iw, ih) != (0, 0, w, h):
+                raise NotImplementedError(
+                    "decode_gif_pixels supports non-interlaced full-frame "
+                    "single images only (interlace/animation need a full "
+                    "renderer)"
+                )
+            if ct is None:
+                return None
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(b) and b[pos]:
+                lzw += b[pos + 1 : pos + 1 + b[pos]]
+                pos += 1 + b[pos]
+            pos += 1
+            idx = _gif_lzw_decode(bytes(lzw), min_code)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel stream shorter than image")
+            out = bytearray(iw * ih * 3)
+            for k, i in enumerate(idx[: iw * ih]):
+                out[3 * k : 3 * k + 3] = ct[3 * i : 3 * i + 3]
+            return w, h, 3, bytes(out)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return None
+
+
+def encode_gif(width: int, height: int, indices: "list[int]", palette: bytes) -> bytes:
+    """Minimal non-interlaced GIF89a encoder (synthesis/test helper — the
+    inverse of :func:`decode_gif_pixels`). Emits every pixel as a literal
+    LZW code while mirroring the decoder's dictionary-growth and
+    width-bump rules, so streams stay spec-valid without implementing
+    compression. ``palette`` is RGB bytes for a power-of-two color count."""
+    import struct
+
+    n_colors = len(palette) // 3
+    bits = max(2, (n_colors - 1).bit_length())
+    clear, end = 1 << bits, (1 << bits) + 1
+
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width_now = bits + 1
+    next_code = end + 1
+    out_bits.append((clear, width_now))
+    first_after_clear = True
+    for idx in indices:
+        out_bits.append((idx, width_now))
+        if first_after_clear:  # decoder has prev=None: no dict entry yet
+            first_after_clear = False
+            continue
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width_now) and width_now < 12:
+                width_now += 1
+        else:  # dictionary full: reset, mirroring the decoder
+            out_bits.append((clear, width_now))
+            width_now = bits + 1
+            next_code = end + 1
+            first_after_clear = True
+    out_bits.append((end, width_now))
+
+    acc = nbits = 0
+    stream = bytearray()
+    for code, cw in out_bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    screen = struct.pack(
+        "<HHBBB", width, height, 0x80 | (bits - 1), 0, 0
+    )
+    descriptor = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    return (
+        b"GIF89a" + screen + palette
+        + descriptor + bytes([bits]) + bytes(blocks) + b"\x3B"
+    )
+
+
 PIXEL_SCHEMA = (
     "doc_id long, width long, height long, channels long,"
     " px_sum long, px_wsum long, px_mean double"
@@ -594,9 +769,10 @@ def decode_image_pixels(
     df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
 ) -> DataFrame:
     """Per-document pixel statistics from REAL pixel decoding — PNG
-    (:func:`decode_png_pixels`) and 24-bit BMP (:func:`decode_bmp_pixels`)
-    dispatched on magic bytes, both emitting the same canonical top-down
-    RGB layout: (width, height, channels, px_sum, px_wsum, px_mean).
+    (:func:`decode_png_pixels`), 24-bit BMP (:func:`decode_bmp_pixels`),
+    and LZW GIF (:func:`decode_gif_pixels`) dispatched on magic bytes, all
+    emitting the same canonical top-down RGB layout: (width, height,
+    channels, px_sum, px_wsum, px_mean).
     px_sum is the integer sum of all decoded pixel bytes; px_wsum is the
     position-weighted sum(k * byte_k) over the canonical order, which is
     wrong unless row order, BGR swap, and padding handling are exactly
@@ -612,6 +788,8 @@ def decode_image_pixels(
                 m = decode_png_pixels(b)
                 if m is None:
                     m = decode_bmp_pixels(b)
+                if m is None:
+                    m = decode_gif_pixels(b)
                 if m is None:
                     for k in rows:
                         rows[k].append(None)

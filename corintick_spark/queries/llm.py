@@ -533,6 +533,61 @@ def multimodal_decode_bmp(spark, sf_dir):
     return M.decode_image_pixels(with_bmp)
 
 
+# REAL GIF pixel decode (operators/multimodal.py::decode_gif_pixels):
+# variable-width LZW streams with an 8-color global palette are synthesized
+# per doc_id — palette index of pixel m is (doc_id*3 + m) % 8, palette color
+# j is (j*30, j*30+1, j*30+2) — so canonical RGB byte k is
+# ((doc_id*3 + k//3) % 8) * 30 + k % 3, which the oracle recomputes
+# symbolically. px_sum/px_wsum are wrong unless the LSB-first bit unpacking,
+# code-width growth, dictionary rules, and color-table mapping are all
+# exactly right.
+@query(
+    "multimodal_decode_gif",
+    sql="""
+    SELECT doc_id,
+           CAST(doc_id % 5 + 3 AS BIGINT) AS width,
+           CAST(doc_id % 3 + 2 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 3) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> ((doc_id * 3 + k // 3) % 8) * 30 + k % 3))
+               AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 3) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> k * (((doc_id * 3 + k // 3) % 8) * 30 + k % 3)))
+               AS BIGINT) AS px_wsum,
+           ROUND(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 3) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> ((doc_id * 3 + k // 3) % 8) * 30 + k % 3))
+                 / ((doc_id % 5 + 3) * (doc_id % 3 + 2) * 3.0), 6) AS px_mean
+    FROM documents
+    """,
+)
+def multimodal_decode_gif(spark, sf_dir):
+    """Real GIF LZW pixel decode over synthesized payloads: per-doc pixel
+    sum / position-weighted sum / mean through the format-dispatched
+    decode_image_pixels path (PNG/BMP/GIF)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes(j * 30 + c for j in range(8) for c in range(3))
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i) % 5 + 3, int(i) % 3 + 2
+                idx = [(int(i) * 3 + m) % 8 for m in range(w * h)]
+                payloads.append(M.encode_gif(w, h, idx, palette))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_gif = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_gif)
+
+
 # REAL WAV PCM sample decode (operators/multimodal.py::decode_wav_pcm) —
 # the audio twin of multimodal_decode_px: 16-bit PCM payloads whose sample
 # k is ((doc_id*31 + k*7) % 65536) - 32768 are synthesized per doc_id, and

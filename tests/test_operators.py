@@ -1174,3 +1174,49 @@ def test_wav_pcm_codec_roundtrip_and_stubs():
     assert M.decode_wav_pcm(b"plain text") is None
     with pytest.raises(NotImplementedError):  # IEEE float PCM -> stub
         M.decode_wav_pcm(wav(16000, 1, vals, fmt_tag=3))
+
+
+def test_gif_lzw_codec_roundtrip():
+    """decode_gif_pixels must invert encode_gif across palette sizes and
+    image sizes that force LZW code-width growth and (at >4096 px) a
+    dictionary-full clear/reset; non-GIF bytes return None."""
+    import random
+
+    from corintick_spark.operators import multimodal as M
+
+    rng = random.Random(7)
+    for n_colors, (w, h) in [(4, (3, 2)), (8, (20, 15)), (16, (80, 52)), (8, (75, 70))]:
+        palette = bytes((j * 17 + c * 5) % 256 for j in range(n_colors) for c in range(3))
+        idx = [rng.randrange(n_colors) for _ in range(w * h)]
+        b = M.encode_gif(w, h, idx, palette)
+        got = M.decode_gif_pixels(b)
+        assert got is not None and got[:3] == (w, h, 3), (n_colors, w, h)
+        expect = bytes(palette[3 * i + c] for i in idx for c in range(3))
+        assert got[3] == expect, (n_colors, w, h)
+        # header parse agrees
+        assert M.parse_image_header(b)[:2] == (w, h)
+    assert M.decode_gif_pixels(None) is None
+    assert M.decode_gif_pixels(b"GIF89") is None
+    assert M.decode_gif_pixels(b"not a gif at all") is None
+
+
+def test_gif_lzw_decoder_dict_references_handbuilt():
+    """The decoder's dictionary-reference and KwKwK paths, exercised by a
+    hand-built compressed stream (the literal-only encoder never emits
+    them): CLEAR,1,2,<entry 6>,<KwKwK 8>,END must yield 1,2,1,2,1,2,1 per
+    the GIF89a LZW rules."""
+    from corintick_spark.operators.multimodal import _gif_lzw_decode
+
+    codes = [(4, 3), (1, 3), (2, 3), (6, 3), (8, 4), (5, 4)]
+    acc = nbits = 0
+    stream = bytearray()
+    for code, cw in codes:  # LSB-first packing per spec
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    assert _gif_lzw_decode(bytes(stream), 2) == [1, 2, 1, 2, 1, 2, 1]
