@@ -449,3 +449,72 @@ def storage_snapshot(spark, sf_dir):
     return stats(store.read(version=0), 0).unionByName(
         stats(store.read(), 1)
     ).orderBy("version")
+
+
+# MERGE upsert on the versioned-manifest store (snapshots.py::merge): v0
+# holds the even-doc_id split; the source carries every doc_id % 3 == 0 row
+# with n_chars shifted by +1000 — doc_id % 6 == 0 rows are UPDATES, the
+# rest of the source INSERTS, and odd-untouched rows must survive the
+# copy-on-write rewrite. The oracle recomputes MERGE semantics relationally
+# (matched-replace UNION unmatched-keep). Wrong if key matching, the
+# anti-join, file carry-forward, or stats-based pruning drops/duplicates
+# anything.
+@query(
+    "storage_merge",
+    sql="""
+    SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 != 0
+    """,
+)
+def storage_merge(spark, sf_dir):
+    """SCD-1 MERGE on SnapshotStore: upsert a +1000-shifted doc_id%3 source
+    into the doc_id%2 base, read the merged latest version."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapmerge_") + "/tbl")
+    store.append(d.filter(F.col("doc_id") % 2 == 0))
+    source = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    store.merge(source, key="doc_id")
+    return store.read()
+
+
+# Change data feed between snapshot versions (snapshots.py::changes): after
+# the same MERGE as storage_merge, changes(v0, v1) must emit exactly the
+# source rows as inserts and the pre-image of the matched (doc_id % 6 == 0)
+# rows as deletes — rows of rewritten files that did NOT change must cancel
+# in the row-level reconciliation, and carried files must not appear at all.
+@query(
+    "storage_cdf",
+    sql="""
+    SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars,
+           'insert' AS change_type
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           'delete' AS change_type
+    FROM documents WHERE doc_id % 6 = 0
+    """,
+)
+def storage_cdf(spark, sf_dir):
+    """Row-level change feed across a MERGE commit: inserts = source rows,
+    deletes = replaced pre-images, rewrite-survivor rows cancel out."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapcdf_") + "/tbl")
+    v0 = store.append(d.filter(F.col("doc_id") % 2 == 0))
+    source = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    v1 = store.merge(source, key="doc_id")
+    return store.changes(v0, v1)

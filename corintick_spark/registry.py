@@ -104,8 +104,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # histograms, pack_fragments, corpus_mixture, ml_split_stratified,
 # window_cusum/minmax/winsorize, scalar_timezone, join_asof_tolerance,
 # join_interval_point, multimodal_frames, shuffle_shards,
-# embedding_centroids/covariance, text remainder), then backfill with
-# rotated-out r01-r04 queries for re-confirmation.
+# embedding_centroids/covariance, text remainder, and the round-5 late
+# wave: storage_merge, storage_cdf, multimodal_decode_gif/bmp/pcm), then
+# backfill with rotated-out r01-r04 queries for re-confirmation.
 
 
 def load_all() -> dict[str, Query]:

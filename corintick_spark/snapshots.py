@@ -20,6 +20,11 @@ snapshot manifests gating an append-only data-file pool):
   version ONCE and reads only its file list, so in-flight appends,
   compactions, and even `expire_snapshots` of other versions can never
   tear a running scan. `read(version=N)` is time travel.
+- **MERGE / change feed**: :meth:`SnapshotStore.merge` is a copy-on-write
+  SCD-1 upsert that prunes untouched files on per-file key min/max stats
+  recorded at stage time (Iceberg-style file bounds);
+  :meth:`SnapshotStore.changes` diffs two versions' file sets and
+  reconciles rows only over the delta files — O(changed data) CDC.
 - **Crash safety**: a writer that dies after writing data files but before
   committing leaves orphans that no manifest references — invisible to
   every reader, reclaimed by `vacuum_orphans()`. A compaction replaces the
@@ -113,13 +118,37 @@ class SnapshotStore:
             if not name.endswith(".parquet"):
                 continue
             path = os.path.join(out_dir, name)
-            # per-file row count from parquet footer metadata — no Spark job
+            # per-file row count + column min/max from the parquet footer —
+            # no Spark job; the stats are what merge() prunes files on
+            # (Iceberg keeps the same per-file bounds in its manifests)
             import pyarrow.parquet as pq
 
+            meta = pq.ParquetFile(path).metadata
+            stats: dict[str, list] = {}
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if not isinstance(lo, (int, float, str, bool)):
+                        continue  # JSON-encodable scalars only
+                    name_ = col.path_in_schema
+                    if "." in name_:
+                        continue  # top-level primitives only
+                    prev = stats.get(name_)
+                    stats[name_] = (
+                        [lo, hi]
+                        if prev is None
+                        else [min(prev[0], lo), max(prev[1], hi)]
+                    )
             entries.append(
                 {
                     "path": os.path.relpath(path, self.root),
-                    "rows": pq.ParquetFile(path).metadata.num_rows,
+                    "rows": meta.num_rows,
+                    "stats": stats,
                 }
             )
         return entries
@@ -186,6 +215,49 @@ class SnapshotStore:
         current = self.read(version=base).coalesce(target_partitions)
         return self._commit(self._stage_files(current), "compact", base)
 
+    def merge(self, source: DataFrame, key: str) -> int:
+        """SCD-1 upsert (MERGE semantics): rows of `source` replace current
+        rows with the same `key` value; unmatched source rows are inserts.
+
+        Scale shape (the part that matters at 100 TB): files whose
+        footer-recorded [min, max] range of `key` is DISJOINT from the
+        source's key range are **carried into the new version untouched** —
+        only overlapping files are rewritten (read → left_anti on the
+        source's distinct keys → union source). The source key range is one
+        1-row aggregate; the anti-join's build side is just the source
+        keys. A file with no recorded stats is conservatively rewritten.
+        Rewrites are copy-on-write: earlier versions still reference the
+        old files (time travel across a merge works)."""
+        import pyspark.sql.functions as F
+
+        base = self.latest_version()
+        if base is None:
+            return self._commit(self._stage_files(source), "merge", None)
+        lo, hi, n_src = source.agg(
+            F.min(key), F.max(key), F.count(F.lit(1))
+        ).first()
+        if n_src == 0:  # empty source: new version = carry-forward
+            return self._commit(self.manifest(base)["files"], "merge", base)
+        carried, touched = [], []
+        for f in self.manifest(base)["files"]:
+            st = (f.get("stats") or {}).get(key)
+            # lo/hi None with rows present = all-null keys: nothing prunable
+            if None not in (lo, st) and (st[1] < lo or st[0] > hi):
+                carried.append(f)
+            else:
+                touched.append(f)
+        if touched:
+            current = self.spark.read.parquet(
+                *[os.path.join(self.root, f["path"]) for f in touched]
+            )
+            remain = current.join(
+                source.select(key).distinct(), on=key, how="left_anti"
+            )
+            staged = self._stage_files(remain.unionByName(source))
+        else:
+            staged = self._stage_files(source)  # pure insert
+        return self._commit(carried + staged, "merge", base)
+
     # -- read path ---------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot-isolated read: resolve a manifest, scan ONLY its files.
@@ -201,6 +273,38 @@ class SnapshotStore:
         if not files:
             raise ValueError(f"version {version} is empty")
         return self.spark.read.parquet(*files)
+
+    def changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Change data feed between two committed versions: the table rows
+        inserted and deleted going from `from_version` to `to_version`,
+        with a `change_type` column ('insert' / 'delete'); an update
+        appears as its delete+insert pair.
+
+        Scale shape: the file sets are diffed first, so only files ADDED
+        or REMOVED between the versions are read — O(changed data), not
+        O(table) — and the row-level reconciliation (exceptAll both ways)
+        runs over just that delta, which also makes a pure rewrite
+        (compaction) correctly yield zero changes."""
+        import pyspark.sql.functions as F
+
+        mf = {f["path"] for f in self.manifest(from_version)["files"]}
+        mt = {f["path"] for f in self.manifest(to_version)["files"]}
+
+        def read_paths(paths: set[str]) -> DataFrame:
+            if not paths:
+                return self.read(version=to_version).limit(0)
+            return self.spark.read.parquet(
+                *[os.path.join(self.root, p) for p in sorted(paths)]
+            )
+
+        added, removed = read_paths(mt - mf), read_paths(mf - mt)
+        inserts = added.exceptAll(removed).withColumn(
+            "change_type", F.lit("insert")
+        )
+        deletes = removed.exceptAll(added).withColumn(
+            "change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
 
     # -- maintenance -----------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

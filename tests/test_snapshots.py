@@ -100,3 +100,66 @@ def test_expire_snapshots_gc(store, spark):
     assert n_files_after < n_files_before  # v0's files reclaimed
     with pytest.raises(FileNotFoundError):
         store.manifest(0)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v long")
+
+
+def test_merge_upserts_and_prunes_disjoint_files(store, spark):
+    """MERGE must replace matched keys, insert unmatched ones, and carry
+    files whose footer key range is disjoint from the source forward
+    UNCHANGED (same path in the new manifest — the 100 TB pruning claim)."""
+    store.append(_kv(spark, [(i, i * 10) for i in range(0, 50)]).coalesce(1))
+    store.append(
+        _kv(spark, [(i, i * 10) for i in range(1000, 1050)]).coalesce(1)
+    )
+    base_paths = {f["path"] for f in store.manifest(1)["files"]}
+    low_file = next(
+        f["path"]
+        for f in store.manifest(1)["files"]
+        if f["stats"]["k"][1] < 1000
+    )
+    v = store.merge(
+        _kv(spark, [(1005, -1), (1010, -2), (2000, -3)]), key="k"
+    )
+    got = {(r.k, r.v) for r in store.read(version=v).collect()}
+    expect = {(i, i * 10) for i in range(0, 50)}
+    expect |= {(i, i * 10) for i in range(1000, 1050) if i not in (1005, 1010)}
+    expect |= {(1005, -1), (1010, -2), (2000, -3)}
+    assert got == expect
+    new_paths = {f["path"] for f in store.manifest(v)["files"]}
+    assert low_file in new_paths, "disjoint file must be carried, not rewritten"
+    assert not (new_paths - {low_file}) & base_paths, (
+        "overlapping file must be rewritten into new files"
+    )
+    # time travel across the merge still sees the pre-merge rows
+    assert store.read(version=1).filter("k = 1005").collect()[0].v == 10050
+
+
+def test_merge_empty_store_and_empty_source(store, spark):
+    v0 = store.merge(_kv(spark, [(1, 1), (2, 2)]), key="k")
+    assert v0 == 0 and store.read().count() == 2
+    v1 = store.merge(_kv(spark, []), key="k")
+    assert v1 == 1 and store.read(version=v1).count() == 2
+
+
+def test_changes_across_merge_and_compaction(store, spark):
+    v0 = store.append(_kv(spark, [(1, 10), (2, 20), (3, 30)]))
+    v1 = store.merge(_kv(spark, [(2, 99), (4, 40)]), key="k")
+    ch = {
+        (r.k, r.v, r.change_type)
+        for r in store.changes(v0, v1).collect()
+    }
+    assert ch == {
+        (2, 99, "insert"), (4, 40, "insert"), (2, 20, "delete"),
+    }
+    # a pure rewrite (compaction) is a no-op in the row-level feed
+    v2 = store.compact(target_partitions=1)
+    assert store.changes(v1, v2).count() == 0
+    # and the full span composes: v0 -> v2 equals v0 -> v1
+    ch02 = {
+        (r.k, r.v, r.change_type)
+        for r in store.changes(v0, v2).collect()
+    }
+    assert ch02 == ch
