@@ -518,3 +518,30 @@ def storage_cdf(spark, sf_dir):
     )
     v1 = store.merge(source, key="doc_id")
     return store.changes(v0, v1)
+
+
+# Copy-on-write DELETE (snapshots.py::delete_where): rows matching the
+# predicate vanish from the new version while time travel still sees them;
+# the oracle recomputes the surviving set directly. (Stats-based file
+# pruning for deletes is pinned by tests/test_snapshots.py — at this scale
+# every file overlaps the predicate.)
+@query(
+    "storage_delete",
+    sql="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 AND n_chars % 7 != 0
+    """,
+)
+def storage_delete(spark, sf_dir):
+    """DELETE WHERE on SnapshotStore: drop n_chars%7==0 rows from the
+    even-doc_id table, read the post-delete version."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapdel_") + "/tbl")
+    store.append(d.filter(F.col("doc_id") % 2 == 0))
+    store.delete_where("n_chars % 7 = 0")
+    return store.read()

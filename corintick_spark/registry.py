@@ -105,7 +105,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # window_cusum/minmax/winsorize, scalar_timezone, join_asof_tolerance,
 # join_interval_point, multimodal_frames, shuffle_shards,
 # embedding_centroids/covariance, text remainder, and the round-5 late
-# wave: storage_merge, storage_cdf, multimodal_decode_gif/bmp/pcm), then
+# wave: storage_merge, storage_cdf, storage_delete,
+# multimodal_decode_gif/bmp/pcm), then
 # backfill with rotated-out r01-r04 queries for re-confirmation.
 
 

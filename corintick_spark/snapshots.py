@@ -154,12 +154,18 @@ class SnapshotStore:
         return entries
 
     def _commit(
-        self, files: list[dict], operation: str, expected_base: int | None
+        self,
+        files: list[dict],
+        operation: str,
+        expected_base: int | None,
+        schema: dict | None = None,
     ) -> int:
         """Atomically commit `files` as the next version. `expected_base`
         is the version this write was based on (None for the first) — if
         someone else committed past it, raise ConcurrentCommitError
-        instead of silently clobbering their snapshot."""
+        instead of silently clobbering their snapshot. `schema` is the
+        committed version's logical schema (Spark JSON form), recorded in
+        the manifest so schema evolution is explicit in the log."""
         os.makedirs(self._snap_dir(), exist_ok=True)
         latest = self.latest_version()
         if latest != expected_base:
@@ -171,6 +177,7 @@ class SnapshotStore:
             "version": version,
             "operation": operation,
             "files": files,
+            "schema": schema,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         target = self._manifest_path(version)
@@ -193,16 +200,50 @@ class SnapshotStore:
             os.unlink(tmp)
         return version
 
+    @staticmethod
+    def _evolve_schema(base: dict | None, new: dict) -> dict:
+        """Delta-style schema evolution with enforcement: new columns are
+        ADDED to the table schema; a column whose type changed is a
+        conflict (ValueError) — evolution must never silently corrupt
+        history. Older files simply lack the new columns and read as NULL
+        (parquet mergeSchema)."""
+        if base is None:
+            return new
+        by_name = {f["name"]: f for f in base["fields"]}
+        merged = list(base["fields"])
+        for f in new["fields"]:
+            prev = by_name.get(f["name"])
+            if prev is None:
+                merged.append(f)  # evolution: new column appended
+            elif prev["type"] != f["type"]:
+                raise ValueError(
+                    f"schema conflict for column {f['name']!r}: "
+                    f"{prev['type']} vs {f['type']} — use overwrite() to "
+                    "change a column's type"
+                )
+        return {**base, "fields": merged}
+
+    def _base_schema(self, base: int | None) -> dict | None:
+        return self.manifest(base).get("schema") if base is not None else None
+
     def append(self, df: DataFrame) -> int:
-        """Commit a new version = previous file set + df's new files."""
+        """Commit a new version = previous file set + df's new files.
+        Columns new to the table evolve the schema (recorded in the
+        manifest); a type change on an existing column is rejected."""
         base = self.latest_version()
         prev = self.manifest(base)["files"] if base is not None else []
-        return self._commit(prev + self._stage_files(df), "append", base)
+        schema = self._evolve_schema(
+            self._base_schema(base), df.schema.jsonValue()
+        )
+        return self._commit(prev + self._stage_files(df), "append", base, schema)
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit a new version whose file set is exactly df's files.
         Earlier versions (and their files) remain readable until expired."""
-        return self._commit(self._stage_files(df), "overwrite", self.latest_version())
+        return self._commit(
+            self._stage_files(df), "overwrite", self.latest_version(),
+            df.schema.jsonValue(),
+        )
 
     def compact(self, target_partitions: int = 1) -> int:
         """Rewrite the CURRENT version's data into `target_partitions`
@@ -213,7 +254,10 @@ class SnapshotStore:
         if base is None:
             raise ValueError("nothing to compact: no committed version")
         current = self.read(version=base).coalesce(target_partitions)
-        return self._commit(self._stage_files(current), "compact", base)
+        return self._commit(
+            self._stage_files(current), "compact", base,
+            self._base_schema(base),
+        )
 
     def merge(self, source: DataFrame, key: str) -> int:
         """SCD-1 upsert (MERGE semantics): rows of `source` replace current
@@ -232,12 +276,20 @@ class SnapshotStore:
 
         base = self.latest_version()
         if base is None:
-            return self._commit(self._stage_files(source), "merge", None)
+            return self._commit(
+                self._stage_files(source), "merge", None,
+                source.schema.jsonValue(),
+            )
+        schema = self._evolve_schema(
+            self._base_schema(base), source.schema.jsonValue()
+        )
         lo, hi, n_src = source.agg(
             F.min(key), F.max(key), F.count(F.lit(1))
         ).first()
         if n_src == 0:  # empty source: new version = carry-forward
-            return self._commit(self.manifest(base)["files"], "merge", base)
+            return self._commit(
+                self.manifest(base)["files"], "merge", base, schema
+            )
         carried, touched = [], []
         for f in self.manifest(base)["files"]:
             st = (f.get("stats") or {}).get(key)
@@ -247,16 +299,57 @@ class SnapshotStore:
             else:
                 touched.append(f)
         if touched:
-            current = self.spark.read.parquet(
+            # mergeSchema: touched files may straddle a schema evolution
+            current = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, f["path"]) for f in touched]
             )
             remain = current.join(
                 source.select(key).distinct(), on=key, how="left_anti"
             )
-            staged = self._stage_files(remain.unionByName(source))
+            # allowMissingColumns: a source written against an older (or
+            # newer) schema vintage null-fills the columns it lacks —
+            # whole-row SCD-1 replacement semantics
+            staged = self._stage_files(
+                remain.unionByName(source, allowMissingColumns=True)
+            )
         else:
             staged = self._stage_files(source)  # pure insert
-        return self._commit(carried + staged, "merge", base)
+        return self._commit(carried + staged, "merge", base, schema)
+
+    def delete_where(
+        self,
+        predicate: str,
+        prune: "tuple[str, object, object] | None" = None,
+    ) -> int:
+        """Copy-on-write DELETE: commit a new version where rows matching
+        the SQL `predicate` are gone. Every candidate file is rewritten
+        with ``filter(NOT predicate)``; with ``prune=(col, lo, hi)`` —
+        the caller's assertion that matching rows can only have `col`
+        within [lo, hi] — files whose footer stats are disjoint from that
+        range carry forward untouched, the same file-skipping shape as
+        :meth:`merge`. Earlier versions still reference the old files
+        (time travel across a delete works)."""
+        import pyspark.sql.functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("nothing to delete from: no committed version")
+        carried, touched = [], []
+        for f in self.manifest(base)["files"]:
+            st = (f.get("stats") or {}).get(prune[0]) if prune else None
+            if st is not None and (st[1] < prune[1] or st[0] > prune[2]):
+                carried.append(f)
+            else:
+                touched.append(f)
+        staged = []
+        if touched:
+            current = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f["path"]) for f in touched]
+            )
+            staged = self._stage_files(current.filter(~F.expr(predicate)))
+        return self._commit(
+            carried + staged, "delete", base, self._base_schema(base)
+        )
 
     # -- read path ---------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
@@ -272,7 +365,9 @@ class SnapshotStore:
         ]
         if not files:
             raise ValueError(f"version {version} is empty")
-        return self.spark.read.parquet(*files)
+        # mergeSchema: files written before a schema evolution lack the
+        # newer columns — they read as NULL under the union schema
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """Change data feed between two committed versions: the table rows

@@ -163,3 +163,44 @@ def test_changes_across_merge_and_compaction(store, spark):
         for r in store.changes(v0, v2).collect()
     }
     assert ch02 == ch
+
+
+def test_delete_where_prunes_and_time_travels(store, spark):
+    store.append(_kv(spark, [(i, i) for i in range(0, 50)]).coalesce(1))
+    store.append(_kv(spark, [(i, i) for i in range(1000, 1050)]).coalesce(1))
+    low_file = next(
+        f["path"]
+        for f in store.manifest(1)["files"]
+        if f["stats"]["k"][1] < 1000
+    )
+    v = store.delete_where("k >= 1040", prune=("k", 1040, 10**9))
+    assert store.read(version=v).count() == 90
+    assert store.read(version=v).filter("k >= 1040").count() == 0
+    new_paths = {f["path"] for f in store.manifest(v)["files"]}
+    assert low_file in new_paths, "disjoint file must be carried"
+    assert store.read(version=1).count() == 100  # time travel past delete
+    with pytest.raises(ValueError):
+        SnapshotStore(spark, store.root + "_none").delete_where("k > 0")
+
+
+def test_schema_evolution_append_and_conflict(store, spark):
+    store.append(_kv(spark, [(1, 10), (2, 20)]))
+    v1 = store.append(
+        spark.createDataFrame([(3, 30, "x")], "k long, v long, tag string")
+    )
+    assert [f["name"] for f in store.manifest(v1)["schema"]["fields"]] == [
+        "k", "v", "tag",
+    ]
+    got = {(r.k, r.v, r.tag) for r in store.read().collect()}
+    assert got == {(1, 10, None), (2, 20, None), (3, 30, "x")}
+    with pytest.raises(ValueError, match="schema conflict"):
+        store.append(
+            spark.createDataFrame([(4, "oops")], "k long, v string")
+        )
+    # merge respects evolution too: upsert with the evolved schema
+    v3 = store.merge(
+        spark.createDataFrame([(2, 99, "y")], "k long, v long, tag string"),
+        key="k",
+    )
+    got = {(r.k, r.v, r.tag) for r in store.read(version=v3).collect()}
+    assert got == {(1, 10, None), (2, 99, "y"), (3, 30, "x")}
