@@ -717,3 +717,67 @@ def stream_asof_state(spark, sf_dir):
 
     src = events_stream_batched(spark, sf_dir, n_batches=3)
     return run_append_to_memory(asof_enrich_stream(src), spark)
+
+
+# Streaming ingestion INTO the versioned-manifest table (snapshots.py):
+# each chronological micro-batch commits through append_once with its
+# epoch id as the idempotency token — the exactly-once lakehouse-ingestion
+# shape (a retried epoch finds its token and no-ops instead of
+# double-appending; tests/test_snapshots.py replays epochs to pin it).
+# The final read aggregates the ingested table, so the oracle (computed
+# straight off events) is wrong if any batch was dropped, duplicated, or
+# torn.
+@query(
+    "stream_snapshot_ingest",
+    sql=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {DSUM('value', 'total_value')}
+    FROM events
+    WHERE ts >= TIMESTAMP '1970-01-01'
+    GROUP BY event_type
+    """,
+)
+def stream_snapshot_ingest(spark, sf_dir):
+    """Exactly-once streaming ingestion into SnapshotStore: 3 chronological
+    micro-batches commit via epoch-token append_once; aggregate the
+    resulting table version."""
+    import os
+    import tempfile
+    import uuid
+
+    from corintick_spark.snapshots import SnapshotStore
+    from corintick_spark.streaming.events_stream import (
+        _cleanup_at_exit,
+        events_stream_batched,
+    )
+
+    store = SnapshotStore(
+        spark, tempfile.mkdtemp(prefix="snap_ingest_") + "/tbl"
+    )
+
+    def ingest(batch_df, batch_id):
+        store.append_once(
+            batch_df.select("event_id", "event_type", "value"),
+            token=f"epoch-{batch_id}",
+        )
+
+    src = events_stream_batched(spark, sf_dir, n_batches=3)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ingest_")
+    _cleanup_at_exit(ckpt)
+    q = (
+        src.select("event_id", "event_type", "value")
+        .writeStream.foreachBatch(ingest)
+        .queryName("snapingest" + uuid.uuid4().hex[:8])
+        .option("checkpointLocation", os.path.join(ckpt, "wal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read().groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("double") / 1_000_000
+        ).alias("total_value"),
+    )

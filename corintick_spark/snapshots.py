@@ -159,6 +159,7 @@ class SnapshotStore:
         operation: str,
         expected_base: int | None,
         schema: dict | None = None,
+        token: str | None = None,
     ) -> int:
         """Atomically commit `files` as the next version. `expected_base`
         is the version this write was based on (None for the first) — if
@@ -178,6 +179,7 @@ class SnapshotStore:
             "operation": operation,
             "files": files,
             "schema": schema,
+            "token": token,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         target = self._manifest_path(version)
@@ -199,6 +201,30 @@ class SnapshotStore:
         finally:
             os.unlink(tmp)
         return version
+
+    def append_once(self, df: DataFrame, token: str) -> int:
+        """Idempotent append for exactly-once streaming ingestion: commit
+        df's rows tagged with `token` (e.g. a micro-batch epoch id) — if a
+        committed manifest already carries that token, return its version
+        WITHOUT writing anything. A foreachBatch retry therefore cannot
+        double-append: the retried epoch finds its token and no-ops; a
+        crash after staging but before commit leaves only orphan files
+        that no manifest references (vacuum_orphans reclaims them). The
+        token scan is O(versions) — on a real deployment the last token
+        would live in the latest manifest (epochs commit in order), making
+        the common check O(1); the full scan keeps the local
+        implementation simple and exact."""
+        for v in reversed(self.versions()):
+            if self.manifest(v).get("token") == token:
+                return v
+        base = self.latest_version()
+        prev = self.manifest(base)["files"] if base is not None else []
+        schema = self._evolve_schema(
+            self._base_schema(base), df.schema.jsonValue()
+        )
+        return self._commit(
+            prev + self._stage_files(df), "append", base, schema, token=token
+        )
 
     @staticmethod
     def _evolve_schema(base: dict | None, new: dict) -> dict:

@@ -204,3 +204,21 @@ def test_schema_evolution_append_and_conflict(store, spark):
     )
     got = {(r.k, r.v, r.tag) for r in store.read(version=v3).collect()}
     assert got == {(1, 10, None), (2, 99, "y"), (3, 30, "x")}
+
+
+def test_append_once_epoch_retry_exactly_once(store, spark):
+    """append_once must commit an epoch exactly once: a replayed epoch
+    (foreachBatch retry) finds its token and no-ops, later epochs still
+    append, and the final table has no duplicates."""
+    b0 = _kv(spark, [(1, 10), (2, 20)])
+    b1 = _kv(spark, [(3, 30)])
+    v0 = store.append_once(b0, token="epoch-0")
+    assert store.append_once(b0, token="epoch-0") == v0  # retry no-ops
+    assert store.latest_version() == v0 == 0
+    v1 = store.append_once(b1, token="epoch-1")
+    assert v1 == 1
+    assert store.append_once(b1, token="epoch-1") == v1  # late replay
+    assert store.append_once(b0, token="epoch-0") == v0  # very late replay
+    got = sorted((r.k, r.v) for r in store.read().collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    assert [h["operation"] for h in store.history()] == ["append", "append"]
