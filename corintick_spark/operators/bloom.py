@@ -1,0 +1,134 @@
+"""Bloom-filter semi-join reduction — the runtime-filter pattern for
+fact ⋈ selective-dim joins at 100 TB.
+
+Problem shape: `fact SEMI JOIN dim_filtered` where the dim side is too big
+to broadcast as rows but its FILTERED key set is small-ish (millions). A
+plain shuffle semi-join moves the ENTIRE fact table; the right plan sends a
+few-hundred-KB bit set to every task instead and shuffles only the rows
+that might match (this is what Spark's own
+`spark.sql.optimizer.runtime.bloomFilter.enabled` injects, Iceberg stores
+in its bloom metadata, and every warehouse calls a runtime filter /
+semi-join reducer).
+
+Implementation is all JVM-side expression work — no Python in the per-row
+path:
+
+- **build**: one pass over the dim keys computes k = `num_hashes` bit
+  positions per key (`pmod(xxhash64(key, i), num_bits)`), folds them into
+  64-bit words with a partial-aggregated `bit_or` (map-side combine means
+  the shuffle carries at most `num_bits/64` rows PER PARTITION, and the
+  final collect is exactly `num_bits/64` longs — a fit-time collect bounded
+  by the filter size, like a k-means centroid pull, NOT by the data).
+- **probe**: the word array ships as a plan literal (part of the task
+  binary, broadcast once per executor — not per row, not per task); each
+  fact row ANDs its k masks against `element_at` lookups, whole-stage
+  codegen, zero shuffles.
+- **exactness**: Bloom filters have false positives but NO false negatives,
+  so `bloom_semi_join` re-verifies survivors with a real semi-join — the
+  result is EXACTLY the plain semi-join, only the shuffle is ~|match|+FP
+  rows instead of |fact|. (This mirrors how `join_salted` proves the salted
+  rewrite: the optimization must be result-invisible.)
+
+Sizing: FP rate ≈ (1 - e^(-k·n/m))^k; the default 2^17 bits / 5 hashes
+holds ~18k keys at <1% FP. At 100 TB you size m from the dim-side count
+(~10 bits/key) — the literal grows linearly but 10M keys is still only a
+12.5 MB task-binary payload, far below the broadcast-join threshold the
+row set itself would blow through.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k bit positions of `key` — identical expression on build and
+    probe sides (xxhash64 seeded by the hash index i)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def build_bloom(
+    df: DataFrame,
+    key: str | Column,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> list[int]:
+    """One distributed pass over `df[key]` → the filter's word array
+    (length num_bits/64, int64). NULL keys are skipped (SQL semantics:
+    NULL never equi-joins, so it must not set bits)."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    k = F.col(key) if isinstance(key, str) else key
+    pos = (
+        df.filter(k.isNotNull())
+        .select(F.explode(F.array(*_positions(k, num_bits, num_hashes))).alias("p"))
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    out = [0] * (num_bits // 64)
+    for r in words:
+        out[r["w"]] = r["bits"]
+    return out
+
+
+def merge_blooms(a: list[int], b: list[int]) -> list[int]:
+    """Word-wise OR — build(A) ∪ build(B) == build(A ∪ B), so per-day /
+    per-partition filters fold without touching the data again."""
+    if len(a) != len(b):
+        raise ValueError("blooms must share num_bits to merge")
+    return [x | y for x, y in zip(a, b)]
+
+
+def might_contain(
+    key: Column, words: list[int], num_hashes: int = 5
+) -> Column:
+    """Membership probe: every one of the key's k bits is set. The word
+    array is a PLAN LITERAL (`F.lit(list)` → array<bigint>), evaluated by
+    codegen — it rides in the task binary once per executor. NULL keys
+    probe NULL → filtered out, matching semi-join semantics."""
+    num_bits = len(words) * 64
+    arr = F.lit(words)
+    checks = []
+    for p in _positions(key, num_bits, num_hashes):
+        word = F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))
+        # dynamic shift distance needs the SQL form (the pyspark helper
+        # only takes a literal int)
+        bit = (p % 64).cast("int")
+        mask = F.call_function("shiftleft", F.lit(1).cast("bigint"), bit)
+        checks.append(word.bitwiseAND(mask) != 0)
+    return reduce(lambda x, y: x & y, checks)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT `fact LEFT SEMI JOIN dim ON fact_key = dim_key`, with a Bloom
+    prefilter so the semi-join shuffle carries only probable matches.
+
+    Two actions total: the build-side collect (bounded at num_bits/64
+    longs) happens once up front; the returned plan is lazy. False
+    positives survive the prefilter but die in the verifying semi-join —
+    result equality with the plain semi-join is pinned by
+    tests/test_bloom.py on an FP-forcing tiny filter."""
+    words = build_bloom(dim, dim_key, num_bits, num_hashes)
+    pre = fact.filter(might_contain(F.col(fact_key), words, num_hashes))
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return pre.join(keys, on=fact_key, how="left_semi")

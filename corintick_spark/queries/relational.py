@@ -1669,3 +1669,59 @@ def join_salted(spark, sf_dir):
         "o_orderkey", "o_custkey", "l_linenumber", "l_quantity",
         "l_extendedprice",
     )
+
+
+# Bloom-filter semi-join reduction under driver adjudication: the
+# runtime-filter rewrite (operators/bloom.py::bloom_semi_join — dim keys
+# folded into a bit set shipped as a plan literal, fact rows prefiltered
+# map-side before the verifying semi-join) must be SEMANTICALLY IDENTICAL
+# to the plain IN-subquery semi-join, so its oracle is simply that SQL.
+# This is the fact ⋈ selective-dim shape where at 100 TB you cannot
+# broadcast the dim's rows but CAN broadcast its ~KB bit set; the shuffle
+# then carries only probable matches instead of the whole fact table
+# (Spark's runtime.bloomFilter rule injects the same plan when it fires —
+# this operator is the explicit, always-on form).
+@query(
+    "join_bloom_prefilter",
+    sql=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           {DSUM("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l
+    WHERE l.l_suppkey IN (
+        SELECT s.s_suppkey
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Lineitem semi-joined to European suppliers through the Bloom
+    prefilter; result must equal the plain semi-join exactly (false
+    positives die in the verifying join, false negatives cannot exist)."""
+    from corintick_spark.operators.bloom import bloom_semi_join
+
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    return (
+        bloom_semi_join(li, dim, "l_suppkey", "s_suppkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.expr(REVENUE), "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
