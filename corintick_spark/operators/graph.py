@@ -73,3 +73,61 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         srt.getItem(1).alias("n2"),
         srt.getItem(2).alias("n3"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_iter: int = 30,
+    broadcast_frontier_max: int = 1_000_000,
+) -> DataFrame:
+    """Multi-source shortest-hop BFS: (node, hops) for every node reachable
+    from `seeds` following edge direction, hops = length of the SHORTEST
+    path (level-synchronous, so first discovery IS the minimum).
+
+    Scale shape: each level is frontier ⋈ edges (equi-join on src) → new
+    nodes anti-joined against the visited set. The frontier is broadcast
+    while it stays under `broadcast_frontier_max` rows (the common case —
+    frontiers are ≪ |V|), so the per-level cost is one pass over the edge
+    partitions with NO edge shuffle; above the threshold it degrades to a
+    plain shuffle join. The visited set grows monotonically and is
+    localCheckpoint-ed per level to cut lineage (same segmenting discipline
+    as pagerank/connected_components; at 100 TB the checkpoint would be a
+    durable table swap). One `count()` action per level drives loop
+    termination — that is the frontier-size scalar every distributed BFS
+    needs, not a data collect.
+    """
+    visited = (
+        seeds.select(F.col(node).cast("long").alias(node))
+        .distinct()
+        .select(node, F.lit(0).alias("hops"))
+        .localCheckpoint()
+    )
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    frontier = visited
+    frontier_rows = frontier.count()
+    for level in range(1, max_iter + 1):
+        f = frontier.select(F.col(node).alias("src"))
+        if frontier_rows <= broadcast_frontier_max:
+            f = F.broadcast(f)
+        nxt = (
+            e.join(f, "src")
+            .select(F.col("dst").alias(node))
+            .distinct()
+            .join(visited.select(node), node, "left_anti")
+            .select(node, F.lit(level).alias("hops"))
+            .localCheckpoint()
+        )
+        frontier_rows = nxt.count()
+        if frontier_rows == 0:
+            break
+        old = visited
+        visited = visited.unionByName(nxt).localCheckpoint()
+        old.unpersist()
+        frontier = nxt
+    return visited

@@ -225,3 +225,70 @@ def graph_link_predict(spark, sf_dir):
         .join(db, "b")
         .select("a", "b", "common", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# Multi-source BFS — shortest hop distance from the region-0 nations over
+# a SPARSE directed trade graph (a 2-day shipdate slice keeps the nation
+# graph multi-hop: depths reach 5 at sf0.01 instead of the dense slice's
+# diameter-1 triviality). The Spark side is level-synchronous frontier
+# expansion (operators/graph.py::bfs_hops — broadcast frontier, anti-join
+# visited, per-level localCheckpoint); the oracle is the textbook
+# recursive-CTE fixpoint with MIN(hops), so the driver adjudicates that
+# first-discovery-level == shortest-path-length over every reachable node.
+@query(
+    "graph_bfs",
+    sql="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey != s.s_nationkey
+        AND l.l_shipdate >= TIMESTAMP '1996-06-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-06-03'
+    ), seeds AS (
+      SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0
+    ), walk(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < 25
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def graph_bfs(spark, sf_dir):
+    """Shortest hops from region-0 nations over the sparse trade graph."""
+    from corintick_spark.operators.graph import bfs_hops
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-03").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("node"))
+    )
+    return (
+        bfs_hops(edges, seeds)
+        .select("node", F.col("hops").cast("int").alias("hops"))
+        .orderBy("node")
+    )
