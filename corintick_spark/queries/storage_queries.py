@@ -545,3 +545,59 @@ def storage_delete(spark, sf_dir):
     store.append(d.filter(F.col("doc_id") % 2 == 0))
     store.delete_where("n_chars % 7 = 0")
     return store.read()
+
+
+# Stats-pruned read (snapshots.py::read_where): the manifest's per-file
+# [min, max] bounds skip disjoint files BEFORE any scan — manifest-level
+# file skipping, the layer above parquet row-group pruning. The store is
+# range-partitioned on doc_id so the bounds are tight; the residual filter
+# keeps the result exact however coarse they are. That actual files are
+# skipped is pinned by tests/test_snapshots.py (prune_files); the oracle
+# adjudicates only the visible contract: read_where == BETWEEN.
+@query(
+    "storage_pruned_read",
+    sql="""
+    SELECT doc_id, n_chars, lang
+    FROM documents
+    WHERE doc_id BETWEEN 100 AND 299
+    """,
+)
+def storage_pruned_read(spark, sf_dir):
+    """read_where over a range-clustered snapshot: files outside
+    [100, 299] on doc_id never open."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapprune_") + "/tbl")
+    store.append(d.repartitionByRange(8, "doc_id"))
+    return store.read_where("doc_id", 100, 299)
+
+
+# OPTIMIZE ZORDER (snapshots.py::cluster_by): rewrite the table clustered
+# on the Morton curve of (doc_id, n_chars) so read_where prunes on EITHER
+# column. The clustering is a pure rewrite — result-invisible — so the
+# oracle is the plain BETWEEN on the SECOND z-column, the one a doc_id
+# range layout could never skip files for. Improved pruning on that
+# column is pinned by tests/test_snapshots.py.
+@query(
+    "storage_zorder",
+    sql="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN 500 AND 999
+    """,
+)
+def storage_zorder(spark, sf_dir):
+    """Z-order cluster on (doc_id, n_chars), then a stats-pruned read on
+    n_chars — the non-leading dimension."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapz_") + "/tbl")
+    store.append(d.repartitionByRange(8, "doc_id"))
+    store.cluster_by(["doc_id", "n_chars"], target_files=8)
+    return store.read_where("n_chars", 500, 999)

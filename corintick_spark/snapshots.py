@@ -395,6 +395,79 @@ class SnapshotStore:
         # newer columns — they read as NULL under the union schema
         return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
+    def prune_files(
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> "tuple[list[dict], list[dict]]":
+        """Partition the snapshot's file list into (kept, skipped) for the
+        predicate `col BETWEEN lo AND hi`, using only the manifest's
+        footer-recorded per-file [min, max] — no file is opened. A file
+        without stats for `col` is conservatively kept."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError("no committed version to read")
+        kept, skipped = [], []
+        for f in self.manifest(version)["files"]:
+            st = (f.get("stats") or {}).get(col)
+            if st is not None and (st[1] < lo or st[0] > hi):
+                skipped.append(f)
+            else:
+                kept.append(f)
+        return kept, skipped
+
+    def read_where(
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned snapshot read: rows with `col` in [lo, hi] (NULLs
+        excluded, SQL BETWEEN semantics), scanning ONLY the files whose
+        manifest min/max bounds overlap the range. This is the
+        manifest-level file skipping every table format does before the
+        parquet row-group pruning kicks in — at 100 TB it is the difference
+        between opening 40 files and opening 40,000. The residual filter
+        keeps the result exact regardless of how coarse the bounds are."""
+        import pyspark.sql.functions as F
+
+        kept, _ = self.prune_files(col, lo, hi, version)
+        if not kept:
+            return self.read(version=version).filter(F.lit(False))
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f["path"]) for f in kept]
+        )
+        return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+    def cluster_by(self, cols: "list[str]", target_files: int = 8) -> int:
+        """OPTIMIZE ZORDER: rewrite the current snapshot with rows
+        clustered along the Z-order curve of `cols`, so the per-file
+        min/max bounds become tight on EVERY listed column and
+        :meth:`read_where` prunes on any of them — the multi-dimensional
+        generalization of :meth:`compact`'s single-sort-key layout. Pure
+        rewrite: :meth:`changes` across it yields zero rows, and earlier
+        versions still reference the old files (copy-on-write)."""
+        from corintick_spark.operators.zorder import with_zvalue
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("nothing to cluster: no committed version")
+        cur = self.read(version=base)
+        z = with_zvalue(cur, cols)
+        rewritten = (
+            z.repartitionByRange(target_files, "_zvalue")
+            .sortWithinPartitions("_zvalue")
+            .drop("_zvalue")
+        )
+        return self._commit(
+            self._stage_files(rewritten), "cluster", base,
+            self._base_schema(base),
+        )
+
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """Change data feed between two committed versions: the table rows
         inserted and deleted going from `from_version` to `to_version`,

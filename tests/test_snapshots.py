@@ -222,3 +222,64 @@ def test_append_once_epoch_retry_exactly_once(store, spark):
     got = sorted((r.k, r.v) for r in store.read().collect())
     assert got == [(1, 10), (2, 20), (3, 30)]
     assert [h["operation"] for h in store.history()] == ["append", "append"]
+
+
+def test_read_where_prunes_and_is_exact(store, spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    store.append(df.repartitionByRange(8, "k"))
+    kept, skipped = store.prune_files("k", 100, 199)
+    assert skipped, "range-clustered files must be skippable"
+    assert len(kept) < 8
+    got = sorted(r.k for r in store.read_where("k", 100, 199).collect())
+    assert got == list(range(100, 200))
+
+
+def test_read_where_empty_range_and_no_stats(store, spark):
+    import pyspark.sql.functions as F
+
+    store.append(spark.range(0, 100).select(F.col("id").alias("k")))
+    # disjoint range: zero rows, zero files opened
+    kept, skipped = store.prune_files("k", 5000, 6000)
+    assert not kept and skipped
+    assert store.read_where("k", 5000, 6000).count() == 0
+    # column with no recorded stats (nonexistent) keeps every file,
+    # residual filter then fails analysis only on select — prune is safe
+    kept2, skipped2 = store.prune_files("nope", 0, 1)
+    assert kept2 and not skipped2
+
+
+def test_read_where_null_keys_excluded(store, spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k bigint")
+    store.append(df)
+    assert sorted(
+        r.k for r in store.read_where("k", 0, 10).collect()
+    ) == [1, 3]
+
+
+def test_cluster_by_tightens_second_dimension(store, spark):
+    import pyspark.sql.functions as F
+
+    # x ordered, y decorrelated: a range layout on x gives y full-range
+    # bounds in every file; z-order makes y prunable too
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % 4096).alias("y"),
+    )
+    store.append(df.repartitionByRange(8, "x"))
+    _, skipped_before = store.prune_files("y", 0, 255)
+    v = store.cluster_by(["x", "y"], target_files=8)
+    assert store.manifest(v)["operation"] == "cluster"
+    _, skipped_after = store.prune_files("y", 0, 255)
+    assert len(skipped_after) > len(skipped_before)
+    # pure rewrite: results identical, CDC across it is empty
+    got = sorted((r.x, r.y) for r in store.read().collect())
+    want = sorted((r.x, r.y) for r in store.read(version=0).collect())
+    assert got == want
+    assert store.changes(0, v).count() == 0
+    # and read_where on y is exact post-cluster
+    ys = sorted(r.y for r in store.read_where("y", 0, 255).collect())
+    assert ys == sorted(
+        r.y for r in df.filter(F.col("y").between(0, 255)).collect()
+    )
