@@ -601,3 +601,53 @@ def storage_zorder(spark, sf_dir):
     store.append(d.repartitionByRange(8, "doc_id"))
     store.cluster_by(["doc_id", "n_chars"], target_files=8)
     return store.read_where("n_chars", 500, 999)
+
+
+# Incremental view maintenance (snapshots.py::refresh_aggregate): a
+# per-lang COUNT/SUM aggregate materialized at v0 is refreshed from the
+# v0→v1 change data feed alone — the base table is never rescanned (the
+# CDF reads only delta files; the update's delete+insert pair is what
+# makes SUM/COUNT sign-refreshable). The oracle recomputes the aggregate
+# of the FINAL table state from scratch, so the driver adjudicates
+# incremental == full recompute.
+@query(
+    "storage_ivm",
+    sql="""
+    WITH final AS (
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars
+      FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 != 0
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+)
+def storage_ivm(spark, sf_dir):
+    """Materialize per-lang stats at v0, MERGE a +1000-chars source, then
+    refresh the aggregate from the change feed only."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore, refresh_aggregate
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapivm_") + "/tbl")
+    v0 = store.append(d.filter(F.col("doc_id") % 2 == 0))
+    agg0 = (
+        store.read(version=v0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        )
+    )
+    source = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    v1 = store.merge(source, key="doc_id")
+    delta = store.changes(v0, v1)
+    return refresh_aggregate(
+        agg0, delta, ["lang"], {"n_chars": "sum_chars"}, count_col="n_docs"
+    ).orderBy("lang")

@@ -543,3 +543,49 @@ class SnapshotStore:
 
                 shutil.rmtree(subdir, ignore_errors=True)
         return removed
+
+
+def refresh_aggregate(
+    agg: DataFrame,
+    changes: DataFrame,
+    keys: "list[str]",
+    sums: "dict[str, str]",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental view maintenance for a grouped COUNT/SUM aggregate:
+    fold a :meth:`SnapshotStore.changes` feed into the previously
+    materialized aggregate WITHOUT rescanning the base table.
+
+    `agg` carries `keys + count_col + sums.values()`; `changes` carries
+    `keys + sums.keys() + change_type` ('insert'/'delete' — an update is
+    its delete+insert pair, which is exactly what makes SUM/COUNT
+    refreshable by sign). Groups whose refreshed count reaches zero drop
+    out, matching a full recompute. Cost is O(|changes|) + one small
+    shuffle on the group keys — the 100 TB refresh shape: the base table
+    (and the files behind the old aggregate) are never read again.
+
+    COUNT and SUM are self-maintainable; MIN/MAX are not (a delete of the
+    current extremum forces a rescan) — callers needing those keep them
+    out of the incremental path by design.
+    """
+    import pyspark.sql.functions as F
+
+    sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign).alias(count_col),
+        *[
+            F.sum(sign * F.col(src).cast("bigint")).alias(dst)
+            for src, dst in sums.items()
+        ],
+    )
+    merged = agg.select(*keys, count_col, *sums.values()).unionByName(delta)
+    return (
+        merged.groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(dst).alias(dst) for dst in sums.values()],
+        )
+        .filter(F.col(count_col) > 0)
+    )

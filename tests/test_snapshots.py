@@ -283,3 +283,60 @@ def test_cluster_by_tightens_second_dimension(store, spark):
     assert ys == sorted(
         r.y for r in df.filter(F.col("y").between(0, 255)).collect()
     )
+
+
+def test_refresh_aggregate_matches_recompute(store, spark):
+    import pyspark.sql.functions as F
+
+    from corintick_spark.snapshots import refresh_aggregate
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 3 % 100).alias("x"),
+    )
+    v0 = store.append(df)
+    agg0 = store.read(version=v0).groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("x").cast("bigint")).alias("sum_x"),
+    )
+    # merge: update k%3==0 (x+1000), insert new keys 500..520
+    src = df.filter(F.col("k") % 3 == 0).withColumn(
+        "x", F.col("x") + 1000
+    ).unionByName(
+        spark.range(500, 521).select(
+            F.col("id").alias("k"),
+            F.lit("9").alias("g"),
+            F.lit(5).alias("x"),
+        )
+    )
+    v1 = store.merge(src, key="k")
+    got = refresh_aggregate(
+        agg0, store.changes(v0, v1), ["g"], {"x": "sum_x"}
+    )
+    want = store.read(version=v1).groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("x").cast("bigint")).alias("sum_x"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_refresh_aggregate_drops_emptied_groups(store, spark):
+    import pyspark.sql.functions as F
+
+    from corintick_spark.snapshots import refresh_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, g string, x long"
+    )
+    v0 = store.append(df)
+    agg0 = store.read(version=v0).groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("x").cast("bigint")).alias("sum_x"),
+    )
+    v1 = store.delete_where("g = 'b'")
+    got = refresh_aggregate(agg0, store.changes(v0, v1), ["g"], {"x": "sum_x"})
+    rows = {r.g: (r.n_rows, r.sum_x) for r in got.collect()}
+    assert rows == {"a": (2, 30)}
