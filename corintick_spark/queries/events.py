@@ -805,3 +805,67 @@ def events_concurrency(spark, sf_dir):
             (F.col("_off") + F.sum("d").over(wi)).cast("bigint").alias("concurrency"),
         )
     )
+
+
+# Sequence-pattern detection (MATCH_RECOGNIZE's core): count occurrences
+# of "one-or-more views, then a click, then a purchase" inside each
+# user-day's time-ordered event string. The distributed shape: one
+# hash-aggregation builds each group's letter sequence (array_sort over
+# (ts, event_id) makes the order deterministic and shuffle-immune; group
+# size is bounded by events-per-user-day, so collect_list is safe at any
+# corpus scale), then the regex count is a per-row JVM scalar. The DuckDB
+# oracle builds the identical string with ORDER BY string_agg and the
+# same regex, so the driver adjudicates ordering + non-overlapping match
+# semantics end to end.
+@query(
+    "events_pattern",
+    sql="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+               string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END, '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           CAST(len(regexp_extract_all(s, 'v+cp')) AS INT) AS n_matches
+    FROM seq
+    WHERE len(regexp_extract_all(s, 'v+cp')) > 0
+    ORDER BY user_id, day
+    """,
+)
+def events_pattern(spark, sf_dir):
+    """view+ click purchase pattern counts per user-day event sequence."""
+    ev = table(spark, sf_dir, "events")
+    day = (
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0))
+        .cast("bigint")
+        .alias("day")
+    )
+    letter = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select("user_id", day, F.struct("ts", "event_id", letter.alias("l")).alias("e"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda s: s["l"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    n = F.size(F.regexp_extract_all("s", F.lit("v+cp"), F.lit(0)))
+    return (
+        seq.select("user_id", "day", n.cast("int").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy("user_id", "day")
+    )
