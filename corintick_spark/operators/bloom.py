@@ -132,3 +132,81 @@ def bloom_semi_join(
     pre = fact.filter(might_contain(F.col(fact_key), words, num_hashes))
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
     return pre.join(keys, on=fact_key, how="left_semi")
+
+
+def build_bitmap(
+    df: DataFrame,
+    key: str | Column,
+    max_key: int,
+) -> list[int]:
+    """EXACT membership bitmap for a bounded non-negative integer key
+    domain [0, max_key]: bit i set iff key value i occurs. Same
+    distributed fold as :func:`build_bloom` (bit positions → bit_or'd
+    words → bounded collect) but with the identity mapping, so there are
+    NO false positives and the probe needs no verifying join at all —
+    the semi-join disappears into a map-side filter. Guard: raises on
+    keys outside the declared domain (a silent wrap would corrupt
+    membership) and on domains too large to ship as a plan literal
+    (use :func:`build_bloom` there — that is its exact trade-off)."""
+    if max_key < 0:
+        raise ValueError("max_key must be >= 0")
+    num_bits = ((max_key + 64) // 64) * 64
+    if num_bits > (1 << 26):  # 8 MiB of words — beyond that, bloom it
+        raise ValueError(
+            f"domain [0, {max_key}] needs {num_bits // 8} bytes; "
+            "too large for an exact plan-literal bitmap — use build_bloom"
+        )
+    k = (F.col(key) if isinstance(key, str) else key).cast("bigint")
+    bad = df.filter(k.isNotNull() & ((k < 0) | (k > max_key))).limit(1).count()
+    if bad:
+        raise ValueError(f"key values outside [0, {max_key}]")
+    words = (
+        df.filter(k.isNotNull())
+        .select(k.alias("k"))
+        .select(
+            F.shiftright(F.col("k"), 6).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    out = [0] * (num_bits // 64)
+    for r in words:
+        out[r["w"]] = r["bits"]
+    return out
+
+
+def in_bitmap(key: Column, words: list[int]) -> Column:
+    """Exact membership probe against :func:`build_bitmap`'s words —
+    false outside [0, max_key], NULL keys excluded (semi-join
+    semantics)."""
+    num_bits = len(words) * 64
+    arr = F.lit(words)
+    k = key.cast("bigint")
+    word = F.element_at(arr, F.shiftright(k, 6).cast("int") + F.lit(1))
+    mask = F.call_function("shiftleft", F.lit(1).cast("bigint"), (k % 64).cast("int"))
+    return (
+        k.isNotNull()
+        & (k >= 0)
+        & (k < num_bits)
+        & (word.bitwiseAND(mask) != 0)
+    )
+
+
+def bitmap_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    max_key: int,
+) -> DataFrame:
+    """EXACT `fact LEFT SEMI JOIN dim` with NO join in the plan: for a
+    bounded integer key domain the dim side folds to an exact bitmap and
+    the semi-join becomes a map-side filter — zero shuffle, zero join,
+    the strongest form of join elimination. This is what a warehouse
+    does with a dense dictionary-encoded dim key; the bloom variant
+    (:func:`bloom_semi_join`) is the fallback when the domain is
+    unbounded or sparse."""
+    words = build_bitmap(dim, dim_key, max_key)
+    return fact.filter(in_bitmap(F.col(fact_key), words))

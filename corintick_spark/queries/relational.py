@@ -1725,3 +1725,46 @@ def join_bloom_prefilter(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# Exact-bitmap join elimination: when the dim key domain is bounded
+# integers (dictionary-encoded dims, surrogate keys), the semi-join folds
+# to an EXACT bitmap (operators/bloom.py::bitmap_semi_join) and the join
+# disappears from the plan entirely — the fact side is one map-side
+# filter, zero shuffles for membership, no verifying join (no false
+# positives exist). The strongest runtime-filter form; bloom
+# (join_bloom_prefilter) is the unbounded-domain fallback. Oracle: the
+# plain IN-subquery.
+@query(
+    "join_bitmap",
+    sql=f"""
+    SELECT l.l_linestatus,
+           COUNT(*) AS n_items,
+           {DSUM("l.l_quantity", "sum_qty")}
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def join_bitmap(spark, sf_dir):
+    """Lineitem semi-filtered to small parts via the exact bitmap — a
+    semi-join with no join operator in the plan."""
+    from corintick_spark.operators.bloom import bitmap_semi_join
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_linestatus", "l_quantity"
+    )
+    max_key = table(spark, sf_dir, "part").agg(
+        F.max("p_partkey")
+    ).first()[0]
+    return (
+        bitmap_semi_join(li, p, "l_partkey", "p_partkey", max_key=max_key)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -102,3 +102,39 @@ def test_rejects_unaligned_num_bits(spark, dim):
         build_bloom(dim, "k", num_bits=100)
     with pytest.raises(ValueError):
         merge_blooms([0] * 4, [0] * 8)
+
+
+def test_bitmap_exact_no_join_in_plan(spark, dim):
+    fact = spark.range(0, 6000).select((F.col("id") % 5000).alias("fk"))
+    from corintick_spark.operators.bloom import bitmap_semi_join
+
+    got = bitmap_semi_join(fact, dim, "fk", "k", max_key=4096)
+    want = fact.join(
+        dim.select(F.col("k").alias("fk")).distinct(), "fk", "left_semi"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # the semi-join is GONE, not just reduced
+
+
+def test_bitmap_rejects_out_of_domain_and_huge_domain(spark, dim):
+    from corintick_spark.operators.bloom import build_bitmap
+
+    with pytest.raises(ValueError, match="outside"):
+        build_bitmap(dim, "k", max_key=100)  # dim has keys up to ~3900
+    with pytest.raises(ValueError, match="too large"):
+        build_bitmap(dim, "k", max_key=1 << 30)
+    with pytest.raises(ValueError):
+        build_bitmap(dim, "k", max_key=-1)
+
+
+def test_bitmap_null_and_boundary_keys(spark):
+    from corintick_spark.operators.bloom import bitmap_semi_join
+
+    dim = spark.createDataFrame([(0,), (63,), (64,), (None,)], "k bigint")
+    fact = spark.createDataFrame(
+        [(0,), (63,), (64,), (65,), (None,), (-1,)], "fk bigint"
+    )
+    got = bitmap_semi_join(fact, dim, "fk", "k", max_key=64)
+    assert sorted(r.fk for r in got.collect()) == [0, 63, 64]
