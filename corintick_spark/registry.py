@@ -106,7 +106,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # join_interval_point, multimodal_frames, shuffle_shards,
 # embedding_centroids/covariance, text remainder, and the round-5 late
 # wave: storage_merge, storage_cdf, storage_delete,
-# multimodal_decode_gif/bmp/pcm), then
+# multimodal_decode_gif/bmp/pcm, plus the round-5 second-session wave:
+# join_bloom_prefilter, join_bitmap, graph_bfs, storage_pruned_read,
+# storage_zorder, storage_ivm, events_pattern), then
 # backfill with rotated-out r01-r04 queries for re-confirmation.
 
 

@@ -47,6 +47,12 @@ NOTES = {
     "window_cusum": "the recursive max(0, s+d) folds into prefix-sum minus running-min: two window passes sharing ONE (user_id) exchange and sort — no per-key list fold, no sequential state.",
     "text_pmi_pairs": "the co-occurrence self-join is capped to the in-plan top-100 vocabulary (TakeOrdered), bounding the per-doc pair lattice at C(100,2) regardless of document length; dimension joins broadcast.",
     "events_abandonment": "the time-bounded NOT EXISTS is a LeftSemi hash join on the user_id equi key with the 1-hour window as residual — never a nested loop over purchases.",
+    "join_bloom_prefilter": "the dim side folds to a bit-set plan literal; the fact-side Filter (xxhash64 probes in whole-stage codegen) sits BELOW the verifying LeftSemi join, so the join shuffle carries only probable matches (~15% of lineitem here), never the full fact table.",
+    "join_bitmap": "no Join operator anywhere — the exact bitmap turns the semi-join into a map-side Filter on the scan; the only exchange left is the final aggregation's (the strongest runtime-filter form, for bounded integer dim domains).",
+    "graph_bfs": "per-level frontier expansion is a BroadcastHashJoin (frontier ≪ edges) + LeftAnti against visited; the edge-derivation fact-fact shuffle happens once up front, and localCheckpoint per level keeps the plan from growing with depth.",
+    "storage_pruned_read": "the FileScan lists ONLY the manifest-pruned files (4/8 at sf0.01 for this range) — pruning happened before the plan existed; the residual BETWEEN is additionally pushed into the parquet scan (PushedFilters).",
+    "events_pattern": "one partial+final hash aggregate builds each user-day's ordered letter sequence (array_sort makes it shuffle-immune); the regex count is a scalar projection — no window, no self-join, group state bounded by events-per-user-day.",
+    "storage_ivm": "the refresh side reads ONLY the CDF delta files (the version diff pruned the base files before planning); the sign-fold is one small exchange on the group keys — base-table cost is absent from the plan, not just reduced.",
 }
 
 

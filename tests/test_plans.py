@@ -361,3 +361,40 @@ def test_prefix_filter_path_has_no_block_selfjoin(spark, sf_dir):
     assert any("_tok" not in l for l in join_keys(naive_plan))
     assert join_keys(prefix_plan), "prefix path lost its (block, token) join"
     assert all("_tok" in l for l in join_keys(prefix_plan))
+
+
+def test_bloom_prefilter_below_verify_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_bloom_prefilter")
+    # the xxhash64 probe filter must exist, and the verifying semi join too
+    assert "xxhash64" in plan
+    assert "LeftSemi" in plan
+    # probe filter is deeper in the tree (printed after) than the join
+    assert plan.index("xxhash64") > plan.index("LeftSemi")
+
+
+def test_bitmap_join_eliminated(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_bitmap")
+    # the ONLY joinless shape: a Filter on the scan + the final agg
+    assert "Join" not in plan
+    assert "shiftright" in plan or "element_at" in plan
+
+
+def test_storage_pruned_read_scans_subset(spark, sf_dir):
+    import tempfile
+
+    from corintick_spark.catalog import table
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="planprune_") + "/t")
+    store.append(d.repartitionByRange(8, "doc_id"))
+    kept, skipped = store.prune_files("doc_id", 100, 299)
+    assert skipped, "manifest pruning must skip files on a range layout"
+    plan = (
+        store.read_where("doc_id", 100, 299)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # residual predicate also pushed into the parquet scan
+    assert "PushedFilters" in plan and "doc_id" in plan
