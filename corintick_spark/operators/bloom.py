@@ -233,3 +233,44 @@ def bitmap_semi_join(
     unbounded or sparse."""
     words = build_bitmap(dim, dim_key, max_key)
     return fact.filter(in_bitmap(F.col(fact_key), words))
+
+
+def semi_join_auto(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    broadcast_rows_max: int = 1_000_000,
+    bitmap_domain_max: int = 1 << 26,
+) -> DataFrame:
+    """Route `fact LEFT SEMI JOIN dim` to the cheapest EXACT strategy,
+    decided from ONE stats aggregate over the dim keys (count distinct,
+    min, max — the same numbers a warehouse reads from table stats):
+
+    1. integral key with domain [0, bitmap_domain_max) → exact bitmap
+       filter (:func:`bitmap_semi_join`): the join disappears.
+    2. few distinct keys → plain broadcast semi-join: one hash probe.
+    3. otherwise → bloom prefilter + verifying semi-join
+       (:func:`bloom_semi_join`), sized at ~10 bits per distinct key.
+
+    Every branch returns exactly the plain semi-join's rows; only the
+    plan differs. Branch selection is pinned by tests/test_bloom.py."""
+    k = F.col(dim_key)
+    n_distinct, lo, hi = (
+        dim.filter(k.isNotNull())
+        .agg(F.count_distinct(k), F.min(k), F.max(k))
+        .first()
+    )
+    if n_distinct == 0:
+        return fact.limit(0)
+    dim_type = dict(dim.dtypes)[dim_key]
+    integral = dim_type in ("tinyint", "smallint", "int", "bigint")
+    if integral and 0 <= int(lo) and int(hi) < bitmap_domain_max:
+        return bitmap_semi_join(fact, dim, fact_key, dim_key, max_key=int(hi))
+    if n_distinct <= broadcast_rows_max:
+        keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+        return fact.join(F.broadcast(keys), on=fact_key, how="left_semi")
+    bits = 1 << max(10, (10 * int(n_distinct) - 1).bit_length())
+    return bloom_semi_join(
+        fact, dim, fact_key, dim_key, num_bits=min(bits, 1 << 24)
+    )

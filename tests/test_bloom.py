@@ -138,3 +138,47 @@ def test_bitmap_null_and_boundary_keys(spark):
     )
     got = bitmap_semi_join(fact, dim, "fk", "k", max_key=64)
     assert sorted(r.fk for r in got.collect()) == [0, 63, 64]
+
+
+def _auto(spark, fact, dim, **kw):
+    from corintick_spark.operators.bloom import semi_join_auto
+
+    got = semi_join_auto(fact, dim, "fk", "k", **kw)
+    want = fact.join(
+        dim.select(F.col("k").alias("fk")).distinct(), "fk", "left_semi"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    return got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_auto_routes_to_bitmap_for_bounded_ints(spark, dim):
+    fact = spark.range(0, 3000).select((F.col("id") % 4000).alias("fk"))
+    plan = _auto(spark, fact, dim)
+    assert "Join" not in plan  # bitmap branch: join eliminated
+
+
+def test_auto_routes_to_broadcast_for_small_string_dims(spark):
+    dim = spark.createDataFrame([("a",), ("b",)], "k string")
+    fact = spark.createDataFrame([("a",), ("c",)], "fk string")
+    plan = _auto(spark, fact, dim)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "xxhash64" not in plan
+
+
+def test_auto_routes_to_bloom_when_big(spark):
+    # force the bloom branch: strings (no bitmap) + tiny broadcast cap
+    dim = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 1500).cast("string").alias("fk")
+    )
+    plan = _auto(spark, fact, dim, broadcast_rows_max=10)
+    assert "xxhash64" in plan and "LeftSemi" in plan
+
+
+def test_auto_empty_dim(spark):
+    from corintick_spark.operators.bloom import semi_join_auto
+
+    dim = spark.createDataFrame([], "k bigint")
+    fact = spark.range(0, 10).select(F.col("id").alias("fk"))
+    assert semi_join_auto(fact, dim, "fk", "k").count() == 0
