@@ -781,3 +781,100 @@ def stream_snapshot_ingest(spark, sf_dir):
             .cast("double") / 1_000_000
         ).alias("total_value"),
     )
+
+
+# CDC-aware streaming enrichment: each micro-batch joins the CURRENT
+# snapshot version of a dimension that EVOLVES between batches (tier
+# upgrades MERGEd into the SnapshotStore before batches 1 and 2), and the
+# enriched rows land in a second store via epoch-token append_once —
+# streaming ⋈ lakehouse, both directions. Retries are safe end to end:
+# re-MERGing the same source is content-idempotent (SCD-1 of identical
+# rows) and the output commit is exactly-once by token. The oracle
+# reconstructs which tier each event saw from the batch index its
+# timestamp falls in (the same half-open ns ranges events_stream_batched
+# cuts), so the driver adjudicates version-correct enrichment per batch.
+@query(
+    "stream_versioned_enrich",
+    sql=f"""
+    WITH ev AS (
+        SELECT user_id, value, epoch_us(ts) * 1000 AS ns
+        FROM events WHERE ts >= TIMESTAMP '1970-01-01'
+    ), st AS (SELECT MIN(ns) AS mn, MAX(ns) AS mx FROM ev),
+    tagged AS (
+        SELECT user_id, value,
+               CAST((ns - mn) // ((mx - mn) // 3 + 1) AS INT) AS b
+        FROM ev, st
+    )
+    SELECT CASE WHEN b >= 2 AND user_id % 5 = 0 THEN 'plat'
+                WHEN b >= 1 AND user_id % 3 = 0 THEN 'gold'
+                ELSE 'base' END AS tier,
+           COUNT(*) AS n,
+           {DSUM('value', 'total_value')}
+    FROM tagged GROUP BY 1 ORDER BY tier
+    """,
+)
+def stream_versioned_enrich(spark, sf_dir):
+    """3-batch replay enriched against a dim whose snapshot version
+    advances between batches; exactly-once output commits."""
+    import os
+    import tempfile
+    import uuid
+
+    from corintick_spark.snapshots import SnapshotStore
+    from corintick_spark.streaming.events_stream import (
+        _cleanup_at_exit,
+        events_stream_batched,
+    )
+
+    from corintick_spark.catalog import table as _table
+    from corintick_spark.exact import dsum as _dsum
+
+    ev = _table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    dim = SnapshotStore(spark, tempfile.mkdtemp(prefix="snap_dim_") + "/tbl")
+    dim.append(users.withColumn("tier", F.lit("base")))
+    out = SnapshotStore(spark, tempfile.mkdtemp(prefix="snap_enr_") + "/tbl")
+
+    def upgrades(batch_id):
+        if batch_id == 1:
+            return users.filter(F.col("user_id") % 3 == 0).withColumn(
+                "tier", F.lit("gold")
+            )
+        if batch_id == 2:
+            return users.filter(F.col("user_id") % 5 == 0).withColumn(
+                "tier", F.lit("plat")
+            )
+        return None
+
+    def enrich(batch_df, batch_id):
+        src = upgrades(batch_id)
+        if src is not None:
+            dim.merge(src, key="user_id")  # content-idempotent on retry
+        enriched = batch_df.select("user_id", "value").join(
+            F.broadcast(dim.read().select("user_id", "tier")),
+            "user_id",
+            "left",
+        )
+        out.append_once(enriched, token=f"epoch-{batch_id}")
+
+    src = events_stream_batched(spark, sf_dir, n_batches=3)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_enrich_")
+    _cleanup_at_exit(ckpt)
+    q = (
+        src.select("user_id", "value")
+        .writeStream.foreachBatch(enrich)
+        .queryName("venrich" + uuid.uuid4().hex[:8])
+        .option("checkpointLocation", os.path.join(ckpt, "wal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        out.read()
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("tier")
+    )
