@@ -1,0 +1,80 @@
+"""Exact distributed order statistics WITHOUT a global sort.
+
+The 100 TB problem: exact median/quantile of a column. `ORDER BY` +
+row_number is a full global sort (one massive range exchange);
+`percentile()` builds a per-group value buffer (memory ∝ group size).
+The classic fix is ITERATIVE BUCKET SELECTION: each pass histograms the
+candidate value range into ≤65,536 buckets with ONE partial-aggregated
+count pass (map-side combine → at most 65,536 rows cross the wire),
+locates the bucket containing the k-th order statistic, and recurses into
+it. An integer domain of width W needs ceil(log_65536(W)) + 1 passes — 2
+passes for 32-bit-wide domains, 3 for 64-bit — each a plain scan+agg that
+Catalyst pushes column pruning into. No sort, no per-group buffers, no
+driver data besides the ≤65,536-row histogram.
+
+Semantics: k-th smallest of the multiset (1-indexed), duplicates counted
+— `kth_smallest(df, col, ceil(q*n))` is the discrete q-quantile
+(percentile_disc). Exact for any integral column; doubles should be
+scaled to integers by the caller (e.g. cents) to keep bucket arithmetic
+exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+BUCKETS = 1 << 16
+
+
+def kth_smallest(df: DataFrame, col: str, k: int) -> int:
+    """Exact k-th smallest (1-indexed) of an integral column; NULLs are
+    excluded (SQL ordering semantics). Raises on k out of range."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("bigint").alias("x")
+    )
+    head = vals.agg(
+        F.min("x"), F.max("x"), F.count(F.lit(1))
+    ).first()
+    lo, hi, n = head
+    if n == 0 or k > n:
+        raise ValueError(f"k={k} outside the column's {n} non-null rows")
+    lo, hi = int(lo), int(hi)
+    remaining = k
+    while hi > lo:
+        width = hi - lo + 1
+        # ceil-div bucket size so bucket ids stay < BUCKETS
+        size = -(-width // BUCKETS)
+        hist = (
+            vals.filter((F.col("x") >= lo) & (F.col("x") <= hi))
+            .groupBy(((F.col("x") - F.lit(lo)) / F.lit(size)).cast("bigint").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts = {int(r["b"]): int(r["c"]) for r in hist}
+        cum = 0
+        for b in sorted(counts):
+            if cum + counts[b] >= remaining:
+                remaining -= cum
+                lo, hi = lo + b * size, min(hi, lo + b * size + size - 1)
+                break
+            cum += counts[b]
+        else:  # pragma: no cover - guarded by the k<=n check
+            raise AssertionError("rank ran past the histogram")
+        if size == 1:
+            return lo
+    return lo
+
+
+def exact_quantile(df: DataFrame, col: str, q: float) -> int:
+    """Discrete q-quantile (percentile_disc): the smallest value whose
+    rank reaches ceil(q*n). q in (0, 1]."""
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    n = df.filter(F.col(col).isNotNull()).count()
+    if n == 0:
+        raise ValueError("no non-null rows")
+    k = -(-int(q * 1_000_000 * n) // 1_000_000)  # ceil(q*n) sans fp drift
+    return kth_smallest(df, col, max(1, k))

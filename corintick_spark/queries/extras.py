@@ -1174,3 +1174,41 @@ def agg_cm_sketch(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# Exact median WITHOUT a global sort (operators/quantile.py): iterative
+# bucket selection — each pass is one partial-aggregated 65,536-bucket
+# histogram (map-side combine; <=65,536 rows cross the wire), the rank
+# recurses into the owning bucket; 2-3 passes for any integer domain. The
+# 100 TB exact-quantile shape: no range exchange, no per-group value
+# buffers. Prices are scaled to integer cents so bucket arithmetic is
+# exact; the oracle is the textbook ROW_NUMBER selection at rank
+# ceil(n/2).
+@query(
+    "agg_exact_median",
+    sql="""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), r AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+               COUNT(*) OVER () AS n
+        FROM v
+    )
+    SELECT CAST(x AS DOUBLE) / 100 AS median_price,
+           CAST(n AS BIGINT) AS n_rows
+    FROM r WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    """,
+)
+def agg_exact_median(spark, sf_dir):
+    """Exact median lineitem price by distributed bucket selection."""
+    from corintick_spark.operators.quantile import exact_quantile
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    n = li.filter(F.col("cents").isNotNull()).count()
+    med = exact_quantile(li, "cents", 0.5)
+    return spark.createDataFrame(
+        [(med / 100.0, n)], "median_price double, n_rows bigint"
+    )

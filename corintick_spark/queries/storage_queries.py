@@ -651,3 +651,43 @@ def storage_ivm(spark, sf_dir):
     return refresh_aggregate(
         agg0, delta, ["lang"], {"n_chars": "sum_chars"}, count_col="n_docs"
     ).orderBy("lang")
+
+
+# Dynamic partition pruning, Catalyst-native: the fact table is laid out
+# partitioned-by event_type; the pruning key set is only known at RUNTIME
+# (event types that ever saw a value > 99.5), so static pruning can't
+# fire — Catalyst injects the dim side as a dynamicpruning# subquery into
+# the fact scan's PartitionFilters and whole partitions are never listed.
+# tests/test_plans.py pins `dynamicpruning` in the scan; the oracle is
+# the plain join. This is the partition-level sibling of the row-level
+# runtime filters (join_bloom_prefilter / join_bitmap).
+@query(
+    "join_dpp",
+    sql="""
+    SELECT e.event_type, COUNT(*) AS n
+    FROM events e
+    WHERE e.event_type IN (
+        SELECT DISTINCT event_type FROM events WHERE value > 99.5
+    )
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def join_dpp(spark, sf_dir):
+    """Partition-pruned fact join: the partition filter is a runtime
+    subquery, not a constant."""
+    import tempfile as _tf
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = _tf.mkdtemp(prefix="dpp_") + "/ev"
+    ev.write.partitionBy("event_type").parquet(d)
+    part_ev = spark.read.parquet(d)
+    dim = ev.filter(F.col("value") > 99.5).select("event_type").distinct()
+    return (
+        part_ev.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )

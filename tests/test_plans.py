@@ -398,3 +398,13 @@ def test_storage_pruned_read_scans_subset(spark, sf_dir):
     )
     # residual predicate also pushed into the parquet scan
     assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_dpp_partition_filter_is_dynamic(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_dpp")
+    assert "dynamicpruning" in plan
+    scan_line = next(
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "dynamicpruning" in l
+    )
+    assert "event_type" in scan_line
