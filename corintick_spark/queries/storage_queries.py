@@ -691,3 +691,31 @@ def join_dpp(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+# Per-file Bloom index (snapshots.py::index_bloom/read_where_eq): point
+# lookup on a column the layout is NOT clustered by — the store is
+# hash-scattered on doc_id, so every file spans the full id range and
+# min/max bounds skip nothing; the per-file Bloom filters recorded in the
+# manifest do (Delta/Parquet bloom-index shape; actual file skipping is
+# pinned by tests/test_snapshots.py). The residual equality filter keeps
+# the result exact whatever the filter's FP rate; the probe literal is
+# cast to the column's recorded type because xxhash64 is type-sensitive.
+@query(
+    "storage_bloom_lookup",
+    sql="""
+    SELECT doc_id, n_chars, lang
+    FROM documents WHERE doc_id = 321
+    """,
+)
+def storage_bloom_lookup(spark, sf_dir):
+    """Point lookup through the manifest's per-file Bloom index."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapbloom_") + "/tbl")
+    store.append(d.repartition(8, "doc_id"))
+    store.index_bloom(["doc_id"], num_bits=1 << 13)
+    return store.read_where_eq("doc_id", 321)

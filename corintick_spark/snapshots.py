@@ -285,6 +285,151 @@ class SnapshotStore:
             self._base_schema(base),
         )
 
+    def index_bloom(
+        self,
+        cols: "list[str]",
+        num_bits: int = 1 << 13,
+        num_hashes: int = 5,
+    ) -> int:
+        """Attach a PER-FILE Bloom filter for each of `cols` to the current
+        version's manifest (committed as a new same-file-set version, op
+        'index') — the Delta/Parquet bloom-index shape: point lookups on a
+        column the layout is NOT clustered by can skip files whose filter
+        misses, where min/max bounds are useless (a hash-scattered column
+        spans the full range in every file).
+
+        One Spark job per column computes every file's word array together
+        (explode bit positions → bit_or per (file, word) — the same
+        mergeable fold as operators/bloom.py, keyed by input_file_name);
+        the collect is bounded by files × num_bits/64 rows, never by data.
+        Size at ~10 bits per distinct value per file. Files are immutable,
+        so the index can never go stale — rewrites (compact/merge) produce
+        new files without the bloom entry until re-indexed, which is safe:
+        a missing filter means "cannot skip"."""
+        from corintick_spark.operators.bloom import _positions
+
+        import pyspark.sql.functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("nothing to index: no committed version")
+        files = [dict(f) for f in self.manifest(base)["files"]]
+        by_abs = {
+            os.path.abspath(os.path.join(self.root, f["path"])): f
+            for f in files
+        }
+        paths = list(by_abs)
+        src = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for c in cols:
+            pos = (
+                src.filter(F.col(c).isNotNull())
+                .select(
+                    F.input_file_name().alias("_f"),
+                    F.explode(
+                        F.array(*_positions(F.col(c), num_bits, num_hashes))
+                    ).alias("p"),
+                )
+            )
+            rows = (
+                pos.select(
+                    "_f",
+                    F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+                    ).alias("m"),
+                )
+                .groupBy("_f", "w")
+                .agg(F.bit_or("m").alias("bits"))
+                .collect()
+            )
+            per_file: dict[str, list[int]] = {}
+            for r in rows:
+                abs_path = os.path.abspath(r["_f"].replace("file:", "", 1))
+                per_file.setdefault(abs_path, [0] * (num_bits // 64))[
+                    r["w"]
+                ] = r["bits"]
+            for abs_path, words in per_file.items():
+                entry = by_abs[abs_path]
+                entry.setdefault("bloom", {})[c] = {
+                    "hashes": num_hashes,
+                    "words": words,
+                }
+        return self._commit(files, "index", base, self._base_schema(base))
+
+    def read_where_eq(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Point-lookup read `col = value`, skipping files by BOTH the
+        manifest min/max bounds and (where :meth:`index_bloom` recorded
+        one) the per-file Bloom filter. The residual equality filter keeps
+        the result exact; a file without stats or bloom is conservatively
+        scanned. `value` must be non-null and of the column's type."""
+        import pyspark.sql.functions as F
+
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError("no committed version to read")
+        if value is None:
+            raise ValueError("read_where_eq probes non-null values only")
+        manifest = self.manifest(version)
+        files = manifest["files"]
+        # xxhash64 is TYPE-sensitive (hashing 1234 as int != as bigint), so
+        # the probe literal must be cast to the column's recorded type
+        # before hashing — the same type the index hashed
+        col_type = next(
+            (
+                f["type"]
+                for f in (manifest.get("schema") or {}).get("fields", [])
+                if f["name"] == col and isinstance(f["type"], str)
+            ),
+            None,
+        )
+        probe_lit = F.lit(value)
+        if col_type is not None:
+            probe_lit = probe_lit.cast(col_type)
+        # bit positions of the probe value, via the SAME jvm hash exprs the
+        # index used — one 1-row job, no Python reimplementation of xxhash64
+        probe_bits: dict[int, list[int]] = {}
+        for nh_nb in {
+            (f["bloom"][col]["hashes"], len(f["bloom"][col]["words"]) * 64)
+            for f in files
+            if col in (f.get("bloom") or {})
+        }:
+            from corintick_spark.operators.bloom import _positions
+
+            nh, nb = nh_nb
+            row = (
+                self.spark.range(1)
+                .select(*[
+                    p.alias(f"p{i}")
+                    for i, p in enumerate(
+                        _positions(probe_lit, nb, nh)
+                    )
+                ])
+                .first()
+            )
+            probe_bits[nb] = [int(v) for v in row]
+        kept = []
+        for f in files:
+            st = (f.get("stats") or {}).get(col)
+            if st is not None and (value < st[0] or value > st[1]):
+                continue
+            bl = (f.get("bloom") or {}).get(col)
+            if bl is not None:
+                nb = len(bl["words"]) * 64
+                hit = all(
+                    bl["words"][p >> 6] & (1 << (p & 63))
+                    for p in probe_bits[nb]
+                )
+                if not hit:
+                    continue
+            kept.append(f)
+        if not kept:
+            return self.read(version=version).filter(F.lit(False))
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f["path"]) for f in kept]
+        )
+        return df.filter(F.col(col) == F.lit(value))
+
     def merge(self, source: DataFrame, key: str) -> int:
         """SCD-1 upsert (MERGE semantics): rows of `source` replace current
         rows with the same `key` value; unmatched source rows are inserts.

@@ -340,3 +340,40 @@ def test_refresh_aggregate_drops_emptied_groups(store, spark):
     got = refresh_aggregate(agg0, store.changes(v0, v1), ["g"], {"x": "sum_x"})
     rows = {r.g: (r.n_rows, r.sum_x) for r in got.collect()}
     assert rows == {"a": (2, 30)}
+
+
+def test_bloom_index_skips_files_point_lookup(store, spark):
+    import pyspark.sql.functions as F
+
+    # hash-scattered layout: every file spans the full key range, so
+    # min/max bounds can never skip — only the bloom can
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    store.append(df.repartition(8, "k"))
+    v = store.index_bloom(["k"], num_bits=1 << 13)
+    assert store.manifest(v)["operation"] == "index"
+    m = store.manifest(v)
+    assert all("bloom" in f and "k" in f["bloom"] for f in m["files"])
+
+    # equality probe: exact result + actual file skipping (the scan must
+    # list fewer paths than the snapshot holds — min/max can't skip here)
+    got = store.read_where_eq("k", 1234)
+    assert [r.k for r in got.collect()] == [1234]
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    n_paths = int(re.search(r"InMemoryFileIndex\((\d+) paths", plan).group(1))
+    assert n_paths < 8, f"bloom skipped nothing ({n_paths}/8 files scanned)"
+    # value present nowhere: bloom prunes every file (min/max cannot)
+    assert store.read_where_eq("k", 3999 + 1).count() == 0
+
+
+def test_bloom_index_missing_entry_is_scanned_not_skipped(store, spark):
+    import pyspark.sql.functions as F
+
+    store.append(spark.range(0, 100).select(F.col("id").alias("k")))
+    store.index_bloom(["k"])
+    # a rewrite drops the bloom entries (new files) — lookups still exact
+    store.compact(target_partitions=2)
+    assert [r.k for r in store.read_where_eq("k", 42).collect()] == [42]
+    with pytest.raises(ValueError):
+        store.read_where_eq("k", None)
