@@ -719,3 +719,63 @@ def storage_bloom_lookup(spark, sf_dir):
     store.append(d.repartition(8, "doc_id"))
     store.index_bloom(["doc_id"], num_bits=1 << 13)
     return store.read_where_eq("doc_id", 321)
+
+
+# Streaming FROM the snapshot store (sources/cdf_source.py): each
+# committed version replays as one micro-batch — offsets ARE version
+# numbers, re-readable from the immutable manifests (exactly-once replay
+# for free). The table written by batch/stream ingestion becomes a stream
+# source itself, closing the lakehouse loop: write → version → stream.
+# Append-only contract enforced (a file-removing version raises — Delta's
+# skipChangeCommits shape; batch changes() is the full-CDC path).
+@query(
+    "stream_cdf_source",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_cdf_source(spark, sf_dir):
+    """3 appended versions streamed back as 3 micro-batches through a
+    complete-mode aggregation."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+    from corintick_spark.sources.cdf_source import make_cdf_stream_datasource
+    from corintick_spark.streaming.events_stream import (
+        run_processall_to_memory,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapcdf_") + "/tbl")
+    for i in range(3):
+        store.append(ev.filter(F.col("event_id") % 3 == i))
+
+    try:
+        spark.dataSource.register(make_cdf_stream_datasource())
+    except Exception as e:
+        msg = str(e).lower()
+        if not ("already" in msg and ("exist" in msg or "register" in msg)):
+            raise
+    src = (
+        spark.readStream.format("snapcdf")
+        .option("path", store.root)
+        .option(
+            "columns", "event_id bigint, event_type string, value double"
+        )
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("double") / 1_000_000
+        ).alias("total_value"),
+    )
+    return run_processall_to_memory(agg, spark)

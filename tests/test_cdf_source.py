@@ -1,0 +1,78 @@
+"""snapcdf streaming source (sources/cdf_source.py): version-per-batch
+replay, exactly-once offset ranges, append-only contract enforcement."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from corintick_spark.snapshots import SnapshotStore
+from corintick_spark.sources.cdf_source import make_cdf_stream_datasource
+
+
+def _register(spark):
+    try:
+        spark.dataSource.register(make_cdf_stream_datasource())
+    except Exception as e:
+        msg = str(e).lower()
+        if not ("already" in msg and ("exist" in msg or "register" in msg)):
+            raise
+
+
+def _stream(spark, store):
+    return (
+        spark.readStream.format("snapcdf")
+        .option("path", store.root)
+        .option("columns", "k bigint, v bigint")
+        .load()
+    )
+
+
+def _run_foreach(spark, src, fn):
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdf_")
+    q = (
+        src.writeStream.foreachBatch(fn)
+        .queryName("cdf" + uuid.uuid4().hex[:8])
+        .option("checkpointLocation", os.path.join(ckpt, "wal"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+
+def test_each_version_is_one_batch(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    for i in range(3):
+        store.append(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+        )
+    _register(spark)
+    seen: list[tuple[int, int]] = []
+
+    def fold(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    _run_foreach(spark, _stream(spark, store), fold)
+    nonempty = [s for s in seen if s[1] > 0]
+    assert [n for _, n in nonempty] == [10, 10, 10]
+    assert len(nonempty) == 3  # one batch per committed version
+
+
+def test_rewrite_version_raises_append_only(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+    )
+    store.compact(target_partitions=1)  # removes v0's files
+    _register(spark)
+    with pytest.raises(Exception, match="append-only"):
+        _run_foreach(spark, _stream(spark, store), lambda df, bid: df.count())
