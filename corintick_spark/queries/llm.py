@@ -2107,3 +2107,93 @@ def dedup_editjoin(spark, sf_dir):
     candidate stage)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return D.edit_pairs_qgram(d, k=2, q=3, prefix_len=40)
+
+
+# BM25 retrieval scoring — the inverted-index ranking function every
+# search/retrieval pipeline uses (and RAG corpora are scored with). Same
+# distributed shape as text_tfidf: one explode → tf (per doc-term) and df
+# (per term) aggregations; df and the 2-row corpus stats (N, avgdl) are
+# vocabulary-/constant-sized broadcasts, so the document side never
+# shuffles twice. Query terms enter as a 3-row broadcast; the score is
+# the standard Robertson/Okapi formula (k1=1.2, b=0.75) rounded to 6dp
+# for cross-engine float identity (LN agrees between engines — same
+# precedent as text_tfidf/agg_entropy).
+@query(
+    "text_bm25",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS word
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), q(word) AS (VALUES ('spark'), ('shuffle'), ('broadcast')),
+    tf AS (
+        SELECT t.doc_id, t.word, COUNT(*) AS tf
+        FROM tok t JOIN q ON t.word = q.word
+        GROUP BY t.doc_id, t.word
+    ), df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE word IN (SELECT word FROM q)
+        GROUP BY word
+    ), scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                 LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df ON tf.word = df.word
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """Top-20 documents by BM25 for the query {spark, shuffle, broadcast}."""
+    d = table(spark, sf_dir, "documents")
+    tok = D.tokenize(d).select("doc_id", F.explode("words").alias("word"))
+    q = spark.createDataFrame(
+        [("spark",), ("shuffle",), ("broadcast",)], "word string"
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.join(F.broadcast(q), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        tok.join(F.broadcast(q), "word")
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * 2.2 / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
