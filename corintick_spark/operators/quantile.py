@@ -49,7 +49,7 @@ def kth_smallest(df: DataFrame, col: str, k: int) -> int:
         size = -(-width // BUCKETS)
         hist = (
             vals.filter((F.col("x") >= lo) & (F.col("x") <= hi))
-            .groupBy(((F.col("x") - F.lit(lo)) / F.lit(size)).cast("bigint").alias("b"))
+            .groupBy(F.expr(f"(x - {lo}) div {size}").alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
@@ -78,3 +78,89 @@ def exact_quantile(df: DataFrame, col: str, q: float) -> int:
         raise ValueError("no non-null rows")
     k = -(-int(q * 1_000_000 * n) // 1_000_000)  # ceil(q*n) sans fp drift
     return kth_smallest(df, col, max(1, k))
+
+
+GROUPS_MAX = 100_000
+
+
+def grouped_quantile(
+    df: DataFrame,
+    group: str,
+    col: str,
+    q: float,
+) -> "DataFrame":
+    """Exact per-group discrete q-quantile, ALL groups refined together:
+    each pass is ONE histogram aggregation keyed by (group, bucket) —
+    buckets are computed against each group's own candidate range via a
+    broadcast bounds table — so the pass count is max-over-groups (2-3
+    for integer domains), never #groups. Driver state is one (lo, hi,
+    rank) triple per group, bounded by GROUPS_MAX (grouped selection is a
+    bounded-group-cardinality operator by contract: per-group results
+    must fit on the driver anyway).
+
+    Returns a DataFrame (group, value). NULL values excluded per group;
+    groups with only NULLs are absent from the result."""
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.col(group).alias("g"), F.col(col).cast("bigint").alias("x")
+    )
+    head = (
+        vals.groupBy("g")
+        .agg(F.min("x"), F.max("x"), F.count(F.lit(1)))
+        .collect()
+    )
+    if len(head) > GROUPS_MAX:
+        raise ValueError(
+            f"{len(head)} groups exceeds GROUPS_MAX={GROUPS_MAX}"
+        )
+    state: dict = {}
+    for g, lo, hi, n in head:
+        k = max(1, -(-int(q * 1_000_000 * int(n)) // 1_000_000))
+        state[g] = [int(lo), int(hi), k]
+    done: dict = {}
+    spark = df.sparkSession
+    while state:
+        resolved = [g for g, (lo, hi, _) in state.items() if lo == hi]
+        for g in resolved:
+            done[g] = state.pop(g)[0]
+        if not state:
+            break
+        bounds = spark.createDataFrame(
+            [
+                (g, lo, hi, -(-(hi - lo + 1) // BUCKETS))
+                for g, (lo, hi, _) in state.items()
+            ],
+            "g_b " + dict(vals.dtypes)["g"] + ", lo bigint, hi bigint, sz bigint",
+        )
+        hist = (
+            vals.join(
+                F.broadcast(bounds),
+                (vals.g == bounds.g_b)
+                & (vals.x >= bounds.lo)
+                & (vals.x <= bounds.hi),
+            )
+            .groupBy("g", F.expr("(x - lo) div sz").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_group: dict = {}
+        for r in hist:
+            per_group.setdefault(r["g"], {})[int(r["b"])] = int(r["c"])
+        for g, counts in per_group.items():
+            lo, hi, k = state[g]
+            size = -(-(hi - lo + 1) // BUCKETS)
+            cum = 0
+            for b in sorted(counts):
+                if cum + counts[b] >= k:
+                    state[g] = [
+                        lo + b * size,
+                        min(hi, lo + b * size + size - 1),
+                        k - cum,
+                    ]
+                    break
+                cum += counts[b]
+    return spark.createDataFrame(
+        [(g, v) for g, v in sorted(done.items(), key=lambda t: str(t[0]))],
+        "g " + dict(vals.dtypes)["g"] + ", value bigint",
+    ).withColumnRenamed("g", group)

@@ -1212,3 +1212,44 @@ def agg_exact_median(spark, sf_dir):
     return spark.createDataFrame(
         [(med / 100.0, n)], "median_price double, n_rows bigint"
     )
+
+
+# Per-group exact median, all groups at once (operators/quantile.py::
+# grouped_quantile): every refinement pass is ONE histogram aggregation
+# keyed by (group, bucket) with per-group ranges entering as a broadcast
+# bounds table — pass count is max-over-groups (2-3), never #groups; no
+# sort, no per-group value buffers (what percentile() would allocate).
+# Bounded-group-cardinality contract (GROUPS_MAX) since per-group results
+# are driver-sized by definition. Oracle: ROW_NUMBER selection per
+# partition at rank ceil(n/2).
+@query(
+    "agg_group_median",
+    sql="""
+    WITH v AS (
+        SELECT l_returnflag || '/' || l_linestatus AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), r AS (
+        SELECT grp, x,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM v
+    )
+    SELECT grp, CAST(x AS DOUBLE) / 100 AS median_price
+    FROM r WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    ORDER BY grp
+    """,
+)
+def agg_group_median(spark, sf_dir):
+    """Exact median price per (returnflag, linestatus) by simultaneous
+    grouped bucket selection."""
+    from corintick_spark.operators.quantile import grouped_quantile
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = grouped_quantile(li, "grp", "cents", 0.5)
+    return med.select(
+        "grp", (F.col("value").cast("double") / 100).alias("median_price")
+    ).orderBy("grp")

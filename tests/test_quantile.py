@@ -51,3 +51,42 @@ def test_quantile_disc_semantics(spark):
     assert exact_quantile(df, "x", 0.25) == 3  # ceil(2.5) = 3
     assert exact_quantile(df, "x", 1.0) == 10
     assert exact_quantile(df, "x", 0.1) == 1
+
+
+def test_grouped_quantile_matches_reference(spark):
+    import collections
+
+    from corintick_spark.operators.quantile import grouped_quantile
+
+    rows = [
+        ((i * 7) % 5, ((i * 2654435761) % 100003) - 50000)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g int, x bigint")
+    by_g = collections.defaultdict(list)
+    for g, x in rows:
+        by_g[g].append(x)
+    for q in (0.5, 0.25, 0.9):
+        got = {
+            r.g: r.value
+            for r in grouped_quantile(df, "g", "x", q).collect()
+        }
+        # reference rank: ceil(q*n), fp-drift-free
+        want = {
+            g: sorted(v)[
+                max(1, -(-(int(q * 1_000_000 * len(v))) // 1_000_000)) - 1
+            ]
+            for g, v in by_g.items()
+        }
+        assert got == want, f"q={q}"
+
+
+def test_grouped_quantile_string_groups_and_null_only_group(spark):
+    from corintick_spark.operators.quantile import grouped_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 10), ("c", None)],
+        "g string, x bigint",
+    )
+    got = {r.g: r.value for r in grouped_quantile(df, "g", "x", 0.5).collect()}
+    assert got == {"a": 2, "b": 10}  # null-only group 'c' absent
