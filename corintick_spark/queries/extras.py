@@ -1253,3 +1253,62 @@ def agg_group_median(spark, sf_dir):
     return med.select(
         "grp", (F.col("value").cast("double") / 100).alias("median_price")
     ).orderBy("grp")
+
+
+# Pearson chi-square independence test (event_type x user cohort): the
+# contingency table is one hash aggregation; marginals re-aggregate the
+# (|types| x |cohorts|)-row cell table, so nothing corpus-sized is
+# shuffled twice. Statistic and dof are exact integer-derived arithmetic
+# until the final division, rounded to 6dp for cross-engine identity.
+@query(
+    "agg_chi2",
+    sql="""
+    WITH cells AS (
+        SELECT event_type AS t, user_id % 4 AS c, COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ), rowm AS (
+        SELECT t, SUM(o) AS rt FROM cells GROUP BY t
+    ), colm AS (
+        SELECT c, SUM(o) AS ct FROM cells GROUP BY c
+    ), n AS (
+        SELECT SUM(o) AS total FROM cells
+    )
+    SELECT ROUND(SUM(
+               (o - CAST(rt AS DOUBLE) * ct / total)
+               * (o - CAST(rt AS DOUBLE) * ct / total)
+               / (CAST(rt AS DOUBLE) * ct / total)
+           ), 6) AS chi2,
+           CAST((COUNT(DISTINCT cells.t) - 1)
+                * (COUNT(DISTINCT cells.c) - 1) AS BIGINT) AS dof
+    FROM cells
+    JOIN rowm USING (t) JOIN colm USING (c) CROSS JOIN n
+    """,
+)
+def agg_chi2(spark, sf_dir):
+    """Chi-square independence of event_type vs user_id%4 cohorts."""
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            (F.col("user_id") % 4).alias("c"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    rowm = cells.groupBy("t").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("total"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("total")
+    return (
+        cells.join(F.broadcast(rowm), "t")
+        .join(F.broadcast(colm), "c")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+                "chi2"
+            ),
+            (
+                (F.count_distinct(F.col("t")) - 1)
+                * (F.count_distinct(F.col("c")) - 1)
+            ).cast("bigint").alias("dof"),
+        )
+    )
