@@ -53,6 +53,10 @@ NOTES = {
     "storage_pruned_read": "the FileScan lists ONLY the manifest-pruned files (4/8 at sf0.01 for this range) — pruning happened before the plan existed; the residual BETWEEN is additionally pushed into the parquet scan (PushedFilters).",
     "events_pattern": "one partial+final hash aggregate builds each user-day's ordered letter sequence (array_sort makes it shuffle-immune); the regex count is a scalar projection — no window, no self-join, group state bounded by events-per-user-day.",
     "storage_ivm": "the refresh side reads ONLY the CDF delta files (the version diff pruned the base files before planning); the sign-fold is one small exchange on the group keys — base-table cost is absent from the plan, not just reduced.",
+    "storage_bloom_lookup": "the scan lists only the files whose per-file Bloom filter hits the probe (min/max bounds are useless on this hash-scattered layout); the residual equality is pushed into the parquet scan — exact at any FP rate.",
+    "text_bm25": "one explode feeds tf and df; document lengths, corpus stats, query terms, and df all enter as broadcasts — the document side crosses exactly one exchange for the per-doc score fold.",
+    "agg_group_median": "no sort and no percentile buffers anywhere: each refinement round is one (group, bucket) hash aggregation against broadcast per-group ranges; the per-round driver exchange is bounded by groups × buckets.",
+    "agg_chi2": "one corpus aggregation builds the contingency cells; marginals re-aggregate the cells-sized table and broadcast back — the statistic is computed without a second corpus pass.",
 }
 
 
