@@ -933,3 +933,79 @@ def decode_audio_samples(
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=AUDIO_PCM_SCHEMA)
+
+
+def resize_nearest(
+    px: bytes, w: int, h: int, ch: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resize of a canonical top-down interleaved-channel
+    pixel buffer — pure integer sampling (src = out_idx * in_dim //
+    out_dim, the floor mapping), no imaging library. The real transform
+    every ingestion pipeline runs before feature extraction; the sampling
+    grid is deterministic, so a symbolic oracle can recompute the resized
+    bytes exactly."""
+    out = bytearray(out_w * out_h * ch)
+    i = 0
+    for y in range(out_h):
+        sy = y * h // out_h
+        row = sy * w
+        for x in range(out_w):
+            s = (row + x * w // out_w) * ch
+            out[i : i + ch] = px[s : s + ch]
+            i += ch
+    return bytes(out)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long,"
+    " rz_sum long, rz_wsum long, rz_mean double"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+) -> DataFrame:
+    """Decode (PNG/BMP/GIF, magic-dispatched) → nearest-neighbor resize to
+    (out_w, out_h) → stats of the RESIZED canonical buffer. rz_wsum is
+    position-weighted over the output order, so any sampling-grid or
+    layout mistake changes it. Same Arrow-batched mapInPandas posture as
+    decode_image_pixels; undecodable payloads null-propagate."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "rz_sum", "rz_wsum", "rz_mean")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for b in pdf[payload]:
+                m = decode_png_pixels(b)
+                if m is None:
+                    m = decode_bmp_pixels(b)
+                if m is None:
+                    m = decode_gif_pixels(b)
+                if m is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                w, h, ch, px = m
+                rz = resize_nearest(px, w, h, ch, out_w, out_h)
+                s, n = sum(rz), len(rz)
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["rz_sum"].append(s)
+                rows["rz_wsum"].append(sum(k * v for k, v in enumerate(rz)))
+                rows["rz_mean"].append(round(s / n, 6) if n else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(rows["width"], dtype="Int64"),
+                    "height": pd.array(rows["height"], dtype="Int64"),
+                    "rz_sum": pd.array(rows["rz_sum"], dtype="Int64"),
+                    "rz_wsum": pd.array(rows["rz_wsum"], dtype="Int64"),
+                    "rz_mean": pd.array(rows["rz_mean"], dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=RESIZE_SCHEMA)

@@ -2197,3 +2197,61 @@ def text_bm25(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# REAL image resize (operators/multimodal.py::resize_images): decode the
+# synthesized PNGs (same planted content as multimodal_decode_px), then
+# nearest-neighbor resample to 4x4 with the floor sampling grid
+# src = out_idx * in_dim // out_dim. The oracle recomputes the RESIZED
+# buffer symbolically — output position k' maps to source pixel
+# ((k'//12)*h//4, ((k'%12)//3)*w//4, k'%3), whose planted value is
+# (i*7 + src_k) % 256 — so rz_wsum adjudicates the exact sampling grid
+# and output layout, not just aggregate brightness.
+@query(
+    "multimodal_resize",
+    sql="""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, 48), k ->
+               (doc_id * 7
+                + (((k // 12) * (doc_id % 3 + 2) // 4) * (doc_id % 5 + 2)
+                   + ((k % 12) // 3) * (doc_id % 5 + 2) // 4) * 3
+                + (k % 3)) % 256)) AS BIGINT) AS rz_sum,
+           CAST(list_sum(list_transform(range(0, 48), k -> k *
+               ((doc_id * 7
+                 + (((k // 12) * (doc_id % 3 + 2) // 4) * (doc_id % 5 + 2)
+                    + ((k % 12) // 3) * (doc_id % 5 + 2) // 4) * 3
+                 + (k % 3)) % 256))) AS BIGINT) AS rz_wsum,
+           ROUND(list_sum(list_transform(range(0, 48), k ->
+               (doc_id * 7
+                + (((k // 12) * (doc_id % 3 + 2) // 4) * (doc_id % 5 + 2)
+                   + ((k % 12) // 3) * (doc_id % 5 + 2) // 4) * 3
+                + (k % 3)) % 256)) / 48.0, 6) AS rz_mean
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Real nearest-neighbor 4x4 resize of decoded PNG pixels."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i) % 5 + 2, int(i) % 3 + 2
+                px = bytes((int(i) * 7 + k) % 256 for k in range(w * h * 3))
+                payloads.append(
+                    M.encode_png(
+                        w, h, px, 3, filter_for_row=lambda y, i=int(i): (i + y) % 5
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.resize_images(with_png, out_w=4, out_h=4)

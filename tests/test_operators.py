@@ -1220,3 +1220,32 @@ def test_gif_lzw_decoder_dict_references_handbuilt():
     if nbits:
         stream.append(acc & 0xFF)
     assert _gif_lzw_decode(bytes(stream), 2) == [1, 2, 1, 2, 1, 2, 1]
+
+
+def test_resize_nearest_grids_and_identity():
+    from corintick_spark.operators import multimodal as M
+
+    px = bytes(range(2 * 2 * 3))
+    # identity
+    assert M.resize_nearest(px, 2, 2, 3, 2, 2) == px
+    # upscale 2x2 -> 4x4: quadrant replication under floor sampling
+    up = M.resize_nearest(px, 2, 2, 3, 4, 4)
+    assert len(up) == 48
+    assert up[0:3] == px[0:3] and up[6:9] == px[3:6]
+    assert up[36:39] == px[6:9] and up[45:48] == px[9:12]
+    # downscale 4x4 -> 2x2 picks pixels (0,0),(2,0),(0,2),(2,2)
+    big = bytes((i * 3) % 256 for i in range(4 * 4 * 3))
+    dn = M.resize_nearest(big, 4, 4, 3, 2, 2)
+    pick = lambda x, y: big[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+    assert dn == pick(0, 0) + pick(2, 0) + pick(0, 2) + pick(2, 2)
+
+
+def test_resize_images_null_propagates(spark):
+    from corintick_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = M.resize_images(df, 4, 4).collect()
+    assert all(r.rz_sum is None and r.width is None for r in rows)
