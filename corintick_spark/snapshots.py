@@ -160,6 +160,7 @@ class SnapshotStore:
         expected_base: int | None,
         schema: dict | None = None,
         token: str | None = None,
+        constraints: "dict[str, str] | None" = None,
     ) -> int:
         """Atomically commit `files` as the next version. `expected_base`
         is the version this write was based on (None for the first) — if
@@ -174,12 +175,19 @@ class SnapshotStore:
                 f"base version {expected_base} is stale (latest is {latest})"
             )
         version = 0 if latest is None else latest + 1
+        if constraints is None:  # inherit the base version's constraints
+            constraints = (
+                self.manifest(latest).get("constraints") or {}
+                if latest is not None
+                else {}
+            )
         manifest = {
             "version": version,
             "operation": operation,
             "files": files,
             "schema": schema,
             "token": token,
+            "constraints": constraints,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         target = self._manifest_path(version)
@@ -217,6 +225,7 @@ class SnapshotStore:
         for v in reversed(self.versions()):
             if self.manifest(v).get("token") == token:
                 return v
+        self._enforce(df)
         base = self.latest_version()
         prev = self.manifest(base)["files"] if base is not None else []
         schema = self._evolve_schema(
@@ -252,10 +261,69 @@ class SnapshotStore:
     def _base_schema(self, base: int | None) -> dict | None:
         return self.manifest(base).get("schema") if base is not None else None
 
+    def constraints(self) -> "dict[str, str]":
+        v = self.latest_version()
+        return (self.manifest(v).get("constraints") or {}) if v is not None else {}
+
+    def _enforce(self, df: DataFrame) -> None:
+        """CHECK-constraint enforcement on incoming rows (SQL semantics:
+        a row violates only when the predicate is FALSE — NULL passes,
+        like Delta's CHECK). One limit(1) probe per constraint; raises
+        before anything stages, so a rejected write leaves no trace."""
+        import pyspark.sql.functions as F
+
+        for name, pred in self.constraints().items():
+            bad = df.filter(
+                F.expr(f"NOT coalesce(({pred}), true)")
+            ).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} violated: {pred}"
+                )
+
+    def add_constraint(self, name: str, predicate: str) -> int:
+        """Record a CHECK constraint in the manifest log (versioned like
+        schema) after verifying EXISTING data satisfies it — the Delta
+        posture: a constraint can never be added over violating rows.
+        Every subsequent append/overwrite/merge/append_once enforces it
+        on incoming rows before staging."""
+        base = self.latest_version()
+        cons = dict(self.constraints())
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if base is not None:
+            import pyspark.sql.functions as F
+
+            bad = self.read().filter(
+                F.expr(f"NOT coalesce(({predicate}), true)")
+            ).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"existing rows violate {name!r}: {predicate}"
+                )
+        cons[name] = predicate
+        files = self.manifest(base)["files"] if base is not None else []
+        return self._commit(
+            files, "constraint", base, self._base_schema(base),
+            constraints=cons,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        base = self.latest_version()
+        cons = dict(self.constraints())
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        del cons[name]
+        return self._commit(
+            self.manifest(base)["files"], "constraint", base,
+            self._base_schema(base), constraints=cons,
+        )
+
     def append(self, df: DataFrame) -> int:
         """Commit a new version = previous file set + df's new files.
         Columns new to the table evolve the schema (recorded in the
         manifest); a type change on an existing column is rejected."""
+        self._enforce(df)
         base = self.latest_version()
         prev = self.manifest(base)["files"] if base is not None else []
         schema = self._evolve_schema(
@@ -266,6 +334,7 @@ class SnapshotStore:
     def overwrite(self, df: DataFrame) -> int:
         """Commit a new version whose file set is exactly df's files.
         Earlier versions (and their files) remain readable until expired."""
+        self._enforce(df)
         return self._commit(
             self._stage_files(df), "overwrite", self.latest_version(),
             df.schema.jsonValue(),
@@ -445,6 +514,7 @@ class SnapshotStore:
         old files (time travel across a merge works)."""
         import pyspark.sql.functions as F
 
+        self._enforce(source)
         base = self.latest_version()
         if base is None:
             return self._commit(

@@ -377,3 +377,39 @@ def test_bloom_index_missing_entry_is_scanned_not_skipped(store, spark):
     assert [r.k for r in store.read_where_eq("k", 42).collect()] == [42]
     with pytest.raises(ValueError):
         store.read_where_eq("k", None)
+
+
+def test_check_constraints_enforced_on_writes(store, spark):
+    import pyspark.sql.functions as F
+
+    store.append(_kv(spark, [(1, 10), (2, 20)]))
+    v = store.add_constraint("v_positive", "v > 0")
+    assert store.manifest(v)["operation"] == "constraint"
+    # good writes pass; violating writes are rejected BEFORE staging
+    store.append(_kv(spark, [(3, 30)]))
+    with pytest.raises(ValueError, match="v_positive"):
+        store.append(_kv(spark, [(4, -1)]))
+    with pytest.raises(ValueError, match="v_positive"):
+        store.merge(_kv(spark, [(1, -5)]), key="k")
+    with pytest.raises(ValueError, match="v_positive"):
+        store.append_once(_kv(spark, [(9, 0)]), token="e1")
+    assert store.read().count() == 3  # nothing staged by rejected writes
+    # NULL passes (SQL CHECK semantics)
+    store.append(
+        spark.createDataFrame([(5, None)], "k long, v long")
+    )
+    # constraints survive unrelated commits (compact inherits them)
+    store.compact(target_partitions=1)
+    with pytest.raises(ValueError, match="v_positive"):
+        store.overwrite(_kv(spark, [(1, -1)]))
+    # drop, then the same write succeeds
+    store.drop_constraint("v_positive")
+    store.append(_kv(spark, [(4, -1)]))
+
+
+def test_add_constraint_rejects_violating_history(store, spark):
+    store.append(_kv(spark, [(1, -10)]))
+    with pytest.raises(ValueError, match="existing rows violate"):
+        store.add_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError, match="no constraint"):
+        store.drop_constraint("nope")
