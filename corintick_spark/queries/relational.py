@@ -1768,3 +1768,51 @@ def join_bitmap(spark, sf_dir):
         )
         .orderBy("l_linestatus")
     )
+
+
+# Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+# duplicate multiplicities (min / truncated difference of per-value
+# counts), which the plain set forms destroy. Spark plans these as a
+# single aggregate-style hash op per side, not a join explosion; the
+# oracle is the identical ALL-form SQL. Mixed with a count check so the
+# multiplicity arithmetic (not just membership) is adjudicated.
+@query(
+    "set_ops_all",
+    sql="""
+    SELECT nationkey, 'intersect_all' AS op, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    UNION ALL
+    SELECT nationkey, 'except_all' AS op, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    ORDER BY op, nationkey
+    """,
+)
+def set_ops_all(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL with multiplicity counts per nation."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    inter = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(exc).select("nationkey", "op", "n").orderBy(
+        "op", "nationkey"
+    )
