@@ -779,3 +779,85 @@ def stream_cdf_source(spark, sf_dir):
         ).alias("total_value"),
     )
     return run_processall_to_memory(agg, spark)
+
+
+# Continuously-maintained MATERIALIZED VIEW — the capstone composition of
+# the table layer's pieces: a base store receives 3 appended versions;
+# the snapcdf source streams each version as a micro-batch; foreachBatch
+# folds each batch into the per-type aggregate with refresh_aggregate
+# (O(|batch|), base never rescanned) and commits the refreshed MV to a
+# SECOND store via token-idempotent overwrite_once (a retried epoch
+# re-derives the same state and must not double-commit). The oracle is a
+# full recompute over all appended rows, so the driver adjudicates that
+# the incremental fold chain equals the from-scratch aggregate.
+@query(
+    "stream_ivm",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_scaled
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_ivm(spark, sf_dir):
+    """Materialized per-type aggregate maintained incrementally from the
+    table's own change stream."""
+    import os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from corintick_spark.snapshots import SnapshotStore, refresh_aggregate
+    from corintick_spark.sources.cdf_source import make_cdf_stream_datasource
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("scaled"),
+    )
+    base = SnapshotStore(spark, _tf.mkdtemp(prefix="ivm_base_") + "/tbl")
+    for i in range(3):
+        base.append(ev.filter(F.col("event_id") % 3 == i))
+    mv = SnapshotStore(spark, _tf.mkdtemp(prefix="ivm_mv_") + "/tbl")
+
+    try:
+        spark.dataSource.register(make_cdf_stream_datasource())
+    except Exception as e:
+        msg = str(e).lower()
+        if not ("already" in msg and ("exist" in msg or "register" in msg)):
+            raise
+
+    def refresh(batch_df, batch_id):
+        delta = batch_df.withColumn("change_type", F.lit("insert"))
+        if mv.latest_version() is None:
+            agg = spark.createDataFrame(
+                [], "event_type string, n_rows bigint, sum_scaled bigint"
+            )
+        else:
+            agg = mv.read()
+        new = refresh_aggregate(
+            agg, delta, ["event_type"], {"scaled": "sum_scaled"},
+            count_col="n_rows",
+        )
+        mv.overwrite_once(new.coalesce(1), token=f"epoch-{batch_id}")
+
+    src = (
+        spark.readStream.format("snapcdf")
+        .option("path", base.root)
+        .option(
+            "columns", "event_id bigint, event_type string, scaled bigint"
+        )
+        .load()
+    )
+    ckpt = _tf.mkdtemp(prefix="ckpt_ivm_")
+    q = (
+        src.writeStream.foreachBatch(refresh)
+        .queryName("ivm" + _uuid.uuid4().hex[:8])
+        .option("checkpointLocation", os.path.join(ckpt, "wal"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return mv.read().orderBy("event_type")

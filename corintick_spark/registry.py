@@ -107,8 +107,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # embedding_centroids/covariance, text remainder, and the round-5 late
 # wave: storage_merge, storage_cdf, storage_delete,
 # multimodal_decode_gif/bmp/pcm, plus the round-5 second-session wave:
-# join_bloom_prefilter, join_bitmap, graph_bfs, storage_pruned_read,
-# storage_zorder, storage_ivm, events_pattern), then
+# join_bloom_prefilter, join_bitmap, join_dpp, graph_bfs,
+# storage_pruned_read, storage_zorder, storage_ivm, storage_bloom_lookup,
+# stream_cdf_source, stream_versioned_enrich, events_pattern, text_bm25,
+# agg_exact_median, agg_group_median, agg_chi2, multimodal_resize,
+# set_ops_all), then
 # backfill with rotated-out r01-r04 queries for re-confirmation.
 
 

@@ -340,6 +340,22 @@ class SnapshotStore:
             df.schema.jsonValue(),
         )
 
+    def overwrite_once(self, df: DataFrame, token: str) -> int:
+        """Idempotent full replacement — the exactly-once primitive for a
+        MATERIALIZED VIEW refreshed per micro-batch: if a committed
+        manifest already carries `token`, return that version without
+        writing (a foreachBatch retry re-deriving the same refreshed
+        state must not commit it twice). Same token discipline as
+        :meth:`append_once`, replace-all semantics instead of append."""
+        for v in reversed(self.versions()):
+            if self.manifest(v).get("token") == token:
+                return v
+        self._enforce(df)
+        return self._commit(
+            self._stage_files(df), "overwrite", self.latest_version(),
+            df.schema.jsonValue(), token=token,
+        )
+
     def compact(self, target_partitions: int = 1) -> int:
         """Rewrite the CURRENT version's data into `target_partitions`
         files and commit as a new version. Readers pinned to any earlier

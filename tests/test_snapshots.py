@@ -413,3 +413,12 @@ def test_add_constraint_rejects_violating_history(store, spark):
         store.add_constraint("v_positive", "v > 0")
     with pytest.raises(ValueError, match="no constraint"):
         store.drop_constraint("nope")
+
+
+def test_overwrite_once_token_idempotent(store, spark):
+    v0 = store.overwrite_once(_kv(spark, [(1, 1)]), token="e0")
+    v1 = store.overwrite_once(_kv(spark, [(2, 2), (3, 3)]), token="e1")
+    assert (v0, v1) == (0, 1)
+    # retry of e1 returns the committed version, writes nothing
+    assert store.overwrite_once(_kv(spark, [(9, 9)]), token="e1") == v1
+    assert sorted(r.k for r in store.read().collect()) == [2, 3]
