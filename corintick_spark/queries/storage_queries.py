@@ -861,3 +861,63 @@ def stream_ivm(spark, sf_dir):
     q.stop()
     q.awaitTermination()
     return mv.read().orderBy("event_type")
+
+
+# The partition-planning tier of the CDF stream (sources/cdf_source.py::
+# make_cdf_partitioned_datasource): same version-per-batch semantics as
+# stream_cdf_source, but each added FILE becomes one InputPartition and
+# executors read the parquet splits in parallel — rows never funnel
+# through the driver-side source runner. This is the tier you run at
+# 100 TB; SCALING.md carries the measured simple-vs-partitioned step.
+@query(
+    "stream_cdf_partitioned",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_cdf_partitioned(spark, sf_dir):
+    """3 appended versions streamed through the partitioned CDF source."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+    from corintick_spark.sources.cdf_source import (
+        make_cdf_partitioned_datasource,
+    )
+    from corintick_spark.streaming.events_stream import (
+        run_processall_to_memory,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapcdfp_") + "/tbl")
+    for i in range(3):
+        store.append(ev.filter(F.col("event_id") % 3 == i))
+
+    try:
+        spark.dataSource.register(make_cdf_partitioned_datasource())
+    except Exception as e:
+        msg = str(e).lower()
+        if not ("already" in msg and ("exist" in msg or "register" in msg)):
+            raise
+    src = (
+        spark.readStream.format("snapcdfp")
+        .option("path", store.root)
+        .option(
+            "columns", "event_id bigint, event_type string, value double"
+        )
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+            .cast("double") / 1_000_000
+        ).alias("total_value"),
+    )
+    return run_processall_to_memory(agg, spark)

@@ -118,3 +118,123 @@ def make_cdf_stream_datasource():
             return CdfReader(self.options)
 
     return CdfDataSource
+
+
+def make_cdf_partitioned_datasource():
+    """`snapcdfp` — the partition-planning tier of the CDF stream source
+    (DataSourceStreamReader instead of SimpleDataSourceStreamReader): the
+    driver-side runner only diffs manifests; each ADDED FILE becomes one
+    InputPartition, so executors read the parquet files in parallel and
+    rows never funnel through the driver — the shape that removes the
+    row-tuple bottleneck SCALING.md measured on the simple tier (2.84×
+    at 10× data). Offsets are still version numbers (one version per
+    micro-batch via rate-limited latestOffset); the same append-only
+    contract raises on file-removing versions."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class FilePartition(InputPartition):
+        def __init__(self, path, cols):
+            self.path = path
+            self.cols = cols
+
+    class CdfPartitionedReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.root = options.get("path")
+            self.cols = [
+                c.strip().split(" ")[0]
+                for c in options.get("columns").split(",")
+            ]
+
+        def _versions(self):
+            import os
+
+            d = os.path.join(self.root, "_snapshots")
+            if not os.path.isdir(d):
+                return []
+            return sorted(
+                int(n[1:-5])
+                for n in os.listdir(d)
+                if n.startswith("v") and n.endswith(".json")
+                and n[1:-5].isdigit()
+            )
+
+        def _manifest(self, v):
+            import json
+            import os
+
+            with open(
+                os.path.join(self.root, "_snapshots", f"v{v}.json")
+            ) as fh:
+                return json.load(fh)
+
+        def initialOffset(self):
+            return {"v": -1}
+
+        def latestOffset(self):
+            # rate-limit to ONE version per micro-batch so each commit
+            # replays as its own batch (same cadence as the simple tier)
+            vs = self._versions()
+            latest = vs[-1] if vs else -1
+            cur = getattr(self, "_last", -1)
+            nxt = min(cur + 1, latest)
+            self._last = nxt
+            return {"v": nxt}
+
+        def partitions(self, start, end):
+            import os
+
+            parts = []
+            for v in range(int(start["v"]) + 1, int(end["v"]) + 1):
+                m = self._manifest(v)
+                prev = set()
+                if v > 0:
+                    prev = {
+                        f["path"] for f in self._manifest(v - 1)["files"]
+                    }
+                    cur = {f["path"] for f in m["files"]}
+                    if not prev <= cur:
+                        raise ValueError(
+                            f"version {v} ({m.get('operation')}) removed "
+                            "files — snapcdfp requires append-only history"
+                        )
+                parts.extend(
+                    FilePartition(os.path.join(self.root, f["path"]), self.cols)
+                    for f in m["files"]
+                    if f["path"] not in prev
+                )
+            # Spark requires >=1 partition per batch; an all-carried batch
+            # (e.g. a constraint/index commit) contributes an empty one
+            return parts or [FilePartition(None, self.cols)]
+
+        def read(self, partition):
+            if partition.path is None:
+                return iter([])
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path, columns=partition.cols)
+            return iter(
+                [
+                    tuple(r[c] for c in partition.cols)
+                    for r in tbl.to_pylist()
+                ]
+            )
+
+        def commit(self, end):
+            pass
+
+    class CdfPartitionedDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "snapcdfp"
+
+        def schema(self) -> str:
+            return self.options.get("columns")
+
+        def streamReader(self, schema):
+            return CdfPartitionedReader(self.options)
+
+    return CdfPartitionedDataSource

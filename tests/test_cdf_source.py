@@ -76,3 +76,52 @@ def test_rewrite_version_raises_append_only(spark, tmp_path):
     _register(spark)
     with pytest.raises(Exception, match="append-only"):
         _run_foreach(spark, _stream(spark, store), lambda df, bid: df.count())
+
+
+def _stream_p(spark, store):
+    try:
+        spark.dataSource.register(
+            __import__(
+                "corintick_spark.sources.cdf_source", fromlist=["x"]
+            ).make_cdf_partitioned_datasource()
+        )
+    except Exception as e:
+        msg = str(e).lower()
+        if not ("already" in msg and ("exist" in msg or "register" in msg)):
+            raise
+    return (
+        spark.readStream.format("snapcdfp")
+        .option("path", store.root)
+        .option("columns", "k bigint, v bigint")
+        .load()
+    )
+
+
+def test_partitioned_source_version_per_batch(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    for i in range(3):
+        store.append(
+            spark.range(i * 10, i * 10 + 10)
+            .repartition(4)  # several files per version -> real partitions
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        )
+    seen: list[tuple[int, int]] = []
+
+    def fold(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    _run_foreach(spark, _stream_p(spark, store), fold)
+    nonempty = [s for s in seen if s[1] > 0]
+    assert [n for _, n in nonempty] == [10, 10, 10]
+
+
+def test_partitioned_source_rejects_rewrites(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+    )
+    store.compact(target_partitions=1)
+    with pytest.raises(Exception, match="append-only"):
+        _run_foreach(spark, _stream_p(spark, store), lambda df, b: df.count())
