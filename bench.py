@@ -63,6 +63,13 @@ EXTRAS = [
     "pack_fragments",
     "corpus_mixture",
     "multimodal_decode_px",
+    # round-5 second session: runtime filters, BFS, exact quantiles, BM25
+    "join_bloom_prefilter",
+    "graph_bfs",
+    "agg_exact_median",
+    "agg_group_median",
+    "text_bm25",
+    "stream_cdf_partitioned",
 ]
 
 

@@ -699,6 +699,20 @@ class SnapshotStore:
             self._base_schema(base),
         )
 
+    def read_asof(self, timestamp: str) -> DataFrame:
+        """Time travel by WALL CLOCK: read the latest version committed at
+        or before `timestamp` (ISO-8601 UTC, e.g. '2026-08-15T03:00:00Z'
+        — the manifests' committed_at format). Versions committing within
+        the same second resolve to the highest version, matching commit
+        order. Raises if nothing was committed yet at that time."""
+        best = None
+        for v in self.versions():
+            if self.manifest(v)["committed_at"] <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(f"no version committed at or before {timestamp}")
+        return self.read(version=best)
+
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """Change data feed between two committed versions: the table rows
         inserted and deleted going from `from_version` to `to_version`,

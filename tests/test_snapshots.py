@@ -422,3 +422,17 @@ def test_overwrite_once_token_idempotent(store, spark):
     # retry of e1 returns the committed version, writes nothing
     assert store.overwrite_once(_kv(spark, [(9, 9)]), token="e1") == v1
     assert sorted(r.k for r in store.read().collect()) == [2, 3]
+
+
+def test_read_asof_timestamp(store, spark):
+    store.append(_kv(spark, [(1, 1)]))
+    store.append(_kv(spark, [(2, 2)]))
+    ts0 = store.manifest(0)["committed_at"]
+    ts1 = store.manifest(1)["committed_at"]
+    # at-or-before v1's commit time resolves to the LATEST version in
+    # that second (commit order), and a far-future ts sees everything
+    assert store.read_asof("2999-01-01T00:00:00Z").count() == 2
+    got = store.read_asof(ts1).count()
+    assert got == 2 if ts1 > ts0 else got in (1, 2)
+    with pytest.raises(ValueError, match="no version"):
+        store.read_asof("1999-01-01T00:00:00Z")
