@@ -869,3 +869,64 @@ def events_pattern(spark, sf_dir):
         .filter(F.col("n_matches") > 0)
         .orderBy("user_id", "day")
     )
+
+
+# RFM segmentation — the classic customer-analytics triple: per-user
+# Recency / Frequency / Monetary from one purchase aggregation, quintile
+# scores via NTILE over deterministic total orders (metric + user_id
+# tiebreak, so both engines tile identically), concatenated into the
+# segment label. Scale shape: one grouped pass over purchases, then
+# windows over the |users|-sized aggregate — the corpus is never
+# re-scanned for scoring. The NTILE windows are globally ordered; at
+# billions of users the scale path swaps them for quantile BOUNDARIES
+# (agg_approx_quantile / operators/quantile.py) broadcast back as a
+# bucket join, trading exact tiling at the boundary for no global sort.
+@query(
+    "events_rfm",
+    sql="""
+    WITH p AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts,
+               COUNT(*) AS freq,
+               SUM(CAST(round(value * 1000000) AS BIGINT)) AS monet
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS INT) AS r,
+           CAST(NTILE(5) OVER (ORDER BY freq DESC, user_id) AS INT) AS f,
+           CAST(NTILE(5) OVER (ORDER BY monet DESC, user_id) AS INT) AS m,
+           CAST(NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS VARCHAR)
+           || CAST(NTILE(5) OVER (ORDER BY freq DESC, user_id) AS VARCHAR)
+           || CAST(NTILE(5) OVER (ORDER BY monet DESC, user_id) AS VARCHAR)
+               AS segment
+    FROM p ORDER BY user_id
+    """,
+)
+def events_rfm(spark, sf_dir):
+    """Per-user RFM quintile scores and segment label from purchases."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.round(F.col("value") * 1_000_000).cast("bigint")
+            ).alias("monet"),
+        )
+    )
+    r = F.ntile(5).over(W.orderBy(F.desc("last_ts"), F.asc("user_id")))
+    f = F.ntile(5).over(W.orderBy(F.desc("freq"), F.asc("user_id")))
+    m = F.ntile(5).over(W.orderBy(F.desc("monet"), F.asc("user_id")))
+    return p.select(
+        "user_id",
+        r.cast("int").alias("r"),
+        f.cast("int").alias("f"),
+        m.cast("int").alias("m"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment"),
+    ).orderBy("user_id")

@@ -1312,3 +1312,78 @@ def agg_chi2(spark, sf_dir):
             ).cast("bigint").alias("dof"),
         )
     )
+
+
+# Welch two-sample t-test (unequal variances): urgent vs non-urgent order
+# values. One grouped pass collects exact scaled-integer moments (the
+# agg_regression discipline — order-independent sums, so the statistic is
+# bit-stable across partitionings); the test statistic and the
+# Welch-Satterthwaite dof are derived scalar arithmetic on the 2-row
+# moment table. Completes the inferential-stats tier next to agg_chi2.
+@query(
+    "agg_ttest",
+    sql="""
+    WITH m AS (
+        SELECT (o_orderpriority = '1-URGENT') AS grp,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS sx,
+               CAST(SUM(CAST(round(o_totalprice * o_totalprice * 100)
+                             AS BIGINT)) AS DOUBLE) / 100 AS sxx
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT MAX(CASE WHEN grp THEN n END) AS n1,
+               MAX(CASE WHEN NOT grp THEN n END) AS n2,
+               MAX(CASE WHEN grp THEN sx / n END) AS m1,
+               MAX(CASE WHEN NOT grp THEN sx / n END) AS m2,
+               MAX(CASE WHEN grp THEN (sxx - sx * sx / n) / (n - 1) END)
+                   AS v1,
+               MAX(CASE WHEN NOT grp THEN (sxx - sx * sx / n) / (n - 1) END)
+                   AS v2
+        FROM m
+    )
+    SELECT n1, n2,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(POW(v1 / n1 + v2 / n2, 2)
+                 / (POW(v1 / n1, 2) / (n1 - 1)
+                    + POW(v2 / n2, 2) / (n2 - 1)), 2) AS welch_dof
+    FROM s
+    """,
+)
+def agg_ttest(spark, sf_dir):
+    """Welch t-test of order value: urgent vs non-urgent priority."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.col("o_orderpriority") == "1-URGENT").alias("grp")
+    ).agg(
+        F.count("*").alias("n"),
+        _ssum(F.col("o_totalprice"), 100).alias("sx"),
+        _ssum(F.col("o_totalprice") * F.col("o_totalprice"), 100).alias(
+            "sxx"
+        ),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    s = m.agg(
+        F.max(F.when(F.col("grp"), F.col("n"))).alias("n1"),
+        F.max(F.when(~F.col("grp"), F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp"), mean)).alias("m1"),
+        F.max(F.when(~F.col("grp"), mean)).alias("m2"),
+        F.max(F.when(F.col("grp"), var)).alias("v1"),
+        F.max(F.when(~F.col("grp"), var)).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dof, 2).alias("welch_dof"),
+    )

@@ -40,6 +40,9 @@ SELF_EXECUTING = {
         "dedup_incremental",    # writes a signature table
         "source_python_stream", # runs a streaming query
         "graph_pagerank",       # iterative loop with checkpoints
+        "agg_exact_median",     # driver-pass selection; returns a local relation
+        "agg_group_median",     # driver-pass selection; returns a local relation
+        "graph_bfs",            # iterative frontier loop with checkpoints
     }
 }
 
