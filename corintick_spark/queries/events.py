@@ -930,3 +930,96 @@ def events_rfm(spark, sf_dir):
             r.cast("string"), f.cast("string"), m.cast("string")
         ).alias("segment"),
     ).orderBy("user_id")
+
+
+# Kaplan-Meier survival estimator — time from first activity to first
+# purchase, administratively censored at 100h (the standard product-limit
+# construction: S(t) = prod over event times t'<=t of 1 - deaths/at_risk,
+# computed as exp of an ordered running sum of logs). Scale shape: two
+# grouped passes over events build the per-user duration table; every
+# window after that runs over the <=101-row distinct-duration table, so
+# the global ordering is bounded-cardinality by construction. The oracle
+# is the textbook correlated-risk-set formulation.
+@query(
+    "events_survival",
+    sql="""
+    WITH first_ev AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+    ), first_p AS (
+        SELECT user_id, MIN(ts) AS tp FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), obs AS (
+        SELECT CASE WHEN tp IS NOT NULL AND
+                    FLOOR((epoch_us(tp) - epoch_us(t0)) / 3600000000.0)
+                        <= 100
+               THEN CAST(FLOOR((epoch_us(tp) - epoch_us(t0))
+                               / 3600000000.0) AS BIGINT)
+               ELSE CAST(100 AS BIGINT) END AS d,
+               (tp IS NOT NULL AND
+                FLOOR((epoch_us(tp) - epoch_us(t0)) / 3600000000.0) <= 100)
+                   AS ev
+        FROM first_ev LEFT JOIN first_p USING (user_id)
+    ), times AS (
+        SELECT d AS t, COUNT(*) FILTER (WHERE ev) AS deaths
+        FROM obs GROUP BY d HAVING COUNT(*) FILTER (WHERE ev) > 0
+    ), risk AS (
+        SELECT t, deaths,
+               (SELECT COUNT(*) FROM obs WHERE obs.d >= times.t) AS n_risk
+        FROM times
+    )
+    SELECT t, deaths, n_risk,
+           ROUND(EXP(SUM(LN(1 - CAST(deaths AS DOUBLE) / n_risk))
+                     OVER (ORDER BY t)), 6) AS survival
+    FROM risk ORDER BY t
+    """,
+)
+def events_survival(spark, sf_dir):
+    """KM survival curve of hours-to-first-purchase, censored at 100h."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    t0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    dur = F.floor(
+        (F.unix_micros("tp") - F.unix_micros("t0")) / F.lit(3_600_000_000.0)
+    )
+    obs = (
+        t0.join(tp, "user_id", "left")
+        .select(
+            F.when(
+                F.col("tp").isNotNull() & (dur <= 100), dur.cast("bigint")
+            )
+            .otherwise(F.lit(100).cast("bigint"))
+            .alias("d"),
+            (F.col("tp").isNotNull() & (dur <= 100)).alias("ev"),
+        )
+    )
+    per_d = obs.groupBy(F.col("d").alias("t")).agg(
+        F.count("*").alias("cnt"),
+        F.count_if("ev").alias("deaths"),
+    )
+    # at-risk at t = total obs - all obs with smaller duration: one
+    # running sum over the bounded distinct-duration table
+    w_ord = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    total = obs.count()
+    risk = per_d.select(
+        "t",
+        "deaths",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum("cnt").over(w_ord), F.lit(0))
+        ).alias("n_risk"),
+    ).filter(F.col("deaths") > 0)
+    w_run = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    surv = F.exp(
+        F.sum(
+            F.log(1 - F.col("deaths").cast("double") / F.col("n_risk"))
+        ).over(w_run)
+    )
+    return risk.select(
+        "t", "deaths", "n_risk", F.round(surv, 6).alias("survival")
+    ).orderBy("t")
