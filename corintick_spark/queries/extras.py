@@ -1328,8 +1328,11 @@ def agg_chi2(spark, sf_dir):
                COUNT(*) AS n,
                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                    / 100 AS sx,
+               -- squared sums blow the scaled-long budget past ~1M rows
+               -- (exact.py overflow note): accumulate exactly in
+               -- DECIMAL(38,0), convert once at the end
                CAST(SUM(CAST(round(o_totalprice * o_totalprice * 100)
-                             AS BIGINT)) AS DOUBLE) / 100 AS sxx
+                             AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sxx
         FROM orders GROUP BY 1
     ), s AS (
         SELECT MAX(CASE WHEN grp THEN n END) AS n1,
@@ -1359,9 +1362,14 @@ def agg_ttest(spark, sf_dir):
     ).agg(
         F.count("*").alias("n"),
         _ssum(F.col("o_totalprice"), 100).alias("sx"),
-        _ssum(F.col("o_totalprice") * F.col("o_totalprice"), 100).alias(
-            "sxx"
-        ),
+        (
+            F.sum(
+                F.round(
+                    F.col("o_totalprice") * F.col("o_totalprice") * 100
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 100
+        ).alias("sxx"),
     )
     mean = F.col("sx") / F.col("n")
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
