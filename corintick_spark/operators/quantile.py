@@ -164,3 +164,94 @@ def grouped_quantile(
         [(g, v) for g, v in sorted(done.items(), key=lambda t: str(t[0]))],
         "g " + dict(vals.dtypes)["g"] + ", value bigint",
     ).withColumnRenamed("g", group)
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group: str,
+    col: str,
+    qs: "list[float]",
+) -> "DataFrame":
+    """Exact per-group quantiles for SEVERAL q at once — the same
+    simultaneous refinement as :func:`grouped_quantile`, with state keyed
+    by (group, q): every pass is still ONE histogram aggregation, the
+    broadcast bounds table carries one row per still-active (group, q)
+    pair, and the data-side join fans each row out only to its group's
+    active quantile ranges. Pass count stays max-over-targets (2-3 for
+    integer domains) regardless of how many quantiles are requested —
+    asking for the median and then the quartiles separately would triple
+    the scans this shares.
+
+    Returns (group, q, value). q values must be distinct, each in (0, 1]."""
+    if len(set(qs)) != len(qs) or not qs:
+        raise ValueError("qs must be non-empty and distinct")
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError("each q must be in (0, 1]")
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.col(group).alias("g"), F.col(col).cast("bigint").alias("x")
+    )
+    head = (
+        vals.groupBy("g")
+        .agg(F.min("x"), F.max("x"), F.count(F.lit(1)))
+        .collect()
+    )
+    if len(head) * len(qs) > GROUPS_MAX:
+        raise ValueError(
+            f"{len(head)} groups x {len(qs)} quantiles exceeds "
+            f"GROUPS_MAX={GROUPS_MAX}"
+        )
+    g_type = dict(vals.dtypes)["g"]
+    state: dict = {}
+    for g, lo, hi, n in head:
+        for q in qs:
+            k = max(1, -(-int(q * 1_000_000 * int(n)) // 1_000_000))
+            state[(g, q)] = [int(lo), int(hi), k]
+    done: dict = {}
+    spark = df.sparkSession
+    while state:
+        for key in [k for k, (lo, hi, _) in state.items() if lo == hi]:
+            done[key] = state.pop(key)[0]
+        if not state:
+            break
+        bounds = spark.createDataFrame(
+            [
+                (g, float(q), lo, hi, -(-(hi - lo + 1) // BUCKETS))
+                for (g, q), (lo, hi, _) in state.items()
+            ],
+            f"g_b {g_type}, q double, lo bigint, hi bigint, sz bigint",
+        )
+        hist = (
+            vals.join(
+                F.broadcast(bounds),
+                (vals.g == bounds.g_b)
+                & (vals.x >= bounds.lo)
+                & (vals.x <= bounds.hi),
+            )
+            .groupBy("g", "q", F.expr("(x - lo) div sz").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_key: dict = {}
+        for r in hist:
+            per_key.setdefault((r["g"], r["q"]), {})[int(r["b"])] = int(r["c"])
+        for key, counts in per_key.items():
+            lo, hi, k = state[key]
+            size = -(-(hi - lo + 1) // BUCKETS)
+            cum = 0
+            for b in sorted(counts):
+                if cum + counts[b] >= k:
+                    state[key] = [
+                        lo + b * size,
+                        min(hi, lo + b * size + size - 1),
+                        k - cum,
+                    ]
+                    break
+                cum += counts[b]
+    return spark.createDataFrame(
+        [
+            (g, q, v)
+            for (g, q), v in sorted(done.items(), key=lambda t: (str(t[0][0]), t[0][1]))
+        ],
+        f"g {g_type}, q double, value bigint",
+    ).withColumnRenamed("g", group)

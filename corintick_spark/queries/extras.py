@@ -1395,3 +1395,47 @@ def agg_ttest(spark, sf_dir):
         F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(dof, 2).alias("welch_dof"),
     )
+
+
+# Per-group quartiles in SHARED refinement passes (operators/quantile.py::
+# grouped_quantiles): state is keyed by (group, q), so p25/p50/p75 for
+# every returnflag resolve in the same 2-3 histogram aggregations a
+# single median would take — three separate selections would triple the
+# scans. The oracle is three windowed ROW_NUMBER selections UNIONed.
+@query(
+    "agg_group_quartiles",
+    sql="""
+    WITH v AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), r AS (
+        SELECT grp, x,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM v
+    )
+    SELECT grp, CAST(q AS DOUBLE) AS q, CAST(x AS DOUBLE) / 100 AS value
+    FROM (
+        SELECT grp, 0.25 AS q, x, rn, CAST(CEIL(n * 0.25) AS BIGINT) AS k
+        FROM r
+        UNION ALL
+        SELECT grp, 0.5, x, rn, CAST(CEIL(n * 0.5) AS BIGINT) FROM r
+        UNION ALL
+        SELECT grp, 0.75, x, rn, CAST(CEIL(n * 0.75) AS BIGINT) FROM r
+    ) WHERE rn = k
+    ORDER BY grp, q
+    """,
+)
+def agg_group_quartiles(spark, sf_dir):
+    """p25/p50/p75 lineitem price per returnflag, all in shared passes."""
+    from corintick_spark.operators.quantile import grouped_quantiles
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    out = grouped_quantiles(li, "grp", "cents", [0.25, 0.5, 0.75])
+    return out.select(
+        "grp", "q", (F.col("value").cast("double") / 100).alias("value")
+    ).orderBy("grp", "q")

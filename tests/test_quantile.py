@@ -90,3 +90,36 @@ def test_grouped_quantile_string_groups_and_null_only_group(spark):
     )
     got = {r.g: r.value for r in grouped_quantile(df, "g", "x", 0.5).collect()}
     assert got == {"a": 2, "b": 10}  # null-only group 'c' absent
+
+
+def test_grouped_quantiles_multi_matches_singles(spark):
+    from corintick_spark.operators.quantile import (
+        grouped_quantile,
+        grouped_quantiles,
+    )
+
+    rows = [((i * 3) % 4, ((i * 48271) % 9973) - 5000) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g int, x bigint")
+    multi = {
+        (r.g, r.q): r.value
+        for r in grouped_quantiles(df, "g", "x", [0.25, 0.5, 0.75]).collect()
+    }
+    for q in (0.25, 0.5, 0.75):
+        single = {
+            r.g: r.value for r in grouped_quantile(df, "g", "x", q).collect()
+        }
+        assert {g: multi[(g, q)] for g in single} == single, f"q={q}"
+
+
+def test_grouped_quantiles_validation(spark):
+    from corintick_spark.operators.quantile import grouped_quantiles
+
+    df = spark.createDataFrame([(1, 1)], "g int, x bigint")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        grouped_quantiles(df, "g", "x", [])
+    with _pt.raises(ValueError):
+        grouped_quantiles(df, "g", "x", [0.5, 0.5])
+    with _pt.raises(ValueError):
+        grouped_quantiles(df, "g", "x", [0.0])
