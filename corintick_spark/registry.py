@@ -110,8 +110,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # join_bloom_prefilter, join_bitmap, join_dpp, graph_bfs,
 # storage_pruned_read, storage_zorder, storage_ivm, storage_bloom_lookup,
 # stream_cdf_source, stream_versioned_enrich, events_pattern, text_bm25,
-# agg_exact_median, agg_group_median, agg_chi2, multimodal_resize,
-# set_ops_all), then
+# agg_exact_median, agg_group_median, agg_group_quartiles, agg_chi2,
+# agg_ttest, events_rfm, events_survival, multimodal_resize, set_ops_all,
+# stream_ivm, stream_cdf_partitioned), then
 # backfill with rotated-out r01-r04 queries for re-confirmation.
 
 

@@ -42,6 +42,7 @@ SELF_EXECUTING = {
         "graph_pagerank",       # iterative loop with checkpoints
         "agg_exact_median",     # driver-pass selection; returns a local relation
         "agg_group_median",     # driver-pass selection; returns a local relation
+        "agg_group_quartiles",  # driver-pass selection; returns a local relation
         "graph_bfs",            # iterative frontier loop with checkpoints
     }
 }
