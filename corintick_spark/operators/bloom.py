@@ -274,3 +274,21 @@ def semi_join_auto(
     return bloom_semi_join(
         fact, dim, fact_key, dim_key, num_bits=min(bits, 1 << 24)
     )
+
+
+def bitmap_anti_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    max_key: int,
+) -> DataFrame:
+    """EXACT `fact LEFT ANTI JOIN dim` with no join in the plan — the dual
+    of :func:`bitmap_semi_join`. Because the bitmap is exact (no FPs, no
+    FNs), negating the membership probe IS the anti-join; NULL fact keys
+    are kept (they never equi-match, so LEFT ANTI retains them) and
+    out-of-domain keys are kept for the same reason. A bloom filter could
+    NOT do this: its false positives would silently DROP non-matching
+    rows, which is why only the exact structure gets an anti form."""
+    words = build_bitmap(dim, dim_key, max_key)
+    return fact.filter(~in_bitmap(F.col(fact_key), words))

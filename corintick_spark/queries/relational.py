@@ -1816,3 +1816,40 @@ def set_ops_all(spark, sf_dir):
     return inter.unionByName(exc).select("nationkey", "op", "n").orderBy(
         "op", "nationkey"
     )
+
+
+# Exact-bitmap ANTI join elimination — the exclusion dual of join_bitmap:
+# rows whose key is NOT in the dim fold to a negated map-side bitmap
+# probe, no join operator anywhere. Only the EXACT structure supports
+# this (a bloom's false positives would silently drop keepers); NULL and
+# out-of-domain fact keys are correctly retained per LEFT ANTI semantics.
+@query(
+    "join_bitmap_anti",
+    sql=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           {DSUM("l.l_quantity", "sum_qty")}
+    FROM lineitem l
+    WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 45)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def join_bitmap_anti(spark, sf_dir):
+    """Lineitem excluding large parts via the negated exact bitmap."""
+    from corintick_spark.operators.bloom import bitmap_anti_join
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity"
+    )
+    max_key = table(spark, sf_dir, "part").agg(F.max("p_partkey")).first()[0]
+    return (
+        bitmap_anti_join(li, p, "l_partkey", "p_partkey", max_key=max_key)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -182,3 +182,22 @@ def test_auto_empty_dim(spark):
     dim = spark.createDataFrame([], "k bigint")
     fact = spark.range(0, 10).select(F.col("id").alias("fk"))
     assert semi_join_auto(fact, dim, "fk", "k").count() == 0
+
+
+def test_bitmap_anti_exact_and_joinless(spark, dim):
+    from corintick_spark.operators.bloom import bitmap_anti_join
+
+    fact = spark.createDataFrame(
+        [(7,), (3,), (None,), (99999,)], "fk bigint"
+    ).unionByName(spark.range(0, 3000).select((F.col("id") % 5000).alias("fk")))
+    got = bitmap_anti_join(fact, dim, "fk", "k", max_key=4096)
+    want = fact.join(
+        dim.select(F.col("k").alias("fk")).distinct(), "fk", "left_anti"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    # NULL and out-of-domain keys retained (LEFT ANTI semantics)
+    kept = {r.fk for r in got.collect()}
+    assert None in kept and 99999 in kept
