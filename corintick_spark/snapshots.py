@@ -699,6 +699,22 @@ class SnapshotStore:
             self._base_schema(base),
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE: roll the table back to `version` as a NEW commit whose
+        file set is exactly that version's (Delta's RESTORE shape) — the
+        history stays linear and auditable, nothing is deleted, and time
+        travel still sees every intermediate state. The restored commit
+        inherits the CURRENT constraints (a rollback is not a constraint
+        bypass); raises if the target version's rows violate one added
+        since."""
+        files = self.manifest(version)["files"]
+        if self.constraints():
+            self._enforce(self.read(version=version))
+        return self._commit(
+            files, "restore", self.latest_version(),
+            self.manifest(version).get("schema"),
+        )
+
     def read_asof(self, timestamp: str) -> DataFrame:
         """Time travel by WALL CLOCK: read the latest version committed at
         or before `timestamp` (ISO-8601 UTC, e.g. '2026-08-15T03:00:00Z'

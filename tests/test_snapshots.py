@@ -436,3 +436,20 @@ def test_read_asof_timestamp(store, spark):
     assert got == 2 if ts1 > ts0 else got in (1, 2)
     with pytest.raises(ValueError, match="no version"):
         store.read_asof("1999-01-01T00:00:00Z")
+
+
+def test_restore_rolls_back_as_new_commit(store, spark):
+    store.append(_kv(spark, [(1, 10), (2, 20)]))
+    store.delete_where("k = 2")
+    assert store.read().count() == 1
+    v = store.restore(0)
+    assert store.manifest(v)["operation"] == "restore"
+    assert sorted(r.k for r in store.read().collect()) == [1, 2]
+    # history stays linear: the delete's version is still readable
+    assert store.read(version=1).count() == 1
+    # a restore cannot bypass a constraint added after the target version:
+    # current state satisfies v >= 15, but v0 holds a v=10 row
+    store.overwrite(_kv(spark, [(5, 20)]))
+    store.add_constraint("v_big", "v >= 15")
+    with pytest.raises(ValueError, match="v_big"):
+        store.restore(0)
