@@ -83,87 +83,149 @@ def exact_quantile(df: DataFrame, col: str, q: float) -> int:
 GROUPS_MAX = 100_000
 
 
+def _grouped_refine(df: DataFrame, group: str, col: str, qs: "list[float]") -> DataFrame:
+    """Shared engine for :func:`grouped_quantile` / :func:`grouped_quantiles`:
+    simultaneous per-(group, q) bucket selection with FULLY DISTRIBUTED
+    refinement state.
+
+    Every pass is ONE histogram aggregation keyed by (group, q, bucket) —
+    buckets computed against each pair's own candidate range via a
+    broadcast bounds table — so the pass count is max-over-targets (2-3
+    for integer domains), never #groups. Unlike a driver-side refinement
+    loop (which would collect up to groups x 65,536 histogram rows per
+    pass — a driver OOM at 100 TB with high-cardinality groups over wide
+    domains), each pass locates every pair's k-th bucket IN-PLAN with a
+    per-(g, q) cumulative-sum window over the histogram DataFrame and the
+    surviving (g, q, lo, hi, k) bounds stay a distributed
+    (localCheckpointed) frame: the only driver traffic per pass is the
+    1-row isEmpty termination probe. GROUPS_MAX bounds the BROADCAST of
+    the bounds table (one row per active pair), not driver rows.
+
+    Bucket arithmetic runs in DECIMAL so a full-width 64-bit domain
+    (hi - lo + 1 = 2^64) cannot overflow BIGINT under ANSI; bucket ids
+    divide non-negative offsets, so truncating `div` equals floor.
+
+    Returns a DataFrame (g, q, value); NULL `col` values excluded per
+    group, null-only groups absent."""
+    spark = df.sparkSession
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.col(group).alias("g"), F.col(col).cast("bigint").alias("x")
+    )
+    head = vals.groupBy("g").agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # rank k = max(1, ceil(q*n)), fp-drift-free: q is quantized to ppm on
+    # the driver; ceil-div is then exact bigint arithmetic in-plan
+    qdf = spark.createDataFrame(
+        [(float(q), int(round(q * 1_000_000))) for q in qs],
+        "q double, qm bigint",
+    )
+    bounds = (
+        head.crossJoin(F.broadcast(qdf))
+        .select(
+            "g",
+            "q",
+            "lo",
+            "hi",
+            F.expr("greatest(1L, (qm * n + 999999) div 1000000)").alias("k"),
+        )
+        .localCheckpoint()
+    )
+    n_pairs = bounds.count()
+    if n_pairs > GROUPS_MAX:
+        raise ValueError(
+            f"{n_pairs // len(qs)} groups x {len(qs)} quantiles exceeds "
+            f"GROUPS_MAX={GROUPS_MAX}"
+        )
+    from pyspark.sql.window import Window
+
+    solved_parts: "list[DataFrame]" = []
+    while True:
+        solved_parts.append(
+            bounds.filter(F.col("lo") == F.col("hi")).select(
+                "g", "q", F.col("lo").alias("value")
+            )
+        )
+        active = bounds.filter(F.col("lo") < F.col("hi"))
+        if active.isEmpty():
+            break
+        a = active.select(
+            F.col("g").alias("g_b"),
+            F.col("q").alias("q_b"),
+            "lo",
+            "hi",
+            "k",
+            # ceil((hi - lo + 1) / BUCKETS), overflow-free via DECIMAL
+            F.expr(
+                f"CAST((CAST(hi AS DECIMAL(20,0)) - lo + {BUCKETS}) "
+                f"div {BUCKETS} AS BIGINT)"
+            ).alias("sz"),
+        )
+        hist = (
+            vals.join(
+                F.broadcast(a),
+                vals["g"].eqNullSafe(F.col("g_b"))
+                & (vals["x"] >= F.col("lo"))
+                & (vals["x"] <= F.col("hi")),
+            )
+            .groupBy(
+                "g",
+                F.col("q_b").alias("q"),
+                "lo",
+                "hi",
+                "k",
+                "sz",
+                F.expr(
+                    "CAST((CAST(x AS DECIMAL(20,0)) - lo) div sz AS BIGINT)"
+                ).alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("g", "q").orderBy("b")
+        sel = hist.withColumn("cum", F.sum("c").over(w)).filter(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("c") < F.col("k"))
+        )
+        bounds = sel.select(
+            "g",
+            "q",
+            F.expr(
+                "CAST(lo + CAST(b AS DECIMAL(10,0)) * sz AS BIGINT)"
+            ).alias("lo"),
+            F.expr(
+                "CAST(least(CAST(hi AS DECIMAL(24,0)), "
+                "lo + (CAST(b AS DECIMAL(10,0)) + 1) * sz - 1) AS BIGINT)"
+            ).alias("hi"),
+            (F.col("k") - (F.col("cum") - F.col("c"))).alias("k"),
+        ).localCheckpoint()
+    out = solved_parts[0]
+    for part in solved_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def grouped_quantile(
     df: DataFrame,
     group: str,
     col: str,
     q: float,
 ) -> "DataFrame":
-    """Exact per-group discrete q-quantile, ALL groups refined together:
-    each pass is ONE histogram aggregation keyed by (group, bucket) —
-    buckets are computed against each group's own candidate range via a
-    broadcast bounds table — so the pass count is max-over-groups (2-3
-    for integer domains), never #groups. Driver state is one (lo, hi,
-    rank) triple per group, bounded by GROUPS_MAX (grouped selection is a
-    bounded-group-cardinality operator by contract: per-group results
-    must fit on the driver anyway).
+    """Exact per-group discrete q-quantile, ALL groups refined together —
+    see :func:`_grouped_refine` for the distributed-refinement shape
+    (histograms never collect to the driver; per-pass driver traffic is a
+    1-row probe). GROUPS_MAX bounds the broadcast bounds table.
 
     Returns a DataFrame (group, value). NULL values excluded per group;
     groups with only NULLs are absent from the result."""
     if not 0 < q <= 1:
         raise ValueError("q must be in (0, 1]")
-    vals = df.filter(F.col(col).isNotNull()).select(
-        F.col(group).alias("g"), F.col(col).cast("bigint").alias("x")
+    return (
+        _grouped_refine(df, group, col, [q])
+        .select("g", "value")
+        .withColumnRenamed("g", group)
     )
-    head = (
-        vals.groupBy("g")
-        .agg(F.min("x"), F.max("x"), F.count(F.lit(1)))
-        .collect()
-    )
-    if len(head) > GROUPS_MAX:
-        raise ValueError(
-            f"{len(head)} groups exceeds GROUPS_MAX={GROUPS_MAX}"
-        )
-    state: dict = {}
-    for g, lo, hi, n in head:
-        k = max(1, -(-int(q * 1_000_000 * int(n)) // 1_000_000))
-        state[g] = [int(lo), int(hi), k]
-    done: dict = {}
-    spark = df.sparkSession
-    while state:
-        resolved = [g for g, (lo, hi, _) in state.items() if lo == hi]
-        for g in resolved:
-            done[g] = state.pop(g)[0]
-        if not state:
-            break
-        bounds = spark.createDataFrame(
-            [
-                (g, lo, hi, -(-(hi - lo + 1) // BUCKETS))
-                for g, (lo, hi, _) in state.items()
-            ],
-            "g_b " + dict(vals.dtypes)["g"] + ", lo bigint, hi bigint, sz bigint",
-        )
-        hist = (
-            vals.join(
-                F.broadcast(bounds),
-                (vals.g == bounds.g_b)
-                & (vals.x >= bounds.lo)
-                & (vals.x <= bounds.hi),
-            )
-            .groupBy("g", F.expr("(x - lo) div sz").alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        per_group: dict = {}
-        for r in hist:
-            per_group.setdefault(r["g"], {})[int(r["b"])] = int(r["c"])
-        for g, counts in per_group.items():
-            lo, hi, k = state[g]
-            size = -(-(hi - lo + 1) // BUCKETS)
-            cum = 0
-            for b in sorted(counts):
-                if cum + counts[b] >= k:
-                    state[g] = [
-                        lo + b * size,
-                        min(hi, lo + b * size + size - 1),
-                        k - cum,
-                    ]
-                    break
-                cum += counts[b]
-    return spark.createDataFrame(
-        [(g, v) for g, v in sorted(done.items(), key=lambda t: str(t[0]))],
-        "g " + dict(vals.dtypes)["g"] + ", value bigint",
-    ).withColumnRenamed("g", group)
 
 
 def grouped_quantiles(
@@ -188,70 +250,4 @@ def grouped_quantiles(
     for q in qs:
         if not 0 < q <= 1:
             raise ValueError("each q must be in (0, 1]")
-    vals = df.filter(F.col(col).isNotNull()).select(
-        F.col(group).alias("g"), F.col(col).cast("bigint").alias("x")
-    )
-    head = (
-        vals.groupBy("g")
-        .agg(F.min("x"), F.max("x"), F.count(F.lit(1)))
-        .collect()
-    )
-    if len(head) * len(qs) > GROUPS_MAX:
-        raise ValueError(
-            f"{len(head)} groups x {len(qs)} quantiles exceeds "
-            f"GROUPS_MAX={GROUPS_MAX}"
-        )
-    g_type = dict(vals.dtypes)["g"]
-    state: dict = {}
-    for g, lo, hi, n in head:
-        for q in qs:
-            k = max(1, -(-int(q * 1_000_000 * int(n)) // 1_000_000))
-            state[(g, q)] = [int(lo), int(hi), k]
-    done: dict = {}
-    spark = df.sparkSession
-    while state:
-        for key in [k for k, (lo, hi, _) in state.items() if lo == hi]:
-            done[key] = state.pop(key)[0]
-        if not state:
-            break
-        bounds = spark.createDataFrame(
-            [
-                (g, float(q), lo, hi, -(-(hi - lo + 1) // BUCKETS))
-                for (g, q), (lo, hi, _) in state.items()
-            ],
-            f"g_b {g_type}, q double, lo bigint, hi bigint, sz bigint",
-        )
-        hist = (
-            vals.join(
-                F.broadcast(bounds),
-                (vals.g == bounds.g_b)
-                & (vals.x >= bounds.lo)
-                & (vals.x <= bounds.hi),
-            )
-            .groupBy("g", "q", F.expr("(x - lo) div sz").alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        per_key: dict = {}
-        for r in hist:
-            per_key.setdefault((r["g"], r["q"]), {})[int(r["b"])] = int(r["c"])
-        for key, counts in per_key.items():
-            lo, hi, k = state[key]
-            size = -(-(hi - lo + 1) // BUCKETS)
-            cum = 0
-            for b in sorted(counts):
-                if cum + counts[b] >= k:
-                    state[key] = [
-                        lo + b * size,
-                        min(hi, lo + b * size + size - 1),
-                        k - cum,
-                    ]
-                    break
-                cum += counts[b]
-    return spark.createDataFrame(
-        [
-            (g, q, v)
-            for (g, q), v in sorted(done.items(), key=lambda t: (str(t[0][0]), t[0][1]))
-        ],
-        f"g {g_type}, q double, value bigint",
-    ).withColumnRenamed("g", group)
+    return _grouped_refine(df, group, col, qs).withColumnRenamed("g", group)

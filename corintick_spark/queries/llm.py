@@ -165,10 +165,17 @@ def similarity_lsh(spark, sf_dir):
     Rows-only invariants (inv_ok): within each q_id the ranks are
     contiguous from 1 and scores non-increasing in rank, the candidate is
     never the probe itself, and every cosine lies in [-1, 1] — structural
-    properties a broken banding/re-rank cannot satisfy by accident."""
+    properties a broken banding/re-rank cannot satisfy by accident — plus
+    inv_recall: POOLED recall@5 vs the exact cosine scan, computed
+    in-plan, with a 0.4 floor — measured 0.74 (sf0.001) / 0.76 (sf0.01) /
+    0.50 (edge set) for 32-bit/8-band SRP over near-uniform synthetic
+    embeddings, so the floor carries ≥1.25× margin while a broken
+    banding/re-rank drops to the ~5/n random baseline."""
     e = table(spark, sf_dir, "embeddings")
-    out = S.lsh_topk(e.filter(F.col("vec_id") < 10), e, k=5, nbits=16, bands=4)
-    return _topk_invariants(out, "score", descending=True, lo=-1.0, hi=1.0)
+    probes = e.filter(F.col("vec_id") < 10)
+    out = S.lsh_topk(probes, e, k=5, nbits=32, bands=8)
+    out = _topk_invariants(out, "score", descending=True, lo=-1.0, hi=1.0)
+    return _with_recall(out, _exact_pairs(probes, e, "cos"), k=5, floor=0.4)
 
 
 def _topk_invariants(
@@ -195,6 +202,92 @@ def _topk_invariants(
     if hi is not None:
         ok = ok & (F.col(score_col) <= F.lit(hi))
     return out.withColumn("inv_ok", ok)
+
+
+_RECALL_EPS = 1.5e-6  # one quantum of the 6dp score rounding, plus slack
+
+
+def _exact_pairs(probes, corpus, metric: str = "cos"):
+    """All (probe, candidate) pairs with their EXACT score — the recall
+    baseline for the ANN tier, computed in-plan: corpus pass against a
+    broadcast probe set (the similarity_topk shape, O(|corpus|·|probes|)
+    with |probes| ≤ 10 by construction). `metric` is "cos" (cosine, 6dp)
+    or "l2" (squared L2 — what the PQ ADC scan approximates)."""
+    from corintick_spark.operators.similarity import _cosine, _dot, _norm2
+
+    q = probes.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    if metric == "cos":
+        es = F.round(_cosine(_dot("qe", "ce"), _norm2("qe"), _norm2("ce")), 6)
+    else:
+        es = F.expr(
+            "aggregate(zip_with(qe, ce, (x, y) -> "
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "0D, (s, v) -> s + v)"
+        )
+    return pairs.select("q_id", "c_id", es.alias("_es"))
+
+
+def _with_recall(out, pairs, k: int, floor: float, descending: bool = True):
+    """Attach `inv_recall` — recall@k against the exact scan, computed
+    INSIDE the query so the driver's rows-only record adjudicates it
+    (VERDICT r05 item 4) — and fold `inv_recall >= floor` into inv_ok.
+
+    Tie-robust: an ANN candidate counts as a hit when its EXACT score
+    reaches the exact k-th-best score (id-based recall would punish a
+    legitimately-equal-score pick). The denominator is the number of
+    exact top-k rows (≤ k on small corpora); candidates with no exact
+    score (zero-norm → NULL cosine) count as misses, and a probe with NO
+    scorable exact baseline (degenerate edge corpora) passes vacuously."""
+    order = F.col("_es").desc() if descending else F.col("_es").asc()
+    wr = Window.partitionBy("q_id").orderBy(order, F.col("c_id"))
+    topk = (
+        pairs.filter(F.col("_es").isNotNull())
+        .withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= k)
+    )
+    agg = F.min("_es") if descending else F.max("_es")
+    tau = topk.groupBy("q_id").agg(
+        agg.alias("_tau"), F.count(F.lit(1)).alias("_nk")
+    )
+    cand = out.join(pairs, ["q_id", "c_id"], "left").join(
+        F.broadcast(tau), ["q_id"], "left"
+    )
+    hit = (
+        F.col("_es") >= F.col("_tau") - F.lit(_RECALL_EPS)
+        if descending
+        else F.col("_es") <= F.col("_tau") + F.lit(_RECALL_EPS)
+    )
+    # POOLED recall over the whole probe set (the standard ANN-benchmark
+    # figure): total hits / total exact-top-k rows. Per-probe recall at
+    # k=5 is quantized to fifths and its min is hash-noise; the pooled
+    # figure is stable enough to carry a meaningful floor. The result is
+    # ≤ |probes|·k rows here, so the global windows are trivial.
+    wq = Window.partitionBy("q_id").orderBy("rank")
+    wg = Window.partitionBy()
+    first_in_probe = F.row_number().over(wq) == 1
+    denom = F.sum(
+        F.when(first_in_probe, F.coalesce(F.col("_nk"), F.lit(0))).otherwise(
+            F.lit(0)
+        )
+    ).over(wg)
+    numer = F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0))).over(wg)
+    rec = F.when(denom == 0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), numer / denom.cast("double"))
+    )
+    return (
+        cand.withColumn("inv_recall", F.round(rec, 6))
+        .withColumn(
+            "inv_ok",
+            F.col("inv_ok") & (F.col("inv_recall") >= F.lit(float(floor))),
+        )
+        .drop("_es", "_tau", "_nk")
+    )
 
 
 # T-B52 — word count (explode + agg).
@@ -864,11 +957,15 @@ def similarity_ivf(spark, sf_dir):
     from corintick_spark.operators.clustering import ivf_topk, kmeans_fit
 
     e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
     cents = kmeans_fit(e, k=16, iters=5)
-    out = ivf_topk(e.filter(F.col("vec_id") < 10), e, cents, k=5, nprobe=4)
+    out = ivf_topk(probes, e, cents, k=5, nprobe=4)
     # rows-only invariants: rank/score structure + cosine bounds (see
-    # _topk_invariants)
-    return _topk_invariants(out, "score", descending=True, lo=-1.0, hi=1.0)
+    # _topk_invariants) + inv_recall — POOLED recall@5 vs the exact
+    # cosine scan (floor 0.4, measured 0.68/0.60/0.70 at
+    # sf0.001/sf0.01/edge — nprobe=4 of 16 k-means cells)
+    out = _topk_invariants(out, "score", descending=True, lo=-1.0, hi=1.0)
+    return _with_recall(out, _exact_pairs(probes, e, "cos"), k=5, floor=0.4)
 
 
 # Transitive duplicate clusters: connected components over near-dup edges.
@@ -1701,14 +1798,23 @@ def similarity_ivfpq(spark, sf_dir):
     from corintick_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit
 
     e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
     cells = kmeans_fit(e, k=16, iters=5)
-    books = pq_fit(e, m=8, k=16, iters=3)
+    books = pq_fit(e, m=8, k=32, iters=3)
     codes = pq_encode(e, books)
-    out = ivfpq_topk(
-        e.filter(F.col("vec_id") < 10), e, cells, books, codes, k=5, nprobe=4
+    out = ivfpq_topk(probes, e, cells, books, codes, k=5, nprobe=4)
+    # rows-only invariants: non-negative ADC distances ascending in rank +
+    # inv_recall — POOLED recall@5 vs the EXACT squared-L2 scan (the
+    # metric ADC approximates). Floor 0.15, measured 0.26 (sf0.001) /
+    # 0.28 (sf0.01) / 0.50 (edge): recall@5 for 8x32 PQ over near-uniform
+    # synthetic embeddings is structurally low (no cluster structure to
+    # exploit — tests/test_graph_pq.py documents the same regime) but the
+    # floor is still ~300x the 5/n random baseline at sf0.01; a broken
+    # codebook/ADC table drops straight to ~random.
+    out = _topk_invariants(out, "adc_dist", descending=False, lo=0.0)
+    return _with_recall(
+        out, _exact_pairs(probes, e, "l2"), k=5, floor=0.15, descending=False
     )
-    # rows-only invariants: non-negative ADC distances ascending in rank
-    return _topk_invariants(out, "adc_dist", descending=False, lo=0.0)
 
 
 # Mergeable frequent-items sketch, deployed exactly (2-pass Misra-Gries:

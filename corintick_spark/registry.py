@@ -49,71 +49,60 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # had only the local DuckDB differential (tests/test_oracle_queries.py —
 # identical bar, but self-administered). Rotated-out queries keep that local
 # differential plus their r01/r02 driver rows; nothing loses signal.
+# Round-6 rotation (verdict r05 item 1): ALL 50 slots go to queries that
+# have never been in a driver rotation (99 such before this round — the
+# registry diffed against the union of CORRECTNESS_r01..r05 keys). The 10
+# canaries rotate OUT for one round (each has 2+ green driver rows and
+# keeps the identical local differential); verdict r05 explicitly asked
+# for 50 first-time queries ("never-sampled count ≤ 49"). Priorities per
+# the verdict: (a) the rows-only tier's FIRST external adjudication — all
+# 14 never-sampled rows-only queries emit self-describing `inv_*`
+# invariant columns so the driver's rows-only row is meaningful; (b) the
+# r5 snapshot-store and streaming waves (newest, least-externally-tested
+# code); (c) the TPC-H/SQL block (largest remaining family); (d) the
+# grouped-quantile stats, whose refinement loop is rewritten this round
+# (driver-state bound — verdict r05 "what's wrong" #1).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- canaries (driver-green in r01..r04; one per family) ---
-    "scan_filter",       # Tier A storage scan/predicate/projection
-    "write_roundtrip",   # write/ingest path
-    "join_inner",        # relational joins
-    "agg_basic",         # hash aggregation
-    "window_rank",       # window functions
-    "scalar_string",     # scalar families
-    "udf_scalar",        # Pandas-UDF tier
-    "dedup_exact",       # LLM dedup tier
-    "similarity_topk",   # guarded cross join + vector path
-    "stream_counts",     # streaming tier
-    # --- round-5 rotation (verdict r04 item 1): 40 never-driver-verified
-    # oracle-paired queries, prioritized by family breadth. Every name
-    # below has only ever had the local DuckDB differential
-    # (tests/test_oracle_queries.py — identical bar, self-administered).
-    # verbatim-SQL tier: the 7 TPC-H shapes added in r04 + recursive/
-    # lateral/UDF/scripting
-    "sql_q2", "sql_q4", "sql_q9", "sql_q11", "sql_q12", "sql_q20",
-    "sql_q21", "sql_recursive", "sql_lateral", "sql_udf", "sql_scripting",
-    # graph tier
-    "graph_triangles", "graph_clustering_coeff", "graph_link_predict",
-    # training/curation pipelines
-    "pipeline_decontaminate", "pipeline_pack_corpus",
-    "pipeline_training_mix", "pack_sequences", "features_per_user",
-    # data quality / dedup / join variants
-    "dq_suite", "dedup_editjoin", "join_salted", "dedup_survivors",
-    # event analytics
-    "events_concurrency", "events_funnel_time", "scalar_variant",
-    # streaming tier (stream_asof NEWLY distributed this round — verdict
-    # item 2 — goes straight to external adjudication)
-    "stream_asof", "stream_ohlc", "stream_histogram", "stream_dq",
-    # text tier
-    "text_heavyhitters", "text_pmi_pairs", "text_perplexity",
-    # multimodal: real header parses + the NEW real pixel decoder
-    "multimodal_decode_png", "multimodal_decode_wav",
-    "multimodal_decode_px",
-    # stats / windows
-    "agg_gini", "profile_numeric", "window_rolling_corr",
-    "window_distinct",
+    # (a) rows-only tier — first external run, inv_ok in every row
+    "agg_hll_sketch", "agg_approx_quantile", "agg_cm_sketch", "udf_ewma",
+    "dedup_incremental", "dedup_simhash", "similarity_lsh",
+    "similarity_ivf", "similarity_pq", "similarity_ivfpq",
+    "cluster_kmeans", "embedding_pca", "stream_dedup_incremental",
+    "stream_heavyhitters",
+    # (b1) r5 snapshot-store wave
+    "storage_snapshot", "storage_merge", "storage_cdf", "storage_delete",
+    "storage_pruned_read", "storage_zorder", "storage_ivm",
+    "storage_bloom_lookup", "join_dpp",
+    # (b2) r5 streaming wave
+    "stream_cdf_source", "stream_cdf_partitioned", "stream_ivm",
+    "stream_asof_state", "stream_snapshot_ingest",
+    "stream_versioned_enrich", "stream_throttle",
+    # (c) verbatim-SQL tier: remaining TPC-H shapes + window/grouping-sets
+    "sql_q1", "sql_q3", "sql_q5", "sql_q6", "sql_q7", "sql_q8", "sql_q10",
+    "sql_q13", "sql_q14", "sql_q15", "sql_q16", "sql_q17", "sql_q18",
+    "sql_q19", "sql_q22", "sql_wfunc", "sql_groupingsets",
+    # (d) grouped/exact quantile stats — refinement loop rewritten r6
+    "agg_exact_median", "agg_group_median", "agg_group_quartiles",
 )
-# Round-6 rotation plan: keep the 10 canaries. Reserve ~10 slots for the
-# ROWS-ONLY tier's first external adjudication — every rows-only query now
-# emits self-describing `inv_*` invariant columns (sketch error vs exact,
-# MG sandwich vs exact counts, PageRank mass = 1, Rayleigh dominance,
-# top-k rank/score structure), so the driver's rows-only row is
-# informative: prioritize agg_approx, agg_hll_sketch, agg_approx_quantile,
-# agg_cm_sketch, graph_pagerank (re-check), dedup_minhash, dedup_simhash,
-# cluster_kmeans, embedding_pca, stream_dedup_incremental. Fill the
-# remaining ~30 slots from the still-never-verified oracle-paired set
-# (~55 after this round: sql_q1/3/5/6/7/8/10/13..19/22, sql_wfunc,
-# sql_groupingsets, events_* remainder, sink/source pairs, knn_classify,
-# histograms, pack_fragments, corpus_mixture, ml_split_stratified,
-# window_cusum/minmax/winsorize, scalar_timezone, join_asof_tolerance,
-# join_interval_point, multimodal_frames, shuffle_shards,
-# embedding_centroids/covariance, text remainder, and the round-5 late
-# wave: storage_merge, storage_cdf, storage_delete,
-# multimodal_decode_gif/bmp/pcm, plus the round-5 second-session wave:
-# join_bloom_prefilter, join_bitmap, join_dpp, graph_bfs,
-# storage_pruned_read, storage_zorder, storage_ivm, storage_bloom_lookup,
-# stream_cdf_source, stream_versioned_enrich, events_pattern, text_bm25,
-# agg_exact_median, agg_group_median, agg_group_quartiles, agg_chi2,
-# agg_ttest, events_rfm, events_survival, multimodal_resize, set_ops_all,
-# stream_ivm, stream_cdf_partitioned), then
-# backfill with rotated-out r01-r04 queries for re-confirmation.
+# Round-7 rotation plan (RESERVED — verdict r05 item 8): after this round
+# 49 never-sampled remain; they take slots 1-49 so the whole 285-query
+# registry has external rows by end of r7, with `scan_filter` back as the
+# single canary in slot 50. The 49: join_asof_tolerance,
+# join_bloom_prefilter, join_bitmap, join_bitmap_anti, set_ops_all,
+# window_minmax_scale, window_cusum, window_winsorize, scalar_timezone,
+# udtf_dynamic, multimodal_decode_bmp, multimodal_decode_gif,
+# multimodal_decode_pcm, multimodal_frames, multimodal_resize,
+# corpus_mixture, shuffle_shards, text_bm25, source_python_stream,
+# sink_roundtrip, sink_stream_python, source_overlap, events_throttle,
+# events_peaks, events_seasonality, events_interarrival,
+# events_abandonment, events_top_paths, events_pattern, events_rfm,
+# events_survival, events_cross_corr, events_frequent_pairs,
+# events_value_histogram, join_interval_point, sample_per_group,
+# sample_priority, pack_fragments, agg_mad, agg_iqr_outliers,
+# agg_topn_share, agg_chi2, agg_ttest, graph_bfs, docs_length_histogram,
+# embedding_centroids, embedding_covariance, knn_classify,
+# ml_split_stratified. From r8 on, backfill with rotated-out r01-r06
+# queries for periodic re-confirmation (oldest driver row first).
 
 
 def load_all() -> dict[str, Query]:

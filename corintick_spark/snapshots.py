@@ -135,6 +135,22 @@ class SnapshotStore:
                     lo, hi = st.min, st.max
                     if not isinstance(lo, (int, float, str, bool)):
                         continue  # JSON-encodable scalars only
+                    # Exactness guard: some parquet writers TRUNCATE long
+                    # binary/string statistics, and a truncated max can be
+                    # a prefix that compares LESS than the true max —
+                    # pruning on it would wrongly mark an overlapping file
+                    # disjoint (lost updates / incomplete reads). This
+                    # pyarrow (16.x) does not expose is_{min,max}_value_
+                    # exact, so cap instead: parquet-mr and pyarrow both
+                    # DROP stats above ~4096B (parquet-mr truncates WITH a
+                    # last-byte increment below that, which stays a valid
+                    # bound), so values at/above 1024 chars are in
+                    # nobody's exact-by-construction regime — record
+                    # nothing and let pruning conservatively keep the file.
+                    if isinstance(lo, str) and (
+                        len(lo) >= 1024 or len(hi) >= 1024
+                    ):
+                        continue
                     name_ = col.path_in_schema
                     if "." in name_:
                         continue  # top-level primitives only
@@ -427,12 +443,17 @@ class SnapshotStore:
                 .agg(F.bit_or("m").alias("bits"))
                 .collect()
             )
-            per_file: dict[str, list[int]] = {}
+            # every file gets a FRESH entry for c — including files with
+            # zero non-null values (all-zero filter ⇒ every probe misses,
+            # which is exact for a value-free file). Overwriting, never
+            # merging, also means stale entries from an earlier index run
+            # with different (num_hashes, num_bits) cannot survive.
+            per_file: dict[str, list[int]] = {
+                p: [0] * (num_bits // 64) for p in by_abs
+            }
             for r in rows:
                 abs_path = os.path.abspath(r["_f"].replace("file:", "", 1))
-                per_file.setdefault(abs_path, [0] * (num_bits // 64))[
-                    r["w"]
-                ] = r["bits"]
+                per_file[abs_path][r["w"]] = r["bits"]
             for abs_path, words in per_file.items():
                 entry = by_abs[abs_path]
                 entry.setdefault("bloom", {})[c] = {
@@ -472,8 +493,12 @@ class SnapshotStore:
         if col_type is not None:
             probe_lit = probe_lit.cast(col_type)
         # bit positions of the probe value, via the SAME jvm hash exprs the
-        # index used — one 1-row job, no Python reimplementation of xxhash64
-        probe_bits: dict[int, list[int]] = {}
+        # index used — one 1-row job, no Python reimplementation of xxhash64.
+        # Keyed by the FULL (num_hashes, num_bits) pair: two filters with
+        # equal num_bits but different num_hashes hash to different
+        # position sets, and probing one with the other's positions could
+        # wrongly skip a file that contains the value.
+        probe_bits: dict[tuple[int, int], list[int]] = {}
         for nh_nb in {
             (f["bloom"][col]["hashes"], len(f["bloom"][col]["words"]) * 64)
             for f in files
@@ -492,7 +517,7 @@ class SnapshotStore:
                 ])
                 .first()
             )
-            probe_bits[nb] = [int(v) for v in row]
+            probe_bits[nh_nb] = [int(v) for v in row]
         kept = []
         for f in files:
             st = (f.get("stats") or {}).get(col)
@@ -500,10 +525,10 @@ class SnapshotStore:
                 continue
             bl = (f.get("bloom") or {}).get(col)
             if bl is not None:
-                nb = len(bl["words"]) * 64
+                key = (bl["hashes"], len(bl["words"]) * 64)
                 hit = all(
                     bl["words"][p >> 6] & (1 << (p & 63))
-                    for p in probe_bits[nb]
+                    for p in probe_bits[key]
                 )
                 if not hit:
                     continue
@@ -748,11 +773,31 @@ class SnapshotStore:
         def read_paths(paths: set[str]) -> DataFrame:
             if not paths:
                 return self.read(version=to_version).limit(0)
-            return self.spark.read.parquet(
+            # mergeSchema: the delta file set itself may straddle a schema
+            # evolution (several appends between the two versions)
+            return self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, p) for p in sorted(paths)]
             )
 
         added, removed = read_paths(mt - mf), read_paths(mf - mt)
+        # Align both deltas to the union of their schemas before exceptAll
+        # (which requires identical column lists): across a schema-evolving
+        # append the added files carry the new column while the removed side
+        # (or the empty-set limit(0) branch) may not — null-fill what each
+        # side lacks, in one canonical column order.
+        union_fields: dict[str, object] = {}
+        for side in (added, removed):
+            for fld in side.schema.fields:
+                union_fields.setdefault(fld.name, fld.dataType)
+        cols = list(union_fields)
+
+        def aligned(df: DataFrame) -> DataFrame:
+            for name in cols:
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(union_fields[name]))
+            return df.select(*cols)
+
+        added, removed = aligned(added), aligned(removed)
         inserts = added.exceptAll(removed).withColumn(
             "change_type", F.lit("insert")
         )

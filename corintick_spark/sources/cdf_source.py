@@ -11,6 +11,15 @@ delta is not representable as an append batch (Delta calls the escape
 hatch skipChangeCommits; the batch-side :meth:`SnapshotStore.changes` is
 this store's full-CDC path).
 
+Expired history (``expire_snapshots``): a version whose predecessor
+manifest is gone can no longer be diffed. A FRESH stream starting at the
+earliest retained version treats it as all-added (Delta's
+initial-snapshot shape — append-only history means that manifest's file
+set IS the table at that version); a stream whose committed position
+predates retained history gets a clear "version expired" error instead
+of a FileNotFoundError (resuming would otherwise silently duplicate or
+lose rows).
+
 Like tick_source.make_stream_datasource, the class is closure-defined and
 self-contained: the driver-side streaming source runner is a separate
 Python process that never sees addPyFile, so the class must pickle BY
@@ -57,23 +66,43 @@ def make_cdf_stream_datasource():
             ) as fh:
                 return json.load(fh)
 
-        def _rows_added(self, v):
+        def _prev_files(self, v, fresh):
+            """File set of version v-1, for diffing. A missing predecessor
+            manifest means history was expired: a FRESH stream reading the
+            earliest retained version gets the initial-snapshot shape
+            (all-added → empty prev set); a mid-flight stream raises —
+            its exact delta is unrecoverable."""
+            if v == 0:
+                return set()
+            try:
+                return {f["path"] for f in self._manifest(v - 1)["files"]}
+            except FileNotFoundError:
+                vs = self._versions()
+                if fresh and vs and v == vs[0]:
+                    return set()
+                raise ValueError(
+                    f"cannot stream version {v}: predecessor manifest "
+                    f"v{v - 1} has been expired (expire_snapshots) — the "
+                    "stream's committed position predates retained "
+                    "history; restart the stream from scratch or use "
+                    "SnapshotStore.changes() over retained versions"
+                )
+
+        def _rows_added(self, v, fresh=False):
             import os
 
             import pyarrow.parquet as pq
 
             m = self._manifest(v)
-            prev = set()
-            if v > 0:
-                prev = {f["path"] for f in self._manifest(v - 1)["files"]}
-                cur = {f["path"] for f in m["files"]}
-                if not prev <= cur:
-                    raise ValueError(
-                        f"version {v} ({m.get('operation')}) removed files — "
-                        "the snapcdf stream supports append-only history "
-                        "(Delta's skipChangeCommits shape); use "
-                        "SnapshotStore.changes() for full CDC"
-                    )
+            prev = self._prev_files(v, fresh)
+            cur = {f["path"] for f in m["files"]}
+            if not prev <= cur:
+                raise ValueError(
+                    f"version {v} ({m.get('operation')}) removed files — "
+                    "the snapcdf stream supports append-only history "
+                    "(Delta's skipChangeCommits shape); use "
+                    "SnapshotStore.changes() for full CDC"
+                )
             rows = []
             for f in m["files"]:
                 if f["path"] in prev:
@@ -91,16 +120,21 @@ def make_cdf_stream_datasource():
 
         def read(self, start):
             v = int(start["v"])
-            if v + 1 not in self._versions():
+            # advance to the next AVAILABLE version (not blindly v+1 —
+            # expire_snapshots may have removed early versions)
+            later = [x for x in self._versions() if x > v]
+            if not later:
                 # caught up: offset stops advancing, which is how
                 # processAllAvailable() detects quiescence
                 return iter([]), {"v": v}
-            return iter(self._rows_added(v + 1)), {"v": v + 1}
+            nxt = later[0]
+            return iter(self._rows_added(nxt, fresh=(v == -1))), {"v": nxt}
 
         def readBetweenOffsets(self, start, end):
+            s, e = int(start["v"]), int(end["v"])
             rows = []
-            for v in range(int(start["v"]) + 1, int(end["v"]) + 1):
-                rows.extend(self._rows_added(v))
+            for v in [x for x in self._versions() if s < x <= e]:
+                rows.extend(self._rows_added(v, fresh=(s == -1)))
             return rows
 
         def commit(self, end):
@@ -129,7 +163,21 @@ def make_cdf_partitioned_datasource():
     row-tuple bottleneck SCALING.md measured on the simple tier (2.84×
     at 10× data). Offsets are still version numbers (one version per
     micro-batch via rate-limited latestOffset); the same append-only
-    contract raises on file-removing versions."""
+    contract raises on file-removing versions.
+
+    Restart correctness: the Python DataSourceStreamReader protocol never
+    passes the committed start offset to ``latestOffset()``, so a purely
+    in-memory rate-limit cursor would, after a checkpointed restart,
+    report offsets BELOW the committed start — Spark would then log a
+    backwards end-offset and the next planned range would re-read
+    already-committed versions (duplicates). The planned high-water mark
+    is therefore persisted under ``<root>/_streams/cdfp_hwm.json``
+    (atomic tmp+rename) before latestOffset returns, and re-read at
+    reader construction. Contract: one snapcdfp stream per store root
+    (our queries create a fresh store per stream); a crash between the
+    hwm write and Spark's own WAL write only collapses several versions
+    into one later batch — never loses or duplicates rows, since
+    ``partitions(start, end)`` is a pure function of the manifests."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceStreamReader,
@@ -148,6 +196,32 @@ def make_cdf_partitioned_datasource():
                 c.strip().split(" ")[0]
                 for c in options.get("columns").split(",")
             ]
+            self._last = self._read_hwm()
+
+        def _hwm_path(self):
+            import os
+
+            return os.path.join(self.root, "_streams", "cdfp_hwm.json")
+
+        def _read_hwm(self):
+            import json
+
+            try:
+                with open(self._hwm_path()) as fh:
+                    return int(json.load(fh)["v"])
+            except (OSError, ValueError, KeyError):
+                return -1
+
+        def _write_hwm(self, v):
+            import json
+            import os
+
+            path = self._hwm_path()
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"v": v}, fh)
+            os.replace(tmp, path)
 
         def _versions(self):
             import os
@@ -176,31 +250,36 @@ def make_cdf_partitioned_datasource():
 
         def latestOffset(self):
             # rate-limit to ONE version per micro-batch so each commit
-            # replays as its own batch (same cadence as the simple tier)
-            vs = self._versions()
-            latest = vs[-1] if vs else -1
-            cur = getattr(self, "_last", -1)
-            nxt = min(cur + 1, latest)
-            self._last = nxt
-            return {"v": nxt}
+            # replays as its own batch (same cadence as the simple tier);
+            # advance to the next AVAILABLE version (early versions may
+            # have been expired), never below the persisted high-water
+            # mark (restart correctness — see factory docstring)
+            later = [v for v in self._versions() if v > self._last]
+            nxt = later[0] if later else self._last
+            if nxt > self._last:
+                self._write_hwm(nxt)
+                self._last = nxt
+            return {"v": self._last}
 
         def partitions(self, start, end):
             import os
 
+            s, e = int(start["v"]), int(end["v"])
+            # a replayed WAL batch after restart may carry offsets ahead
+            # of anything this reader instance has seen — absorb them
+            if e > self._last:
+                self._write_hwm(e)
+                self._last = e
             parts = []
-            for v in range(int(start["v"]) + 1, int(end["v"]) + 1):
+            for v in [x for x in self._versions() if s < x <= e]:
                 m = self._manifest(v)
-                prev = set()
-                if v > 0:
-                    prev = {
-                        f["path"] for f in self._manifest(v - 1)["files"]
-                    }
-                    cur = {f["path"] for f in m["files"]}
-                    if not prev <= cur:
-                        raise ValueError(
-                            f"version {v} ({m.get('operation')}) removed "
-                            "files — snapcdfp requires append-only history"
-                        )
+                prev = self._prev_files(v, fresh=(s == -1))
+                cur = {f["path"] for f in m["files"]}
+                if not prev <= cur:
+                    raise ValueError(
+                        f"version {v} ({m.get('operation')}) removed "
+                        "files — snapcdfp requires append-only history"
+                    )
                 parts.extend(
                     FilePartition(os.path.join(self.root, f["path"]), self.cols)
                     for f in m["files"]
@@ -209,6 +288,24 @@ def make_cdf_partitioned_datasource():
             # Spark requires >=1 partition per batch; an all-carried batch
             # (e.g. a constraint/index commit) contributes an empty one
             return parts or [FilePartition(None, self.cols)]
+
+        def _prev_files(self, v, fresh):
+            # same expired-history contract as the simple reader
+            if v == 0:
+                return set()
+            try:
+                return {f["path"] for f in self._manifest(v - 1)["files"]}
+            except FileNotFoundError:
+                vs = self._versions()
+                if fresh and vs and v == vs[0]:
+                    return set()
+                raise ValueError(
+                    f"cannot stream version {v}: predecessor manifest "
+                    f"v{v - 1} has been expired (expire_snapshots) — the "
+                    "stream's committed position predates retained "
+                    "history; restart the stream from scratch or use "
+                    "SnapshotStore.changes() over retained versions"
+                )
 
         def read(self, partition):
             if partition.path is None:

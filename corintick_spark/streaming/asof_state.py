@@ -59,15 +59,22 @@ def _enrich_group(
     quotes = purchases.groupby("ts_us", sort=True)["value"].last()
     prev = state.get if state.exists else None
 
+    quotes_df = quotes.rename("qv").reset_index()
+    # q_ts marks which rows merge_asof actually MATCHED: a matched quote
+    # whose value is NULL (all purchases at that instant had NULL value —
+    # the oracle's arg_max returns NULL there) must STAY NULL; only rows
+    # with NO in-batch quote at-or-before get the carried-in state.
+    # fillna on qv alone would conflate the two (both are NaN).
+    quotes_df["q_ts"] = quotes_df["ts_us"]
     merged = pd.merge_asof(
         pdf[["event_id", "ts_us"]],
-        quotes.rename("qv").reset_index(),
+        quotes_df,
         on="ts_us",
         direction="backward",
     )
     qv = merged["qv"]
     if prev is not None:
-        qv = qv.fillna(prev[2])  # carry-in from earlier batches
+        qv = qv.mask(merged["q_ts"].isna(), prev[2])  # carry-in
     yield pd.DataFrame(
         {
             "event_id": merged["event_id"].astype("int64"),

@@ -123,3 +123,55 @@ def test_grouped_quantiles_validation(spark):
         grouped_quantiles(df, "g", "x", [0.5, 0.5])
     with _pt.raises(ValueError):
         grouped_quantiles(df, "g", "x", [0.0])
+
+
+def test_grouped_refinement_is_distributed_no_big_collects(spark, monkeypatch):
+    """10k groups over a 64-bit-wide domain (VERDICT r05 item 2): the
+    refinement must never collect histogram rows to the driver — the old
+    driver-state loop pulled up to groups x 65,536 rows per pass. The new
+    in-plan cumulative-sum refinement does ZERO Python-level collects
+    during the operator call; correctness is pinned against a pandas
+    reference on the same data."""
+    import collections
+
+    from pyspark.sql import DataFrame
+
+    from corintick_spark.operators.quantile import grouped_quantile
+
+    n_groups = 10_000
+    df = (
+        spark.range(0, n_groups * 5)
+        .selectExpr(
+            f"id % {n_groups} AS g",
+            # xxhash64 spreads across the FULL int64 range (64-bit-wide
+            # domain -> 4 refinement passes; DECIMAL bucket math must not
+            # overflow under ANSI)
+            "xxhash64(id) AS x",
+        )
+        .cache()
+    )
+    rows = df.collect()  # reference data, gathered BEFORE the spy
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r.g].append(r.x)
+    want = {
+        g: sorted(v)[max(1, -(-(len(v) * 500_000) // 1_000_000)) - 1]
+        for g, v in by_g.items()
+    }
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    result = grouped_quantile(df, "g", "x", 0.5)
+    inner = list(sizes)
+    monkeypatch.undo()
+    assert inner == [], f"driver-side collects during refinement: {inner}"
+    got = {r.g: r.value for r in result.collect()}
+    df.unpersist()
+    assert got == want

@@ -453,3 +453,110 @@ def test_restore_rolls_back_as_new_commit(store, spark):
     store.add_constraint("v_big", "v >= 15")
     with pytest.raises(ValueError, match="v_big"):
         store.restore(0)
+
+
+def test_changes_across_schema_evolution(store, spark):
+    """CDC across a schema-evolving rewrite: the removed side lacks the
+    evolved column, so both deltas must align to the union schema
+    (null-filling) before exceptAll — a raw read would raise
+    AnalysisException or bind columns by position (ADVICE r05)."""
+    import pyspark.sql.functions as F
+
+    store.append(_kv(spark, [(1, 10), (2, 20)]))
+    evolved = _kv(spark, [(1, 11), (3, 30)]).withColumn("tag", F.lit("new"))
+    store.overwrite(evolved)
+    ch = {
+        (r.k, r.v, r.tag, r.change_type)
+        for r in store.changes(0, 1).collect()
+    }
+    assert ch == {
+        (1, 10, None, "delete"),
+        (2, 20, None, "delete"),
+        (1, 11, "new", "insert"),
+        (3, 30, "new", "insert"),
+    }
+    # evolving APPEND: delta files straddle the evolution; compaction of
+    # the evolved table still yields an empty feed
+    v2 = store.append(_kv(spark, [(4, 40)]).withColumn("tag", F.lit("x")))
+    ins = {(r.k, r.tag) for r in store.changes(1, v2).collect()}
+    assert ins == {(4, "x")}
+    v3 = store.compact(target_partitions=1)
+    assert store.changes(v2, v3).count() == 0
+
+
+def test_stage_files_skip_giant_string_stats(store, spark):
+    """Strings at/above 1024 chars are outside every writer's
+    exact-by-construction stats regime (truncation hazard, ADVICE r05):
+    no bounds are recorded and pruning conservatively keeps the file."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a" * 2000), (2, "z" * 2000)], "k long, s string"
+    )
+    store.append(df.coalesce(1))
+    stats = store.manifest(0)["files"][0]["stats"]
+    assert "s" not in stats
+    assert "k" in stats  # numeric bounds still recorded
+    kept, skipped = store.prune_files("s", "a", "b")
+    assert skipped == [] and len(kept) == 1
+
+
+def test_bloom_reindex_overwrites_all_files(store, spark):
+    """index_bloom writes a FRESH entry for every file — including files
+    with zero non-null values (all-zero filter: every probe misses, which
+    is exact) — so stale entries from an earlier run with different
+    parameters cannot coexist and read_where_eq probes each file with its
+    own recorded (num_hashes, num_bits) pair (ADVICE r05)."""
+    store.append(_kv(spark, [(i, i) for i in range(100)]).coalesce(1))
+    store.append(
+        spark.createDataFrame([(None, 7)] * 5, "k long, v long").coalesce(1)
+    )
+    store.index_bloom(["k"], num_bits=1 << 13, num_hashes=5)
+    v = store.index_bloom(["k"], num_bits=1 << 13, num_hashes=3)
+    for f in store.manifest(v)["files"]:
+        assert f["bloom"]["k"]["hashes"] == 3, f["path"]
+    # the all-NULL file carries an all-zero filter -> always skipped,
+    # and point lookups stay exact
+    got = sorted(r.k for r in store.read_where_eq("k", 42).collect())
+    assert got == [42]
+
+
+def test_expired_history_stream_contracts(store, spark):
+    """snapcdf/snapcdfp after expire_snapshots: a FRESH stream treats the
+    earliest retained version as all-added (Delta initial-snapshot shape);
+    a stream whose position predates retained history gets a clear
+    'expired' error, not FileNotFoundError. The partitioned reader also
+    persists its planned high-water mark so a restarted reader never
+    reports offsets below what it already planned (ADVICE r05)."""
+    from corintick_spark.sources.cdf_source import (
+        make_cdf_partitioned_datasource,
+        make_cdf_stream_datasource,
+    )
+
+    for i in range(3):
+        store.append(_kv(spark, [(i * 10 + j, j) for j in range(10)]))
+    store.expire_snapshots(keep_last=1)  # only v2 remains
+
+    opts = {"path": store.root, "columns": "k bigint, v bigint"}
+    simple = make_cdf_stream_datasource()(opts).simpleStreamReader(None)
+    # fresh stream: advances straight to v2, ALL rows added
+    rows, off = simple.read({"v": -1})
+    assert off == {"v": 2} and len(list(rows)) == 30
+    # caught up afterwards
+    rows, off = simple.read({"v": 2})
+    assert off == {"v": 2} and list(rows) == []
+    # mid-flight position below retained history -> clear error
+    with pytest.raises(ValueError, match="expired"):
+        simple.read({"v": 0})
+
+    part = make_cdf_partitioned_datasource()(opts).streamReader(None)
+    assert part.latestOffset() == {"v": 2}
+    parts = part.partitions({"v": -1}, {"v": 2})
+    total = sum(len(list(part.read(p))) for p in parts)
+    assert total == 30
+    with pytest.raises(ValueError, match="expired"):
+        part.partitions({"v": 0}, {"v": 2})
+    # restart: a NEW reader instance seeds from the persisted high-water
+    # mark instead of -1 (which would plan backwards offsets)
+    part2 = make_cdf_partitioned_datasource()(opts).streamReader(None)
+    assert part2.latestOffset() == {"v": 2}
