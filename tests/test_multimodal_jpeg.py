@@ -1,0 +1,121 @@
+"""Baseline JPEG codec (operators/multimodal.py::decode_jpeg_pixels /
+encode_jpeg): round-trips, AC/ZRL paths, restart markers, honest-stub
+rejections. No Spark session needed — pure codec tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from corintick_spark.operators import multimodal as M
+
+
+def _const_block_image(w: int, h: int, seed: int) -> bytes:
+    bw = w // 8
+    px = bytearray()
+    for p in range(w * h):
+        x, y = p % w, p // w
+        px.append((seed + ((y // 8) * bw + x // 8) * 17) % 256)
+    return bytes(px)
+
+
+def test_gray_constant_blocks_roundtrip_exact():
+    for w, h, seed in ((8, 8, 0), (24, 16, 37), (32, 8, 255)):
+        px = _const_block_image(w, h, seed)
+        got = M.decode_jpeg_pixels(M.encode_jpeg(w, h, px, channels=1))
+        assert got == (w, h, 1, px)
+
+
+def test_rgb_gray_valued_constant_blocks_roundtrip_exact():
+    w, h = 16, 16
+    gray = _const_block_image(w, h, 91)
+    px = bytes(v for g in gray for v in (g, g, g))
+    got = M.decode_jpeg_pixels(M.encode_jpeg(w, h, px, channels=3))
+    assert got == (w, h, 3, px)
+
+
+def test_restart_markers_every_interval():
+    w, h = 32, 16  # 8 MCUs
+    px = _const_block_image(w, h, 123)
+    for interval in (1, 2, 3, 7):
+        b = M.encode_jpeg(w, h, px, channels=1, restart_interval=interval)
+        assert M.decode_jpeg_pixels(b) == (w, h, 1, px)
+    # DRI present for interval>0
+    assert b"\xff\xdd" in M.encode_jpeg(w, h, px, 1, restart_interval=2)
+
+
+def test_ac_coefficients_match_reference_pipeline():
+    """Non-constant blocks exercise AC run-length + magnitude codes; the
+    decoder must equal the FDCT->round->IDCT reference computed with the
+    same orthonormal matrix (identical float ops -> exact equality)."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    got = M.decode_jpeg_pixels(M.encode_jpeg(24, 16, img.tobytes(), 1))
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(16, 24).astype(int)
+    m = M._dct_matrix()
+    for by in range(2):
+        for bx in range(3):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            q = np.rint(m @ (blk - 128.0) @ m.T)
+            ref = np.clip(np.rint(m.T @ q @ m + 128.0), 0, 255)
+            assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == ref).all()
+
+
+def test_zrl_path_long_zero_runs():
+    """A block with energy ONLY in the last zigzag position forces >16
+    zero runs (ZRL codes). Build it by crafting pixels from a known
+    coefficient matrix."""
+    m = M._dct_matrix()
+    coeff = np.zeros((8, 8))
+    coeff[7, 7] = 40.0  # last zigzag position
+    spatial = np.clip(np.rint(m.T @ coeff @ m + 128.0), 0, 255).astype(np.uint8)
+    got = M.decode_jpeg_pixels(M.encode_jpeg(8, 8, spatial.tobytes(), 1))
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(8, 8).astype(float)
+    requant = np.rint(m @ (arr - 128.0) @ m.T)
+    # round-trip re-quantizes to the same coefficient matrix
+    reref = np.rint(m @ (spatial.astype(float) - 128.0) @ m.T)
+    assert (requant == reref).all()
+
+
+def test_quant_table_applied():
+    w, h = 8, 8
+    px = _const_block_image(w, h, 200)  # constant 200 -> DC 8*(200-128)=576
+    q = [64] * 64  # DC quantizes to round(576/64)=9 -> dequant 576 exact
+    got = M.decode_jpeg_pixels(M.encode_jpeg(w, h, px, 1, quant=q))
+    assert got == (w, h, 1, px)
+
+
+def test_non_jpeg_and_null_return_none():
+    assert M.decode_jpeg_pixels(None) is None
+    assert M.decode_jpeg_pixels(b"") is None
+    assert M.decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n") is None
+    assert M.decode_jpeg_pixels(b"\xff\xd8") is None  # SOI alone
+
+
+def test_progressive_and_subsampled_rejected():
+    px = _const_block_image(8, 8, 10)
+    b = bytearray(M.encode_jpeg(8, 8, px, channels=1))
+    # flip SOF0 (0xC0) to SOF2 (progressive)
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        M.decode_jpeg_pixels(bytes(b))
+    # 2x2 sampling factor on component 0
+    b = bytearray(M.encode_jpeg(8, 8, px, channels=1))
+    i = bytes(b).find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1) then [id, samp, tq]
+    b[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22
+    with pytest.raises(NotImplementedError, match="sampling"):
+        M.decode_jpeg_pixels(bytes(b))
+
+
+def test_dispatcher_routes_jpeg(spark):
+    import pyspark.sql.functions as F
+
+    px = _const_block_image(8, 8, 50)
+    payload = M.encode_jpeg(8, 8, px, channels=1)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = M.decode_image_pixels(df).collect()[0]
+    assert (row.width, row.height, row.channels) == (8, 8, 1)
+    assert row.px_sum == sum(px)
+    assert row.px_wsum == sum(k * v for k, v in enumerate(px))
