@@ -85,9 +85,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_exact_median", "agg_group_median", "agg_group_quartiles",
 )
 # Round-7 rotation plan (RESERVED — verdict r05 item 8): after this round
-# 49 never-sampled remain; they take slots 1-49 so the whole 285-query
-# registry has external rows by end of r7, with `scan_filter` back as the
-# single canary in slot 50. The 49: join_asof_tolerance,
+# 50 never-sampled remain (the 49 below plus `multimodal_decode_jpg`,
+# registered in round 6 with the real baseline-JPEG codec); they take all
+# 50 slots so the whole registry has external rows by end of r7. The 49:
+# join_asof_tolerance,
 # join_bloom_prefilter, join_bitmap, join_bitmap_anti, set_ops_all,
 # window_minmax_scale, window_cusum, window_winsorize, scalar_timezone,
 # udtf_dynamic, multimodal_decode_bmp, multimodal_decode_gif,
@@ -101,8 +102,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # sample_priority, pack_fragments, agg_mad, agg_iqr_outliers,
 # agg_topn_share, agg_chi2, agg_ttest, graph_bfs, docs_length_histogram,
 # embedding_centroids, embedding_covariance, knn_classify,
-# ml_split_stratified. From r8 on, backfill with rotated-out r01-r06
-# queries for periodic re-confirmation (oldest driver row first).
+# ml_split_stratified (+ multimodal_decode_jpg = 50). From r8 on,
+# backfill with rotated-out r01-r06 queries for periodic re-confirmation
+# (oldest driver row first).
 
 
 def load_all() -> dict[str, Query]:
