@@ -921,3 +921,63 @@ def stream_cdf_partitioned(spark, sf_dir):
         ).alias("total_value"),
     )
     return run_processall_to_memory(agg, spark)
+
+
+# Merge-on-read DELETE via deletion vectors (snapshots.py::delete_where_dv):
+# the same logical delete as storage_delete but with ZERO data files
+# rewritten — matching rows are recorded as position-delete files and every
+# read subtracts them. `inv_mor` carries the merge-on-read property itself
+# into the adjudicated result: TRUE only if the post-delete manifest lists
+# the IDENTICAL data-file set as the pre-delete one (the whole point of DVs
+# at 100 TB — a 0.1% delete must not rewrite terabytes). The oracle
+# recomputes the surviving rows and asserts inv_mor literally.
+@query(
+    "storage_dv",
+    sql="""
+    SELECT doc_id, n_chars, TRUE AS inv_mor
+    FROM documents
+    WHERE doc_id % 2 = 0 AND n_chars % 7 != 0
+    """,
+)
+def storage_dv(spark, sf_dir):
+    """Deletion-vector DELETE: drop n_chars%7==0 rows merge-on-read; the
+    data-file set must be byte-identical across the commit."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapdv_") + "/tbl")
+    v0 = store.append(d.filter(F.col("doc_id") % 2 == 0))
+    v1 = store.delete_where_dv("n_chars % 7 = 0")
+    same_files = [f["path"] for f in store.manifest(v1)["files"]] == [
+        f["path"] for f in store.manifest(v0)["files"]
+    ]
+    return store.read().withColumn("inv_mor", F.lit(bool(same_files)))
+
+
+# CDC across a deletion-vector delete (snapshots.py::changes): the file
+# sets of the two versions are IDENTICAL, so the file-diff channel is
+# empty by construction — every emitted row must come from the dv-delta
+# resolution (positions semi-joined back to their data rows). The oracle
+# recomputes exactly the deleted set.
+@query(
+    "storage_dv_cdf",
+    sql="""
+    SELECT doc_id, n_chars, 'delete' AS change_type
+    FROM documents
+    WHERE doc_id % 2 = 0 AND n_chars % 7 = 0
+    """,
+)
+def storage_dv_cdf(spark, sf_dir):
+    """Change feed across a merge-on-read delete: dv-delta rows emitted
+    as deletes, nothing else."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapdvcdf_") + "/tbl")
+    v0 = store.append(d.filter(F.col("doc_id") % 2 == 0))
+    v1 = store.delete_where_dv("n_chars % 7 = 0")
+    return store.changes(v0, v1)

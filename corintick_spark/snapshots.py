@@ -30,6 +30,13 @@ snapshot manifests gating an append-only data-file pool):
   every reader, reclaimed by `vacuum_orphans()`. A compaction replaces the
   file SET in the new manifest; old files stay on disk until
   `expire_snapshots` drops the versions that reference them.
+- **Deletion vectors (merge-on-read DELETE)**:
+  :meth:`SnapshotStore.delete_where_dv` records matching rows as
+  position-delete files (Iceberg position deletes / Delta DVs) and keeps
+  the data-file set untouched — no write amplification; every read path
+  subtracts the positions until :meth:`SnapshotStore.purge_dv` or a
+  compaction materializes the deletes. :meth:`SnapshotStore.changes`
+  resolves dv-entry deltas to exact rows, so CDC sees MoR deletes.
 
 Scale notes: manifests carry file paths + per-file row counts — O(files),
 not O(rows); at 100 TB the file list itself would page into manifest
@@ -99,11 +106,65 @@ class SnapshotStore:
                 "operation": m["operation"],
                 "n_files": len(m["files"]),
                 "n_rows": sum(f["rows"] for f in m["files"]),
+                "n_dv_deleted": sum(
+                    e["rows"] for e in (m.get("dvs") or [])
+                ),
                 "committed_at": m["committed_at"],
             }
             for v in self.versions()
             for m in [self.manifest(v)]
         ]
+
+    # -- deletion vectors --------------------------------------------------------
+    def _dvs(self, version: int | None) -> list[dict]:
+        """The deletion-vector file entries of `version` ([] for None)."""
+        if version is None:
+            return []
+        return self.manifest(version).get("dvs") or []
+
+    def _apply_dvs(self, df: DataFrame, dvs: list[dict]) -> DataFrame:
+        """Filter out positions recorded in `dvs` (merge-on-read).
+
+        DV files are parquet position deletes — (file_path, row_index)
+        pairs keyed by the scan-time ``_metadata`` values (Iceberg's
+        position-delete-file shape; Delta encodes the same positions as a
+        per-file roaring bitmap). The anti-join keys are exact because
+        data files are immutable: a (path, index) pair written at delete
+        time always denotes the same physical row. The DV side broadcasts
+        while the manifest-recorded row counts say it is small; past that
+        it degrades to a plain shuffled anti-join — at 100 TB the
+        positions table is itself a distributed table and this is the
+        scan-side merge every MoR format pays until a purge/compaction
+        materializes the deletes."""
+        if not dvs:
+            return df
+        import pyspark.sql.functions as F
+
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.root, e["path"]) for e in dvs]
+        ).selectExpr("file_path AS __dv_fp", "row_index AS __dv_ri")
+        if sum(e["rows"] for e in dvs) <= 5_000_000:
+            dv = F.broadcast(dv)
+        return (
+            df.withColumns(
+                {
+                    "__dv_fp": F.col("_metadata.file_path"),
+                    "__dv_ri": F.col("_metadata.row_index"),
+                }
+            )
+            .join(dv, ["__dv_fp", "__dv_ri"], "left_anti")
+            .drop("__dv_fp", "__dv_ri")
+        )
+
+    def _scan_entries(self, entries: list[dict], dvs: list[dict]) -> DataFrame:
+        """Read the given manifest file entries (mergeSchema) with the
+        version's deletion vectors applied. DV rows referencing files not
+        in `entries` simply never match — per-file association is implicit
+        in the (file_path, row_index) keys."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f["path"]) for f in entries]
+        )
+        return self._apply_dvs(df, dvs)
 
     # -- write path ------------------------------------------------------------
     def _stage_files(self, df: DataFrame) -> list[dict]:
@@ -177,6 +238,7 @@ class SnapshotStore:
         schema: dict | None = None,
         token: str | None = None,
         constraints: "dict[str, str] | None" = None,
+        dvs: "list[dict] | None" = None,
     ) -> int:
         """Atomically commit `files` as the next version. `expected_base`
         is the version this write was based on (None for the first) — if
@@ -204,6 +266,7 @@ class SnapshotStore:
             "schema": schema,
             "token": token,
             "constraints": constraints,
+            "dvs": dvs or [],
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         target = self._manifest_path(version)
@@ -248,7 +311,8 @@ class SnapshotStore:
             self._base_schema(base), df.schema.jsonValue()
         )
         return self._commit(
-            prev + self._stage_files(df), "append", base, schema, token=token
+            prev + self._stage_files(df), "append", base, schema, token=token,
+            dvs=self._dvs(base),
         )
 
     @staticmethod
@@ -321,7 +385,7 @@ class SnapshotStore:
         files = self.manifest(base)["files"] if base is not None else []
         return self._commit(
             files, "constraint", base, self._base_schema(base),
-            constraints=cons,
+            constraints=cons, dvs=self._dvs(base),
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -332,7 +396,7 @@ class SnapshotStore:
         del cons[name]
         return self._commit(
             self.manifest(base)["files"], "constraint", base,
-            self._base_schema(base), constraints=cons,
+            self._base_schema(base), constraints=cons, dvs=self._dvs(base),
         )
 
     def append(self, df: DataFrame) -> int:
@@ -345,7 +409,10 @@ class SnapshotStore:
         schema = self._evolve_schema(
             self._base_schema(base), df.schema.jsonValue()
         )
-        return self._commit(prev + self._stage_files(df), "append", base, schema)
+        return self._commit(
+            prev + self._stage_files(df), "append", base, schema,
+            dvs=self._dvs(base),
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit a new version whose file set is exactly df's files.
@@ -460,7 +527,9 @@ class SnapshotStore:
                     "hashes": num_hashes,
                     "words": words,
                 }
-        return self._commit(files, "index", base, self._base_schema(base))
+        return self._commit(
+            files, "index", base, self._base_schema(base), dvs=self._dvs(base)
+        )
 
     def read_where_eq(self, col: str, value, version: int | None = None) -> DataFrame:
         """Point-lookup read `col = value`, skipping files by BOTH the
@@ -535,9 +604,7 @@ class SnapshotStore:
             kept.append(f)
         if not kept:
             return self.read(version=version).filter(F.lit(False))
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.root, f["path"]) for f in kept]
-        )
+        df = self._scan_entries(kept, self._dvs(version))
         return df.filter(F.col(col) == F.lit(value))
 
     def merge(self, source: DataFrame, key: str) -> int:
@@ -570,7 +637,8 @@ class SnapshotStore:
         ).first()
         if n_src == 0:  # empty source: new version = carry-forward
             return self._commit(
-                self.manifest(base)["files"], "merge", base, schema
+                self.manifest(base)["files"], "merge", base, schema,
+                dvs=self._dvs(base),
             )
         carried, touched = [], []
         for f in self.manifest(base)["files"]:
@@ -581,10 +649,10 @@ class SnapshotStore:
             else:
                 touched.append(f)
         if touched:
-            # mergeSchema: touched files may straddle a schema evolution
-            current = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, f["path"]) for f in touched]
-            )
+            # mergeSchema: touched files may straddle a schema evolution;
+            # deletion vectors apply BEFORE the rewrite so dv-deleted rows
+            # can never resurrect into the rewritten files
+            current = self._scan_entries(touched, self._dvs(base))
             remain = current.join(
                 source.select(key).distinct(), on=key, how="left_anti"
             )
@@ -596,7 +664,11 @@ class SnapshotStore:
             )
         else:
             staged = self._stage_files(source)  # pure insert
-        return self._commit(carried + staged, "merge", base, schema)
+        # carried files keep their dv rows (path-keyed); entries pointing
+        # at rewritten (now-unreferenced) files are inert
+        return self._commit(
+            carried + staged, "merge", base, schema, dvs=self._dvs(base)
+        )
 
     def delete_where(
         self,
@@ -625,12 +697,98 @@ class SnapshotStore:
                 touched.append(f)
         staged = []
         if touched:
-            current = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, f["path"]) for f in touched]
-            )
+            current = self._scan_entries(touched, self._dvs(base))
             staged = self._stage_files(current.filter(~F.expr(predicate)))
         return self._commit(
-            carried + staged, "delete", base, self._base_schema(base)
+            carried + staged, "delete", base, self._base_schema(base),
+            dvs=self._dvs(base),
+        )
+
+    def delete_where_dv(
+        self,
+        predicate: str,
+        prune: "tuple[str, object, object] | None" = None,
+    ) -> int:
+        """Merge-on-read DELETE via deletion vectors: commit a new version
+        where rows matching the SQL `predicate` are gone WITHOUT rewriting
+        a single data file — the write amplification answer at 100 TB,
+        where a copy-on-write delete of 0.1% of rows rewrites terabytes.
+
+        One job scans the candidate files (stats-pruned like
+        :meth:`delete_where` when `prune` is given) with the current
+        deletion vectors applied — already-deleted positions are never
+        re-recorded — and writes the matching rows' (file_path, row_index)
+        pairs as new position-delete parquet files (Iceberg's position
+        deletes; Delta's DVs are the same positions as per-file bitmaps).
+        The new manifest keeps the data-file set IDENTICAL and appends the
+        DV entries; every read path subtracts them via an anti-join until
+        :meth:`purge_dv` or a compaction materializes the deletes. Time
+        travel across a DV delete works — earlier manifests simply carry
+        fewer (or no) DV entries."""
+        import pyspark.sql.functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("nothing to delete from: no committed version")
+        candidates = []
+        for f in self.manifest(base)["files"]:
+            st = (f.get("stats") or {}).get(prune[0]) if prune else None
+            if st is not None and (st[1] < prune[1] or st[0] > prune[2]):
+                continue
+            candidates.append(f)
+        new_dvs: list[dict] = []
+        if candidates:
+            # materialize the position columns BEFORE the existing-dv
+            # anti-join — _metadata is only resolvable against the scan
+            scan = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f["path"]) for f in candidates]
+            ).select(
+                "*",
+                F.col("_metadata.file_path").alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+            existing = self._dvs(base)
+            if existing:
+                dv = self.spark.read.parquet(
+                    *[os.path.join(self.root, e["path"]) for e in existing]
+                ).selectExpr("file_path AS __dv_fp", "row_index AS __dv_ri")
+                scan = scan.join(
+                    F.broadcast(dv)
+                    if sum(e["rows"] for e in existing) <= 5_000_000
+                    else dv,
+                    ["__dv_fp", "__dv_ri"],
+                    "left_anti",
+                )
+            positions = scan.filter(F.expr(predicate)).select(
+                F.col("__dv_fp").alias("file_path"),
+                F.col("__dv_ri").alias("row_index"),
+            )
+            new_dvs = [
+                e for e in self._stage_files(positions) if e["rows"] > 0
+            ]
+        return self._commit(
+            self.manifest(base)["files"], "delete-dv", base,
+            self._base_schema(base), dvs=self._dvs(base) + new_dvs,
+        )
+
+    def purge_dv(self, target_partitions: int | None = None) -> int:
+        """Materialize outstanding deletion vectors (REORG ... APPLY PURGE):
+        rewrite the current version's data with DVs applied and commit a
+        DV-free version. Copy-on-write: earlier versions still reference
+        the old files and DV entries, so time travel across the purge is
+        exact. No-op commit shape when no DVs are outstanding is avoided —
+        returns the current version unchanged in that case."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError("nothing to purge: no committed version")
+        if not self._dvs(base):
+            return base
+        current = self.read(version=base)
+        if target_partitions is not None:
+            current = current.coalesce(target_partitions)
+        return self._commit(
+            self._stage_files(current), "purge", base,
+            self._base_schema(base), dvs=[],
         )
 
     # -- read path ---------------------------------------------------------------
@@ -641,15 +799,14 @@ class SnapshotStore:
             version = self.latest_version()
             if version is None:
                 raise ValueError("no committed version to read")
-        files = [
-            os.path.join(self.root, f["path"])
-            for f in self.manifest(version)["files"]
-        ]
-        if not files:
+        manifest = self.manifest(version)
+        if not manifest["files"]:
             raise ValueError(f"version {version} is empty")
         # mergeSchema: files written before a schema evolution lack the
-        # newer columns — they read as NULL under the union schema
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        # newer columns — they read as NULL under the union schema.
+        # Deletion vectors (if the version carries any) are subtracted
+        # merge-on-read via _apply_dvs.
+        return self._scan_entries(manifest["files"], self._dvs(version))
 
     def prune_files(
         self,
@@ -694,8 +851,9 @@ class SnapshotStore:
         kept, _ = self.prune_files(col, lo, hi, version)
         if not kept:
             return self.read(version=version).filter(F.lit(False))
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.root, f["path"]) for f in kept]
+        df = self._scan_entries(
+            kept,
+            self._dvs(version if version is not None else self.latest_version()),
         )
         return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -738,6 +896,7 @@ class SnapshotStore:
         return self._commit(
             files, "restore", self.latest_version(),
             self.manifest(version).get("schema"),
+            dvs=self._dvs(version),
         )
 
     def read_asof(self, timestamp: str) -> DataFrame:
@@ -764,29 +923,91 @@ class SnapshotStore:
         or REMOVED between the versions are read — O(changed data), not
         O(table) — and the row-level reconciliation (exceptAll both ways)
         runs over just that delta, which also makes a pure rewrite
-        (compaction) correctly yield zero changes."""
+        (compaction) correctly yield zero changes. Deletion vectors are a
+        third change channel: a merge-on-read delete changes NO files, so
+        the dv-entry delta is resolved to its exact data rows (position
+        semi-join over just the dv-referenced files) and emitted as
+        deletes — and a restore that drops dv entries emits the restored
+        rows as inserts."""
         import pyspark.sql.functions as F
 
         mf = {f["path"] for f in self.manifest(from_version)["files"]}
         mt = {f["path"] for f in self.manifest(to_version)["files"]}
+        from_dvs, to_dvs = self._dvs(from_version), self._dvs(to_version)
 
-        def read_paths(paths: set[str]) -> DataFrame:
+        def read_paths(paths: set[str], dvs: list[dict]) -> DataFrame:
             if not paths:
                 return self.read(version=to_version).limit(0)
             # mergeSchema: the delta file set itself may straddle a schema
-            # evolution (several appends between the two versions)
-            return self.spark.read.option("mergeSchema", "true").parquet(
+            # evolution (several appends between the two versions). Each
+            # side applies ITS OWN version's deletion vectors — a row
+            # already dv-deleted in from_version is not "removed now", and
+            # a row dv-deleted by to_version was never inserted.
+            df = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, p) for p in sorted(paths)]
             )
+            return self._apply_dvs(df, dvs)
 
-        added, removed = read_paths(mt - mf), read_paths(mf - mt)
-        # Align both deltas to the union of their schemas before exceptAll
-        # (which requires identical column lists): across a schema-evolving
-        # append the added files carry the new column while the removed side
-        # (or the empty-set limit(0) branch) may not — null-fill what each
-        # side lacks, in one canonical column order.
+        added = read_paths(mt - mf, to_dvs)
+        removed = read_paths(mf - mt, from_dvs)
+
+        # dv-entry delta over files COMMON to both versions: new dv entries
+        # are merge-on-read deletes; dv entries dropped (restore to a
+        # pre-delete version) are re-inserts. Positions over files only one
+        # side references are already accounted by the file diff above.
+        common_abs = {
+            os.path.abspath(os.path.join(self.root, p)): p for p in mf & mt
+        }
+        from_paths = {e["path"] for e in from_dvs}
+        to_paths = {e["path"] for e in to_dvs}
+
+        def dv_rows(entries: list[dict]) -> "DataFrame | None":
+            if not entries or not common_abs:
+                return None
+            pos = self.spark.read.parquet(
+                *[os.path.join(self.root, e["path"]) for e in entries]
+            ).selectExpr("file_path AS __fp", "row_index AS __ri")
+            # prune the data scan to only the files the positions touch —
+            # O(files) driver rows, the same catalog scale as the manifest
+            rel = sorted(
+                {
+                    common_abs[a]
+                    for r in pos.select("__fp").distinct().collect()
+                    for a in [
+                        os.path.abspath(r["__fp"].replace("file:", "", 1))
+                    ]
+                    if a in common_abs
+                }
+            )
+            if not rel:
+                return None
+            scan = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, p) for p in rel]
+            )
+            return (
+                scan.withColumns(
+                    {
+                        "__fp": F.col("_metadata.file_path"),
+                        "__ri": F.col("_metadata.row_index"),
+                    }
+                )
+                .join(F.broadcast(pos), ["__fp", "__ri"], "left_semi")
+                .drop("__fp", "__ri")
+            )
+
+        dv_deleted = dv_rows([e for e in to_dvs if e["path"] not in from_paths])
+        dv_restored = dv_rows(
+            [e for e in from_dvs if e["path"] not in to_paths]
+        )
+
+        # Align every side to the union of their schemas before exceptAll /
+        # union (which require identical column lists): across a
+        # schema-evolving append one side carries columns another lacks —
+        # null-fill, in one canonical column order.
         union_fields: dict[str, object] = {}
-        for side in (added, removed):
+        for side in (added, removed, dv_deleted, dv_restored):
+            if side is None:
+                continue
             for fld in side.schema.fields:
                 union_fields.setdefault(fld.name, fld.dataType)
         cols = list(union_fields)
@@ -804,7 +1025,16 @@ class SnapshotStore:
         deletes = removed.exceptAll(added).withColumn(
             "change_type", F.lit("delete")
         )
-        return inserts.unionByName(deletes)
+        out = inserts.unionByName(deletes)
+        if dv_deleted is not None:
+            out = out.unionByName(
+                aligned(dv_deleted).withColumn("change_type", F.lit("delete"))
+            )
+        if dv_restored is not None:
+            out = out.unionByName(
+                aligned(dv_restored).withColumn("change_type", F.lit("insert"))
+            )
+        return out
 
     # -- maintenance -----------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
@@ -825,7 +1055,8 @@ class SnapshotStore:
         live = {
             os.path.join(self.root, f["path"])
             for v in self.versions()
-            for f in self.manifest(v)["files"]
+            for m in [self.manifest(v)]
+            for f in m["files"] + (m.get("dvs") or [])
         }
         removed = 0
         data = self._data_dir()
