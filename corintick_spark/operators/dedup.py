@@ -643,3 +643,98 @@ def edit_pairs_qgram(
         .filter(F.col("edit_dist") <= k)
     )
     return verify.select("a_id", "b_id", "edit_dist")
+
+
+def duplicated_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_len: int = 30,
+) -> DataFrame:
+    """Exact corpus-level duplicated-substring detection, the training-data
+    dedup shape of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (2022): a position in a document is DUPLICATED when the
+    `min_len`-char window starting there occurs at least twice anywhere in
+    the corpus (any document, any offset — alignment-free, so copied
+    boilerplate is caught wherever it lands). Returns one row per document
+    that contains at least one duplicated window: (id, n_windows,
+    dup_windows, dup_ppm) with dup_ppm = floor(dup_windows * 1e6 /
+    n_windows) — the integer parts-per-million a removal policy thresholds
+    on.
+
+    Distributed shape (the suffix array of the paper is a single-machine
+    construction; this is its shuffle-bounded equivalent):
+    1. per-doc window HASHES via one JVM higher-order expression —
+       transform(sequence(...), i -> xxhash64(substring(text, i, L))) —
+       exploded to (id, pos, h): the only corpus-sized shuffle carries an
+       8-byte hash per character position, never the window text;
+    2. hash-level candidates = h with count >= 2 (map-side partial agg);
+    3. EXACT verification re-extracts the window text for candidate
+       positions only (join back to the docs by id) and re-counts by the
+       actual string — an xxhash64 collision can only add a candidate,
+       never a result row, so the output is collision-free exact.
+    At 100 TB step 1's shuffle is ~8x the corpus bytes; the standard
+    next tier is winnowing/content-defined anchors (select ~1/k positions
+    deterministically by local hash minima so identical spans select
+    identical anchors), which divides the shuffle by k at the cost of
+    span-boundary resolution — the candidate/verify skeleton is unchanged.
+    """
+    import pyspark.sql.functions as F
+
+    L = int(min_len)
+    docs = df.select(
+        F.col(id_col).alias("_id"), F.col(text).alias("_t")
+    ).filter(F.length(text) >= L)
+    grams = docs.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(_t) - {L} + 1),"
+                f" i -> xxhash64(substring(_t, i, {L})))"
+            )
+        ).alias("_p0", "_h"),
+    ).select("_id", (F.col("_p0") + 1).alias("_pos"), "_h")
+    dup_h = grams.groupBy("_h").count().filter(F.col("count") >= 2)
+    cand = grams.join(dup_h.select("_h"), "_h", "left_semi")
+    # Verification re-extracts candidate window text — but NEVER joins the
+    # full document text onto per-position rows (a repetitive 200k-char doc
+    # where every window is a candidate would copy the whole text 200k
+    # times). Candidate positions fold to ONE array per doc, the text joins
+    # once per doc, and a single JVM transform extracts all windows.
+    cand_pos = cand.groupBy("_id").agg(F.collect_list("_pos").alias("_ps"))
+    cand_txt = (
+        cand_pos.join(docs, "_id")
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(_ps, p -> struct(p AS _pos,"
+                    f" substring(_t, CAST(p AS INT), {L}) AS _g))"
+                )
+            ).alias("_x"),
+        )
+        .select("_id", F.col("_x._pos").alias("_pos"), F.col("_x._g").alias("_g"))
+    )
+    dup_g = cand_txt.groupBy("_g").count().filter(F.col("count") >= 2)
+    verified = cand_txt.join(dup_g.select("_g"), "_g", "left_semi")
+    per_doc = verified.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    return (
+        per_doc.join(
+            docs.select(
+                "_id", (F.length("_t") - L + 1).alias("n_windows")
+            ),
+            "_id",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_windows").cast("bigint"),
+            F.col("dup_windows").cast("bigint"),
+            # exact integer division — floating division + cast truncation
+            # is not portable across engines
+            F.expr("dup_windows * 1000000L div n_windows")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )

@@ -2434,3 +2434,45 @@ def multimodal_resize(spark, sf_dir):
 
     with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.resize_images(with_png, out_w=4, out_h=4)
+
+
+# Exact duplicated-substring detection (Lee et al. 2022's training-data
+# dedup, re-expressed shuffle-bounded — operators/dedup.py::
+# duplicated_window_stats): a position is duplicated when its 30-char
+# window occurs >= 2 times ANYWHERE in the corpus, alignment-free. The
+# oracle enumerates every window with generate_series and recounts — the
+# Spark side's hash-candidates + exact-text verification must agree
+# exactly (an xxhash64 collision adds a candidate, never a result row).
+@query(
+    "dedup_substring",
+    sql="""
+    WITH grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS INT), 30) AS g
+      FROM (
+        SELECT doc_id, text, unnest(range(1, length(text) - 30 + 2)) AS i
+        FROM documents
+        WHERE length(text) >= 30
+      )
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS dup_windows
+      FROM grams WHERE g IN (SELECT g FROM dup)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) - 30 + 1 AS BIGINT) AS n_windows,
+           h.dup_windows,
+           CAST(h.dup_windows * 1000000 // (length(d.text) - 30 + 1) AS BIGINT)
+             AS dup_ppm
+    FROM hits h JOIN documents d USING (doc_id)
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Per-doc duplicated-window stats: corpus-wide exact 30-char
+    substring duplication (boilerplate spans), hash-candidate +
+    text-verified."""
+    d = table(spark, sf_dir, "documents")
+    return D.duplicated_window_stats(d, min_len=30)

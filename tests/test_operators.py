@@ -1249,3 +1249,47 @@ def test_resize_images_null_propagates(spark):
     )
     rows = M.resize_images(df, 4, 4).collect()
     assert all(r.rz_sum is None and r.width is None for r in rows)
+
+
+def test_duplicated_window_stats_planted_spans(spark):
+    """dedup_substring's operator: plant a shared 40-char span inside two
+    otherwise-unique docs and a self-repeating doc; verify exact window
+    accounting (operators/dedup.py::duplicated_window_stats)."""
+    from corintick_spark.operators.dedup import duplicated_window_stats
+
+    span = "X" * 10 + "SHARED-BOILERPLATE-SPAN-" + "Y" * 6  # 40 chars
+
+    # non-repeating 60-char flanks (incrementing zero-padded counters —
+    # no 30-char window recurs within or across them)
+    def flank(lo):
+        return "".join(f"{i:03d}" for i in range(lo, lo + 20))
+
+    # leading flanks end '...019' vs '...400' (last char differs) and
+    # trailing flanks start '100...' vs '300...' (first char differs), so
+    # no window crossing a span boundary can duplicate across docs
+    docs = spark.createDataFrame(
+        [
+            (1, flank(0) + span + flank(100)),
+            (2, flank(381) + span + flank(300)),
+            (3, "Q" * 100),               # self-repeating: all windows dup
+            (4, "unique-short-doc-with-no-duplicate-windows-at-all-0123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_windows, r.dup_windows)
+        for r in duplicated_window_stats(docs, min_len=30).collect()
+    }
+    # docs 1/2: flanks are unique, so ONLY windows fully inside the
+    # 40-char span are corpus-duplicated: 40 - 30 + 1 = 11
+    assert out[1] == (160 - 30 + 1, 11)
+    assert out[2] == (160 - 30 + 1, 11)
+    # doc 3: every window is 'Q'*30, duplicated within the doc itself
+    assert out[3] == (71, 71)
+    # doc 4: no duplicated window -> not in the result at all
+    assert 4 not in out
+    # NULL/short text never crashes
+    nulls = spark.createDataFrame(
+        [(9, None), (10, "short")], "doc_id long, text string"
+    )
+    assert duplicated_window_stats(nulls, min_len=30).count() == 0
