@@ -981,3 +981,42 @@ def storage_dv_cdf(spark, sf_dir):
     v0 = store.append(d.filter(F.col("doc_id") % 2 == 0))
     v1 = store.delete_where_dv("n_chars % 7 = 0")
     return store.changes(v0, v1)
+
+
+# Scoped MERGE full sync (snapshots.py::merge(sync_scope=...)): Delta's
+# WHEN NOT MATCHED BY SOURCE THEN DELETE with a condition — the
+# re-sync-one-partition-from-an-authoritative-feed pattern. Inside the
+# scope (doc_id < 300) the table becomes EXACTLY the source (matched rows
+# update, unmatched-by-source rows delete); outside it nothing moves, and
+# files disjoint from both the source key range and the scope bounds carry
+# forward unrewritten (pinned by tests/test_snapshots.py). The oracle
+# recomputes the sync relationally.
+@query(
+    "storage_merge_sync",
+    sql="""
+    SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300
+    UNION ALL
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id >= 300
+    """,
+)
+def storage_merge_sync(spark, sf_dir):
+    """Scoped SCD-1 full sync: doc_id<300 re-synced to the doc_id%3
+    source; doc_id>=300 untouched."""
+    import tempfile as _tf
+
+    from corintick_spark.snapshots import SnapshotStore
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapsync_") + "/tbl")
+    store.append(d.filter(F.col("doc_id") % 2 == 0).repartitionByRange(4, "doc_id"))
+    source = (
+        d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 300))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+    )
+    store.merge(
+        source, key="doc_id", sync_scope="doc_id < 300",
+        scope_prune=("doc_id", 0, 299),
+    )
+    return store.read()

@@ -607,19 +607,36 @@ class SnapshotStore:
         df = self._scan_entries(kept, self._dvs(version))
         return df.filter(F.col(col) == F.lit(value))
 
-    def merge(self, source: DataFrame, key: str) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        sync_scope: "str | None" = None,
+        scope_prune: "tuple[str, object, object] | None" = None,
+    ) -> int:
         """SCD-1 upsert (MERGE semantics): rows of `source` replace current
         rows with the same `key` value; unmatched source rows are inserts.
 
+        With `sync_scope` (a SQL predicate), the merge is a SCOPED FULL
+        SYNC — Delta's ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` with a
+        condition: base rows INSIDE the scope that match no source key are
+        deleted, rows outside the scope are untouched. (The unscoped form
+        of that clause degenerates to overwrite(source); the scoped form is
+        the real pattern — re-sync one partition/day from an authoritative
+        feed.) `scope_prune=(col, lo, hi)` is the caller's assertion that
+        scope rows have `col` within [lo, hi], letting disjoint files carry
+        forward untouched exactly like :meth:`delete_where`'s prune.
+
         Scale shape (the part that matters at 100 TB): files whose
         footer-recorded [min, max] range of `key` is DISJOINT from the
-        source's key range are **carried into the new version untouched** —
-        only overlapping files are rewritten (read → left_anti on the
-        source's distinct keys → union source). The source key range is one
-        1-row aggregate; the anti-join's build side is just the source
-        keys. A file with no recorded stats is conservatively rewritten.
-        Rewrites are copy-on-write: earlier versions still reference the
-        old files (time travel across a merge works)."""
+        source's key range (and, when syncing, from the scope bounds) are
+        **carried into the new version untouched** — only overlapping files
+        are rewritten (read → left_anti on the source's distinct keys →
+        scope filter → union source). The source key range is one 1-row
+        aggregate; the anti-join's build side is just the source keys. A
+        file with no recorded stats is conservatively rewritten. Rewrites
+        are copy-on-write: earlier versions still reference the old files
+        (time travel across a merge works)."""
         import pyspark.sql.functions as F
 
         self._enforce(source)
@@ -635,7 +652,8 @@ class SnapshotStore:
         lo, hi, n_src = source.agg(
             F.min(key), F.max(key), F.count(F.lit(1))
         ).first()
-        if n_src == 0:  # empty source: new version = carry-forward
+        if n_src == 0 and sync_scope is None:
+            # empty source: new version = carry-forward
             return self._commit(
                 self.manifest(base)["files"], "merge", base, schema,
                 dvs=self._dvs(base),
@@ -644,7 +662,18 @@ class SnapshotStore:
         for f in self.manifest(base)["files"]:
             st = (f.get("stats") or {}).get(key)
             # lo/hi None with rows present = all-null keys: nothing prunable
-            if None not in (lo, st) and (st[1] < lo or st[0] > hi):
+            disjoint = None not in (lo, st) and (st[1] < lo or st[0] > hi)
+            if disjoint and sync_scope is not None:
+                # carrying also requires the file to be outside the scope
+                sst = (
+                    (f.get("stats") or {}).get(scope_prune[0])
+                    if scope_prune
+                    else None
+                )
+                disjoint = sst is not None and (
+                    sst[1] < scope_prune[1] or sst[0] > scope_prune[2]
+                )
+            if disjoint:
                 carried.append(f)
             else:
                 touched.append(f)
@@ -656,6 +685,12 @@ class SnapshotStore:
             remain = current.join(
                 source.select(key).distinct(), on=key, how="left_anti"
             )
+            if sync_scope is not None:
+                # NOT MATCHED BY SOURCE within scope -> delete (NULL scope
+                # predicate = not in scope, SQL filter semantics)
+                remain = remain.filter(
+                    ~F.coalesce(F.expr(sync_scope), F.lit(False))
+                )
             # allowMissingColumns: a source written against an older (or
             # newer) schema vintage null-fills the columns it lacks —
             # whole-row SCD-1 replacement semantics

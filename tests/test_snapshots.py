@@ -560,3 +560,49 @@ def test_expired_history_stream_contracts(store, spark):
     # mark instead of -1 (which would plan backwards offsets)
     part2 = make_cdf_partitioned_datasource()(opts).streamReader(None)
     assert part2.latestOffset() == {"v": 2}
+
+
+def test_merge_sync_scope_deletes_unmatched_in_scope(store, spark):
+    """Scoped full sync (WHEN NOT MATCHED BY SOURCE DELETE with a
+    condition): in-scope rows sync to the source exactly, out-of-scope
+    rows are untouched."""
+    import pyspark.sql.functions as F
+
+    store.append(_df(spark, 0, 100))
+    # authoritative re-feed of the k < 50 region: only even keys survive,
+    # each shifted by +1000 in a second column
+    src = (
+        _df(spark, 0, 50)
+        .filter(F.col("k") % 2 == 0)
+        .withColumn("v", F.col("k") + F.lit(1000))
+    )
+    base_with_v = store.read().withColumn("v", F.lit(None).cast("long"))
+    store.overwrite(base_with_v)
+    store.merge(src, key="k", sync_scope="k < 50", scope_prune=("k", 0, 49))
+    rows = {r.k: r.v for r in store.read().collect()}
+    assert sorted(rows) == [k for k in range(50) if k % 2 == 0] + list(
+        range(50, 100)
+    )
+    assert all(rows[k] == k + 1000 for k in range(0, 50, 2))
+    assert all(rows[k] is None for k in range(50, 100))
+
+
+def test_merge_sync_scope_carries_disjoint_files(store, spark):
+    store.append(_df(spark, 0, 1000).repartitionByRange(4, "k"))
+    src = _df(spark, 0, 10)
+    v = store.merge(
+        src, key="k", sync_scope="k < 250", scope_prune=("k", 0, 249)
+    )
+    before = {f["path"] for f in store.manifest(v - 1)["files"]}
+    after = {f["path"] for f in store.manifest(v)["files"]}
+    assert before & after, "files disjoint from key range AND scope carry"
+    assert sorted(r.k for r in store.read().collect()) == list(range(10)) + list(
+        range(250, 1000)
+    )
+
+
+def test_merge_sync_to_empty_source_clears_scope(store, spark):
+    store.append(_df(spark, 0, 30))
+    empty = _df(spark, 0, 0)
+    store.merge(empty, key="k", sync_scope="k >= 20")
+    assert sorted(r.k for r in store.read().collect()) == list(range(20))
