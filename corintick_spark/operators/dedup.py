@@ -682,9 +682,45 @@ def duplicated_window_stats(
     import pyspark.sql.functions as F
 
     L = int(min_len)
-    docs = df.select(
+    docs = _docs_for_windows(df, id_col, text, L)
+    verified = _duplicated_positions(docs, L)
+    per_doc = verified.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    return (
+        per_doc.join(
+            docs.select(
+                "_id", (F.length("_t") - L + 1).alias("n_windows")
+            ),
+            "_id",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_windows").cast("bigint"),
+            F.col("dup_windows").cast("bigint"),
+            # exact integer division — floating division + cast truncation
+            # is not portable across engines
+            F.expr("dup_windows * 1000000L div n_windows")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+def _docs_for_windows(df: DataFrame, id_col: str, text: str, L: int) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    return df.select(
         F.col(id_col).alias("_id"), F.col(text).alias("_t")
     ).filter(F.length(text) >= L)
+
+
+def _duplicated_positions(docs: DataFrame, L: int) -> DataFrame:
+    """(_id, _pos) of every corpus-duplicated L-char window — the shared
+    candidate/verify skeleton of duplicated_window_stats (see its
+    docstring for the scale analysis)."""
+    import pyspark.sql.functions as F
+
     grams = docs.select(
         "_id",
         F.posexplode(
@@ -716,25 +752,230 @@ def duplicated_window_stats(
         .select("_id", F.col("_x._pos").alias("_pos"), F.col("_x._g").alias("_g"))
     )
     dup_g = cand_txt.groupBy("_g").count().filter(F.col("count") >= 2)
-    verified = cand_txt.join(dup_g.select("_g"), "_g", "left_semi")
-    per_doc = verified.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("dup_windows")
+    return cand_txt.join(dup_g.select("_g"), "_g", "left_semi").select(
+        "_id", "_pos"
     )
-    return (
-        per_doc.join(
-            docs.select(
-                "_id", (F.length("_t") - L + 1).alias("n_windows")
-            ),
-            "_id",
-        )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_len: int = 30,
+) -> DataFrame:
+    """Merge each document's duplicated windows into maximal SPANS — the
+    unit a cleaning pass actually cuts (Lee et al. remove the duplicated
+    span, not individual windows). A duplicated window at position p
+    covers [p, p + min_len); overlapping/adjacent covers merge by the
+    classic gaps-and-islands fold: a window opens a new span iff its
+    start lies past the running maximum end of everything before it
+    (one window + one cumulative max per doc — no self-join, no UDF).
+    Returns (id, n_spans, dup_chars, max_span) per affected document,
+    where dup_chars is the total character count under duplicated cover.
+    """
+    import pyspark.sql.functions as F
+
+    L = int(min_len)
+    docs = _docs_for_windows(df, id_col, text, L)
+    pos = _duplicated_positions(docs, L).withColumn(
+        "_end", F.col("_pos") + F.lit(L)
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    prev_max = F.max("_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pos.withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col("_pos") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy("_id", "_island").agg(
+        F.min("_pos").alias("_s"), F.max("_end").alias("_e")
+    )
+    return spans.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("dup_chars"),
+        F.max(F.col("_e") - F.col("_s")).cast("bigint").alias("max_span"),
+    ).select(
+        F.col("_id").alias(id_col), "n_spans", "dup_chars", "max_span"
+    )
+
+
+def edit_pairs_passjoin(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 2,
+    prefix_len: int = 40,
+    max_short_rows: int | None = 100_000,
+) -> DataFrame:
+    """Exact edit-distance join via PassJoin segment indexing (Li/Deng/
+    Feng, VLDB 2011 — public knowledge): identical output contract to
+    :func:`edit_pairs_qgram` ((a_id, b_id, edit_dist <= k) over
+    `prefix_len`-char prefixes) with a candidate stage keyed on LONG exact
+    segments instead of q-grams.
+
+    Candidate rule (pigeonhole on segments): partition each indexed
+    string t into k+1 contiguous segments; k edits touch at most k of
+    them, so for any s with ED(s,t) <= k at least one full segment of t
+    appears VERBATIM in s, shifted by at most k positions. The probe side
+    therefore enumerates, per string s, every (target length Lb in
+    [len(s)-k, len(s)+k], segment j in 0..k, offset in [-k, k]) substring
+    — at most (2k+1)^2 * (k+1) short probes — and equi-joins the segment
+    index on (segment text, j, Lb). Both directions of a true pair
+    satisfy the rule, so one-directional probing plus least/greatest
+    canonicalization finds every pair; exact levenshtein verification
+    prunes the rest.
+
+    Why this exists next to edit_pairs_qgram: candidate selectivity.
+    q-gram candidates join on 3-char content whose corpus frequency
+    inflates wherever word cores repeat verbatim (measured on the
+    replicated sf10 corpus: 1.8e9 gram candidates for 287 true pairs);
+    segments are ~prefix_len/(k+1) chars (13 here), so a candidate
+    requires a 13-char VERBATIM match at a near-aligned position —
+    selectivity grows exponentially with segment length. Segment scheme:
+    the last (len mod (k+1)) segments are one char longer; both sides
+    compute the identical scheme arithmetically.
+
+    Short strings (len <= q*k + q - 1 with the qgram default, kept
+    identical: 8) pair directly under the same guarded broadcast as
+    edit_pairs_qgram — below ~2 chars the probe substrings degenerate,
+    and the shared threshold keeps the two operators' strata comparable.
+    """
+    import pyspark.sql.functions as F
+
+    kp1 = k + 1
+    short_max = 3 * k + 2  # q*k + q - 1 at q=3 — same stratum split as qgram
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text), 1, prefix_len).alias("_s"),
+    ).withColumn("_len", F.length("_s"))
+    short_side = base.filter(F.col("_len") <= short_max)
+    if max_short_rows is not None:
+        probe_n = short_side.limit(max_short_rows + 1).count()
+        if probe_n > max_short_rows:
+            raise ValueError(
+                f"edit_pairs_passjoin: short-string stratum (len <= "
+                f"{short_max}) exceeds {max_short_rows} rows — "
+                "inherently all-pairs; exact-dedup or length-bucket the "
+                "short population first, or raise max_short_rows"
+            )
+    long_side = base.filter(F.col("_len") > short_max)
+
+    # segment geometry for a length-L string, shared by both sides:
+    #   base_len = L div (k+1); r = L mod (k+1)
+    #   segment j (0-based) length = base_len + (j >= k+1-r)
+    #   segment j start (1-based) = 1 + j*base_len + max(0, j - (k+1-r))
+    def seg_len(L, j):
+        return f"({L} div {kp1}) + IF({j} >= {kp1} - ({L} % {kp1}), 1, 0)"
+
+    def seg_start(L, j):
+        return f"1 + {j} * ({L} div {kp1}) + GREATEST(0, {j} - ({kp1} - ({L} % {kp1})))"
+
+    indexed = long_side.select(
+        F.col("_id").alias("b_id"),
+        F.col("_len").alias("_lb"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {k}), j -> struct("
+                f"j AS _j, substring(_s, {seg_start('_len', 'j')},"
+                f" {seg_len('_len', 'j')}) AS _seg))"
+            )
+        ).alias("_e"),
+    ).select("b_id", "_lb", F.col("_e._j").alias("_j"), F.col("_e._seg").alias("_seg"))
+
+    # probe rows: flatten (dl, j, off) in one JVM expression; invalid
+    # probes (target length below the long stratum, position off the
+    # string) are filtered inside the array before the explode
+    probe_arr = (
+        f"filter(flatten(flatten("
+        f"transform(sequence(-{k}, {k}), dl -> "
+        f" transform(sequence(0, {k}), j -> "
+        f"  transform(sequence(-{k}, {k}), off -> struct("
+        f"   _len + dl AS _lb, j AS _j,"
+        f"   {seg_start('(_len + dl)', 'j')} + off AS _p,"
+        f"   {seg_len('(_len + dl)', 'j')} AS _sl)))))),"
+        f" x -> x._lb > {short_max} AND x._p >= 1"
+        f" AND x._p + x._sl - 1 <= _len AND x._sl >= 1)"
+    )
+    probe = long_side.select(
+        F.col("_id").alias("a_id"),
+        F.col("_len").alias("_la"),
+        "_s",
+        F.explode(F.expr(probe_arr)).alias("_e"),
+    ).select(
+        "a_id",
+        "_la",
+        F.col("_e._lb").alias("_lb"),
+        F.col("_e._j").alias("_j"),
+        F.expr("substring(_s, CAST(_e._p AS INT), CAST(_e._sl AS INT))").alias("_seg"),
+    )
+    cand = (
+        probe.join(indexed, ["_seg", "_j", "_lb"])
+        .filter(F.col("a_id") != F.col("b_id"))
         .select(
-            F.col("_id").alias(id_col),
-            F.col("n_windows").cast("bigint"),
-            F.col("dup_windows").cast("bigint"),
-            # exact integer division — floating division + cast truncation
-            # is not portable across engines
-            F.expr("dup_windows * 1000000L div n_windows")
-            .cast("bigint")
-            .alias("dup_ppm"),
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    shorts = (
+        short_side.select(F.col("_id").alias("a_id"), F.col("_len").alias("_la"))
+        .crossJoin(
+            F.broadcast(
+                short_side.select(
+                    F.col("_id").alias("b_id"), F.col("_len").alias("_lb")
+                )
+            )
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .select("a_id", "b_id")
+    )
+    # long x short boundary pairs: a long string within k of the stratum
+    # cut can pair with a short one — probe the short side's strings
+    # against the segment index too (they enumerate longer targets)
+    short_probe = short_side.filter(F.col("_len") >= short_max - k + 1).select(
+        F.col("_id").alias("a_id"),
+        F.col("_len").alias("_la"),
+        "_s",
+        F.explode(F.expr(probe_arr)).alias("_e"),
+    ).select(
+        "a_id",
+        "_la",
+        F.col("_e._lb").alias("_lb"),
+        F.col("_e._j").alias("_j"),
+        F.expr("substring(_s, CAST(_e._p AS INT), CAST(_e._sl AS INT))").alias("_seg"),
+    )
+    cand_boundary = (
+        short_probe.join(indexed, ["_seg", "_j", "_lb"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
         )
     )
+    pairs = (
+        cand.unionByName(shorts)
+        .unionByName(cand_boundary)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    verify = (
+        pairs.join(
+            base.select(F.col("_id").alias("a_id"), F.col("_s").alias("_ta")),
+            "a_id",
+        )
+        .join(
+            base.select(F.col("_id").alias("b_id"), F.col("_s").alias("_tb")),
+            "b_id",
+        )
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("bigint"))
+        .filter(F.col("edit_dist") <= k)
+    )
+    return verify.select("a_id", "b_id", "edit_dist")

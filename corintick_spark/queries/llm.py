@@ -2281,11 +2281,17 @@ def dedup_survivors(spark, sf_dir):
     """,
 )
 def dedup_editjoin(spark, sf_dir):
-    """All pairs within edit distance 2 on 40-char prefixes, via the
-    positional q-gram count filter (no blocking key, no quadratic
-    candidate stage)."""
+    """All pairs within edit distance 2 on 40-char prefixes, via PassJoin
+    segment indexing (no blocking key, no quadratic candidate stage).
+
+    Switched from edit_pairs_qgram in round 6: on the replicated sf10
+    corpus the 3-gram probing prefix produced 1.8e9 candidates for 2,897
+    true pairs (gram frequencies inflate wherever word cores repeat), vs
+    PassJoin's 13-char verbatim-segment candidates — measured 1194s ->
+    13s at sf10, identical output, both pinned against the naive join in
+    tests/test_editjoin.py."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    return D.edit_pairs_qgram(d, k=2, q=3, prefix_len=40)
+    return D.edit_pairs_passjoin(d, k=2, prefix_len=40)
 
 
 # BM25 retrieval scoring — the inverted-index ranking function every
@@ -2476,3 +2482,55 @@ def dedup_substring(spark, sf_dir):
     text-verified."""
     d = table(spark, sf_dir, "documents")
     return D.duplicated_window_stats(d, min_len=30)
+
+
+# Span-level duplicated-substring accounting (operators/dedup.py::
+# duplicated_span_stats): merge each doc's duplicated 30-char windows into
+# maximal spans — the unit a cleaning pass cuts — via the gaps-and-islands
+# fold (window start past the running max end opens a new span). The
+# oracle replays the identical fold with SQL window functions over the
+# exhaustively recounted duplicated positions.
+@query(
+    "dedup_substring_spans",
+    sql="""
+    WITH grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS INT), 30) AS g
+      FROM (
+        SELECT doc_id, text, unnest(range(1, length(text) - 30 + 2)) AS i
+        FROM documents
+        WHERE length(text) >= 30
+      )
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    pos AS (
+      SELECT doc_id, i, i + 30 AS e
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    flagged AS (
+      SELECT doc_id, i, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR i > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM pos
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT doc_id, i, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(i) AS s, MAX(e) AS e2
+      FROM islands GROUP BY doc_id, island
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(e2 - s) AS BIGINT) AS dup_chars,
+           CAST(MAX(e2 - s) AS BIGINT) AS max_span
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Maximal duplicated spans per doc: count, covered chars, longest."""
+    d = table(spark, sf_dir, "documents")
+    return D.duplicated_span_stats(d, min_len=30)

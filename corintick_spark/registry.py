@@ -102,9 +102,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # sample_priority, pack_fragments, agg_mad, agg_iqr_outliers,
 # agg_topn_share, agg_chi2, agg_ttest, graph_bfs, docs_length_histogram,
 # embedding_centroids, embedding_covariance, knn_classify,
-# ml_split_stratified (+ multimodal_decode_jpg = 50). From r8 on,
-# backfill with rotated-out r01-r06 queries for periodic re-confirmation
-# (oldest driver row first).
+# ml_split_stratified (+ multimodal_decode_jpg = 50). The round-6 session
+# also registered storage_dv, storage_dv_cdf, storage_merge_sync, and
+# dedup_substring (all driver-sim green at sf0.01) — they queue behind
+# the 50 above and open the r8 window, followed by rotated-out r01-r06
+# queries for periodic re-confirmation (oldest driver row first).
 
 
 def load_all() -> dict[str, Query]:

@@ -12,8 +12,16 @@ import random
 
 import pyspark.sql.functions as F
 
+import pytest
+
 from corintick_spark.catalog import table
-from corintick_spark.operators.dedup import edit_pairs_qgram
+from corintick_spark.operators.dedup import edit_pairs_passjoin, edit_pairs_qgram
+
+# Both candidate schemes share the output contract and the naive oracle:
+# positional q-gram probing prefixes (Ed-Join) and PassJoin segment
+# indexing. Every differential below runs against BOTH.
+IMPLS = [edit_pairs_qgram, edit_pairs_passjoin]
+IMPL_IDS = ["qgram", "passjoin"]
 
 
 def _naive(spark, df, k, prefix_len=40):
@@ -36,15 +44,17 @@ def _rows(df):
     return sorted((r.a_id, r.b_id, r.edit_dist) for r in df.collect())
 
 
-def test_equals_naive_on_documents(spark, sf_dir):
+@pytest.mark.parametrize("impl", IMPLS, ids=IMPL_IDS)
+def test_equals_naive_on_documents(spark, sf_dir, impl):
     d = table(spark, sf_dir, "documents").limit(300)
     for k in (1, 2):
         want = _rows(_naive(spark, d, k))
-        got = _rows(edit_pairs_qgram(d, k=k))
+        got = _rows(impl(d, k=k))
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
 
 
-def test_adversarial_shapes(spark):
+@pytest.mark.parametrize("impl", IMPLS, ids=IMPL_IDS)
+def test_adversarial_shapes(spark, impl):
     rows = [
         (1, "the quick brown fox jumps over the lazy"),
         (2, "the quick brown fox jumps over the hazy"),   # 1 sub from 1
@@ -61,14 +71,15 @@ def test_adversarial_shapes(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     for k in (1, 2, 3):
         want = _rows(_naive(spark, d, k))
-        got = _rows(edit_pairs_qgram(d, k=k))
+        got = _rows(impl(d, k=k))
         assert got == want, f"k={k}"
-    got2 = {(a, b): e for a, b, e in _rows(edit_pairs_qgram(d, k=2))}
+    got2 = {(a, b): e for a, b, e in _rows(impl(d, k=2))}
     assert got2[(1, 2)] == 1 and got2[(3, 4)] == 1
     assert got2[(5, 6)] == 1 and got2[(7, 8)] == 2 and got2[(1, 10)] == 0
 
 
-def test_random_differential(spark):
+@pytest.mark.parametrize("impl", IMPLS, ids=IMPL_IDS)
+def test_random_differential(spark, impl):
     """Tiny alphabet maximizes gram collisions and repetition — the
     hostile regime for positional count filters."""
     rng = random.Random(42)
@@ -79,20 +90,38 @@ def test_random_differential(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     for k in (1, 2):
         want = _rows(_naive(spark, d, k))
-        got = _rows(edit_pairs_qgram(d, k=k))
+        got = _rows(impl(d, k=k))
         assert got == want, f"k={k}: missing={set(want)-set(got)}"
 
 
-def test_short_stratum_guard(spark):
+@pytest.mark.parametrize("impl", IMPLS, ids=IMPL_IDS)
+def test_short_stratum_guard(spark, impl):
     """A short-string population above max_short_rows must raise (never
     silently build the all-pairs plan); opting out still works."""
-    import pytest
-
     rows = [(i, "ab"[: i % 3]) for i in range(50)]  # all len <= 2 (short)
     d = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(ValueError, match="short-string stratum"):
-        edit_pairs_qgram(d, k=1, max_short_rows=10)
+        impl(d, k=1, max_short_rows=10)
     # explicit opt-out: exactness unchanged vs naive
-    got = _rows(edit_pairs_qgram(d, k=1, max_short_rows=None))
+    got = _rows(impl(d, k=1, max_short_rows=None))
     want = _rows(_naive(spark, d, 1))
     assert got == want
+
+
+@pytest.mark.parametrize("impl", IMPLS, ids=IMPL_IDS)
+def test_boundary_stratum_pairs(spark, impl):
+    """Pairs straddling the short/long stratum cut (len 8 vs len 9/10)
+    must be found — the long side indexes, the short side must still
+    probe."""
+    rows = [
+        (1, "abcdefgh"),        # len 8 (short stratum)
+        (2, "abcdefghi"),       # len 9 (long) — ED 1 from 1
+        (3, "abcdefghij"),      # len 10 (long) — ED 2 from 1
+        (4, "abcdefghijk"),     # len 11 — ED 3 from 1 (excluded at k=2)
+        (5, "zbcdefgh"),        # len 8 — ED 1 from 1 (short x short)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2):
+        want = _rows(_naive(spark, d, k))
+        got = _rows(impl(d, k=k))
+        assert got == want, f"k={k}: missing={set(want)-set(got)}"
