@@ -29,6 +29,40 @@ VALUE with only stdlib/pyarrow imports inside method bodies.
 from __future__ import annotations
 
 
+def _dv_guard_source():
+    """Return a closure-safe dv-change check (defined per factory so it
+    pickles BY VALUE with the reader class — see module docstring)."""
+
+    def _check_dvs_unchanged(manifest_of, v, fresh, source):
+        """Append-only contract vs deletion vectors: a version whose dv
+        set changed removes ROWS without removing files — silently
+        diffing file sets would replay it as an empty batch (row loss).
+        Raise exactly like the file-removal case; purge_dv()/compact()
+        produce a streamable history, changes() gives full CDC. A fresh
+        stream's initial snapshot must be dv-free for the same reason."""
+        m = manifest_of(v)
+        cur_dvs = {e["path"] for e in (m.get("dvs") or [])}
+        if v == 0 or fresh:
+            prev_dvs = set()
+        else:
+            try:
+                prev_dvs = {
+                    e["path"]
+                    for e in (manifest_of(v - 1).get("dvs") or [])
+                }
+            except FileNotFoundError:
+                prev_dvs = cur_dvs  # expired predecessor handled elsewhere
+        if cur_dvs != prev_dvs:
+            raise ValueError(
+                f"version {v} ({m.get('operation')}) changed deletion "
+                f"vectors — the {source} stream supports append-only "
+                "history; materialize deletes (purge_dv/compact) or use "
+                "SnapshotStore.changes() for full CDC"
+            )
+
+    return _check_dvs_unchanged
+
+
 def make_cdf_stream_datasource():
     """Self-contained `snapcdf` streaming DataSource.
 
@@ -36,6 +70,8 @@ def make_cdf_stream_datasource():
     ``"event_id bigint, event_type string, value double"`` — the caller
     names the projection; parquet supplies the values)."""
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    _check_dvs_unchanged = _dv_guard_source()
 
     class CdfReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
@@ -103,6 +139,7 @@ def make_cdf_stream_datasource():
                     "(Delta's skipChangeCommits shape); use "
                     "SnapshotStore.changes() for full CDC"
                 )
+            _check_dvs_unchanged(self._manifest, v, fresh, "snapcdf")
             rows = []
             for f in m["files"]:
                 if f["path"] in prev:
@@ -183,6 +220,8 @@ def make_cdf_partitioned_datasource():
         DataSourceStreamReader,
         InputPartition,
     )
+
+    _check_dvs_unchanged = _dv_guard_source()
 
     class FilePartition(InputPartition):
         def __init__(self, path, cols):
@@ -280,6 +319,8 @@ def make_cdf_partitioned_datasource():
                         f"version {v} ({m.get('operation')}) removed "
                         "files — snapcdfp requires append-only history"
                     )
+                _check_dvs_unchanged(self._manifest, v, fresh=(s == -1),
+                                     source="snapcdfp")
                 parts.extend(
                     FilePartition(os.path.join(self.root, f["path"]), self.cols)
                     for f in m["files"]

@@ -125,3 +125,53 @@ def test_partitioned_source_rejects_rewrites(spark, tmp_path):
     store.compact(target_partitions=1)
     with pytest.raises(Exception, match="append-only"):
         _run_foreach(spark, _stream_p(spark, store), lambda df, b: df.count())
+
+
+def test_dv_delete_version_raises_append_only(spark, tmp_path):
+    """A deletion-vector delete changes NO files but removes rows — the
+    file-set diff would silently replay it as an empty batch. The source
+    must raise instead (same contract as file-removing versions)."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+    )
+    store.delete_where_dv("k < 5")
+    _register(spark)
+    with pytest.raises(Exception, match="deletion vectors|append-only"):
+        _run_foreach(spark, _stream(spark, store), lambda df, bid: df.count())
+
+
+def test_dv_delete_version_raises_partitioned(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+    )
+    store.delete_where_dv("k < 5")
+    with pytest.raises(Exception, match="deletion vectors|append-only"):
+        _run_foreach(spark, _stream_p(spark, store), lambda df, bid: df.count())
+
+
+def test_purged_dv_history_streams_clean(spark, tmp_path):
+    """purge_dv materializes the deletes copy-on-write; the stream cannot
+    replay ACROSS the purge (it removes files) but a fresh stream started
+    after expiring pre-purge history sees the initial snapshot."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+    )
+    store.delete_where_dv("k < 5")
+    store.purge_dv(target_partitions=1)
+    store.expire_snapshots(keep_last=1)
+    _register(spark)
+    seen = []
+    _run_foreach(
+        spark, _stream(spark, store),
+        lambda df, bid: seen.append(df.count()),
+    )
+    assert sum(seen) == 15
