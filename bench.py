@@ -70,6 +70,11 @@ EXTRAS = [
     "agg_group_median",
     "text_bm25",
     "stream_cdf_partitioned",
+    # round-6: deletion vectors, scoped sync, substring dedup (new keys
+    # extend the tripwire; existing keys stay comparable across rounds)
+    "storage_dv",
+    "storage_merge_sync",
+    "dedup_substring",
 ]
 
 

@@ -1304,21 +1304,57 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
         pos = body + csize + (csize & 1)
     if rate is None or data is None:
         return None
-    if fmt_tag != 1 or bits not in (8, 16):
-        raise NotImplementedError(
-            "decode_wav_pcm supports integer PCM (8/16-bit) only — "
-            "float/24-bit/compressed audio needs libsndfile/ffmpeg "
-            "(not in container)"
-        )
-    if bits == 16:
+    if fmt_tag == 1 and bits == 16:
         arr = array("h")
         arr.frombytes(data[: len(data) & ~1])
         if sys.byteorder == "big":  # WAV PCM is little-endian on disk
             arr.byteswap()
         samples = arr.tolist()
-    else:
+    elif fmt_tag == 1 and bits == 8:
         samples = [v - 128 for v in data]  # 8-bit WAV is unsigned
+    elif fmt_tag in (6, 7) and bits == 8:
+        # G.711 companded telephony audio (format tags 6 = A-law,
+        # 7 = µ-law): REAL expansion to 13/14-bit linear, the exact
+        # integer formulas of CCITT G.711 (public spec; same arithmetic
+        # as Sun's reference g711.c). Pure table-free integer math, so
+        # the oracle can recompute every sample symbolically.
+        if fmt_tag == 7:
+            samples = [ulaw_expand(v) for v in data]
+        else:
+            samples = [alaw_expand(v) for v in data]
+    else:
+        raise NotImplementedError(
+            "decode_wav_pcm supports integer PCM (8/16-bit) and G.711 "
+            "mu-law/A-law only — float/24-bit/other compressed audio "
+            "needs libsndfile/ffmpeg (not in container)"
+        )
     return rate, channels, samples
+
+
+def ulaw_expand(u: int) -> int:
+    """G.711 µ-law byte -> linear sample (BIAS 0x84; exact CCITT
+    arithmetic: complement, mantissa<<3 + bias, shift by segment,
+    re-bias with the sign from bit 7)."""
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_expand(a: int) -> int:
+    """G.711 A-law byte -> linear sample (XOR 0x55 toggle; segment 0 is
+    linear + 8, higher segments add 0x108 then shift; bit 7 SET means
+    positive — the opposite polarity of µ-law)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
 
 
 AUDIO_PCM_SCHEMA = (

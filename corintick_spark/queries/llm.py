@@ -2534,3 +2534,95 @@ def dedup_substring_spans(spark, sf_dir):
     """Maximal duplicated spans per doc: count, covered chars, longest."""
     d = table(spark, sf_dir, "documents")
     return D.duplicated_span_stats(d, min_len=30)
+
+
+# G.711 companded-audio decode (operators/multimodal.py::ulaw_expand/
+# alaw_expand wired into decode_wav_pcm for WAV format tags 7/6): per-doc
+# telephony-audio payloads alternate mu-law and A-law; the oracle
+# recomputes EVERY expanded sample symbolically from the CCITT integer
+# formulas (complement/xor-0x55, mantissa shift, segment scaling, bias) —
+# wrong if the polarity, bias, or segment arithmetic is off by anything.
+@query(
+    "multimodal_decode_g711",
+    sql="""
+    WITH s AS (
+      SELECT doc_id,
+             doc_id % 40 + 1 AS n,
+             list_transform(range(0, (doc_id % 40 + 1)::INT),
+                            k -> (doc_id * 13 + k * 11) % 256) AS bytes
+      FROM documents
+    ), e AS (
+      SELECT doc_id, n,
+             CASE WHEN doc_id % 2 = 1 THEN
+               list_transform(bytes, u -> CASE
+                 WHEN ((255 - u) & 128) != 0
+                 THEN 132 - (((255 - u) % 16) * 8 + 132)
+                          * (1 << (((255 - u) // 16) % 8))
+                 ELSE (((255 - u) % 16) * 8 + 132)
+                          * (1 << (((255 - u) // 16) % 8)) - 132 END)
+             ELSE
+               list_transform(bytes, a -> CASE
+                 WHEN (xor(a, 85) & 128) != 0
+                 THEN CASE WHEN (xor(a, 85) // 16) % 8 = 0
+                           THEN (xor(a, 85) % 16) * 16 + 8
+                           WHEN (xor(a, 85) // 16) % 8 = 1
+                           THEN (xor(a, 85) % 16) * 16 + 264
+                           ELSE ((xor(a, 85) % 16) * 16 + 264)
+                                * (1 << ((xor(a, 85) // 16) % 8 - 1)) END
+                 ELSE -(CASE WHEN (xor(a, 85) // 16) % 8 = 0
+                             THEN (xor(a, 85) % 16) * 16 + 8
+                             WHEN (xor(a, 85) // 16) % 8 = 1
+                             THEN (xor(a, 85) % 16) * 16 + 264
+                             ELSE ((xor(a, 85) % 16) * 16 + 264)
+                                  * (1 << ((xor(a, 85) // 16) % 8 - 1)) END)
+                 END)
+             END AS v
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(v) AS BIGINT) AS sample_sum,
+           ROUND(list_sum(v) / (1.0 * n), 6) AS sample_mean,
+           CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT)
+               AS peak_abs,
+           ROUND(SQRT(list_sum(list_transform(v, x -> 1.0 * x * x)) / n), 6)
+               AS rms
+    FROM e
+    """,
+)
+def multimodal_decode_g711(spark, sf_dir):
+    """Real G.711 mu-law/A-law expansion over synthesized telephony WAVs
+    (format tags 7/6), per-doc loudness features via decode_audio_samples."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % 40 + 1
+                tag = 7 if i % 2 == 1 else 6  # mu-law odd, A-law even
+                data = bytes((i * 13 + k * 11) % 256 for k in range(n))
+                fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) % 2 else b"")
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_wav = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return M.decode_audio_samples(with_wav)

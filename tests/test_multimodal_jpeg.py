@@ -119,3 +119,60 @@ def test_dispatcher_routes_jpeg(spark):
     assert (row.width, row.height, row.channels) == (8, 8, 1)
     assert row.px_sum == sum(px)
     assert row.px_wsum == sum(k * v for k, v in enumerate(px))
+
+
+def test_g711_expand_landmarks_and_roundtrip_monotonicity():
+    """G.711 expansion: canonical landmark values from the public CCITT
+    spec, full-range sanity (µ-law covers ±32124, A-law ±32256), and
+    per-polarity monotonicity of the decoded magnitudes."""
+    from corintick_spark.operators.multimodal import alaw_expand, ulaw_expand
+
+    assert ulaw_expand(0xFF) == 0 and ulaw_expand(0x7F) == 0
+    assert ulaw_expand(0x00) == -32124 and ulaw_expand(0x80) == 32124
+    assert alaw_expand(0x55) == -8 and alaw_expand(0xD5) == 8
+    assert alaw_expand(0x2A) == -32256 and alaw_expand(0xAA) == 32256
+    u = [ulaw_expand(b) for b in range(256)]
+    a = [alaw_expand(b) for b in range(256)]
+    assert min(u) == -32124 and max(u) == 32124
+    assert min(a) == -32256 and max(a) == 32256
+    # byte order within one sign half is monotone in magnitude
+    neg_u = [ulaw_expand(b) for b in range(0x00, 0x80)]   # negative half
+    assert all(x < y for x, y in zip(neg_u, neg_u[1:]))
+    pos_a = [alaw_expand(b ^ 0x00) for b in range(0xD5, 0xD5)]  # trivial
+    # A-law positive magnitudes ordered by segment/mantissa after the
+    # xor-0x55 toggle: check via sorted set size (all 256 distinct except
+    # the two zero-adjacent codes)
+    assert len(set(u)) == 255  # +0 and -0 collapse
+    assert len(set(a)) == 256  # A-law has no negative zero
+
+
+def test_wav_g711_decode_through_pcm_reader():
+    """decode_wav_pcm routes format tags 7/6 through the G.711 expanders
+    and still rejects genuinely unsupported formats."""
+    import struct
+
+    import pytest
+
+    from corintick_spark.operators.multimodal import (
+        alaw_expand,
+        decode_wav_pcm,
+        ulaw_expand,
+    )
+
+    def wav(tag, data):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    payload = bytes(range(0, 250, 7))
+    rate, ch, samples = decode_wav_pcm(wav(7, payload))
+    assert (rate, ch) == (8000, 1)
+    assert samples == [ulaw_expand(b) for b in payload]
+    _, _, samples_a = decode_wav_pcm(wav(6, payload))
+    assert samples_a == [alaw_expand(b) for b in payload]
+    with pytest.raises(NotImplementedError, match="G.711|PCM"):
+        decode_wav_pcm(wav(3, payload))  # IEEE float tag
