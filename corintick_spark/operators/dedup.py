@@ -979,3 +979,67 @@ def edit_pairs_passjoin(
         .filter(F.col("edit_dist") <= k)
     )
     return verify.select("a_id", "b_id", "edit_dist")
+
+
+def winnow_anchor_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_len: int = 30,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing anchor selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003
+    — public knowledge): the shuffle-divider tier documented in
+    :func:`duplicated_window_stats`. From each document's L-char window
+    hashes, select as ANCHORS the rightmost-minimum hash of every w
+    consecutive windows. Guarantees, both content-defined (no alignment):
+    (1) density — at least one anchor per w consecutive window positions,
+        so n_anchors >= ceil(max(n_windows - w + 1, 1) / w) and of course
+        <= n_windows;
+    (2) locality — two documents sharing any substring of length
+        >= L + w - 1 select at least one IDENTICAL anchor inside it
+        (the min over a fully-shared hash window is the same hash on
+        both sides), so an equi-join on anchor hashes finds every long
+        duplicated span while shuffling only ~2/(w+1) of the positions.
+    Emits (id, n_windows, n_anchors, min_anchors) per document; the
+    rows-only query floors n_anchors by min_anchors in inv_ok. The
+    selection runs entirely JVM-side: one window-hash transform plus one
+    aggregate-argmin per window position (O(n*w) cheap integer ops, no
+    shuffle until the anchors themselves).
+    """
+    import pyspark.sql.functions as F
+
+    L, W = int(min_len), int(w)
+    docs = _docs_for_windows(df, id_col, text, L)
+    hs = docs.withColumn(
+        "_hs",
+        F.expr(
+            f"transform(sequence(1, length(_t) - {L} + 1),"
+            f" i -> xxhash64(substring(_t, i, {L})))"
+        ),
+    ).withColumn("_n", F.expr("size(_hs)"))
+    # rightmost-min argmin per window of W consecutive hashes; short docs
+    # (n < W) winnow their single truncated window (one global anchor)
+    anchors = hs.withColumn(
+        "_anchors",
+        F.expr(
+            f"""array_distinct(transform(sequence(1, greatest(_n - {W} + 1, 1)),
+                s -> s + aggregate(
+                    sequence(0, {W - 1}),
+                    named_struct('bi', -1, 'bv', CAST(NULL AS BIGINT)),
+                    (acc, j) -> IF(s + j > _n, acc,
+                        IF(acc.bv IS NULL
+                           OR element_at(_hs, CAST(s + j AS INT)) <= acc.bv,
+                           named_struct('bi', j,
+                               'bv', element_at(_hs, CAST(s + j AS INT))),
+                           acc)),
+                    acc -> acc.bi)))"""
+        ),
+    )
+    return anchors.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("bigint").alias("n_windows"),
+        F.expr("size(_anchors)").cast("bigint").alias("n_anchors"),
+        F.expr(f"CAST(ceil(greatest(_n - {W} + 1, 1) / {W}.0) AS BIGINT)")
+        .alias("min_anchors"),
+    )

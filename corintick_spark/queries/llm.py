@@ -2626,3 +2626,24 @@ def multimodal_decode_g711(spark, sf_dir):
         make_payloads, schema="doc_id long, payload binary"
     )
     return M.decode_audio_samples(with_wav)
+
+
+# Winnowing anchors — the documented shuffle-divider tier of substring
+# dedup (operators/dedup.py::winnow_anchor_stats; Schleimer et al. 2003).
+# Content-defined anchor selection has no SQL oracle (xxhash64 argmins),
+# so the driver's rows-only check adjudicates the self-describing
+# invariants: the winnowing DENSITY guarantee (>= 1 anchor per w
+# consecutive windows, i.e. n_anchors >= min_anchors) and trivial upper
+# bound, in EVERY row. The alignment-free locality guarantee (shared
+# spans select identical anchors) is pinned by a planted-span unit test.
+@query("dedup_winnow", sql=None)
+def dedup_winnow(spark, sf_dir):
+    """Per-doc winnowing anchor stats (L=30, w=8) with the density
+    guarantee as inv_ok."""
+    d = table(spark, sf_dir, "documents")
+    s = D.winnow_anchor_stats(d, min_len=30, w=8)
+    return s.withColumn(
+        "inv_ok",
+        (F.col("n_anchors") >= F.col("min_anchors"))
+        & (F.col("n_anchors") <= F.col("n_windows")),
+    )

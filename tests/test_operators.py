@@ -1293,3 +1293,57 @@ def test_duplicated_window_stats_planted_spans(spark):
         [(9, None), (10, "short")], "doc_id long, text string"
     )
     assert duplicated_window_stats(nulls, min_len=30).count() == 0
+
+
+def test_winnow_anchor_locality_and_density(spark):
+    """Winnowing guarantees (operators/dedup.py::winnow_anchor_stats):
+    density (>= 1 anchor per w windows) and the locality property that
+    makes anchors a dedup shuffle-divider — two docs sharing a span of
+    length >= L + w - 1 select at least one IDENTICAL anchor hash inside
+    it, regardless of where the span lands in each doc."""
+    import pyspark.sql.functions as F
+
+    from corintick_spark.operators.dedup import winnow_anchor_stats
+
+    L, w = 30, 8
+    shared = "SHARED-SPAN-" + "0123456789abcdefghijklmnopqr" * 2  # 68 >= L+w-1
+    pre1 = "".join(f"{i:03d}" for i in range(0, 30))     # 90 unique chars
+    pre2 = "".join(f"{i:03d}" for i in range(500, 540))  # 120 unique chars
+    docs = spark.createDataFrame(
+        [(1, pre1 + shared), (2, pre2 + shared), (3, pre1[:40])],
+        "doc_id long, text string",
+    )
+    stats = {
+        r.doc_id: r for r in winnow_anchor_stats(docs, min_len=L, w=w).collect()
+    }
+    for did in (1, 2, 3):
+        r = stats[did]
+        assert r.min_anchors <= r.n_anchors <= r.n_windows, r
+
+    # locality: recompute each doc's anchor HASH set with the same scheme
+    # and intersect — the shared span must contribute a common anchor
+    hs = docs.withColumn(
+        "_hs",
+        F.expr(
+            f"transform(sequence(1, length(text) - {L} + 1),"
+            f" i -> xxhash64(substring(text, i, {L})))"
+        ),
+    ).withColumn(
+        "_ah",
+        F.expr(
+            f"""array_distinct(transform(
+                sequence(1, greatest(size(_hs) - {w} + 1, 1)),
+                s -> aggregate(sequence(0, {w - 1}),
+                    named_struct('bv', CAST(NULL AS BIGINT)),
+                    (acc, j) -> IF(s + j > size(_hs), acc,
+                        IF(acc.bv IS NULL
+                           OR element_at(_hs, CAST(s + j AS INT)) <= acc.bv,
+                           named_struct('bv',
+                               element_at(_hs, CAST(s + j AS INT))),
+                           acc)),
+                    acc -> acc.bv)))"""
+        ),
+    )
+    sets = {r.doc_id: set(r._ah) for r in hs.select("doc_id", "_ah").collect()}
+    assert sets[1] & sets[2], "shared span must select a common anchor"
+    assert not (sets[3] & sets[2]), "unrelated docs share no anchors"
