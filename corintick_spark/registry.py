@@ -103,10 +103,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # agg_topn_share, agg_chi2, agg_ttest, graph_bfs, docs_length_histogram,
 # embedding_centroids, embedding_covariance, knn_classify,
 # ml_split_stratified (+ multimodal_decode_jpg = 50). The round-6 session
-# also registered storage_dv, storage_dv_cdf, storage_merge_sync, and
-# dedup_substring (all driver-sim green at sf0.01) — they queue behind
-# the 50 above and open the r8 window, followed by rotated-out r01-r06
-# queries for periodic re-confirmation (oldest driver row first).
+# also registered storage_dv, storage_dv_cdf, storage_merge_sync,
+# dedup_substring, dedup_substring_spans, multimodal_decode_g711 (all
+# driver-sim green at sf0.01) and rows-only dedup_winnow — they queue
+# behind the 50 above and open the r8 window, followed by rotated-out
+# r01-r06 queries for periodic re-confirmation (oldest driver row first).
 
 
 def load_all() -> dict[str, Query]:
