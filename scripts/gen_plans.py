@@ -29,7 +29,8 @@ NOTES = {
     "dedup_incremental": "new-batch signatures checkpointed once; corpus side reads ONLY the signature table (no text column in any FileScan — pinned by tests/test_operators.py); candidates meet in a (band_id, band_hash) hash join.",
     "resample_ffill": "grid rows are sequence()+explode from per-key bounds (no driver loop); ONE window pass carries the last tick struct onto grid rows — a NULL-valued tick correctly fills NULL.",
     "events_concurrency": "two-level distributed prefix sum: per-instant deltas aggregate map-side, the global prefix runs over the tiny hour-bucket table (broadcast back), interior cumsums are bucket-partitioned windows — no corpus-sized SinglePartition window anywhere.",
-    "dedup_editjoin": "probing-prefix candidates: each string's q*k+1 corpus-rarest positional grams (rarity via one gram-frequency aggregate) probe the full gram index as an equi-join on (gram, pos-band) with position/length residuals; only the bounded short-short stratum uses a (broadcast) direct join; verification computes levenshtein on deduped candidate ids only.",
+    "dedup_editjoin": "PassJoin segment candidates: each string probes (2k+1)^2(k+1) short substrings against the k+1-segment index as an equi-join on (segment text, j, target length) — a candidate needs a ~13-char VERBATIM near-aligned match; only the bounded short stratum uses a (broadcast) direct join; verification computes levenshtein on deduped candidate ids only.",
+    "dedup_substring": "duplicated-window detection: one JVM transform hashes every 30-char window (the only corpus-sized exchange carries 8-byte hashes), hash candidates (count>=2) semi-join back, per-doc candidate positions fold to ONE array so verification re-extracts window text once per doc, exact text recount filters hash collisions.",
     "dq_suite": "all four row-level checks compile into ONE partial+final HashAggregate over a single scan (plan test pins <=1 Scan); the referential check is a LeftAnti join collapsed to a 1-row aggregate.",
     "graph_triangles": "equi-joins only (edge derivation: one fact-fact shuffle + broadcast dims; wedge + closing joins on node keys) — no CartesianProduct/BNLJ anywhere; degree orientation bounds wedge fan-out to the low-degree endpoint.",
     "pipeline_decontaminate": "the removal is a BroadcastHashJoin LeftAnti against the tiny contaminated-id set — the corpus is never shuffled to be cleaned.",
