@@ -150,3 +150,46 @@ def test_fuzz_expression_parity(seed, spark, duck, sf_dir):
     want = run_duck(duck, sql)
     probs = compare(f"fuzz{seed}", got, want)
     assert not probs, f"seed {seed}: {probs}\nSQL: {sql}"
+
+
+def build_agg_query(seed: int, n_exprs: int = 5) -> str:
+    """Aggregate tier: GROUP BY a low-cardinality key with SUM/COUNT/MIN/
+    MAX over generated integer expressions — pins partial/final agg
+    semantics and NULL-skipping across engines. SUM is cast to BIGINT in
+    the shared text (DuckDB widens BIGINT sums to HUGEINT; Spark keeps
+    BIGINT — the cast makes the contract explicit in both)."""
+    rng = random.Random(10_000 + seed)
+    key = rng.choice(["l_returnflag", "l_linestatus",
+                      "CAST(l_orderkey % 7 AS BIGINT)"])
+    cols = []
+    for i in range(n_exprs):
+        e = gen_int(rng, 2)
+        agg = rng.choice(["sum", "count", "min", "max", "countif"])
+        if agg == "sum":
+            cols.append(f"CAST(SUM({e}) AS BIGINT) AS c{i}")
+        elif agg == "count":
+            cols.append(f"COUNT({e}) AS c{i}")
+        elif agg == "min":
+            cols.append(f"CAST(MIN({e}) AS BIGINT) AS c{i}")
+        elif agg == "max":
+            cols.append(f"CAST(MAX({e}) AS BIGINT) AS c{i}")
+        else:
+            cols.append(
+                f"COUNT(CASE WHEN {gen_bool(rng, 2)} THEN 1 END) AS c{i}"
+            )
+    return (
+        f"SELECT {key} AS gk, COUNT(*) AS n, " + ", ".join(cols)
+        + " FROM lineitem GROUP BY " + key
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_aggregate_parity(seed, spark, duck, sf_dir):
+    from corintick_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    sql = build_agg_query(seed)
+    got = spark.sql(sql).toPandas()
+    want = run_duck(duck, sql)
+    probs = compare(f"fuzzagg{seed}", got, want)
+    assert not probs, f"seed {seed}: {probs}\nSQL: {sql}"
