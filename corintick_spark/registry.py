@@ -49,65 +49,51 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # had only the local DuckDB differential (tests/test_oracle_queries.py —
 # identical bar, but self-administered). Rotated-out queries keep that local
 # differential plus their r01/r02 driver rows; nothing loses signal.
-# Round-6 rotation (verdict r05 item 1): ALL 50 slots go to queries that
-# have never been in a driver rotation (99 such before this round — the
-# registry diffed against the union of CORRECTNESS_r01..r05 keys). The 10
-# canaries rotate OUT for one round (each has 2+ green driver rows and
-# keeps the identical local differential); verdict r05 explicitly asked
-# for 50 first-time queries ("never-sampled count ≤ 49"). Priorities per
-# the verdict: (a) the rows-only tier's FIRST external adjudication — all
-# 14 never-sampled rows-only queries emit self-describing `inv_*`
-# invariant columns so the driver's rows-only row is meaningful; (b) the
-# r5 snapshot-store and streaming waves (newest, least-externally-tested
-# code); (c) the TPC-H/SQL block (largest remaining family); (d) the
-# grouped-quantile stats, whose refinement loop is rewritten this round
-# (driver-state bound — verdict r05 "what's wrong" #1).
+# Round-7 rotation (verdict r06 item 1, executing the plan RESERVED in the
+# round-6 comment): the final 50 never-sampled queries take all 50 slots, so
+# by the end of r7 EVERY registry query has an external CORRECTNESS row.
+# All 50 were already run by the round-6 judge under scripts/driver_sim.py
+# (identical bar, vanilla session, sf0.01) and came back green, so this
+# rotation is zero-risk external confirmation. Rotated-out r06 queries keep
+# their green CORRECTNESS_r06 rows plus the local DuckDB differential
+# (tests/test_oracle_queries.py). Queries registered late in round 6
+# (storage_dv, storage_dv_cdf, storage_merge_sync, dedup_substring,
+# dedup_substring_spans, multimodal_decode_g711, dedup_winnow — all
+# driver-sim green) plus anything new this round open the r8 window,
+# followed by rotated-out r01-r06 queries oldest-driver-row first.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) rows-only tier — first external run, inv_ok in every row
-    "agg_hll_sketch", "agg_approx_quantile", "agg_cm_sketch", "udf_ewma",
-    "dedup_incremental", "dedup_simhash", "similarity_lsh",
-    "similarity_ivf", "similarity_pq", "similarity_ivfpq",
-    "cluster_kmeans", "embedding_pca", "stream_dedup_incremental",
-    "stream_heavyhitters",
-    # (b1) r5 snapshot-store wave
-    "storage_snapshot", "storage_merge", "storage_cdf", "storage_delete",
-    "storage_pruned_read", "storage_zorder", "storage_ivm",
-    "storage_bloom_lookup", "join_dpp",
-    # (b2) r5 streaming wave
-    "stream_cdf_source", "stream_cdf_partitioned", "stream_ivm",
-    "stream_asof_state", "stream_snapshot_ingest",
-    "stream_versioned_enrich", "stream_throttle",
-    # (c) verbatim-SQL tier: remaining TPC-H shapes + window/grouping-sets
-    "sql_q1", "sql_q3", "sql_q5", "sql_q6", "sql_q7", "sql_q8", "sql_q10",
-    "sql_q13", "sql_q14", "sql_q15", "sql_q16", "sql_q17", "sql_q18",
-    "sql_q19", "sql_q22", "sql_wfunc", "sql_groupingsets",
-    # (d) grouped/exact quantile stats — refinement loop rewritten r6
-    "agg_exact_median", "agg_group_median", "agg_group_quartiles",
+    # joins / set ops
+    "join_asof_tolerance", "join_bloom_prefilter", "join_bitmap",
+    "join_bitmap_anti", "join_interval_point", "set_ops_all",
+    # window extras
+    "window_minmax_scale", "window_cusum", "window_winsorize",
+    # scalar/udf extras
+    "scalar_timezone", "udtf_dynamic",
+    # multimodal codecs (real decoders, oracle-adjudicated symbolically)
+    "multimodal_decode_jpg", "multimodal_decode_bmp",
+    "multimodal_decode_gif", "multimodal_decode_pcm",
+    "multimodal_frames", "multimodal_resize",
+    # training pipeline
+    "corpus_mixture", "shuffle_shards", "sample_per_group",
+    "sample_priority", "pack_fragments", "ml_split_stratified",
+    # text
+    "text_bm25", "docs_length_histogram",
+    # sources/sinks
+    "source_python_stream", "sink_roundtrip", "sink_stream_python",
+    "source_overlap",
+    # event analytics
+    "events_throttle", "events_peaks", "events_seasonality",
+    "events_interarrival", "events_abandonment", "events_top_paths",
+    "events_pattern", "events_rfm", "events_survival",
+    "events_cross_corr", "events_frequent_pairs",
+    "events_value_histogram",
+    # stats aggs
+    "agg_mad", "agg_iqr_outliers", "agg_topn_share", "agg_chi2",
+    "agg_ttest",
+    # graph / embeddings / ml
+    "graph_bfs", "embedding_centroids", "embedding_covariance",
+    "knn_classify",
 )
-# Round-7 rotation plan (RESERVED — verdict r05 item 8): after this round
-# 50 never-sampled remain (the 49 below plus `multimodal_decode_jpg`,
-# registered in round 6 with the real baseline-JPEG codec); they take all
-# 50 slots so the whole registry has external rows by end of r7. The 49:
-# join_asof_tolerance,
-# join_bloom_prefilter, join_bitmap, join_bitmap_anti, set_ops_all,
-# window_minmax_scale, window_cusum, window_winsorize, scalar_timezone,
-# udtf_dynamic, multimodal_decode_bmp, multimodal_decode_gif,
-# multimodal_decode_pcm, multimodal_frames, multimodal_resize,
-# corpus_mixture, shuffle_shards, text_bm25, source_python_stream,
-# sink_roundtrip, sink_stream_python, source_overlap, events_throttle,
-# events_peaks, events_seasonality, events_interarrival,
-# events_abandonment, events_top_paths, events_pattern, events_rfm,
-# events_survival, events_cross_corr, events_frequent_pairs,
-# events_value_histogram, join_interval_point, sample_per_group,
-# sample_priority, pack_fragments, agg_mad, agg_iqr_outliers,
-# agg_topn_share, agg_chi2, agg_ttest, graph_bfs, docs_length_histogram,
-# embedding_centroids, embedding_covariance, knn_classify,
-# ml_split_stratified (+ multimodal_decode_jpg = 50). The round-6 session
-# also registered storage_dv, storage_dv_cdf, storage_merge_sync,
-# dedup_substring, dedup_substring_spans, multimodal_decode_g711 (all
-# driver-sim green at sf0.01) and rows-only dedup_winnow — they queue
-# behind the 50 above and open the r8 window, followed by rotated-out
-# r01-r06 queries for periodic re-confirmation (oldest driver row first).
 
 
 def load_all() -> dict[str, Query]:
