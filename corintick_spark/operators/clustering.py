@@ -38,14 +38,24 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_max: int = 100_000,
 ) -> DataFrame:
     """Train k cell centroids; returns a DataFrame (cell int, centroid
-    array<double>) small enough to broadcast."""
+    array<double>) small enough to broadcast.
+
+    ``fit_sample_max``: centroids are fit on a deterministic hash-capped
+    sample of at most ~this many vectors (operators/sampling.py) — the
+    FAISS train()/add() split: assignment (kmeans_assign) still covers
+    every row, but the iterative fit's per-round shuffles are bounded
+    regardless of corpus size. Corpora at or below the cap fit on every
+    row (bit-identical to the unsampled fit). 0/None disables."""
+    from corintick_spark.operators.sampling import hash_sample_cap
+
     spark = df.sparkSession
     # persisted: read twice per iteration (assign + update) × iters rounds —
     # without this every round re-scans and re-casts the source
     vecs = (
-        spread_input(df)
+        hash_sample_cap(spread_input(df), id_col, fit_sample_max)
         .select(
             F.col(id_col).alias("_id"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),

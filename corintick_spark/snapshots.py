@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -122,33 +123,56 @@ class SnapshotStore:
             return []
         return self.manifest(version).get("dvs") or []
 
+    # All data files live under root/data/<stage>/<name>.parquet, so the
+    # root-relative form of any path (scan-time _metadata file URI, or a
+    # stored dv file_path — legacy absolute or already relative) is the
+    # suffix starting at its LAST 'data/' segment. Greedy (.*/)? absorbs
+    # any 'data' in the root path itself; stage ids (hex) and parquet part
+    # names never contain a 'data/' segment.
+    _DV_PATH_RE = r"^(?:.*/)?(data/.*)$"
+
+    @classmethod
+    def _dv_rel(cls, col):
+        """Root-relative normal form of a file-path column — the dv join
+        key. Applied to BOTH sides of every dv position join, so stores
+        are relocatable (positions never encode the root) and dv files
+        written before round 7 (absolute file: URIs) keep matching."""
+        import pyspark.sql.functions as F
+
+        return F.regexp_extract(col, cls._DV_PATH_RE, 1)
+
     def _apply_dvs(self, df: DataFrame, dvs: list[dict]) -> DataFrame:
         """Filter out positions recorded in `dvs` (merge-on-read).
 
         DV files are parquet position deletes — (file_path, row_index)
-        pairs keyed by the scan-time ``_metadata`` values (Iceberg's
-        position-delete-file shape; Delta encodes the same positions as a
-        per-file roaring bitmap). The anti-join keys are exact because
-        data files are immutable: a (path, index) pair written at delete
-        time always denotes the same physical row. The DV side broadcasts
-        while the manifest-recorded row counts say it is small; past that
-        it degrades to a plain shuffled anti-join — at 100 TB the
-        positions table is itself a distributed table and this is the
-        scan-side merge every MoR format pays until a purge/compaction
-        materializes the deletes."""
+        pairs keyed by the scan-time ``_metadata`` values normalized to
+        root-relative paths (Iceberg's position-delete-file shape; Delta
+        encodes the same positions as a per-file roaring bitmap). The
+        anti-join keys are exact because data files are immutable: a
+        (path, index) pair written at delete time always denotes the same
+        physical row — and root-relative keys stay exact after the store
+        root is moved or copied. The DV side broadcasts while the
+        manifest-recorded row counts say it is small; past that it
+        degrades to a plain shuffled anti-join — at 100 TB the positions
+        table is itself a distributed table and this is the scan-side
+        merge every MoR format pays until a purge/compaction materializes
+        the deletes."""
         if not dvs:
             return df
         import pyspark.sql.functions as F
 
         dv = self.spark.read.parquet(
             *[os.path.join(self.root, e["path"]) for e in dvs]
-        ).selectExpr("file_path AS __dv_fp", "row_index AS __dv_ri")
+        ).select(
+            self._dv_rel(F.col("file_path")).alias("__dv_fp"),
+            F.col("row_index").alias("__dv_ri"),
+        )
         if sum(e["rows"] for e in dvs) <= 5_000_000:
             dv = F.broadcast(dv)
         return (
             df.withColumns(
                 {
-                    "__dv_fp": F.col("_metadata.file_path"),
+                    "__dv_fp": self._dv_rel(F.col("_metadata.file_path")),
                     "__dv_ri": F.col("_metadata.row_index"),
                 }
             )
@@ -775,18 +799,23 @@ class SnapshotStore:
         if candidates:
             # materialize the position columns BEFORE the existing-dv
             # anti-join — _metadata is only resolvable against the scan
+            # positions are recorded ROOT-RELATIVE (via _dv_rel) so the
+            # store stays relocatable — the manifests' path convention
             scan = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, f["path"]) for f in candidates]
             ).select(
                 "*",
-                F.col("_metadata.file_path").alias("__dv_fp"),
+                self._dv_rel(F.col("_metadata.file_path")).alias("__dv_fp"),
                 F.col("_metadata.row_index").alias("__dv_ri"),
             )
             existing = self._dvs(base)
             if existing:
                 dv = self.spark.read.parquet(
                     *[os.path.join(self.root, e["path"]) for e in existing]
-                ).selectExpr("file_path AS __dv_fp", "row_index AS __dv_ri")
+                ).select(
+                    self._dv_rel(F.col("file_path")).alias("__dv_fp"),
+                    F.col("row_index").alias("__dv_ri"),
+                )
                 scan = scan.join(
                     F.broadcast(dv)
                     if sum(e["rows"] for e in existing) <= 5_000_000
@@ -801,6 +830,11 @@ class SnapshotStore:
             new_dvs = [
                 e for e in self._stage_files(positions) if e["rows"] > 0
             ]
+        if not new_dvs:
+            # nothing matched: mirror purge_dv's no-op shape — committing a
+            # 'delete-dv' version with zero new positions would churn
+            # history and the CDF stream cadence for no table change
+            return base
         return self._commit(
             self.manifest(base)["files"], "delete-dv", base,
             self._base_schema(base), dvs=self._dvs(base) + new_dvs,
@@ -990,28 +1024,31 @@ class SnapshotStore:
         # are merge-on-read deletes; dv entries dropped (restore to a
         # pre-delete version) are re-inserts. Positions over files only one
         # side references are already accounted by the file diff above.
-        common_abs = {
-            os.path.abspath(os.path.join(self.root, p)): p for p in mf & mt
-        }
+        # Comparison is in the root-relative normal form (_dv_rel), so the
+        # delta resolves identically after the store root moves and across
+        # dv files written before round 7 (absolute file: URIs).
+        common = mf & mt
         from_paths = {e["path"] for e in from_dvs}
         to_paths = {e["path"] for e in to_dvs}
+        rel_re = re.compile(self._DV_PATH_RE)
 
         def dv_rows(entries: list[dict]) -> "DataFrame | None":
-            if not entries or not common_abs:
+            if not entries or not common:
                 return None
             pos = self.spark.read.parquet(
                 *[os.path.join(self.root, e["path"]) for e in entries]
-            ).selectExpr("file_path AS __fp", "row_index AS __ri")
+            ).select(
+                self._dv_rel(F.col("file_path")).alias("__fp"),
+                F.col("row_index").alias("__ri"),
+            )
             # prune the data scan to only the files the positions touch —
             # O(files) driver rows, the same catalog scale as the manifest
             rel = sorted(
                 {
-                    common_abs[a]
+                    m.group(1)
                     for r in pos.select("__fp").distinct().collect()
-                    for a in [
-                        os.path.abspath(r["__fp"].replace("file:", "", 1))
-                    ]
-                    if a in common_abs
+                    for m in [rel_re.match(r["__fp"])]
+                    if m and m.group(1) in common
                 }
             )
             if not rel:
@@ -1019,14 +1056,18 @@ class SnapshotStore:
             scan = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, p) for p in rel]
             )
+            # same manifest-count broadcast guard as _apply_dvs — a large
+            # dv delta between versions must not OOM as a forced broadcast
+            if sum(e["rows"] for e in entries) <= 5_000_000:
+                pos = F.broadcast(pos)
             return (
                 scan.withColumns(
                     {
-                        "__fp": F.col("_metadata.file_path"),
+                        "__fp": self._dv_rel(F.col("_metadata.file_path")),
                         "__ri": F.col("_metadata.row_index"),
                     }
                 )
-                .join(F.broadcast(pos), ["__fp", "__ri"], "left_semi")
+                .join(pos, ["__fp", "__ri"], "left_semi")
                 .drop("__fp", "__ri")
             )
 

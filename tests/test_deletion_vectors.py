@@ -195,8 +195,65 @@ def test_expire_reclaims_dv_files_with_their_versions(store, spark):
     assert _ks(store.read()) == [0] + list(range(2, 10))
 
 
-def test_dv_delete_matching_nothing_is_cheap_noop_version(store, spark):
-    store.append(_df(spark, 0, 10))
+def test_dv_delete_matching_nothing_is_noop(store, spark):
+    # round 7 (ADVICE r6): a predicate matching zero rows must NOT commit
+    # a new version — no-op 'delete-dv' versions churned history and the
+    # CDF stream cadence (mirrors purge_dv's short-circuit)
+    v0 = store.append(_df(spark, 0, 10))
     v1 = store.delete_where_dv("k > 1000")
-    assert store.manifest(v1)["dvs"] == []
+    assert v1 == v0
+    assert store.latest_version() == v0
     assert store.read().count() == 10
+
+
+def test_dv_store_is_relocatable(store, spark, tmp_path):
+    # round 7 (ADVICE r6): dv positions are recorded root-relative, so
+    # moving/copying the store root must keep dv-deleted rows deleted on
+    # every read path and keep changes() resolving dv deltas
+    import shutil
+
+    v0 = store.append(_df(spark, 0, 20).repartition(2))
+    v1 = store.delete_where_dv("k % 5 = 0")
+    moved_root = str(tmp_path / "relocated" / "tbl")
+    shutil.copytree(store.root, moved_root)
+    moved = SnapshotStore(spark, moved_root)
+    assert _ks(moved.read()) == [k for k in range(20) if k % 5 != 0]
+    assert _ks(moved.read_where("k", 0, 10)) == [k for k in range(11) if k % 5]
+    ch = sorted((r.k, r.change_type) for r in moved.changes(v0, v1).collect())
+    assert ch == [(0, "delete"), (5, "delete"), (10, "delete"), (15, "delete")]
+    # and further dv deletes on the moved store compose with the old ones
+    moved.delete_where_dv("k = 1")
+    assert _ks(moved.read()) == [
+        k for k in range(20) if k % 5 != 0 and k != 1
+    ]
+
+
+def test_dv_legacy_absolute_paths_still_match(store, spark):
+    # dv files written before round 7 stored absolute file: URIs; the
+    # root-relative normalizer must keep matching them. Simulate a legacy
+    # store by rewriting the positions file to the absolute form.
+    store.append(_df(spark, 0, 10))
+    v1 = store.delete_where_dv("k < 3")
+    for e in store.manifest(v1)["dvs"]:
+        p = os.path.join(store.root, e["path"])
+        pdf = spark.read.parquet(p).toPandas()
+        assert all(fp.startswith("data/") for fp in pdf["file_path"])
+        pdf["file_path"] = [
+            "file://" + os.path.abspath(os.path.join(store.root, fp))
+            for fp in pdf["file_path"]
+        ]
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+        import shutil
+
+        os.remove(p)  # manifest entries point at single parquet files
+        crc = os.path.join(
+            os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+        )
+        if os.path.exists(crc):  # stale hadoop checksum sidecar
+            os.remove(crc)
+        part = next(
+            n for n in os.listdir(p + ".tmp") if n.endswith(".parquet")
+        )
+        shutil.move(os.path.join(p + ".tmp", part), p)
+        shutil.rmtree(p + ".tmp")
+    assert _ks(store.read()) == list(range(3, 10))
