@@ -121,6 +121,8 @@ def main() -> None:
     passes = 3
 
     def run_suite(names: list[str], drop_first: bool = False) -> tuple[dict, dict]:
+        import gc
+
         samples: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(passes):
             for name in names:
@@ -130,6 +132,11 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 samples[name].append(time.perf_counter() - t0)
+                # drop py4j refs promptly so the ContextCleaner can reclaim
+                # finished queries' localCheckpoint blocks between samples
+                # (iterative ops release in-loop blocks themselves — ckpt.py
+                # — but their final frames ride the GC path)
+                gc.collect()
         # drop_first: the heavy iterative extras (pagerank, survivors, PQ
         # fit) pay one-time session costs (codegen, broadcast warmup,
         # checkpoint dirs) on pass 1 that made driver-bench medians read
@@ -147,7 +154,12 @@ def main() -> None:
         return med, best
 
     med, best = run_suite(HEADLINE)
-    extras_med, _ = run_suite(EXTRAS, drop_first=True)
+    # extras_min alongside extras (verdict r06 item 5): the headline
+    # already carries queries_min; without the same key for extras every
+    # cold/contended sample read as a regression (r6: resample_interp
+    # 3.88s bench row vs 1.61s warm re-measure) — quote BOTH so the
+    # cross-round tripwire can separate machine state from code.
+    extras_med, extras_best = run_suite(EXTRAS, drop_first=True)
     total = round(sum(med.values()), 3)
     print(
         json.dumps(
@@ -158,6 +170,7 @@ def main() -> None:
                 "queries": med,
                 "queries_min": best,
                 "extras": extras_med,
+                "extras_min": extras_best,
                 "extras_value": round(sum(extras_med.values()), 3),
                 "runs": passes,
                 "sf": sf,

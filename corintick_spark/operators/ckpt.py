@@ -1,0 +1,34 @@
+"""Explicit storage release for eagerly localCheckpointed DataFrames.
+
+``Dataset.unpersist()`` is a silent NO-OP on a localCheckpointed frame:
+the checkpoint's blocks are owned by the underlying RDD (the Dataset was
+never registered with the CacheManager), so they are reclaimed only when
+the ContextCleaner notices the RDD is garbage — which, through the py4j
+reference chain, can lag Python GC by a long time. An iterative operator
+that checkpoints per round (connected components, PageRank-style loops)
+therefore ACCUMULATES every round's blocks for the life of the query and
+can OOM the JVM on repeated heavy runs (observed: dedup_clusters at sf10,
+two bench passes in one session — round-7 diagnosis).
+
+``release_local_checkpoint`` frees the blocks deterministically by
+unpersisting the checkpointed RDD itself (the ``LogicalRDD`` the
+checkpointed frame wraps). After the call the frame CANNOT be evaluated
+again — only release frames whose consumers have all run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort immediate release of an eagerly localCheckpointed
+    frame's storage blocks. Safe no-op on anything else; falls back to
+    ContextCleaner/GC if the internal plan shape is not the expected
+    LogicalRDD (e.g. Spark Connect, future Spark versions)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # py4j internals — the GC path remains the fallback

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from corintick_spark.operators.ckpt import release_local_checkpoint
+
 
 def _large_star(sym: DataFrame, bcast: bool) -> DataFrame:
     """One large-star round over a symmetric directed edge list (u, v):
@@ -116,17 +118,23 @@ def connected_components(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         stat = (stat["n"], stat["h"])
-        e.unpersist()
+        # ACTUALLY free the previous round's checkpoint blocks now that
+        # new_e is materialized. Dataset.unpersist() (the round-6 shape)
+        # is a silent no-op on localCheckpointed frames; blocks piled up
+        # one round at a time until repeated sf10 runs OOMed the JVM —
+        # see operators/ckpt.py.
+        release_local_checkpoint(e)
         e = new_e
         if stat == prev_stat:
             break
         prev_stat = stat
 
-    # fixpoint is a disjoint star forest: (child, root) edges
+    # fixpoint is a disjoint star forest: (child, root) edges. The final
+    # e and nodes MUST stay resident here — the caller has not evaluated
+    # labels yet — so their blocks are left to the GC path.
     labels = nodes.join(
         e.select(F.col("u").alias("node"), F.col("v").alias("_root")), "node", "left"
     ).select("node", F.coalesce(F.col("_root"), F.col("node")).alias("comp"))
-    e.unpersist()
     return labels
 
 

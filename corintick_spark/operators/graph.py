@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from corintick_spark.operators.ckpt import release_local_checkpoint
+
 
 def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Enumerate triangles of the undirected graph given as an edge list
@@ -128,6 +130,12 @@ def bfs_hops(
             break
         old = visited
         visited = visited.unionByName(nxt).localCheckpoint()
-        old.unpersist()
+        # real block release per level (Dataset.unpersist is a no-op on
+        # localCheckpointed frames — ckpt.py); the previous frontier is
+        # also done once the new visited materialized, except at level 1
+        # where it IS the old visited frame
+        release_local_checkpoint(old)
+        if frontier is not old:
+            release_local_checkpoint(frontier)
         frontier = nxt
     return visited

@@ -827,6 +827,20 @@ _JPEG_AC_VALS = [
 ]
 
 
+# Progressive AC scans need EOBn symbols (0x10..0xE0 — EOB-run lengths),
+# which the Annex K baseline table does not contain. This flat 8-bit
+# canonical table carries every symbol a progressive first pass can emit:
+# EOB0/ZRL, EOB1..EOB14, and all (run, size) pairs for size 1..10. 176
+# codes of length 8 leave the canonical tree incomplete (Kraft 176/256),
+# which T.81 permits — the last code is not all-ones.
+_JPEG_PROG_AC_VALS = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_PROG_AC_BITS = [0] * 7 + [len(_JPEG_PROG_AC_VALS)] + [0] * 8
+
+
 def _huff_canonical(bits: "list[int]", vals: "list[int]"):
     """Canonical code assignment (T.81 C.2): {(length, code): value}."""
     table, code, k = {}, 0, 0
@@ -1001,6 +1015,433 @@ def encode_jpeg(
     )
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: "list[int] | None" = None,
+    dc_al: int = 1,
+) -> bytes:
+    """Minimal PROGRESSIVE JPEG encoder (SOF2) — synthesis/test helper,
+    the inverse of the progressive path of :func:`decode_jpeg_pixels`.
+
+    Emits the standard spectral-selection + DC-successive-approximation
+    progression:
+
+    1. one interleaved DC FIRST scan (Ss=Se=0, Ah=0, Al=``dc_al``) coding
+       diffs of the point-transformed DC values (T.81 G.1.2.1);
+    2. ``dc_al`` DC REFINEMENT scans (Ah=Al+1), one raw bit per block
+       per component, walking Al back down to 0;
+    3. one AC first scan per component (Ss=1, Se=63, Ah=Al=0) with
+       EOB-run coding across blocks (T.81 G.1.2.2).
+
+    AC successive approximation is not emitted (the decoder's one
+    remaining progressive stub). Same constraints as :func:`encode_jpeg`:
+    gray or RGB, 1×1 sampling, multiple-of-8 dimensions."""
+    import struct
+
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_progressive requires multiple-of-8 dimensions")
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer length mismatch")
+    if not 0 <= dc_al <= 13:
+        raise ValueError("dc_al out of range")
+    q = list(quant) if quant is not None else [1] * 64
+    m = _dct_matrix()
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    arr = arr.reshape(height, width, channels)
+    if channels == 3:
+        r, g, bch = arr[..., 0], arr[..., 1], arr[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * bch,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bch,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bch,
+        ]
+    else:
+        comps = [arr[..., 0]]
+
+    dc_codes = {
+        v: (length, code)
+        for (length, code), v in _huff_canonical(
+            _JPEG_DC_BITS, _JPEG_DC_VALS
+        ).items()
+    }
+    ac_codes = {
+        v: (length, code)
+        for (length, code), v in _huff_canonical(
+            _JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS
+        ).items()
+    }
+
+    zz = _JPEG_ZIGZAG
+    qv = np.array(q, dtype=np.float64)[np.argsort(zz)].reshape(8, 8)
+    blocks_w, blocks_h = width // 8, height // 8
+
+    # quantized zigzag coefficient sequences, once per (component, block)
+    seqs: "list[list[list[int]]]" = []  # [comp][block_index][64]
+    for comp in comps:
+        cs = []
+        for by in range(blocks_h):
+            for bx in range(blocks_w):
+                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                quantized = np.rint((m @ block @ m.T) / qv).astype(np.int64)
+                cs.append([int(quantized.flat[i]) for i in zz])
+        seqs.append(cs)
+    nblocks = blocks_w * blocks_h
+
+    class _Writer:
+        def __init__(self) -> None:
+            self.out = bytearray()
+            self.bitbuf = 0
+            self.nbits = 0
+
+        def put(self, code: int, length: int) -> None:
+            self.bitbuf = (self.bitbuf << length) | (code & ((1 << length) - 1))
+            self.nbits += length
+            while self.nbits >= 8:
+                self.nbits -= 8
+                byte = (self.bitbuf >> self.nbits) & 0xFF
+                self.out.append(byte)
+                if byte == 0xFF:
+                    self.out.append(0x00)
+
+        def flush(self) -> bytes:
+            if self.nbits:
+                self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+            return bytes(self.out)
+
+    def magnitude(v: int) -> tuple[int, int]:
+        size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(comp_ids: "list[int]", ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += struct.pack(">BB", cid, 0x00)  # DC/AC table slot 0
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    scans = bytearray()
+
+    # scan 1: interleaved DC first (point transform is an ARITHMETIC
+    # right shift of the signed quantized coefficient — T.81 G.1.2.1)
+    wtr = _Writer()
+    preds = [0] * channels
+    for bi in range(nblocks):
+        for ci in range(channels):
+            scaled = seqs[ci][bi][0] >> dc_al
+            diff = scaled - preds[ci]
+            preds[ci] = scaled
+            if diff == 0:
+                ln, code = dc_codes[0]
+                wtr.put(code, ln)
+            else:
+                size, bits = magnitude(diff)
+                ln, code = dc_codes[size]
+                wtr.put(code, ln)
+                wtr.put(bits, size)
+    scans += sos(list(range(1, channels + 1)), 0, 0, 0, dc_al) + wtr.flush()
+
+    # DC refinement scans: one raw bit per block per component
+    for al in range(dc_al - 1, -1, -1):
+        wtr = _Writer()
+        for bi in range(nblocks):
+            for ci in range(channels):
+                wtr.put((seqs[ci][bi][0] >> al) & 1, 1)
+        scans += sos(list(range(1, channels + 1)), 0, 0, al + 1, al) + wtr.flush()
+
+    # AC first scan per component (non-interleaved, EOB-run coding):
+    # one EOBn code covers the whole accumulated run — EOBn encodes a run
+    # of (1 << n) + extra blocks, extra in n raw bits (T.81 G.1.2.2)
+    for ci in range(channels):
+        wtr = _Writer()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
+                ln, code = ac_codes[r << 4]
+                wtr.put(code, ln)
+                if r:
+                    wtr.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for bi in range(nblocks):
+            seq = seqs[ci][bi]
+            last_nz = max((k for k in range(1, 64) if seq[k]), default=0)
+            if last_nz == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:  # max representable EOB run
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for k in range(1, last_nz + 1):
+                if seq[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = ac_codes[0xF0]  # ZRL
+                    wtr.put(code, ln)
+                    run -= 16
+                size, bits = magnitude(seq[k])
+                ln, code = ac_codes[(run << 4) | size]
+                wtr.put(code, ln)
+                wtr.put(bits, size)
+                run = 0
+            if last_nz < 63:
+                eobrun += 1
+        flush_eobrun()
+        scans += sos([ci + 1], 1, 63, 0, 0) + wtr.flush()
+
+    zz_q = bytes(q)
+    dqt = seg(0xDB, b"\x00" + zz_q)
+    sof_comps = b"".join(
+        struct.pack(">BBB", ci + 1, 0x11, 0) for ci in range(channels)
+    )
+    sof = seg(0xC2, struct.pack(">BHHB", 8, height, width, channels) + sof_comps)
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + bytes(scans) + b"\xff\xd9"
+
+
+def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Progressive-JPEG (SOF2) decode path of :func:`decode_jpeg_pixels`:
+    accumulate quantized coefficients across scans (DC first + DC
+    successive-approximation refinement + AC spectral-selection first
+    passes, each with EOB-run handling), then dequantize → IDCT once.
+
+    Honest-stub boundaries (NotImplementedError, naming the gap): AC
+    successive-approximation refinement scans (Ss>0, Ah>0), restart
+    intervals inside progressive scans, arithmetic coding, 12-bit,
+    chroma subsampling — the same subset discipline as the baseline
+    path."""
+    import struct
+
+    import numpy as np
+
+    pos = 2
+    qtables: dict[int, "list[int]"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    ncomp = 0
+    comp_info: "list[tuple[int, int]]" = []  # (component id, quant slot)
+    restart_interval = 0
+    coefs: "list[list[list[int]]] | None" = None  # [comp][block][64] zigzag
+
+    def huff_decode(table: dict) -> int:
+        nonlocal bitpos
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        i = bitpos >> 3
+        if i >= len(data):
+            raise ValueError("JPEG bitstream truncated")
+        byte = data[i]
+        if byte == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else None
+            if nxt != 0x00:
+                raise ValueError("unexpected marker inside entropy data")
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        if (bitpos & 7) == 0 and byte == 0xFF:
+            bitpos += 8  # skip the stuffed 0x00
+        return bit
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def extend(v: int, size: int) -> int:
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        body = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError(
+                        "decode_jpeg_pixels supports 8-bit quant tables only"
+                    )
+                qtables[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                htables[(tc, th)] = _huff_canonical(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xC2:  # progressive SOF
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(
+                    "decode_jpeg_pixels supports 8-bit precision only"
+                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    "decode_jpeg_pixels supports 1 or 3 components only"
+                )
+            for ci in range(ncomp):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + ci * 3)
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "decode_jpeg_pixels supports 1x1 sampling only "
+                        "(chroma subsampling needs an upsampler)"
+                    )
+                comp_info.append((cid, tq))
+            blocks_w, blocks_h = (w + 7) // 8, (h + 7) // 8
+            nblocks = blocks_w * blocks_h
+            coefs = [[[0] * 64 for _ in range(nblocks)] for _ in range(ncomp)]
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+            if restart_interval:
+                raise NotImplementedError(
+                    "progressive decode does not support restart intervals"
+                )
+        elif marker == 0xDA:  # one scan of the progression
+            if coefs is None:
+                raise ValueError("SOS before SOF in JPEG stream")
+            ns = body[0]
+            scan_comps: "list[int]" = []  # component indices
+            scan_tabs: "list[tuple[int, int]]" = []  # (dc slot, ac slot)
+            cid_to_ix = {cid: ix for ix, (cid, _) in enumerate(comp_info)}
+            for si in range(ns):
+                cid, tt = body[1 + si * 2], body[2 + si * 2]
+                scan_comps.append(cid_to_ix[cid])
+                scan_tabs.append((tt >> 4, tt & 0x0F))
+            ss, se, ahl = body[1 + ns * 2], body[2 + ns * 2], body[3 + ns * 2]
+            ah, al = ahl >> 4, ahl & 0x0F
+
+            # entropy data: from after SOS to the next real marker
+            data_start = pos + 2 + seglen
+            i = data_start
+            while i + 1 < len(b):
+                if b[i] == 0xFF and b[i + 1] != 0x00:
+                    break
+                i += 1
+            data = b[data_start:i]
+            bitpos = 0
+
+            if ss == 0:  # DC scan (interleaved over the scan's components)
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                preds = [0] * len(scan_comps)
+                for bi in range(nblocks):
+                    for sci, ci in enumerate(scan_comps):
+                        if ah == 0:  # first pass: diff of point-transformed DC
+                            tab = htables[(0, scan_tabs[sci][0])]
+                            size = huff_decode(tab)
+                            diff = extend(read_bits(size), size) if size else 0
+                            preds[sci] += diff
+                            coefs[ci][bi][0] = preds[sci] << al
+                        else:  # refinement: one raw bit per block
+                            coefs[ci][bi][0] |= read_bit() << al
+            else:  # AC scan — non-interleaved by construction
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                if ah != 0:
+                    raise NotImplementedError(
+                        "progressive decode supports AC spectral-selection "
+                        "first passes only (AC successive-approximation "
+                        "refinement needs the correction-bit algorithm)"
+                    )
+                ci = scan_comps[0]
+                ac_tab = htables[(1, scan_tabs[0][1])]
+                eobrun = 0
+                for bi in range(nblocks):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = huff_decode(ac_tab)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            # EOBn: run of (1 << run) + bits blocks ends here
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += read_bits(run)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC index overflow in JPEG stream")
+                        coefs[ci][bi][k] = extend(read_bits(size), size) << al
+                        k += 1
+            pos = i
+            continue
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed SOF markers in progressive stream")
+        pos += 2 + seglen
+
+    if w is None or coefs is None:
+        return None
+
+    m = _dct_matrix()
+    zz = _JPEG_ZIGZAG
+    blocks_w, blocks_h = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((blocks_h * 8, blocks_w * 8)) for _ in range(ncomp)]
+    for ci in range(ncomp):
+        qt = qtables[comp_info[ci][1]]
+        for by in range(blocks_h):
+            for bx in range(blocks_w):
+                seq = coefs[ci][by * blocks_w + bx]
+                block = np.zeros(64)
+                for i2, rm in enumerate(zz):
+                    block[rm] = seq[i2] * qt[i2]
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    m.T @ block.reshape(8, 8) @ m + 128.0
+                )
+
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, bl], axis=-1)
+        px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+        return w, h, 3, px
+    px = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8).tobytes()
+    return w, h, 1, px
+
+
 def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     """Decode a baseline sequential JPEG (SOF0, 8-bit, 1×1 sampling, 1 or
     3 components) to raw pixels: (width, height, channels, pixels) with
@@ -1077,12 +1518,15 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                         "(chroma subsampling needs an upsampler)"
                     )
                 comp_info.append((cid, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # progressive — dedicated multi-scan path
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "decode_jpeg_pixels supports baseline sequential (SOF0) "
-                f"only — got SOF marker 0x{marker:02X} (progressive/"
-                "arithmetic/hierarchical need a full codec)"
+                f"and progressive (SOF2) only — got SOF marker "
+                f"0x{marker:02X} (arithmetic/lossless/hierarchical need "
+                "a full codec)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -1108,10 +1552,20 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     data = b[data_start:]
     bitpos = 0  # bit cursor; byte index = bitpos >> 3
 
-    def aligned_marker() -> int | None:
+    def aligned_marker() -> "tuple[int, int] | None":
+        """The marker byte at the current byte-aligned position, with the
+        bit cursor just past it — or None if none sits there. When the
+        encoder's pre-restart flush byte is 0xFF, its stuffed 0x00 lands
+        exactly at the boundary (the pad bits are 1s, completing 0xFF);
+        that 0x00 belongs to the entropy data, so step past it before
+        looking for the 0xFF of the marker (ADVICE r6: valid baseline
+        streams otherwise die with 'unexpected marker inside entropy
+        data' whenever a restart follows an all-ones flush byte)."""
         i = (bitpos + 7) >> 3
+        if i > 0 and i < len(data) and data[i] == 0x00 and data[i - 1] == 0xFF:
+            i += 1  # stuffed pad byte — entropy data, not the marker
         if i + 1 < len(data) and data[i] == 0xFF and data[i + 1] != 0x00:
-            return data[i + 1]
+            return data[i + 1], (i + 2) << 3
         return None
 
     def read_bit() -> int:
@@ -1159,8 +1613,8 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         for bx in range(blocks_w):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 mk = aligned_marker()
-                if mk is not None and 0xD0 <= mk <= 0xD7:
-                    bitpos = (((bitpos + 7) >> 3) + 2) << 3  # skip RSTn
+                if mk is not None and 0xD0 <= mk[0] <= 0xD7:
+                    bitpos = mk[1]  # skip (stuffed pad +) RSTn
                     preds = [0] * ncomp
             for ci in range(ncomp):
                 dc_tab, ac_tab = scan_tables[ci]

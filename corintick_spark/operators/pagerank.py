@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from corintick_spark.operators.ckpt import release_local_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -178,7 +180,9 @@ def pagerank(
             plan = step(plan)
         prev = ranks
         ranks = plan.localCheckpoint(eager=True)  # one job per segment
-        prev.unpersist()
+        # real release (Dataset.unpersist is a no-op on localCheckpointed
+        # frames — blocks otherwise accumulate per segment, ckpt.py)
+        release_local_checkpoint(prev)
         done += seg
         # convergence read: O(n_nodes) agg over the just-materialized
         # in-memory frame — _diff is the last intra-segment iteration's

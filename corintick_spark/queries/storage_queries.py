@@ -881,7 +881,14 @@ def stream_ivm(spark, sf_dir):
     """,
 )
 def stream_cdf_partitioned(spark, sf_dir):
-    """3 appended versions streamed through the partitioned CDF source."""
+    """3 appended versions streamed through the partitioned CDF source.
+
+    The versions are all committed BEFORE the stream starts — a backlog —
+    so the reader runs in catch-up mode (maxVersionsPerBatch, verdict r06
+    item 6): the whole backlog plans as one multi-version batch instead
+    of one trigger per version, cutting the fixed trigger/WAL cost ~2-3x.
+    The per-version cadence contract stays pinned by stream_cdf_source
+    (simple tier) and tests/test_cdf_source.py."""
     import tempfile as _tf
 
     from corintick_spark.snapshots import SnapshotStore
@@ -911,6 +918,7 @@ def stream_cdf_partitioned(spark, sf_dir):
         .option(
             "columns", "event_id bigint, event_type string, value double"
         )
+        .option("maxVersionsPerBatch", "16")
         .load()
     )
     agg = src.groupBy("event_type").agg(

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from corintick_spark.operators import dedup as D
+from corintick_spark.operators.ckpt import release_local_checkpoint
 
 
 def documents_stream_batched(
@@ -196,6 +197,12 @@ def make_batch_processor(
         decisions.write.mode("overwrite").parquet(
             os.path.join(decisions_path, f"b{batch_id}")
         )
+        # both per-batch checkpoints are fully consumed by the two writes
+        # above — free their blocks NOW. Dataset.unpersist() is a no-op on
+        # localCheckpointed frames, so without this a long-running stream
+        # accumulates every batch's signature blocks (operators/ckpt.py).
+        release_local_checkpoint(sig)
+        release_local_checkpoint(decisions)
 
     return _process
 

@@ -42,6 +42,8 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings", "orders"):
         table(spark, args.sf, t).write.format("noop").mode("overwrite").save()
 
+    import gc
+
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(args.passes):
         for name in names:
@@ -50,6 +52,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             samples[name].append(round(time.perf_counter() - t0, 3))
+            gc.collect()  # let ContextCleaner reclaim checkpoint blocks
     warm = {n: v[1:] if len(v) > 1 else v for n, v in samples.items()}
     med = {n: sorted(v)[len(v) // 2] for n, v in warm.items()}
     print(

@@ -92,13 +92,13 @@ def test_non_jpeg_and_null_return_none():
     assert M.decode_jpeg_pixels(b"\xff\xd8") is None  # SOI alone
 
 
-def test_progressive_and_subsampled_rejected():
+def test_arithmetic_and_subsampled_rejected():
     px = _const_block_image(8, 8, 10)
+    # flip SOF0 (0xC0) to SOF9 (arithmetic sequential) — still a stub
     b = bytearray(M.encode_jpeg(8, 8, px, channels=1))
-    # flip SOF0 (0xC0) to SOF2 (progressive)
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    b[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF"):
         M.decode_jpeg_pixels(bytes(b))
     # 2x2 sampling factor on component 0
     b = bytearray(M.encode_jpeg(8, 8, px, channels=1))
@@ -106,6 +106,64 @@ def test_progressive_and_subsampled_rejected():
     # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1) then [id, samp, tq]
     b[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22
     with pytest.raises(NotImplementedError, match="sampling"):
+        M.decode_jpeg_pixels(bytes(b))
+
+
+def _prog_equals_baseline(img, channels, dc_al):
+    h, w = img.shape[0], img.shape[1]
+    base = M.decode_jpeg_pixels(M.encode_jpeg(w, h, img.tobytes(), channels))
+    prog = M.decode_jpeg_pixels(
+        M.encode_jpeg_progressive(w, h, img.tobytes(), channels, dc_al=dc_al)
+    )
+    return base == prog
+
+
+def test_progressive_constant_blocks_roundtrip_exact():
+    # constant blocks: DC-only payload — the scans are exactly the two DC
+    # pass types (first + successive-approximation refinement) plus
+    # all-EOB-run AC scans; must be bit-exact like the baseline path
+    for w, h, v in ((8, 8, 0), (24, 16, 123), (16, 8, 255)):
+        px = _const_block_image(w, h, v)
+        got = M.decode_jpeg_pixels(
+            M.encode_jpeg_progressive(w, h, px, channels=1, dc_al=1)
+        )
+        assert got == (w, h, 1, px)
+
+
+def test_progressive_equals_baseline_gray_and_rgb():
+    """Progressive scans reconstruct the SAME quantized coefficients the
+    baseline stream carries, so the decoded pixels must be byte-identical
+    to the baseline decode — across dc_al depths and both color modes."""
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    for dc_al in (0, 1, 2, 3):
+        assert _prog_equals_baseline(gray, 1, dc_al)
+    rgb = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    assert _prog_equals_baseline(rgb, 3, 1)
+
+
+def test_progressive_eobrun_and_zrl():
+    # mostly-empty image: 31 of 32 blocks are flat (long EOB runs) and the
+    # busy block has energy only at the last zigzag position (ZRL codes)
+    m = M._dct_matrix()
+    coeff = np.zeros((8, 8))
+    coeff[7, 7] = 40.0
+    sp = np.clip(np.rint(m.T @ coeff @ m + 128.0), 0, 255).astype(np.uint8)
+    big = np.tile(np.full((8, 8), 128, dtype=np.uint8), (4, 8))
+    big[24:32, 56:64] = sp
+    assert _prog_equals_baseline(big, 1, 1)
+
+
+def test_progressive_ac_refinement_still_stub():
+    # craft an AC refinement SOS (Ss=1, Ah=1) — the named remaining gap
+    px = _const_block_image(8, 8, 10)
+    b = bytearray(M.encode_jpeg_progressive(8, 8, px, channels=1, dc_al=0))
+    # second SOS is the AC scan; set Ah=1 in its Ss/Se/AhAl trailer
+    i = bytes(b).find(b"\xff\xda")
+    i = bytes(b).find(b"\xff\xda", i + 2)
+    # SOS payload: len(2) ns(1) [cid tt] ss(1) se(1) ahal(1)
+    b[i + 4 + 1 + 2 + 2] = 0x10
+    with pytest.raises(NotImplementedError, match="refinement"):
         M.decode_jpeg_pixels(bytes(b))
 
 
@@ -176,3 +234,28 @@ def test_wav_g711_decode_through_pcm_reader():
     assert samples_a == [alaw_expand(b) for b in payload]
     with pytest.raises(NotImplementedError, match="G.711|PCM"):
         decode_wav_pcm(wav(3, payload))  # IEEE float tag
+
+
+def test_restart_after_ff_flush_byte():
+    """ADVICE r6: when the encoder's pre-restart flush byte is 0xFF, its
+    stuffed 0x00 sits exactly at the byte boundary and the restart
+    handler must step past it to find the RSTn marker (the old
+    aligned_marker saw the 0x00 and died with 'unexpected marker inside
+    entropy data'). The gradient below is the first deterministic image
+    (found by scanning base/step grids) whose restart_interval=1 stream
+    contains FF 00 FF D0 — pin that it still does, then decode and check
+    every block against the FDCT->round->IDCT reference."""
+    img = ((3 * np.arange(16 * 8).reshape(8, 16)) % 256).astype(np.uint8)
+    b = M.encode_jpeg(16, 8, img.tobytes(), channels=1, restart_interval=1)
+    assert any(
+        bytes([0xFF, 0x00, 0xFF, 0xD0 + n]) in b for n in range(8)
+    ), "payload no longer triggers the stuffed-pad-before-RST case"
+    got = M.decode_jpeg_pixels(b)
+    assert got[:3] == (16, 8, 1)
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(8, 16).astype(int)
+    m = M._dct_matrix()
+    for bx in range(2):
+        blk = img[:, bx * 8 : bx * 8 + 8].astype(float)
+        q = np.rint(m @ (blk - 128.0) @ m.T)
+        ref = np.clip(np.rint(m.T @ q @ m + 128.0), 0, 255)
+        assert (arr[:, bx * 8 : bx * 8 + 8] == ref).all()
