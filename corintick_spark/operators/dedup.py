@@ -673,11 +673,10 @@ def duplicated_window_stats(
        positions only (join back to the docs by id) and re-counts by the
        actual string — an xxhash64 collision can only add a candidate,
        never a result row, so the output is collision-free exact.
-    At 100 TB step 1's shuffle is ~8x the corpus bytes; the standard
-    next tier is winnowing/content-defined anchors (select ~1/k positions
-    deterministically by local hash minima so identical spans select
-    identical anchors), which divides the shuffle by k at the cost of
-    span-boundary resolution — the candidate/verify skeleton is unchanged.
+    At 100 TB step 1's shuffle is ~8x the corpus bytes; the winnowing
+    scale tier (:func:`duplicated_span_stats_winnow`, round 7) divides it
+    by ~w/2 by shuffling only content-defined anchor positions, at the
+    cost of span-boundary resolution — same candidate/verify skeleton.
     """
     import pyspark.sql.functions as F
 
@@ -715,37 +714,68 @@ def _docs_for_windows(df: DataFrame, id_col: str, text: str, L: int) -> DataFram
     ).filter(F.length(text) >= L)
 
 
-def _duplicated_positions(docs: DataFrame, L: int) -> DataFrame:
-    """(_id, _pos) of every corpus-duplicated L-char window — the shared
-    candidate/verify skeleton of duplicated_window_stats (see its
-    docstring for the scale analysis)."""
+# Chunked window hashing/extraction (round 7): Spark's substring()
+# positions characters by linear scan, so hashing every L-char window of
+# a document straight off `_t` is O(len^2) in the document length —
+# invisible on ~1k-char corpus docs, dominant on the 191k-char edge doc
+# (SCALING.md round-6 note). Slicing the text once into `_SUBSTR_CHUNK`-
+# char slices (overlapping by L-1 so every window lies inside one slice)
+# makes each window substring scan O(chunk) instead of O(position):
+# O(len * chunk) total, ~370x fewer char ops on the edge doc, with the
+# IDENTICAL window set and hashes.
+_SUBSTR_CHUNK = 256
+
+
+def _slices_expr(L: int, chunk: int = _SUBSTR_CHUNK) -> str:
+    """SQL producing the overlapping slice array of `_t` (slice c covers
+    window start positions c*chunk+1 .. (c+1)*chunk)."""
+    return (
+        f"transform(sequence(0, CAST(ceil((length(_t) - {L} + 1)"
+        f" / {chunk}.0) AS INT) - 1),"
+        f" c -> substring(_t, c * {chunk} + 1, {chunk} + {L} - 1))"
+    )
+
+
+def _window_hashes_expr(L: int, chunk: int = _SUBSTR_CHUNK) -> str:
+    """SQL producing xxhash64 of every L-char window of `_t`, in position
+    order (index i = window starting at character i, 1-based) — computed
+    via the slice array so no substring scan exceeds O(chunk)."""
+    return (
+        f"flatten(transform({_slices_expr(L, chunk)},"
+        f" s -> transform(sequence(1, length(s) - {L} + 1),"
+        f" i -> xxhash64(substring(s, i, {L})))))"
+    )
+
+
+def _extract_window_expr(pos_var: str, L: int, chunk: int = _SUBSTR_CHUNK) -> str:
+    """SQL extracting the L-char window at 1-based position `pos_var` from
+    a `_slices` column (O(chunk) per extraction)."""
+    return (
+        f"substring(element_at(_slices, CAST(({pos_var} - 1) div {chunk}"
+        f" AS INT) + 1), CAST(({pos_var} - 1) % {chunk} AS INT) + 1, {L})"
+    )
+
+
+def _verify_positions(cand: DataFrame, docs: DataFrame, L: int) -> DataFrame:
+    """Collision-free verification shared by the exact and winnow tiers:
+    re-extract the window text for candidate (_id, _pos) rows and keep
+    positions whose ACTUAL string occurs >= 2 times. Candidate positions
+    fold to ONE array per doc (the text joins once per doc — never onto
+    per-position rows), and extraction goes through the slice array so a
+    fully-duplicated long doc costs O(candidates * chunk), not
+    O(candidates * len)."""
     import pyspark.sql.functions as F
 
-    grams = docs.select(
-        "_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(_t) - {L} + 1),"
-                f" i -> xxhash64(substring(_t, i, {L})))"
-            )
-        ).alias("_p0", "_h"),
-    ).select("_id", (F.col("_p0") + 1).alias("_pos"), "_h")
-    dup_h = grams.groupBy("_h").count().filter(F.col("count") >= 2)
-    cand = grams.join(dup_h.select("_h"), "_h", "left_semi")
-    # Verification re-extracts candidate window text — but NEVER joins the
-    # full document text onto per-position rows (a repetitive 200k-char doc
-    # where every window is a candidate would copy the whole text 200k
-    # times). Candidate positions fold to ONE array per doc, the text joins
-    # once per doc, and a single JVM transform extracts all windows.
     cand_pos = cand.groupBy("_id").agg(F.collect_list("_pos").alias("_ps"))
     cand_txt = (
         cand_pos.join(docs, "_id")
+        .withColumn("_slices", F.expr(_slices_expr(L)))
         .select(
             "_id",
             F.explode(
                 F.expr(
                     "transform(_ps, p -> struct(p AS _pos,"
-                    f" substring(_t, CAST(p AS INT), {L}) AS _g))"
+                    f" {_extract_window_expr('p', L)} AS _g))"
                 )
             ).alias("_x"),
         )
@@ -755,6 +785,21 @@ def _duplicated_positions(docs: DataFrame, L: int) -> DataFrame:
     return cand_txt.join(dup_g.select("_g"), "_g", "left_semi").select(
         "_id", "_pos"
     )
+
+
+def _duplicated_positions(docs: DataFrame, L: int) -> DataFrame:
+    """(_id, _pos) of every corpus-duplicated L-char window — the shared
+    candidate/verify skeleton of duplicated_window_stats (see its
+    docstring for the scale analysis)."""
+    import pyspark.sql.functions as F
+
+    grams = docs.select(
+        "_id",
+        F.posexplode(F.expr(_window_hashes_expr(L))).alias("_p0", "_h"),
+    ).select("_id", (F.col("_p0") + 1).alias("_pos"), "_h")
+    dup_h = grams.groupBy("_h").count().filter(F.col("count") >= 2)
+    cand = grams.join(dup_h.select("_h"), "_h", "left_semi")
+    return _verify_positions(cand, docs, L)
 
 
 def duplicated_span_stats(
@@ -773,13 +818,19 @@ def duplicated_span_stats(
     Returns (id, n_spans, dup_chars, max_span) per affected document,
     where dup_chars is the total character count under duplicated cover.
     """
-    import pyspark.sql.functions as F
-
     L = int(min_len)
     docs = _docs_for_windows(df, id_col, text, L)
-    pos = _duplicated_positions(docs, L).withColumn(
-        "_end", F.col("_pos") + F.lit(L)
-    )
+    pos = _duplicated_positions(docs, L)
+    return _merge_window_spans(pos, L, id_col)
+
+
+def _merge_window_spans(pos: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into maximal
+    spans (cover [p, p+L) per window): (id, n_spans, dup_chars, max_span)
+    per affected document. One window + one cumulative max per doc."""
+    import pyspark.sql.functions as F
+
+    pos = pos.withColumn("_end", F.col("_pos") + F.lit(L))
     w = Window.partitionBy("_id").orderBy("_pos")
     prev_max = F.max("_end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -803,6 +854,75 @@ def duplicated_span_stats(
     ).select(
         F.col("_id").alias(id_col), "n_spans", "dup_chars", "max_span"
     )
+
+
+def duplicated_span_stats_winnow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_len: int = 30,
+    w: int = 8,
+) -> DataFrame:
+    """The SCALE TIER of duplicated-substring dedup (verdict r06 item 4):
+    winnowing-anchor candidate generation + span recovery. Same output
+    shape as :func:`duplicated_span_stats`, computed from ~2/(w+1) of the
+    window positions — the corpus-sized shuffle divides by ~w/2 because
+    only ANCHOR positions (rightmost-minimum hash of every w consecutive
+    windows, Schleimer/Wilkerson/Aiken SIGMOD'03) enter the candidate
+    join; non-anchor hashing stays inside each document's row.
+
+    Accuracy contract, both directions pinned by tests:
+    - PRECISION 1: every emitted span is real — anchors are verified by
+      re-extracted window text exactly like the exact tier, so a reported
+      window IS corpus-duplicated (winnow dup_chars <= exact dup_chars,
+      per doc).
+    - RECALL: any duplicated substring of length >= min_len + w - 1
+      shares at least one anchor (the rightmost-min over a fully-shared
+      hash window is identical on both sides), and anchors recur at least
+      every w windows inside a long shared span — so long spans are
+      recovered to within ~(w-1) windows of slack per edge. Duplicated
+      substrings shorter than min_len + w - 1 may be missed entirely:
+      that is the sampling trade the divider buys.
+    """
+    import pyspark.sql.functions as F
+
+    L, W = int(min_len), int(w)
+    docs = _docs_for_windows(df, id_col, text, L)
+    hs = docs.withColumn("_hs", F.expr(_window_hashes_expr(L))).withColumn(
+        "_n", F.expr("size(_hs)")
+    )
+    # rightmost-min anchor POSITIONS per w-window (same argmin fold as
+    # winnow_anchor_stats), then explode only (pos, hash) anchor pairs —
+    # the full _hs array never leaves the row
+    anchors = hs.withColumn(
+        "_anchors",
+        F.expr(
+            f"""array_distinct(transform(sequence(1, greatest(_n - {W} + 1, 1)),
+                s -> s + aggregate(
+                    sequence(0, {W - 1}),
+                    named_struct('bi', -1, 'bv', CAST(NULL AS BIGINT)),
+                    (acc, j) -> IF(s + j > _n, acc,
+                        IF(acc.bv IS NULL
+                           OR element_at(_hs, CAST(s + j AS INT)) <= acc.bv,
+                           named_struct('bi', j,
+                               'bv', element_at(_hs, CAST(s + j AS INT))),
+                           acc)),
+                    acc -> acc.bi)))"""
+        ),
+    )
+    a = anchors.select(
+        "_id",
+        F.explode(
+            F.expr(
+                "transform(_anchors, p -> struct(p AS _pos,"
+                " element_at(_hs, CAST(p AS INT)) AS _h))"
+            )
+        ).alias("_x"),
+    ).select("_id", F.col("_x._pos").alias("_pos"), F.col("_x._h").alias("_h"))
+    dup_h = a.groupBy("_h").count().filter(F.col("count") >= 2)
+    cand = a.join(dup_h.select("_h"), "_h", "left_semi")
+    verified = _verify_positions(cand, docs, L)
+    return _merge_window_spans(verified, L, id_col)
 
 
 def edit_pairs_passjoin(
@@ -1012,11 +1132,7 @@ def winnow_anchor_stats(
     L, W = int(min_len), int(w)
     docs = _docs_for_windows(df, id_col, text, L)
     hs = docs.withColumn(
-        "_hs",
-        F.expr(
-            f"transform(sequence(1, length(_t) - {L} + 1),"
-            f" i -> xxhash64(substring(_t, i, {L})))"
-        ),
+        "_hs", F.expr(_window_hashes_expr(L))
     ).withColumn("_n", F.expr("size(_hs)"))
     # rightmost-min argmin per window of W consecutive hashes; short docs
     # (n < W) winnow their single truncated window (one global anchor)

@@ -646,6 +646,79 @@ def multimodal_decode_jpg(spark, sf_dir):
     return M.decode_image_pixels(with_jpg)
 
 
+# PROGRESSIVE JPEG pixel decode (operators/multimodal.py::
+# _decode_jpeg_progressive, round 7 — verdict r06 item 7): same planted
+# constant-gray-block content as multimodal_decode_jpg, but the payloads
+# are SOF2 progressive streams synthesized by encode_jpeg_progressive —
+# a DC first scan, doc_id%3 successive-approximation refinement scans
+# (dc_al 0/1/2 exercises both DC pass types and the no-refinement edge),
+# and per-component AC first scans that are pure EOB runs on this
+# content. Constant blocks make the lossy pipeline bit-exact (DC-only
+# coefficients, all-ones quant), so the oracle recomputes every pixel
+# symbolically; px_wsum is position-weighted and fails under any
+# scan-accumulation or block-placement error.
+@query(
+    "multimodal_decode_jpg_prog",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               (doc_id % 3 + 1) * 8 AS w,
+               (doc_id % 2 + 1) * 8 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT),
+                   k -> (doc_id * 13
+                         + ((k // 3) // w // 8 * (w // 8)
+                            + (k // 3) % w // 8) * 17) % 256) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_jpg_prog(spark, sf_dir):
+    """Progressive-JPEG pixel decode over synthesized constant-block
+    payloads: DC first + successive-approximation refinement + EOB-run AC
+    scans accumulated across the progression, then one IDCT — through the
+    same format-dispatched decode_image_pixels path as baseline JPEG."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
+                bw = w // 8
+                px = bytearray()
+                for p in range(w * h):
+                    x, y = p % w, p // w
+                    v = (i * 13 + ((y // 8) * bw + x // 8) * 17) % 256
+                    px += bytes((v, v, v))
+                payloads.append(
+                    M.encode_jpeg_progressive(
+                        w, h, bytes(px), channels=3, dc_al=i % 3
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_jpg)
+
+
 # REAL BMP pixel decode (operators/multimodal.py::decode_bmp_pixels):
 # 24-bit bottom-up BGR payloads with 4-byte row padding (padding bytes are
 # nonzero) synthesized per doc_id; pixel k of doc i — in the CANONICAL
@@ -2646,4 +2719,50 @@ def dedup_winnow(spark, sf_dir):
         "inv_ok",
         (F.col("n_anchors") >= F.col("min_anchors"))
         & (F.col("n_anchors") <= F.col("n_windows")),
+    )
+
+
+# Winnow-tier substring dedup END-TO-END (verdict r06 item 4 — operators/
+# dedup.py::duplicated_span_stats_winnow): anchor-sampled candidates +
+# span recovery, adjudicated ADVERSARIALLY against the exact tier the way
+# the ANN queries adjudicate against the exact scan. Per affected doc the
+# row carries the exact span cover and the winnow-recovered cover;
+# inv_ok requires (a) PRECISION 1 row-by-row — recovered cover never
+# exceeds the exact cover (anchors are text-verified, so a false span is
+# impossible unless the recovery fold is broken) — and (b) pooled recall
+# >= 0.8 (measured 0.97/0.95/1.00 at sf0.001/sf0.01/edge; the slack is
+# spans shorter than L + w - 1, the documented sampling trade).
+@query("dedup_substring_winnow", sql=None)
+def dedup_substring_winnow(spark, sf_dir):
+    """Winnowing scale tier of duplicated-span dedup vs the exact tier:
+    per-doc covers with precision/recall invariants."""
+    d = table(spark, sf_dir, "documents")
+    exact = D.duplicated_span_stats(d, min_len=30).select(
+        "doc_id", F.col("dup_chars").alias("exact_chars")
+    )
+    win = D.duplicated_span_stats_winnow(d, min_len=30, w=8).select(
+        "doc_id", F.col("dup_chars").alias("winnow_chars")
+    )
+    j = exact.join(win, "doc_id", "left").select(
+        "doc_id",
+        "exact_chars",
+        F.coalesce("winnow_chars", F.lit(0)).alias("winnow_chars"),
+    )
+    pooled = j.agg(
+        (
+            F.sum("winnow_chars").cast("double")
+            / F.sum("exact_chars").cast("double")
+        ).alias("inv_recall")
+    )
+    return (
+        j.crossJoin(F.broadcast(pooled))  # 1-row pooled-recall aggregate
+        .withColumn(
+            "inv_ok",
+            (F.col("winnow_chars") <= F.col("exact_chars"))
+            & (F.col("inv_recall") >= F.lit(0.8)),
+        )
+        .select(
+            "doc_id", "exact_chars", "winnow_chars",
+            F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
+        )
     )

@@ -109,10 +109,22 @@ def make_batch_processor(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    policy: str = "min_id",
 ):
     """Build the foreachBatch fold callback. Module-level (not a closure
     of the stream runner) so tests can drive it directly with repeated
-    batch_ids — the retry-idempotency contract is part of the API."""
+    batch_ids — the retry-idempotency contract is part of the API.
+
+    ``policy`` picks the INTRA-BATCH cluster survivor (verdict r06 item 8
+    — one knob shared with the batch tier): ``"min_id"`` keeps the
+    smallest id per duplicate cluster (dedup_clusters' keeper) and
+    ``"longest_text"`` keeps the longest text, id breaking ties
+    (dedup_survivors' curation policy). ACROSS batches the stored
+    survivor always wins regardless of policy — a stream cannot retract
+    an already-emitted survivor when a longer duplicate arrives later;
+    the stream≡batch parity test therefore feeds one batch."""
+    if policy not in ("min_id", "longest_text"):
+        raise ValueError(f"unknown survivorship policy: {policy!r}")
 
     def _store_paths(batch_id: int) -> list[str]:
         # the store is root-level parquet files (warm-start corpus built by
@@ -155,18 +167,41 @@ def make_batch_processor(
             vs_store = None
 
         # intra-batch duplicate clusters: transitive closure of the batch's
-        # pair graph, min-id survivorship (dedup_survivors policy) — a
-        # non-minimum cluster member is a dup of its cluster minimum
+        # pair graph; the cluster survivor follows `policy` and every
+        # other member is a dup matched to it
         from corintick_spark.operators.dup_clusters import connected_components
 
         intra_pairs = D.minhash_lsh_pairs(
             batch_df, id_col, text, k, num_hashes, bands, threshold
         )
-        intra = (
-            connected_components(intra_pairs)
-            .filter(F.col("node") != F.col("comp"))
-            .select(F.col("comp").alias("matched_id"), F.col("node").alias("new_id"))
-        )
+        labels = connected_components(intra_pairs)
+        if policy == "longest_text":
+            stats = batch_df.select(
+                F.col(id_col).alias("node"),
+                F.coalesce(F.length(text), F.lit(-1)).alias("_len"),
+            )
+            keepers = (
+                labels.join(stats, "node")
+                .groupBy("comp")
+                .agg(
+                    F.min_by(
+                        "node", F.struct((-F.col("_len")).alias("a"), F.col("node").alias("b"))
+                    ).alias("_keeper")
+                )
+            )
+            intra = (
+                labels.join(keepers, "comp")
+                .filter(F.col("node") != F.col("_keeper"))
+                .select(
+                    F.col("_keeper").alias("matched_id"),
+                    F.col("node").alias("new_id"),
+                )
+            )
+        else:  # min_id — the CC root IS the cluster minimum
+            intra = (
+                labels.filter(F.col("node") != F.col("comp"))
+                .select(F.col("comp").alias("matched_id"), F.col("node").alias("new_id"))
+            )
         matches = intra if vs_store is None else vs_store.unionByName(intra)
         dup = matches.groupBy("new_id").agg(F.min("matched_id").alias("matched_id"))
 
@@ -217,6 +252,7 @@ def streaming_incremental_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    policy: str = "min_id",
 ) -> DataFrame:
     """Run ``doc_stream`` to quiescence through the incremental-dedup fold
     and return the decisions frame (doc_id, is_dup, matched_id).
@@ -233,7 +269,7 @@ def streaming_incremental_dedup(
     decisions_path = os.path.join(work, "decisions")
     _process = make_batch_processor(
         spark, store_path, decisions_path,
-        id_col, text, k, num_hashes, bands, threshold,
+        id_col, text, k, num_hashes, bands, threshold, policy,
     )
 
     ckpt = os.path.join(work, "ckpt")

@@ -1347,3 +1347,54 @@ def test_winnow_anchor_locality_and_density(spark):
     sets = {r.doc_id: set(r._ah) for r in hs.select("doc_id", "_ah").collect()}
     assert sets[1] & sets[2], "shared span must select a common anchor"
     assert not (sets[3] & sets[2]), "unrelated docs share no anchors"
+
+
+def test_duplicated_span_stats_winnow_planted(spark):
+    """Winnow-tier substring dedup (operators/dedup.py::
+    duplicated_span_stats_winnow): a planted LONG shared span must be
+    recovered to within the w-window slack, with PRECISION 1 (recovered
+    cover never exceeds the exact tier's), and a short-span doc may be
+    missed but never over-reported."""
+    from corintick_spark.operators.dedup import (
+        duplicated_span_stats,
+        duplicated_span_stats_winnow,
+    )
+
+    L, w = 30, 8
+    span = ("SHARED-BOILERPLATE-" * 11)[:200]  # 200-char shared span
+
+    def flank(lo, n=20):
+        return "".join(f"{i:03d}" for i in range(lo, lo + n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, flank(0) + span + flank(100)),
+            (2, flank(481) + span + flank(300)),
+            (3, "Q" * 100),  # self-repeating: exact cover = whole doc
+            (4, "unique-doc-no-duplicate-windows-0123456789-abcdefghij"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.dup_chars
+        for r in duplicated_span_stats(docs, min_len=L).collect()
+    }
+    win = {
+        r.doc_id: r.dup_chars
+        for r in duplicated_span_stats_winnow(docs, min_len=L, w=w).collect()
+    }
+    assert exact[1] == exact[2] == 200
+    # recovery within the anchor-gap slack at each edge of the span
+    assert win[1] >= 200 - 2 * (w - 1)
+    assert win[2] >= 200 - 2 * (w - 1)
+    # precision 1: never exceeds the exact cover
+    for d_id, wc in win.items():
+        assert wc <= exact[d_id], (d_id, wc, exact[d_id])
+    # self-repeating doc is found by both tiers
+    assert exact[3] == 100 and win[3] >= 100 - 2 * (w - 1)
+    assert 4 not in exact and 4 not in win
+    # NULL/short text never crashes
+    nulls = spark.createDataFrame(
+        [(9, None), (10, "short")], "doc_id long, text string"
+    )
+    assert duplicated_span_stats_winnow(nulls, min_len=L).count() == 0

@@ -185,3 +185,75 @@ def test_batch_retry_is_exactly_once(spark):
     assert out.count() == 4
     assert rows[3] == (True, 1)  # near-copy of batch-0 survivor
     assert rows[4] == (False, None)
+
+
+def test_longest_text_policy_intra_batch(spark):
+    """policy='longest_text' (verdict r06 item 8): within one batch the
+    cluster survivor is the LONGEST text (dedup_survivors' curation
+    policy), not the minimum id."""
+    # doc 7 is the longest cluster member; min-id policy would keep 5
+    b1 = [(5, BASE), (7, BASE + " extra tail making it longest"), (8, OTHER)]
+    src, stage = _stage_stream(spark, [b1])
+    try:
+        out = streaming_incremental_dedup(
+            spark, src, threshold=0.5, policy="longest_text"
+        ).toPandas()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    got = {int(r.doc_id): bool(r.is_dup) for r in out.itertuples()}
+    assert got == {5: True, 7: False, 8: False}
+    m = out.set_index("doc_id")["matched_id"]
+    assert int(m.loc[5]) == 7
+
+
+def test_stream_batch_survivorship_parity(spark):
+    """stream ≡ batch under BOTH policies (verdict r06 item 8): a one-batch
+    stream's keeper set must equal the batch tier's — dup_clusters' min-id
+    keepers and dedup_survivors' longest-text keepers — over the same
+    planted near-dup corpus and the same LSH pair graph."""
+    from corintick_spark.operators.dup_clusters import dup_clusters
+
+    rows = [
+        (1, BASE),
+        (4, BASE + " somewhat longer duplicate of the base text"),
+        (2, OTHER),
+        (9, OTHER + " x"),
+        (3, THIRD),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", 3, 32, 8, 0.5
+    ).select("a_id", "b_id")
+
+    # batch tier keepers under both policies
+    labels = dup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    members = labels.join(docs.select("doc_id", F.length("text").alias("_len")), "doc_id")
+    batch_min = {
+        r.doc_id for r in members.collect() if r.doc_id == r.cluster_id
+    }
+    by_cluster: dict = {}
+    for r in members.collect():
+        cur = by_cluster.get(r.cluster_id)
+        if cur is None or (-r._len, r.doc_id) < (-cur[1], cur[0]):
+            by_cluster[r.cluster_id] = (r.doc_id, r._len)
+    batch_longest = {v[0] for v in by_cluster.values()}
+
+    for policy, expected in (("min_id", batch_min), ("longest_text", batch_longest)):
+        src, stage = _stage_stream(spark, [rows])  # ONE batch
+        try:
+            out = streaming_incremental_dedup(
+                spark, src, threshold=0.5, policy=policy
+            ).toPandas()
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        stream_keepers = {
+            int(r.doc_id) for r in out.itertuples() if not r.is_dup
+        }
+        assert stream_keepers == expected, (policy, stream_keepers, expected)
+
+
+def test_unknown_policy_raises(spark):
+    from corintick_spark.streaming.incremental_dedup import make_batch_processor
+
+    with pytest.raises(ValueError, match="policy"):
+        make_batch_processor(spark, "/tmp/x", "/tmp/y", policy="newest")
