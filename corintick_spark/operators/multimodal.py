@@ -871,24 +871,42 @@ def encode_jpeg(
     channels: int = 1,
     quant: "list[int] | None" = None,
     restart_interval: int = 0,
+    sampling: "list[tuple[int, int]] | None" = None,
 ) -> bytes:
     """Minimal baseline JPEG encoder (synthesis/test helper — the inverse
     of :func:`decode_jpeg_pixels`). Gray (1 channel) or RGB (3 channels,
-    encoded as YCbCr with 1×1 sampling); width/height must be multiples
-    of 8 (no padding logic — this is a payload synthesizer). Default
-    quant table is all-ones, under which a CONSTANT 8×8 block round-trips
-    bit-exactly (only the DC coefficient survives the FDCT and 8·(v−128)
-    is integer), the property the oracle query plants."""
+    encoded as YCbCr); width/height must be multiples of the MCU tile (no
+    padding logic — this is a payload synthesizer). Default quant table
+    is all-ones, under which a CONSTANT 8×8 block round-trips bit-exactly
+    (only the DC coefficient survives the FDCT and 8·(v−128) is integer),
+    the property the oracle query plants.
+
+    ``sampling``: per-component (h, v) factors in 1..2 (default all 1×1).
+    E.g. ``[(2, 2), (1, 1), (1, 1)]`` emits 4:2:0 and ``[(2, 1), (1, 1),
+    (1, 1)]`` 4:2:2 — chroma planes are box-mean downsampled before the
+    FDCT and blocks are MCU-interleaved, matching the decoder's
+    nearest-replication upsample (on constant blocks the round trip stays
+    bit-exact: the box mean of a constant is the constant)."""
     import struct
 
     import numpy as np
 
-    if width % 8 or height % 8:
-        raise ValueError("encode_jpeg requires multiple-of-8 dimensions")
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer length mismatch")
+    samp = list(sampling) if sampling is not None else [(1, 1)] * channels
+    if len(samp) != channels or any(
+        hi not in (1, 2) or vi not in (1, 2) for hi, vi in samp
+    ):
+        raise ValueError("sampling must give (h, v) in 1..2 per component")
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError(
+            f"encode_jpeg requires dimensions divisible by the MCU tile "
+            f"({8 * hmax}x{8 * vmax} for this sampling)"
+        )
     q = list(quant) if quant is not None else [1] * 64
     m = _dct_matrix()
 
@@ -903,6 +921,14 @@ def encode_jpeg(
         ]
     else:
         comps = [arr[..., 0]]
+    # box-mean downsample each component to its sampling grid
+    for ci, (hi, vi) in enumerate(samp):
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            p = comps[ci]
+            comps[ci] = p.reshape(
+                p.shape[0] // ry, ry, p.shape[1] // rx, rx
+            ).mean(axis=(1, 3))
 
     dc_codes = {
         v: (length, code)
@@ -944,49 +970,58 @@ def encode_jpeg(
     zz = _JPEG_ZIGZAG
     qv = np.array(q, dtype=np.float64)[np.argsort(zz)].reshape(8, 8)
     # qv above maps zigzag-ordered q back to row-major block layout
-    blocks_w, blocks_h = width // 8, height // 8
     preds = [0] * channels
     mcu_index = 0
     body = out  # alias for clarity
 
-    for by in range(blocks_h):
-        for bx in range(blocks_w):
+    def put_block(comp, r0: int, c0: int, ci: int) -> None:
+        block = comp[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+        coeff = m @ block @ m.T
+        quantized = np.rint(coeff / qv).astype(np.int64)
+        seq = [int(quantized.flat[i]) for i in zz]
+        diff = seq[0] - preds[ci]
+        preds[ci] = seq[0]
+        if diff == 0:
+            ln, code = dc_codes[0]
+            put(code, ln)
+        else:
+            size, bits = put_magnitude(diff)
+            ln, code = dc_codes[size]
+            put(code, ln)
+            put(bits, size)
+        run = 0
+        for v in seq[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = ac_codes[0xF0]  # ZRL
+                put(code, ln)
+                run -= 16
+            size, bits = put_magnitude(v)
+            ln, code = ac_codes[(run << 4) | size]
+            put(code, ln)
+            put(bits, size)
+            run = 0
+        if run:
+            ln, code = ac_codes[0x00]  # EOB
+            put(code, ln)
+
+    # MCU-interleaved block order, mirroring the decoder
+    mcus_x, mcus_y = width // (8 * hmax), height // (8 * vmax)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 flush()
                 body += bytes([0xFF, 0xD0 + ((mcu_index // restart_interval - 1) % 8)])
                 preds = [0] * channels
             for ci, comp in enumerate(comps):
-                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coeff = m @ block @ m.T
-                quantized = np.rint(coeff / qv).astype(np.int64)
-                seq = [int(quantized.flat[i]) for i in zz]
-                diff = seq[0] - preds[ci]
-                preds[ci] = seq[0]
-                if diff == 0:
-                    ln, code = dc_codes[0]
-                    put(code, ln)
-                else:
-                    size, bits = put_magnitude(diff)
-                    ln, code = dc_codes[size]
-                    put(code, ln)
-                    put(bits, size)
-                run = 0
-                for v in seq[1:]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        ln, code = ac_codes[0xF0]  # ZRL
-                        put(code, ln)
-                        run -= 16
-                    size, bits = put_magnitude(v)
-                    ln, code = ac_codes[(run << 4) | size]
-                    put(code, ln)
-                    put(bits, size)
-                    run = 0
-                if run:
-                    ln, code = ac_codes[0x00]  # EOB
-                    put(code, ln)
+                hi, vi = samp[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        put_block(
+                            comp, (my * vi + byi) * 8, (mx * hi + bxi) * 8, ci
+                        )
             mcu_index += 1
     flush()
 
@@ -997,7 +1032,10 @@ def encode_jpeg(
     dqt = seg(0xDB, b"\x00" + zz_q)
     ncomp = channels
     sof_comps = b"".join(
-        struct.pack(">BBB", ci + 1, 0x11, 0) for ci in range(ncomp)
+        struct.pack(
+            ">BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0
+        )
+        for ci in range(ncomp)
     )
     sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
     dht = seg(
@@ -1443,19 +1481,23 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
 
 
 def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1×1 sampling, 1 or
-    3 components) to raw pixels: (width, height, channels, pixels) with
-    ``pixels`` row-major gray or RGB bytes — the same canonical layout as
-    the PNG/BMP/GIF decoders.
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components,
+    sampling factors 1-2 incl. 4:2:0/4:2:2 chroma subsampling — round 7)
+    to raw pixels: (width, height, channels, pixels) with ``pixels``
+    row-major gray or RGB bytes — the same canonical layout as the
+    PNG/BMP/GIF decoders. Progressive (SOF2) streams route to the
+    dedicated multi-scan path (:func:`_decode_jpeg_progressive`).
 
     Real codec machinery: marker walk, multi-slot DQT/DHT, canonical
     Huffman decode (T.81 C.2) with 0xFF00 byte-unstuffing and RSTn
     restart handling (byte-align + DC-predictor reset), DC difference
-    decoding, run-length AC with ZRL/EOB, dequantize → un-zigzag →
-    orthonormal IDCT → +128 level shift → clamp, JFIF YCbCr→RGB. Returns
-    None for non-JPEG bytes; raises NotImplementedError for progressive
-    (SOF2), chroma-subsampled, or 12-bit streams — the honest-stub
-    posture for the unsupported subset."""
+    decoding, run-length AC with ZRL/EOB, MCU-interleaved block order
+    with per-component sampling factors, dequantize → un-zigzag →
+    orthonormal IDCT → +128 level shift, nearest-replication chroma
+    upsample, clamp, JFIF YCbCr→RGB. Returns None for non-JPEG bytes;
+    raises NotImplementedError for arithmetic/lossless/hierarchical,
+    12-bit, or factor-4 sampling streams — the honest-stub posture for
+    the unsupported subset."""
     import struct
 
     import numpy as np
@@ -1512,12 +1554,17 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             for ci in range(ncomp):
                 # component entries start at body byte 6 (after prec/h/w/n)
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + ci * 3)
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "decode_jpeg_pixels supports 1x1 sampling only "
-                        "(chroma subsampling needs an upsampler)"
+                        "decode_jpeg_pixels supports sampling factors 1-2 "
+                        f"only — got {hi}x{vi} (4:1:1-style needs factor 4)"
                     )
-                comp_info.append((cid, tq))
+                if ncomp == 1:
+                    # single-component scans are NON-interleaved (T.81
+                    # A.2.2): the MCU is one data unit, factors irrelevant
+                    hi = vi = 1
+                comp_info.append((cid, tq, hi, vi))
         elif marker == 0xC2:  # progressive — dedicated multi-scan path
             return _decode_jpeg_progressive(b)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -1604,48 +1651,80 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
 
     m = _dct_matrix()
     zz = _JPEG_ZIGZAG
-    blocks_w, blocks_h = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((blocks_h * 8, blocks_w * 8)) for _ in range(ncomp)]
+
+    def decode_block(ci: int) -> "np.ndarray":
+        """One entropy-decoded, dequantized, IDCT'd 8x8 block of
+        component ci (updates that component's DC predictor)."""
+        dc_tab, ac_tab = scan_tables[ci]
+        qt = qtables[comp_info[ci][1]]
+        seq = [0] * 64
+        size = huff_decode(dc_tab)
+        diff = extend(read_bits(size), size) if size else 0
+        preds[ci] += diff
+        seq[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = huff_decode(ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC index overflow in JPEG stream")
+            seq[k] = extend(read_bits(size), size)
+            k += 1
+        block = np.zeros(64)
+        for i, rm in enumerate(zz):
+            block[rm] = seq[i] * qt[i]
+        return m.T @ block.reshape(8, 8) @ m + 128.0
+
+    # MCU-interleaved loop (T.81 A.2.3): with 1x1 factors everywhere the
+    # MCU is one block per component (the pre-round-7 shape, identical
+    # restart cadence); with chroma subsampling each MCU carries
+    # h_i*v_i blocks per component over a (8*Hmax)x(8*Vmax) pixel tile.
+    hmax = max(c[2] for c in comp_info)
+    vmax = max(c[3] for c in comp_info)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+        for (_, _, hi, vi) in comp_info
+    ]
     preds = [0] * ncomp
     mcu_index = 0
 
-    for by in range(blocks_h):
-        for bx in range(blocks_w):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 mk = aligned_marker()
                 if mk is not None and 0xD0 <= mk[0] <= 0xD7:
                     bitpos = mk[1]  # skip (stuffed pad +) RSTn
                     preds = [0] * ncomp
             for ci in range(ncomp):
-                dc_tab, ac_tab = scan_tables[ci]
-                qt = qtables[comp_info[ci][1]]
-                seq = [0] * 64
-                size = huff_decode(dc_tab)
-                diff = extend(read_bits(size), size) if size else 0
-                preds[ci] += diff
-                seq[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = huff_decode(ac_tab)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow in JPEG stream")
-                    seq[k] = extend(read_bits(size), size)
-                    k += 1
-                block = np.zeros(64)
-                for i, rm in enumerate(zz):
-                    block[rm] = seq[i] * qt[i]
-                spatial = m.T @ block.reshape(8, 8) @ m + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+                _, _, hi, vi = comp_info[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        spatial = decode_block(ci)
+                        r0 = (my * vi + byi) * 8
+                        c0 = (mx * hi + bxi) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = spatial
             mcu_index += 1
 
-    planes = [p[:h, :w] for p in planes]
+    # nearest-replication upsample of subsampled components to the full
+    # padded grid, then crop to the image
+    full = []
+    for ci in range(ncomp):
+        _, _, hi, vi = comp_info[ci]
+        p = planes[ci]
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        full.append(p)
+    planes = [p[:h, :w] for p in full]
     if ncomp == 3:
         y, cb, cr = planes
         r = y + 1.402 * (cr - 128.0)

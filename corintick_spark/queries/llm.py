@@ -719,6 +719,80 @@ def multimodal_decode_jpg_prog(spark, sf_dir):
     return M.decode_image_pixels(with_jpg)
 
 
+# CHROMA-SUBSAMPLED (4:2:0) baseline JPEG decode (round 7): the decoder's
+# MCU-interleaved path — 4 Y blocks + 1 Cb + 1 Cr per 16x16 MCU, box-mean
+# downsampled chroma, nearest-replication upsample. Payloads plant
+# constant 16x16 GRAY tiles (value (i*53 + tile*29) % 256): constant over
+# every sampling grid, so downsample and upsample are identities, the
+# FDCT is DC-only, and the whole lossy pipeline is bit-exact — DuckDB
+# recomputes every pixel symbolically. doc_id%2 rotates restart intervals
+# (restart cadence is per MCU in the subsampled layout — a per-block
+# assumption would desync immediately); px_wsum is position-weighted and
+# fails under any MCU-order or upsample-placement error.
+@query(
+    "multimodal_decode_jpg_420",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               (doc_id % 2 + 1) * 16 AS w,
+               16 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT),
+                   k -> (doc_id * 53
+                         + ((k // 3) // w // 16 * (w // 16)
+                            + (k // 3) % w // 16) * 29) % 256) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_jpg_420(spark, sf_dir):
+    """4:2:0 chroma-subsampled baseline-JPEG decode over synthesized
+    constant-tile payloads: MCU-interleaved Huffman decode, box/nearest
+    chroma round trip, per-MCU restarts — through the format-dispatched
+    decode_image_pixels path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = (i % 2 + 1) * 16, 16
+                tw = w // 16
+                px = bytearray()
+                for p in range(w * h):
+                    x, y = p % w, p // w
+                    v = (i * 53 + ((y // 16) * tw + x // 16) * 29) % 256
+                    px += bytes((v, v, v))
+                payloads.append(
+                    M.encode_jpeg(
+                        w, h, bytes(px), channels=3,
+                        sampling=[(2, 2), (1, 1), (1, 1)],
+                        restart_interval=i % 2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_jpg)
+
+
 # REAL BMP pixel decode (operators/multimodal.py::decode_bmp_pixels):
 # 24-bit bottom-up BGR payloads with 4-byte row padding (padding bytes are
 # nonzero) synthesized per doc_id; pixel k of doc i — in the CANONICAL

@@ -92,7 +92,7 @@ def test_non_jpeg_and_null_return_none():
     assert M.decode_jpeg_pixels(b"\xff\xd8") is None  # SOI alone
 
 
-def test_arithmetic_and_subsampled_rejected():
+def test_arithmetic_and_factor4_rejected():
     px = _const_block_image(8, 8, 10)
     # flip SOF0 (0xC0) to SOF9 (arithmetic sequential) — still a stub
     b = bytearray(M.encode_jpeg(8, 8, px, channels=1))
@@ -100,13 +100,86 @@ def test_arithmetic_and_subsampled_rejected():
     b[i + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="SOF"):
         M.decode_jpeg_pixels(bytes(b))
-    # 2x2 sampling factor on component 0
+    # 4x4 sampling factor (4:1:1-style) — outside the 1-2 factor subset
     b = bytearray(M.encode_jpeg(8, 8, px, channels=1))
     i = bytes(b).find(b"\xff\xc0")
     # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1) then [id, samp, tq]
-    b[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22
+    b[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x44
     with pytest.raises(NotImplementedError, match="sampling"):
         M.decode_jpeg_pixels(bytes(b))
+
+
+def _const_tile_rgb(w, h, tile):
+    """RGB bytes with constant `tile`x`tile` gray tiles (value varies per
+    tile) — constant over every sampling grid, so subsampled encodes
+    round-trip bit-exactly."""
+    px = bytearray()
+    for p in range(w * h):
+        x, y = p % w, p // w
+        v = ((y // tile) * (w // tile) + x // tile) * 53 % 256
+        px += bytes((v, v, v))
+    return bytes(px)
+
+
+def test_chroma_subsampled_constant_tiles_roundtrip_exact():
+    # 16x16 constant tiles are constant over every chroma grid: box-mean
+    # downsample and nearest upsample are both identity on them
+    w, h = 32, 16
+    px = _const_tile_rgb(w, h, 16)
+    for s in ([(2, 2), (1, 1), (1, 1)],   # 4:2:0
+              [(2, 1), (1, 1), (1, 1)],   # 4:2:2
+              [(1, 2), (1, 1), (1, 1)]):  # 4:4:0
+        got = M.decode_jpeg_pixels(M.encode_jpeg(w, h, px, 3, sampling=s))
+        assert got == (w, h, 3, px), s
+    # with restart markers (restart cadence is per MCU, not per block)
+    got = M.decode_jpeg_pixels(
+        M.encode_jpeg(w, h, px, 3, sampling=[(2, 2), (1, 1), (1, 1)],
+                      restart_interval=1)
+    )
+    assert got == (w, h, 3, px)
+
+
+def test_chroma_420_matches_numpy_reference():
+    """Random RGB through 4:2:0: decode must equal the numpy reference
+    (box-mean downsample -> FDCT -> round -> IDCT -> nearest upsample ->
+    YCbCr->RGB, identical float ops -> exact equality)."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 32, 3)).astype(np.uint8)
+    got = M.decode_jpeg_pixels(
+        M.encode_jpeg(32, 16, img.tobytes(), 3,
+                      sampling=[(2, 2), (1, 1), (1, 1)])
+    )
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(16, 32, 3).astype(float)
+
+    m = M._dct_matrix()
+    r = img[..., 0].astype(float)
+    g = img[..., 1].astype(float)
+    b = img[..., 2].astype(float)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def roundtrip(p):
+        out = np.zeros_like(p)
+        for by in range(p.shape[0] // 8):
+            for bx in range(p.shape[1] // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qk = np.rint(m @ blk @ m.T)
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    m.T @ qk @ m + 128.0
+                )
+        return out
+
+    yr = roundtrip(y)
+    cbd = cb.reshape(8, 2, 16, 2).mean(axis=(1, 3))
+    crd = cr.reshape(8, 2, 16, 2).mean(axis=(1, 3))
+    cbr = np.repeat(np.repeat(roundtrip(cbd), 2, 0), 2, 1)
+    crr = np.repeat(np.repeat(roundtrip(crd), 2, 0), 2, 1)
+    rr = yr + 1.402 * (crr - 128.0)
+    gg = yr - 0.344136 * (cbr - 128.0) - 0.714136 * (crr - 128.0)
+    bb = yr + 1.772 * (cbr - 128.0)
+    ref = np.clip(np.rint(np.stack([rr, gg, bb], -1)), 0, 255)
+    assert (arr == ref).all()
 
 
 def _prog_equals_baseline(img, channels, dc_al):
