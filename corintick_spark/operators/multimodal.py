@@ -378,14 +378,17 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
 
 def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     """Decode a non-interlaced 8-bit-depth PNG (gray / RGB / gray+alpha /
-    RGBA) to raw pixel bytes: (width, height, channels, pixels) with
-    ``pixels`` row-major, ``width*height*channels`` bytes.
+    RGBA / palette — round 7 adds color type 3) to raw pixel bytes:
+    (width, height, channels, pixels) with ``pixels`` row-major,
+    ``width*height*channels`` bytes. Palette images expand through their
+    PLTE chunk to RGB (filters run on the 1-byte index stream, per spec).
 
     Pure stdlib: chunk walk -> IDAT concat -> ``zlib.decompress`` ->
     per-scanline un-filtering of all five PNG filter types (None/Sub/Up/
     Average/Paeth). Returns None for non-PNG bytes; raises
     NotImplementedError for valid PNGs outside the supported subset
-    (16-bit, palette, interlaced) — the honest-stub posture.
+    (16-bit, sub-byte palette depths, interlaced, palette transparency)
+    — the honest-stub posture.
     """
     import struct
     import zlib
@@ -394,7 +397,9 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         return None
     pos = 8
     w = h = None
-    channels = 0
+    channels = 0  # bytes per pixel in the FILTER stream
+    color = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(b):
         (clen,) = struct.unpack_from(">I", b, pos)
@@ -404,13 +409,24 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+            if (
+                depth != 8
+                or (color not in _PNG_CHANNELS and color != 3)
+                or interlace != 0
+            ):
                 raise NotImplementedError(
                     "decode_png_pixels supports non-interlaced 8-bit "
-                    "gray/RGB/gray+a/RGBA only (16-bit/palette/interlaced "
-                    "need a full codec)"
+                    "gray/RGB/gray+a/RGBA/palette only (16-bit/sub-byte-"
+                    "palette/interlaced need a full codec)"
                 )
-            channels = _PNG_CHANNELS[color]
+            channels = 1 if color == 3 else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            palette = bytes(body)
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "decode_png_pixels does not support palette transparency "
+                "(tRNS) — needs RGBA palette expansion"
+            )
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -418,6 +434,8 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         pos += 12 + clen  # length + type + body + crc
     if w is None or not idat:
         return None
+    if color == 3 and (palette is None or len(palette) % 3):
+        raise ValueError("palette PNG without a valid PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) != (stride + 1) * h:
@@ -449,6 +467,14 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = bytes(line)
+    if color == 3:
+        n = len(palette) // 3
+        rgb = bytearray(w * h * 3)
+        for i, ix in enumerate(out):
+            if ix >= n:
+                raise ValueError("palette index out of range")
+            rgb[i * 3 : i * 3 + 3] = palette[ix * 3 : ix * 3 + 3]
+        return w, h, 3, bytes(rgb)
     return w, h, channels, bytes(out)
 
 
@@ -507,6 +533,73 @@ def encode_png(
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    width: int,
+    height: int,
+    indices: "bytes | list[int]",
+    palette: bytes,
+    filter_for_row=None,
+) -> bytes:
+    """Minimal 8-bit PALETTE PNG encoder (color type 3; synthesis/test
+    helper — the inverse of decode_png_pixels' palette path). ``indices``
+    is one byte per pixel into ``palette`` (3 bytes per entry); filters
+    run on the index stream per spec (``filter_for_row`` as in
+    :func:`encode_png`, bytes-per-pixel 1)."""
+    import struct
+    import zlib
+
+    idx = bytes(indices)
+    if len(idx) != width * height:
+        raise ValueError("index buffer length mismatch")
+    if not palette or len(palette) % 3:
+        raise ValueError("palette must be 3 bytes per entry")
+    if max(idx) >= len(palette) // 3:
+        raise ValueError("palette index out of range")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    filtered = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = idx[y * width : (y + 1) * width]
+        ftype = filter_for_row(y) if filter_for_row else 0
+        enc = bytearray(line)
+        if ftype == 1:  # Sub (bpp = 1)
+            for i in range(width - 1, 0, -1):
+                enc[i] = (enc[i] - line[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(width):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(width):
+                a = line[i - 1] if i >= 1 else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(width):
+                a = line[i - 1] if i >= 1 else 0
+                c = prev[i - 1] if i >= 1 else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        filtered += bytes([ftype]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette)
         + chunk(b"IDAT", zlib.compress(bytes(filtered)))
         + chunk(b"IEND", b"")
     )
@@ -636,17 +729,33 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> "list[int]":
     return out
 
 
+def _gif_deinterlace(idx: "list[int]", iw: int, ih: int) -> "list[int]":
+    """Reorder interlaced GIF rows (4 passes: rows 0,8,.. / 4,12,.. /
+    2,6,.. / 1,3,..) into top-down raster order."""
+    order = (
+        list(range(0, ih, 8))
+        + list(range(4, ih, 8))
+        + list(range(2, ih, 4))
+        + list(range(1, ih, 2))
+    )
+    out = [0] * (iw * ih)
+    for stored, y in enumerate(order):
+        out[y * iw : (y + 1) * iw] = idx[stored * iw : (stored + 1) * iw]
+    return out
+
+
 def decode_gif_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
-    """Decode a non-interlaced single-image GIF87a/89a to raw pixel bytes:
-    (width, height, 3, pixels) top-down row-major RGB via the color table —
-    the same canonical layout as :func:`decode_png_pixels`.
+    """Decode a single-image GIF87a/89a (non-interlaced or interlaced —
+    round 7 adds the 4-pass deinterlace) to raw pixel bytes: (width,
+    height, 3, pixels) top-down row-major RGB via the color table — the
+    same canonical layout as :func:`decode_png_pixels`.
 
     Pure stdlib: logical-screen descriptor, global/local color table,
     extension-block skip, sub-block reassembly, then real variable-width
     LZW decompression (:func:`_gif_lzw_decode`). Returns None for non-GIF
-    bytes; raises NotImplementedError for interlaced images or frames
-    smaller than the logical screen (animation/composition needs a full
-    renderer) — the honest-stub posture."""
+    bytes; raises NotImplementedError for frames smaller than the logical
+    screen (animation/composition needs a full renderer) — the
+    honest-stub posture."""
     import struct
 
     if b is None or len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -673,11 +782,10 @@ def decode_gif_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 n = 2 << (ipacked & 0x07)
                 ct = b[pos : pos + 3 * n]
                 pos += 3 * n
-            if ipacked & 0x40 or (left, top, iw, ih) != (0, 0, w, h):
+            if (left, top, iw, ih) != (0, 0, w, h):
                 raise NotImplementedError(
-                    "decode_gif_pixels supports non-interlaced full-frame "
-                    "single images only (interlace/animation need a full "
-                    "renderer)"
+                    "decode_gif_pixels supports full-frame single images "
+                    "only (animation/composition needs a full renderer)"
                 )
             if ct is None:
                 return None
@@ -691,8 +799,11 @@ def decode_gif_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             idx = _gif_lzw_decode(bytes(lzw), min_code)
             if len(idx) < iw * ih:
                 raise ValueError("GIF pixel stream shorter than image")
+            idx = idx[: iw * ih]
+            if ipacked & 0x40:  # interlaced: reorder the 4 passes
+                idx = _gif_deinterlace(idx, iw, ih)
             out = bytearray(iw * ih * 3)
-            for k, i in enumerate(idx[: iw * ih]):
+            for k, i in enumerate(idx):
                 out[3 * k : 3 * k + 3] = ct[3 * i : 3 * i + 3]
             return w, h, 3, bytes(out)
         elif block == 0x3B:  # trailer
@@ -702,14 +813,33 @@ def decode_gif_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     return None
 
 
-def encode_gif(width: int, height: int, indices: "list[int]", palette: bytes) -> bytes:
-    """Minimal non-interlaced GIF89a encoder (synthesis/test helper — the
-    inverse of :func:`decode_gif_pixels`). Emits every pixel as a literal
-    LZW code while mirroring the decoder's dictionary-growth and
-    width-bump rules, so streams stay spec-valid without implementing
-    compression. ``palette`` is RGB bytes for a power-of-two color count."""
+def encode_gif(
+    width: int,
+    height: int,
+    indices: "list[int]",
+    palette: bytes,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal GIF89a encoder (synthesis/test helper — the inverse of
+    :func:`decode_gif_pixels`). Emits every pixel as a literal LZW code
+    while mirroring the decoder's dictionary-growth and width-bump rules,
+    so streams stay spec-valid without implementing compression.
+    ``palette`` is RGB bytes for a power-of-two color count.
+    ``interlace`` stores rows in the 4-pass interlace order and sets the
+    descriptor flag (``indices`` stays top-down raster — the natural
+    image order)."""
     import struct
 
+    if interlace:
+        order = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+        indices = [
+            v for y in order for v in indices[y * width : (y + 1) * width]
+        ]
     n_colors = len(palette) // 3
     bits = max(2, (n_colors - 1).bit_length())
     clear, end = 1 << bits, (1 << bits) + 1
@@ -755,7 +885,9 @@ def encode_gif(width: int, height: int, indices: "list[int]", palette: bytes) ->
     screen = struct.pack(
         "<HHBBB", width, height, 0x80 | (bits - 1), 0, 0
     )
-    descriptor = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    descriptor = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+    )
     return (
         b"GIF89a" + screen + palette
         + descriptor + bytes([bits]) + bytes(blocks) + b"\x3B"

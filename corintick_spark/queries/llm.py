@@ -901,6 +901,128 @@ def multimodal_decode_gif(spark, sf_dir):
     return M.decode_image_pixels(with_gif)
 
 
+# INTERLACED GIF decode (round 7 — operators/multimodal.py::
+# _gif_deinterlace): the SAME planted content as multimodal_decode_gif,
+# stored in the 4-pass interlace row order with the descriptor flag set.
+# The oracle is identical by construction (deinterlacing must reproduce
+# the top-down raster exactly); px_wsum is position-weighted, so any
+# pass-ordering error (the classic off-by-one on pass strides) flips it.
+# Heights span 2-4 so passes 1/2 are empty for some docs and not others.
+@query(
+    "multimodal_decode_gif_interlaced",
+    sql="""
+    SELECT doc_id,
+           CAST(doc_id % 5 + 3 AS BIGINT) AS width,
+           CAST(doc_id % 3 + 2 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 3) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> ((doc_id * 3 + k // 3) % 8) * 30 + k % 3))
+               AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 3) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> k * (((doc_id * 3 + k // 3) % 8) * 30 + k % 3)))
+               AS BIGINT) AS px_wsum,
+           ROUND(list_sum(list_transform(
+                    range(0, ((doc_id % 5 + 3) * (doc_id % 3 + 2) * 3)::INT),
+                    k -> ((doc_id * 3 + k // 3) % 8) * 30 + k % 3))
+                 / ((doc_id % 5 + 3) * (doc_id % 3 + 2) * 3.0), 6) AS px_mean
+    FROM documents
+    """,
+)
+def multimodal_decode_gif_interlaced(spark, sf_dir):
+    """Interlaced-GIF pixel decode: 4-pass row reordering on top of the
+    LZW machinery, adjudicated against the raster-order symbolic oracle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes(j * 30 + c for j in range(8) for c in range(3))
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(i) % 5 + 3, int(i) % 3 + 2
+                idx = [(int(i) * 3 + m) % 8 for m in range(w * h)]
+                payloads.append(M.encode_gif(w, h, idx, palette, interlace=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_gif = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_gif)
+
+
+# PALETTE PNG decode (round 7 — color type 3): indices filter as a
+# 1-byte-per-pixel stream (the spec's subtlety: bpp for Sub/Average/Paeth
+# is 1, not 3), then expand through PLTE to RGB. Planted content: pixel p
+# of doc i has palette index (i*7 + p*3) % 16; palette entry j is
+# ((j*17)%256, (j*31)%256, (j*53)%256) — every canonical byte is
+# recomputable symbolically. filter_for_row = p%5 rotates ALL FIVE filter
+# types through the adjudicated path; px_wsum breaks under any filter or
+# palette-mapping error.
+@query(
+    "multimodal_decode_png_palette",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               doc_id % 6 + 4 AS w,
+               doc_id % 4 + 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT),
+                   k -> CASE k % 3
+                        WHEN 0 THEN ((doc_id * 7 + (k // 3) * 3) % 16) * 17 % 256
+                        WHEN 1 THEN ((doc_id * 7 + (k // 3) * 3) % 16) * 31 % 256
+                        ELSE ((doc_id * 7 + (k // 3) * 3) % 16) * 53 % 256
+                        END) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_png_palette(spark, sf_dir):
+    """Palette-PNG pixel decode (color type 3, all five filters rotating
+    per scanline) through the format-dispatched decode_image_pixels path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes(
+        v for j in range(16)
+        for v in ((j * 17) % 256, (j * 31) % 256, (j * 53) % 256)
+    )
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 4, i % 4 + 3
+                idx = bytes((i * 7 + p * 3) % 16 for p in range(w * h))
+                payloads.append(
+                    M.encode_png_palette(
+                        w, h, idx, palette, filter_for_row=lambda y: y % 5
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_png)
+
+
 # REAL WAV PCM sample decode (operators/multimodal.py::decode_wav_pcm) —
 # the audio twin of multimodal_decode_px: 16-bit PCM payloads whose sample
 # k is ((doc_id*31 + k*7) % 65536) - 32768 are synthesized per doc_id, and

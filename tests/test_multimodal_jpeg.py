@@ -332,3 +332,50 @@ def test_restart_after_ff_flush_byte():
         q = np.rint(m @ (blk - 128.0) @ m.T)
         ref = np.clip(np.rint(m.T @ q @ m + 128.0), 0, 255)
         assert (arr[:, bx * 8 : bx * 8 + 8] == ref).all()
+
+
+def test_png_palette_roundtrip_all_filters():
+    """Palette PNG (color type 3): filters run on the 1-byte index stream
+    (bpp=1 for Sub/Average/Paeth), then PLTE expansion to RGB."""
+    pal = bytes(
+        v for j in range(16)
+        for v in ((j * 17) % 256, (j * 31) % 256, (j * 53) % 256)
+    )
+    w, h = 11, 9
+    idx = bytes(((x * 3 + y * 5) % 16) for y in range(h) for x in range(w))
+    expect = bytes(v for i in idx for v in pal[i * 3 : i * 3 + 3])
+    for f in (None, lambda y: y % 5):
+        got = M.decode_png_pixels(
+            M.encode_png_palette(w, h, idx, pal, filter_for_row=f)
+        )
+        assert got == (w, h, 3, expect)
+
+
+def test_png_palette_trns_still_stub():
+    import struct
+    import zlib
+
+    pal = bytes(48)
+    b = bytearray(M.encode_png_palette(4, 4, bytes(16), pal))
+    i = bytes(b).find(b"IDAT") - 4
+    trns = (
+        struct.pack(">I", 1) + b"tRNS" + b"\x80"
+        + struct.pack(">I", zlib.crc32(b"tRNS\x80"))
+    )
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        M.decode_png_pixels(bytes(b[:i]) + trns + bytes(b[i:]))
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced GIF: the 4-pass deinterlace must reproduce the raster
+    decode exactly — including heights where passes 1/2 are empty."""
+    pal8 = bytes(
+        v for j in range(8) for v in ((j * 30) % 256, (j * 60) % 256, (j * 90) % 256)
+    )
+    for w, h in ((13, 11), (5, 2), (4, 3), (7, 16), (3, 1)):
+        idx = [((x + y * 2) % 8) for y in range(h) for x in range(w)]
+        plain = M.decode_gif_pixels(M.encode_gif(w, h, idx, pal8))
+        inter = M.decode_gif_pixels(
+            M.encode_gif(w, h, idx, pal8, interlace=True)
+        )
+        assert inter == plain, (w, h)
