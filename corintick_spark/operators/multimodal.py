@@ -1192,23 +1192,27 @@ def encode_jpeg_progressive(
     channels: int = 1,
     quant: "list[int] | None" = None,
     dc_al: int = 1,
+    ac_al: int = 0,
 ) -> bytes:
     """Minimal PROGRESSIVE JPEG encoder (SOF2) — synthesis/test helper,
     the inverse of the progressive path of :func:`decode_jpeg_pixels`.
 
-    Emits the standard spectral-selection + DC-successive-approximation
+    Emits the standard spectral-selection + successive-approximation
     progression:
 
     1. one interleaved DC FIRST scan (Ss=Se=0, Ah=0, Al=``dc_al``) coding
        diffs of the point-transformed DC values (T.81 G.1.2.1);
     2. ``dc_al`` DC REFINEMENT scans (Ah=Al+1), one raw bit per block
        per component, walking Al back down to 0;
-    3. one AC first scan per component (Ss=1, Se=63, Ah=Al=0) with
-       EOB-run coding across blocks (T.81 G.1.2.2).
+    3. one AC first scan per component (Ss=1, Se=63, Ah=0, Al=``ac_al``)
+       with EOB-run coding across blocks (T.81 G.1.2.2);
+    4. ``ac_al`` AC REFINEMENT scans per component (Ah=Al+1, round 7 —
+       T.81 G.1.2.3): newly-significant coefficients as zero-history-run
+       codes, correction bits interleaved exactly where the decoder's
+       advance loops consume them.
 
-    AC successive approximation is not emitted (the decoder's one
-    remaining progressive stub). Same constraints as :func:`encode_jpeg`:
-    gray or RGB, 1×1 sampling, multiple-of-8 dimensions."""
+    Same constraints as :func:`encode_jpeg`: gray or RGB, 1×1 sampling,
+    multiple-of-8 dimensions."""
     import struct
 
     import numpy as np
@@ -1221,6 +1225,8 @@ def encode_jpeg_progressive(
         raise ValueError("pixel buffer length mismatch")
     if not 0 <= dc_al <= 13:
         raise ValueError("dc_al out of range")
+    if not 0 <= ac_al <= 13:
+        raise ValueError("ac_al out of range")
     q = list(quant) if quant is not None else [1] * 64
     m = _dct_matrix()
 
@@ -1329,9 +1335,10 @@ def encode_jpeg_progressive(
                 wtr.put((seqs[ci][bi][0] >> al) & 1, 1)
         scans += sos(list(range(1, channels + 1)), 0, 0, al + 1, al) + wtr.flush()
 
-    # AC first scan per component (non-interleaved, EOB-run coding):
-    # one EOBn code covers the whole accumulated run — EOBn encodes a run
-    # of (1 << n) + extra blocks, extra in n raw bits (T.81 G.1.2.2)
+    # AC first scan per component (non-interleaved, EOB-run coding) at
+    # point transform Al=ac_al: codes sign(v) * (|v| >> ac_al). One EOBn
+    # code covers the whole accumulated run — EOBn encodes a run of
+    # (1 << n) + extra blocks, extra in n raw bits (T.81 G.1.2.2).
     for ci in range(channels):
         wtr = _Writer()
         eobrun = 0
@@ -1346,9 +1353,13 @@ def encode_jpeg_progressive(
                     wtr.put(eobrun - (1 << r), r)
                 eobrun = 0
 
+        def pt(v: int) -> int:  # AC point transform: magnitude shift
+            return (abs(v) >> ac_al) * (1 if v > 0 else -1)
+
         for bi in range(nblocks):
             seq = seqs[ci][bi]
-            last_nz = max((k for k in range(1, 64) if seq[k]), default=0)
+            vals = [pt(seq[k]) for k in range(64)]
+            last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
             if last_nz == 0:
                 eobrun += 1
                 if eobrun == 0x7FFF:  # max representable EOB run
@@ -1357,14 +1368,14 @@ def encode_jpeg_progressive(
             flush_eobrun()
             run = 0
             for k in range(1, last_nz + 1):
-                if seq[k] == 0:
+                if vals[k] == 0:
                     run += 1
                     continue
                 while run >= 16:
                     ln, code = ac_codes[0xF0]  # ZRL
                     wtr.put(code, ln)
                     run -= 16
-                size, bits = magnitude(seq[k])
+                size, bits = magnitude(vals[k])
                 ln, code = ac_codes[(run << 4) | size]
                 wtr.put(code, ln)
                 wtr.put(bits, size)
@@ -1372,7 +1383,71 @@ def encode_jpeg_progressive(
             if last_nz < 63:
                 eobrun += 1
         flush_eobrun()
-        scans += sos([ci + 1], 1, 63, 0, 0) + wtr.flush()
+        scans += sos([ci + 1], 1, 63, 0, ac_al) + wtr.flush()
+
+        # AC refinement scans (T.81 G.1.2.3): walk Al back down to 0. One
+        # bit per coefficient per scan — newly-significant ones as
+        # (zero-history-run, 1) codes + sign, already-significant ones as
+        # correction bits buffered and emitted in the exact positions the
+        # decoder's advance loops consume them (after the terminating
+        # ZRL / RS / EOBn code of the run they sit in).
+        for al in range(ac_al - 1, -1, -1):
+            wtr = _Writer()
+            eobrun = 0
+            be_bits: "list[int]" = []  # corrections pending with the EOB run
+
+            def flush_eobrun_r() -> None:
+                nonlocal eobrun
+                if eobrun > 0:
+                    r = eobrun.bit_length() - 1
+                    ln, code = ac_codes[r << 4]
+                    wtr.put(code, ln)
+                    if r:
+                        wtr.put(eobrun - (1 << r), r)
+                    eobrun = 0
+                for bit in be_bits:
+                    wtr.put(bit, 1)
+                be_bits.clear()
+
+            for bi in range(nblocks):
+                seq = seqs[ci][bi]
+                # t[k]: magnitude at this bit plane; 0 = still zero,
+                # 1 = newly significant this scan, >1 = already significant
+                t = [abs(seq[k]) >> al for k in range(64)]
+                eob = max((k for k in range(1, 64) if t[k] == 1), default=0)
+                run = 0
+                br: "list[int]" = []  # corrections pending within the block
+                for k in range(1, 64):
+                    if t[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        flush_eobrun_r()
+                        ln, code = ac_codes[0xF0]  # ZRL
+                        wtr.put(code, ln)
+                        run -= 16
+                        for bit in br:
+                            wtr.put(bit, 1)
+                        br.clear()
+                    if t[k] > 1:  # already significant: one correction bit
+                        br.append(t[k] & 1)
+                        continue
+                    # newly significant (t[k] == 1)
+                    flush_eobrun_r()
+                    ln, code = ac_codes[(run << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(1 if seq[k] > 0 else 0, 1)
+                    run = 0
+                    for bit in br:
+                        wtr.put(bit, 1)
+                    br.clear()
+                if run > 0 or br:  # trailing zeros/corrections → EOB run
+                    eobrun += 1
+                    be_bits.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun_r()
+            flush_eobrun_r()
+            scans += sos([ci + 1], 1, 63, al + 1, al) + wtr.flush()
 
     zz_q = bytes(q)
     dqt = seg(0xDB, b"\x00" + zz_q)
@@ -1390,15 +1465,16 @@ def encode_jpeg_progressive(
 
 def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
     """Progressive-JPEG (SOF2) decode path of :func:`decode_jpeg_pixels`:
-    accumulate quantized coefficients across scans (DC first + DC
-    successive-approximation refinement + AC spectral-selection first
-    passes, each with EOB-run handling), then dequantize → IDCT once.
+    accumulate quantized coefficients across scans — DC first + DC
+    successive-approximation refinement, AC spectral-selection first
+    passes, and AC successive-approximation refinement (round 7, T.81
+    G.1.2.3: zero-history run codes + interleaved correction bits), all
+    with EOB-run handling — then dequantize → IDCT once.
 
-    Honest-stub boundaries (NotImplementedError, naming the gap): AC
-    successive-approximation refinement scans (Ss>0, Ah>0), restart
-    intervals inside progressive scans, arithmetic coding, 12-bit,
-    chroma subsampling — the same subset discipline as the baseline
-    path."""
+    Honest-stub boundaries (NotImplementedError, naming the gap): restart
+    intervals inside progressive scans, arithmetic coding, 12-bit, chroma
+    subsampling in progressive streams — the same subset discipline as
+    the baseline path."""
     import struct
 
     import numpy as np
@@ -1542,15 +1618,67 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
             else:  # AC scan — non-interleaved by construction
                 if ns != 1:
                     raise ValueError("progressive AC scan must be single-component")
-                if ah != 0:
-                    raise NotImplementedError(
-                        "progressive decode supports AC spectral-selection "
-                        "first passes only (AC successive-approximation "
-                        "refinement needs the correction-bit algorithm)"
-                    )
                 ci = scan_comps[0]
                 ac_tab = htables[(1, scan_tabs[0][1])]
                 eobrun = 0
+                if ah != 0:
+                    # AC successive-approximation REFINEMENT (T.81
+                    # G.1.2.3): one bit of precision per coefficient —
+                    # newly-significant coefficients arrive as (run, 1)
+                    # codes counting ZERO-HISTORY positions, and every
+                    # already-nonzero coefficient passed on the way
+                    # (including inside ZRL skips and EOB runs) carries
+                    # one interleaved correction bit.
+                    p1 = 1 << al
+
+                    def correct(cf: "list[int]", k: int) -> None:
+                        if read_bit() and not (abs(cf[k]) & p1):
+                            cf[k] += p1 if cf[k] > 0 else -p1
+
+                    for bi in range(nblocks):
+                        cf = coefs[ci][bi]
+                        k = ss
+                        if eobrun > 0:
+                            eobrun -= 1
+                        else:
+                            while k <= se:
+                                rs = huff_decode(ac_tab)
+                                run, size = rs >> 4, rs & 0x0F
+                                newval = 0
+                                if size == 0:
+                                    if run < 15:  # EOBn
+                                        eobrun = (1 << run) - 1
+                                        if run:
+                                            eobrun += read_bits(run)
+                                        break
+                                    # ZRL: skip 16 zero-history positions
+                                else:
+                                    if size != 1:
+                                        raise ValueError(
+                                            "invalid size in AC refinement scan"
+                                        )
+                                    newval = p1 if read_bit() else -p1
+                                # advance over `run` zero-history positions,
+                                # correcting nonzero ones along the way
+                                while k <= se:
+                                    if cf[k] != 0:
+                                        correct(cf, k)
+                                    else:
+                                        if run == 0:
+                                            break
+                                        run -= 1
+                                    k += 1
+                                if newval and k <= se:
+                                    cf[k] = newval
+                                k += 1
+                        # remainder of an EOB-run member block: correction
+                        # bits for every already-nonzero coefficient
+                        while k <= se:
+                            if cf[k] != 0:
+                                correct(cf, k)
+                            k += 1
+                    pos = i
+                    continue
                 for bi in range(nblocks):
                     if eobrun > 0:
                         eobrun -= 1

@@ -710,7 +710,8 @@ def multimodal_decode_jpg_prog(spark, sf_dir):
                     px += bytes((v, v, v))
                 payloads.append(
                     M.encode_jpeg_progressive(
-                        w, h, bytes(px), channels=3, dc_al=i % 3
+                        w, h, bytes(px), channels=3,
+                        dc_al=i % 3, ac_al=i % 2,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

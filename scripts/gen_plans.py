@@ -30,7 +30,8 @@ NOTES = {
     "resample_ffill": "grid rows are sequence()+explode from per-key bounds (no driver loop); ONE window pass carries the last tick struct onto grid rows — a NULL-valued tick correctly fills NULL.",
     "events_concurrency": "two-level distributed prefix sum: per-instant deltas aggregate map-side, the global prefix runs over the tiny hour-bucket table (broadcast back), interior cumsums are bucket-partitioned windows — no corpus-sized SinglePartition window anywhere.",
     "dedup_editjoin": "PassJoin segment candidates: each string probes (2k+1)^2(k+1) short substrings against the k+1-segment index as an equi-join on (segment text, j, target length) — a candidate needs a ~13-char VERBATIM near-aligned match; only the bounded short stratum uses a (broadcast) direct join; verification computes levenshtein on deduped candidate ids only.",
-    "dedup_substring": "duplicated-window detection: one JVM transform hashes every 30-char window (the only corpus-sized exchange carries 8-byte hashes), hash candidates (count>=2) semi-join back, per-doc candidate positions fold to ONE array so verification re-extracts window text once per doc, exact text recount filters hash collisions.",
+    "dedup_substring": "duplicated-window detection: one JVM transform hashes every 30-char window through overlapping 256-char slices (O(len*chunk), not O(len^2); the only corpus-sized exchange carries 8-byte hashes), hash candidates (count>=2) semi-join back, per-doc candidate positions fold to ONE array so verification re-extracts window text once per doc, exact text recount filters hash collisions.",
+    "dedup_substring_winnow": "winnow scale tier adjudicated against the exact tier in one plan: anchor positions (rightmost-min of every 8 window hashes, selected inside the row) are the ONLY positions entering the candidate exchange (~2/9 of the exact tier's shuffle); text-verified anchors merge to spans; the per-doc join + pooled-recall broadcast compare both tiers.",
     "dq_suite": "all four row-level checks compile into ONE partial+final HashAggregate over a single scan (plan test pins <=1 Scan); the referential check is a LeftAnti join collapsed to a 1-row aggregate.",
     "graph_triangles": "equi-joins only (edge derivation: one fact-fact shuffle + broadcast dims; wedge + closing joins on node keys) — no CartesianProduct/BNLJ anywhere; degree orientation bounds wedge fan-out to the low-degree endpoint.",
     "pipeline_decontaminate": "the removal is a BroadcastHashJoin LeftAnti against the tiny contaminated-id set — the corpus is never shuffled to be cleaned.",

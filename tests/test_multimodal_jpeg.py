@@ -227,17 +227,55 @@ def test_progressive_eobrun_and_zrl():
     assert _prog_equals_baseline(big, 1, 1)
 
 
-def test_progressive_ac_refinement_still_stub():
-    # craft an AC refinement SOS (Ss=1, Ah=1) — the named remaining gap
-    px = _const_block_image(8, 8, 10)
-    b = bytearray(M.encode_jpeg_progressive(8, 8, px, channels=1, dc_al=0))
-    # second SOS is the AC scan; set Ah=1 in its Ss/Se/AhAl trailer
-    i = bytes(b).find(b"\xff\xda")
-    i = bytes(b).find(b"\xff\xda", i + 2)
-    # SOS payload: len(2) ns(1) [cid tt] ss(1) se(1) ahal(1)
-    b[i + 4 + 1 + 2 + 2] = 0x10
-    with pytest.raises(NotImplementedError, match="refinement"):
-        M.decode_jpeg_pixels(bytes(b))
+def test_progressive_ac_refinement_equals_baseline():
+    """AC successive-approximation refinement (T.81 G.1.2.3): progressive
+    streams with ac_al refinement scans must decode byte-identically to
+    the baseline stream — across planes, color modes, and quant tables
+    (bigger coefficients span more bit planes)."""
+    rng = np.random.RandomState(17)
+    gray = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    base = M.decode_jpeg_pixels(M.encode_jpeg(24, 16, gray.tobytes(), 1))
+    for ac_al in (1, 2, 3):
+        prog = M.decode_jpeg_pixels(
+            M.encode_jpeg_progressive(
+                24, 16, gray.tobytes(), 1, dc_al=1, ac_al=ac_al
+            )
+        )
+        assert prog == base, ac_al
+    rgb = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    base = M.decode_jpeg_pixels(M.encode_jpeg(16, 16, rgb.tobytes(), 3))
+    assert base == M.decode_jpeg_pixels(
+        M.encode_jpeg_progressive(16, 16, rgb.tobytes(), 3, dc_al=2, ac_al=2)
+    )
+    q = [2] * 64
+    base = M.decode_jpeg_pixels(M.encode_jpeg(16, 16, gray[:, :16].tobytes(), 1, quant=q))
+    assert base == M.decode_jpeg_pixels(
+        M.encode_jpeg_progressive(
+            16, 16, gray[:, :16].tobytes(), 1, quant=q, dc_al=1, ac_al=2
+        )
+    )
+
+
+def test_progressive_ac_refinement_eobrun_corrections():
+    """Sparse blocks force the hard interleavings: EOB runs whose member
+    blocks carry correction bits, ZRL skips crossing already-significant
+    coefficients, and corrections trailing the last newly-significant
+    coefficient of a block."""
+    m = M._dct_matrix()
+    coeff = np.zeros((8, 8))
+    coeff[0, 3] = 5.0
+    coeff[7, 7] = 40.0
+    sp = np.clip(np.rint(m.T @ coeff @ m + 128.0), 0, 255).astype(np.uint8)
+    big = np.tile(np.full((8, 8), 128, dtype=np.uint8), (4, 8))
+    big[0:8, 0:8] = sp
+    big[24:32, 56:64] = sp
+    base = M.decode_jpeg_pixels(M.encode_jpeg(64, 32, big.tobytes(), 1))
+    for ac_al in (1, 2):
+        prog = M.decode_jpeg_pixels(
+            M.encode_jpeg_progressive(64, 32, big.tobytes(), 1,
+                                      dc_al=1, ac_al=ac_al)
+        )
+        assert prog == base, ac_al
 
 
 def test_dispatcher_routes_jpeg(spark):
