@@ -60,15 +60,19 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # Round-8 rotation plan: the never-driver-windowed queue is (a) the seven
 # registered late in round 6 — storage_dv, storage_dv_cdf,
 # storage_merge_sync, dedup_substring, dedup_substring_spans,
-# multimodal_decode_g711, dedup_winnow — and (b) round 7's new
-# multimodal_decode_jpg_prog (progressive JPEG) and dedup_substring_winnow
-# (winnow scale tier vs exact, recall-floored), all driver-sim green at
-# sf0.01 this round. That is 9 slots; fill the remaining 41 with
-# rotated-out r01-r06 queries oldest-driver-row first (re-confirmation
-# pass), prioritizing ones whose implementation changed in r7:
-# dedup_clusters, dedup_survivors, graph_pagerank, graph_bfs,
-# stream_cdf_partitioned, similarity_ivf/pq/ivfpq, cluster_kmeans,
-# multimodal_decode_jpg, storage_* (dv-path normalization).
+# multimodal_decode_g711, dedup_winnow — and (b) round 7's five new
+# queries — multimodal_decode_jpg_prog (progressive JPEG incl. AC
+# successive-approximation refinement), multimodal_decode_jpg_420
+# (chroma subsampling), multimodal_decode_png_palette,
+# multimodal_decode_gif_interlaced, and dedup_substring_winnow (winnow
+# scale tier adjudicated vs exact, recall-floored) — all green in the
+# round-7 closing sweep (298/298, one vanilla session at sf0.01). That
+# is 12 slots; fill the remaining 38 with rotated-out r01-r06 queries
+# oldest-driver-row first (re-confirmation pass), prioritizing ones
+# whose implementation changed in r7: dedup_clusters, dedup_survivors,
+# graph_pagerank, graph_bfs, stream_cdf_partitioned,
+# similarity_ivf/pq/ivfpq, cluster_kmeans, multimodal_decode_jpg,
+# storage_* (dv-path normalization).
 DRIVER_WINDOW: tuple[str, ...] = (
     # joins / set ops
     "join_asof_tolerance", "join_bloom_prefilter", "join_bitmap",
