@@ -606,31 +606,108 @@ def encode_png_palette(
 
 
 def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
-    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) to raw
-    pixel bytes: (width, height, 3, pixels) with ``pixels`` row-major
-    TOP-DOWN RGB — the same canonical layout :func:`decode_png_pixels`
-    emits, so downstream stats are format-agnostic.
+    """Decode a BMP to raw pixel bytes in the canonical top-down layout
+    :func:`decode_png_pixels` emits: 24-bit BI_RGB → (w, h, 3, RGB);
+    32-bit BI_RGB / BI_BITFIELDS-with-standard-masks → (w, h, 4, RGBA)
+    (round 7); RLE8 palette → (w, h, 3, RGB) through the BGRX color
+    table, incl. end-of-line/bitmap, delta, and word-aligned absolute
+    escapes (round 7).
 
     Pure stdlib: the pixel-array offset comes from the file header, rows
     are 4-byte aligned (padding stripped), stored bottom-up unless the DIB
-    height is negative (top-down), and samples are BGR on disk (swapped to
-    RGB here) — all per the public Windows BMP format. Returns None for
-    non-BMP bytes; raises NotImplementedError for valid BMPs outside the
-    supported subset (bpp != 24 or compressed) — the honest-stub posture.
+    height is negative (top-down), and samples are BGR(A) on disk
+    (swapped here) — all per the public Windows BMP format. Returns None
+    for non-BMP bytes; raises NotImplementedError for valid BMPs outside
+    the supported subset (1/4/16-bit, RLE4, exotic bitfield masks) — the
+    honest-stub posture.
     """
     import struct
 
     if b is None or len(b) < 54 or b[:2] != b"BM":
         return None
     (data_off,) = struct.unpack_from("<I", b, 10)
+    (dib_size,) = struct.unpack_from("<I", b, 14)
     w, h_signed = struct.unpack_from("<ii", b, 18)
     bpp, comp = struct.unpack_from("<HI", b, 28)
+    h = abs(h_signed)
+
+    if bpp == 32 and comp in (0, 3):
+        # 32-bit BGRA/BGRX (round 7). BI_BITFIELDS accepted only with the
+        # standard BGRA masks — exotic channel layouts stay a named stub.
+        if comp == 3:
+            masks = struct.unpack_from("<III", b, 54)
+            if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                raise NotImplementedError(
+                    "decode_bmp_pixels supports BI_BITFIELDS only with "
+                    f"the standard BGRA masks — got {masks}"
+                )
+        stride = w * 4  # already 4-byte aligned
+        if len(b) < data_off + stride * h:
+            return None
+        out = bytearray(w * h * 4)
+        for y in range(h):
+            src_row = (h - 1 - y) if h_signed > 0 else y
+            row = b[data_off + src_row * stride : data_off + src_row * stride + w * 4]
+            dst = y * w * 4
+            out[dst : dst + w * 4 : 4] = row[2::4]  # R <- disk B,G,R,A
+            out[dst + 1 : dst + w * 4 : 4] = row[1::4]  # G
+            out[dst + 2 : dst + w * 4 : 4] = row[0::4]  # B
+            out[dst + 3 : dst + w * 4 : 4] = row[3::4]  # A
+        return w, h, 4, bytes(out)
+
+    if bpp == 8 and comp == 1:
+        # RLE8 (round 7): palette-indexed runs. Escapes: 0,0 = end of
+        # line, 0,1 = end of bitmap, 0,2 = delta (skipped pixels read as
+        # index 0 — the common renderer convention), 0,n>=3 = absolute
+        # mode (n literal indices, padded to a word boundary).
+        (n_colors,) = struct.unpack_from("<I", b, 46)
+        n_colors = n_colors or 256
+        pal_off = 14 + dib_size
+        pal = b[pal_off : pal_off + 4 * n_colors]  # BGRX quads
+        if len(pal) < 4 * n_colors:
+            return None
+        idx = bytearray(w * h)  # bottom-up grid of palette indices
+        x = 0
+        y = 0  # row 0 = BOTTOM row (positive height; RLE is never top-down)
+        pos = data_off
+        while pos + 1 < len(b) and y < h:
+            c0, c1 = b[pos], b[pos + 1]
+            pos += 2
+            if c0 > 0:  # encoded run
+                run = min(c0, w - x)
+                idx[y * w + x : y * w + x + run] = bytes([c1]) * run
+                x += run
+            elif c1 == 0:  # end of line
+                x, y = 0, y + 1
+            elif c1 == 1:  # end of bitmap
+                break
+            elif c1 == 2:  # delta
+                if pos + 1 >= len(b):
+                    break
+                x = min(x + b[pos], w)
+                y = min(y + b[pos + 1], h - 1)
+                pos += 2
+            else:  # absolute mode: c1 literal indices, word-aligned
+                run = min(c1, w - x)
+                idx[y * w + x : y * w + x + run] = b[pos : pos + run]
+                x += run
+                pos += c1 + (c1 & 1)
+        out = bytearray(w * h * 3)
+        for yy in range(h):
+            src_row = h - 1 - yy  # bottom-up
+            for xx in range(w):
+                i4 = idx[src_row * w + xx] * 4
+                d = (yy * w + xx) * 3
+                out[d] = pal[i4 + 2]  # R <- palette B,G,R,X
+                out[d + 1] = pal[i4 + 1]
+                out[d + 2] = pal[i4]
+        return w, h, 3, bytes(out)
+
     if bpp != 24 or comp != 0:
         raise NotImplementedError(
-            "decode_bmp_pixels supports uncompressed 24-bit BMPs only "
-            "(other depths/RLE need a full codec)"
+            "decode_bmp_pixels supports uncompressed 24/32-bit and RLE8 "
+            f"BMPs only — got bpp={bpp} compression={comp}"
         )
-    h = abs(h_signed)
     stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     if len(b) < data_off + stride * h:
         return None
@@ -677,6 +754,110 @@ def encode_bmp(width: int, height: int, pixels: bytes, top_down: bool = False) -
         + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
         + dib
         + body
+    )
+
+
+def encode_bmp32(
+    width: int, height: int, pixels: bytes, top_down: bool = False,
+    bitfields: bool = False,
+) -> bytes:
+    """Minimal 32-bit BMP encoder (synthesis/test helper). ``pixels`` is
+    top-down row-major RGBA; stored as BGRA, bottom-up unless
+    ``top_down``. ``bitfields=True`` emits BI_BITFIELDS with the standard
+    BGRA masks (BITMAPV4-style 108-byte DIB keeps the layout simple)."""
+    import struct
+
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for y in order:
+        line = pixels[y * width * 4 : (y + 1) * width * 4]
+        bgra = bytearray(len(line))
+        bgra[0::4] = line[2::4]
+        bgra[1::4] = line[1::4]
+        bgra[2::4] = line[0::4]
+        bgra[3::4] = line[3::4]
+        rows.append(bytes(bgra))
+    body = b"".join(rows)
+    comp = 3 if bitfields else 0
+    if bitfields:
+        dib = struct.pack(
+            "<IiiHHIIiiII", 108, width,
+            height if not top_down else -height,
+            1, 32, comp, len(body), 2835, 2835, 0, 0,
+        ) + struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF) + bytes(
+            108 - 40 - 12
+        )
+        off = 14 + 108
+    else:
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width,
+            height if not top_down else -height,
+            1, 32, comp, len(body), 2835, 2835, 0, 0,
+        )
+        off = 54
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + dib + body
+    )
+
+
+def encode_bmp_rle8(
+    width: int,
+    height: int,
+    indices: "bytes | list[int]",
+    palette_rgb: bytes,
+    absolute_rows: "set[int] | None" = None,
+) -> bytes:
+    """Minimal RLE8 BMP encoder (synthesis/test helper). ``indices`` is
+    one palette index per pixel, TOP-DOWN row-major; ``palette_rgb`` is 3
+    bytes per entry (stored as BGRX quads). Rows in ``absolute_rows``
+    (top-down indices) are emitted in word-aligned ABSOLUTE mode instead
+    of encoded runs, so both decoder paths sit on the adjudicated path."""
+    import struct
+
+    idx = bytes(indices)
+    if len(idx) != width * height:
+        raise ValueError("index buffer length mismatch")
+    n = len(palette_rgb) // 3
+    pal = b"".join(
+        bytes((palette_rgb[j * 3 + 2], palette_rgb[j * 3 + 1],
+               palette_rgb[j * 3], 0))
+        for j in range(n)
+    )
+    body = bytearray()
+    # rows stored bottom-up: bottom row (top-down y = height-1) first
+    for y in range(height - 1, -1, -1):
+        row = idx[y * width : (y + 1) * width]
+        if absolute_rows and y in absolute_rows and width >= 3:
+            x = 0
+            while x < width:
+                run = min(width - x, 254)
+                if run < 3:  # absolute mode needs count >= 3
+                    body += bytes([1, row[x]])
+                    x += 1
+                    continue
+                body += bytes([0, run]) + row[x : x + run]
+                if run & 1:
+                    body += b"\x00"  # word alignment
+                x += run
+        else:
+            x = 0
+            while x < width:
+                v = row[x]
+                run = 1
+                while x + run < width and row[x + run] == v and run < 255:
+                    run += 1
+                body += bytes([run, v])
+                x += run
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    off = 14 + 40 + len(pal)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(body),
+        2835, 2835, n, 0,
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + dib + pal + bytes(body)
     )
 
 

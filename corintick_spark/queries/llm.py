@@ -847,6 +847,124 @@ def multimodal_decode_bmp(spark, sf_dir):
     return M.decode_image_pixels(with_bmp)
 
 
+# 32-bit BMP decode (round 7 — BGRA, both BI_RGB and BI_BITFIELDS with
+# the standard masks, doc_id%2 rotating the header variant and doc_id%3
+# the row order): canonical RGBA byte k of doc i is (i*11 + k*5) % 256
+# EXCEPT that on-disk alpha rides the 4th channel — the oracle recomputes
+# every byte incl. alpha; px_wsum breaks under any BGRA swizzle or
+# row-flip error.
+@query(
+    "multimodal_decode_bmp32",
+    sql="""
+    SELECT doc_id,
+           CAST(doc_id % 6 + 2 AS BIGINT) AS width,
+           CAST(doc_id % 4 + 2 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS channels,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 6 + 2) * (doc_id % 4 + 2) * 4)::INT),
+                    k -> (doc_id * 11 + k * 5) % 256)) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(
+                    range(0, ((doc_id % 6 + 2) * (doc_id % 4 + 2) * 4)::INT),
+                    k -> k * ((doc_id * 11 + k * 5) % 256))) AS BIGINT)
+               AS px_wsum,
+           ROUND(list_sum(list_transform(
+                    range(0, ((doc_id % 6 + 2) * (doc_id % 4 + 2) * 4)::INT),
+                    k -> (doc_id * 11 + k * 5) % 256))
+                 / ((doc_id % 6 + 2) * (doc_id % 4 + 2) * 4.0), 6) AS px_mean
+    FROM documents
+    """,
+)
+def multimodal_decode_bmp32(spark, sf_dir):
+    """32-bit BGRA BMP decode (BI_RGB / standard-mask BI_BITFIELDS,
+    bottom-up and top-down) through decode_image_pixels."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 2, i % 4 + 2
+                px = bytes((i * 11 + k * 5) % 256 for k in range(w * h * 4))
+                payloads.append(
+                    M.encode_bmp32(
+                        w, h, px, top_down=(i % 3 == 0),
+                        bitfields=(i % 2 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_bmp)
+
+
+# RLE8 BMP decode (round 7): palette index of pixel p is
+# (doc_id*7 + p//3) % 16 (horizontal runs of 3 exercise run coding);
+# palette entry j is ((j*19)%256, (j*19+19)%256, (j*19+38)%256) packed as
+# BGRX quads on disk. doc_id%2 alternates rows through word-aligned
+# ABSOLUTE mode so both RLE paths are on the adjudicated path; the
+# bottom-up row order + palette swizzle are position-pinned by px_wsum.
+@query(
+    "multimodal_decode_bmp_rle8",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 2 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT),
+                   k -> ((doc_id * 7 + (k // 3) // 3) % 16 * 19
+                         + (k % 3) * 19) % 256) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_bmp_rle8(spark, sf_dir):
+    """RLE8 palette BMP decode (encoded runs + absolute-mode rows,
+    end-of-line/bitmap escapes) through decode_image_pixels."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes(
+        (j * 19 + c * 19) % 256 for j in range(16) for c in range(3)
+    )
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 5 + 4, i % 3 + 2
+                idx = bytes((i * 7 + p // 3) % 16 for p in range(w * h))
+                absolute = (
+                    set(range(0, h, 2)) if i % 2 == 0 else None
+                )
+                payloads.append(
+                    M.encode_bmp_rle8(w, h, idx, palette, absolute_rows=absolute)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_bmp)
+
+
 # REAL GIF pixel decode (operators/multimodal.py::decode_gif_pixels):
 # variable-width LZW streams with an 8-color global palette are synthesized
 # per doc_id — palette index of pixel m is (doc_id*3 + m) % 8, palette color

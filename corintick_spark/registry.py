@@ -64,10 +64,12 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # queries — multimodal_decode_jpg_prog (progressive JPEG incl. AC
 # successive-approximation refinement), multimodal_decode_jpg_420
 # (chroma subsampling), multimodal_decode_png_palette,
-# multimodal_decode_gif_interlaced, and dedup_substring_winnow (winnow
-# scale tier adjudicated vs exact, recall-floored) — all green in the
-# round-7 closing sweep (298/298, one vanilla session at sf0.01). That
-# is 12 slots; fill the remaining 38 with rotated-out r01-r06 queries
+# multimodal_decode_gif_interlaced, dedup_substring_winnow (winnow
+# scale tier adjudicated vs exact, recall-floored),
+# multimodal_decode_bmp32, and multimodal_decode_bmp_rle8 — all green
+# under driver-sim at sf0.01 this round (the first 12 in the closing
+# 298/298 sweep, the two BMP variants adjudicated right after). That
+# is 14 slots; fill the remaining 36 with rotated-out r01-r06 queries
 # oldest-driver-row first (re-confirmation pass), prioritizing ones
 # whose implementation changed in r7: dedup_clusters, dedup_survivors,
 # graph_pagerank, graph_bfs, stream_cdf_partitioned,

@@ -417,3 +417,51 @@ def test_gif_interlaced_roundtrip():
             M.encode_gif(w, h, idx, pal8, interlace=True)
         )
         assert inter == plain, (w, h)
+
+
+def test_bmp32_roundtrip_all_variants():
+    """32-bit BMP: BI_RGB and standard-mask BI_BITFIELDS, bottom-up and
+    top-down, must all reproduce the RGBA bytes exactly."""
+    w, h = 5, 4
+    rgba = bytes(
+        (x * 37 + y * 11 + c * 7) % 256
+        for y in range(h) for x in range(w) for c in range(4)
+    )
+    for bf in (False, True):
+        for td in (False, True):
+            got = M.decode_bmp_pixels(
+                M.encode_bmp32(w, h, rgba, top_down=td, bitfields=bf)
+            )
+            assert got == (w, h, 4, rgba), (bf, td)
+    # exotic bitfield masks stay a named stub
+    import struct
+
+    b = bytearray(M.encode_bmp32(w, h, rgba, bitfields=True))
+    struct.pack_into("<III", b, 54, 0x000000FF, 0x0000FF00, 0x00FF0000)
+    with pytest.raises(NotImplementedError, match="masks"):
+        M.decode_bmp_pixels(bytes(b))
+
+
+def test_bmp_rle8_runs_and_absolute():
+    """RLE8 BMP: encoded-run rows and word-aligned absolute-mode rows
+    decode identically through the BGRX palette (bottom-up storage)."""
+    pal = bytes((j * 19) % 256 for j in range(16 * 3))
+    w, h = 7, 6
+    idx = bytes(((x // 2 + y) % 16) for y in range(h) for x in range(w))
+    expect = bytes(v for i in idx for v in pal[i * 3 : i * 3 + 3])
+    assert M.decode_bmp_pixels(M.encode_bmp_rle8(w, h, idx, pal)) == (
+        w, h, 3, expect,
+    )
+    assert M.decode_bmp_pixels(
+        M.encode_bmp_rle8(w, h, idx, pal, absolute_rows={1, 3, 5})
+    ) == (w, h, 3, expect)
+
+
+def test_bmp_unsupported_depths_still_stub():
+    import struct
+
+    px = bytes((k * 5) % 256 for k in range(6 * 4 * 3))
+    b = bytearray(M.encode_bmp(6, 4, px))
+    struct.pack_into("<H", b, 28, 16)  # 16-bit
+    with pytest.raises(NotImplementedError, match="bpp=16"):
+        M.decode_bmp_pixels(bytes(b))
