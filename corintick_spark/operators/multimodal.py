@@ -2251,10 +2251,14 @@ def decode_image_pixels(
 def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
     """Decode integer PCM samples from a WAV payload: (sample_rate,
     channels, samples) with ``samples`` the interleaved signed values —
-    16-bit little-endian signed, or 8-bit unsigned recentred to signed by
-    -128 (both per the public RIFF/WAVE PCM spec). Returns None for
-    non-WAV bytes; raises NotImplementedError for valid WAVs outside the
-    supported subset (float/24-bit/compressed) — the honest-stub posture.
+    16-bit little-endian signed, 8-bit unsigned recentred to signed by
+    -128, 24-bit little-endian signed (round 7), G.711 µ/A-law expansion,
+    or IEEE float32 (round 7 — scaled by 32767 and symmetrically rounded
+    to integers, the standard float→int16-range convention; values
+    outside ±1 clip to the int16 extremes). Returns None for non-WAV
+    bytes; raises NotImplementedError for valid WAVs outside the
+    supported subset (float64, ADPCM/MP3-in-WAV) — the honest-stub
+    posture.
     """
     import struct
     import sys
@@ -2286,6 +2290,33 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
         samples = arr.tolist()
     elif fmt_tag == 1 and bits == 8:
         samples = [v - 128 for v in data]  # 8-bit WAV is unsigned
+    elif fmt_tag == 1 and bits == 24:
+        # 24-bit little-endian signed (round 7): three bytes per sample,
+        # sign from bit 23 — studio-master PCM
+        n = len(data) // 3
+        samples = []
+        for i in range(n):
+            v = data[3 * i] | (data[3 * i + 1] << 8) | (data[3 * i + 2] << 16)
+            samples.append(v - (1 << 24) if v & 0x800000 else v)
+    elif fmt_tag == 3 and bits == 32:
+        # IEEE float32 (round 7): nominal range ±1.0; scale by 32767 with
+        # round-half-away-from-zero (the symmetric convention), clip
+        # out-of-range input to the int16 extremes. math.floor/ceil keeps
+        # the mapping exactly reproducible in SQL (no banker's rounding).
+        import math
+
+        fl = array("f")
+        fl.frombytes(data[: len(data) & ~3])
+        if sys.byteorder == "big":
+            fl.byteswap()
+        samples = []
+        for x in fl:
+            if x != x:  # NaN → 0, the usual sanitization
+                samples.append(0)
+                continue
+            v = x * 32767.0
+            v = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            samples.append(max(-32768, min(32767, v)))
     elif fmt_tag in (6, 7) and bits == 8:
         # G.711 companded telephony audio (format tags 6 = A-law,
         # 7 = µ-law): REAL expansion to 13/14-bit linear, the exact
@@ -2298,9 +2329,9 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
             samples = [alaw_expand(v) for v in data]
     else:
         raise NotImplementedError(
-            "decode_wav_pcm supports integer PCM (8/16-bit) and G.711 "
-            "mu-law/A-law only — float/24-bit/other compressed audio "
-            "needs libsndfile/ffmpeg (not in container)"
+            "decode_wav_pcm supports integer PCM (8/16/24-bit), IEEE "
+            "float32, and G.711 mu-law/A-law only — float64/ADPCM/other "
+            "compressed audio needs libsndfile/ffmpeg (not in container)"
         )
     return rate, channels, samples
 

@@ -1216,6 +1216,111 @@ def multimodal_decode_pcm(spark, sf_dir):
     return M.decode_audio_samples(with_wav)
 
 
+# 24-bit PCM + IEEE float32 WAV decode (round 7 — the two studio/DSP
+# formats that previously hit the honest stub). Even doc_ids plant
+# 24-bit samples spanning the full signed range (k*7919 strides hit both
+# sign halves); odd doc_ids plant float32 samples x = m/1000 for
+# m in [-1000, 1000], which the decoder maps to integers by
+# round-half-away(CAST(x AS REAL) * 32767). DuckDB replicates the exact
+# pipeline: REAL cast = float32 quantization, then the same double
+# multiply and floor/ceil rounding — so sample_sum/peak/rms adjudicate
+# byte width, sign extension, float32 bit decoding, and the rounding
+# convention symbolically.
+@query(
+    "multimodal_decode_pcm24f",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               16000 AS rate,
+               doc_id % 2 + 1 AS channels,
+               (doc_id % 40 + 1) * (doc_id % 2 + 1) AS n
+        FROM documents
+    ), v AS (
+        SELECT doc_id, rate, channels, n,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   list_transform(range(0, n::INT),
+                       k -> (doc_id * 31 + k * 7919) % 16777216 - 8388608)
+               ELSE
+                   list_transform(range(0, n::INT),
+                       k -> CASE
+                            WHEN CAST(((doc_id * 13 + k * 37) % 2001 - 1000)
+                                      / 1000.0 AS REAL) >= 0
+                            THEN CAST(FLOOR(CAST(CAST(((doc_id * 13 + k * 37)
+                                     % 2001 - 1000) / 1000.0 AS REAL)
+                                     AS DOUBLE) * 32767 + 0.5) AS BIGINT)
+                            ELSE CAST(CEIL(CAST(CAST(((doc_id * 13 + k * 37)
+                                     % 2001 - 1000) / 1000.0 AS REAL)
+                                     AS DOUBLE) * 32767 - 0.5) AS BIGINT)
+                            END)
+               END AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(v) AS BIGINT) AS sample_sum,
+           ROUND(list_sum(v) / (1.0 * n), 6) AS sample_mean,
+           CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT)
+               AS peak_abs,
+           ROUND(SQRT(list_sum(list_transform(v, x -> 1.0 * x * x)) / n), 6)
+               AS rms
+    FROM v
+    """,
+)
+def multimodal_decode_pcm24f(spark, sf_dir):
+    """24-bit PCM (even docs) and IEEE float32 (odd docs) WAV decode:
+    same loudness-screen stats as multimodal_decode_pcm, through
+    decode_audio_samples."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                rate, channels = 16000, i % 2 + 1
+                n = (i % 40 + 1) * channels
+                if i % 2 == 0:  # 24-bit PCM
+                    data = bytearray()
+                    for k in range(n):
+                        v = (i * 31 + k * 7919) % (1 << 24) - (1 << 23)
+                        data += int(v & 0xFFFFFF).to_bytes(3, "little")
+                    data = bytes(data)
+                    fmt = struct.pack(
+                        "<HHIIHH", 1, channels, rate,
+                        rate * 3 * channels, 3 * channels, 24,
+                    )
+                else:  # IEEE float32
+                    xs = [
+                        ((i * 13 + k * 37) % 2001 - 1000) / 1000.0
+                        for k in range(n)
+                    ]
+                    data = struct.pack(f"<{n}f", *xs)
+                    fmt = struct.pack(
+                        "<HHIIHH", 3, channels, rate,
+                        rate * 4 * channels, 4 * channels, 32,
+                    )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) % 2 else b"")
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_wav = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_audio_samples(with_wav)
+
+
 # Embedding-cosine near-dup (north_star list) — blocked by label (IVF-style:
 # compare within coarse cells only).
 @query(

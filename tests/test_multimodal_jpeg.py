@@ -465,3 +465,53 @@ def test_bmp_unsupported_depths_still_stub():
     struct.pack_into("<H", b, 28, 16)  # 16-bit
     with pytest.raises(NotImplementedError, match="bpp=16"):
         M.decode_bmp_pixels(bytes(b))
+
+
+def _wav(fmt_tag, channels, rate, bits, data):
+    import struct
+
+    block = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                      rate * block, block, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_pcm24_sign_extension():
+    from corintick_spark.operators.multimodal import decode_wav_pcm
+
+    vals = [0, 1, -1, 8388607, -8388608, 0x123456, -0x123456]
+    data = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    rate, ch, samples = decode_wav_pcm(_wav(1, 1, 16000, 24, data))
+    assert (rate, ch) == (16000, 1)
+    assert samples == vals
+
+
+def test_wav_float32_landmarks():
+    import math
+    import struct
+
+    from corintick_spark.operators.multimodal import decode_wav_pcm
+
+    xs = [0.0, 1.0, -1.0, 0.5, -0.5, 2.0, -2.0, float("nan"), 1e-8]
+    data = struct.pack(f"<{len(xs)}f", *xs)
+    _, _, samples = decode_wav_pcm(_wav(3, 1, 8000, 32, data))
+    # scale by 32767, round half away from zero, clip to int16 range
+    assert samples[0] == 0
+    assert samples[1] == 32767 and samples[2] == -32767
+    assert samples[3] == math.floor(0.5 * 32767 + 0.5) == 16384
+    assert samples[4] == -16384
+    assert samples[5] == 32767 and samples[6] == -32768  # clipped
+    assert samples[7] == 0  # NaN sanitized
+    assert samples[8] == 0  # rounds to zero
+
+
+def test_wav_float64_still_stub():
+    import pytest as _pytest
+
+    from corintick_spark.operators.multimodal import decode_wav_pcm
+
+    with _pytest.raises(NotImplementedError, match="float64|PCM"):
+        decode_wav_pcm(_wav(3, 1, 8000, 64, bytes(16)))
