@@ -66,10 +66,11 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # (chroma subsampling), multimodal_decode_png_palette,
 # multimodal_decode_gif_interlaced, dedup_substring_winnow (winnow
 # scale tier adjudicated vs exact, recall-floored),
-# multimodal_decode_bmp32, and multimodal_decode_bmp_rle8 — all green
-# under driver-sim at sf0.01 this round (the first 12 in the closing
-# 298/298 sweep, the two BMP variants adjudicated right after). That
-# is 14 slots; fill the remaining 36 with rotated-out r01-r06 queries
+# multimodal_decode_bmp32, multimodal_decode_bmp_rle8, and
+# multimodal_decode_pcm24f (24-bit + IEEE-float WAV) — all green under
+# driver-sim at sf0.01 this round (the first 12 in the closing 298/298
+# sweep, the codec additions adjudicated right after). That is 15
+# slots; fill the remaining 35 with rotated-out r01-r06 queries
 # oldest-driver-row first (re-confirmation pass), prioritizing ones
 # whose implementation changed in r7: dedup_clusters, dedup_survivors,
 # graph_pagerank, graph_bfs, stream_cdf_partitioned,
