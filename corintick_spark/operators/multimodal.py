@@ -689,6 +689,12 @@ def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 pos += 2
             else:  # absolute mode: c1 literal indices, word-aligned
                 run = min(c1, w - x)
+                if len(b) - pos < run:
+                    # Truncated stream: a short slice assignment would
+                    # silently RESIZE idx (bytearray semantics) and the
+                    # palette loop would IndexError later. Bail to the
+                    # documented malformed-input posture instead.
+                    return None
                 idx[y * w + x : y * w + x + run] = b[pos : pos + run]
                 x += run
                 pos += c1 + (c1 & 1)

@@ -33,8 +33,20 @@ import pyspark.sql.functions as F
 
 # Threshold granularity for the hash filter. xxhash64 is uniform over
 # int64; pmod folds it to [0, _DENOM) and the filter keeps values below
-# cap/n * _DENOM, so the kept fraction is exact to 1/_DENOM.
-_DENOM = 1 << 20
+# cap/n * _DENOM, so the kept fraction is exact to 1/_DENOM. Wide (2^32)
+# so the integer threshold stays well above 1 even at extreme n/cap
+# ratios — at the default 100k cap the fraction only floors to zero past
+# n ~ 4e14 rows, and the max(1, ...) guard below keeps the sample
+# non-empty even there (slightly over-cap beats an empty fit set).
+_DENOM = 1 << 32
+
+
+def _threshold(cap: int, n: int) -> int:
+    """Integer hash threshold keeping an expected ``cap`` of ``n`` rows.
+    Never 0 (ADVICE r7): at n > cap * _DENOM the exact fraction floors to
+    zero and the fit stage would train on an EMPTY sample — the guard
+    trades a slightly-over-cap sample for a non-empty one."""
+    return max(1, int(_DENOM * cap / n))
 
 
 def hash_sample_cap(df: DataFrame, id_col: str, cap: int) -> DataFrame:
@@ -49,7 +61,7 @@ def hash_sample_cap(df: DataFrame, id_col: str, cap: int) -> DataFrame:
     n = df.count()  # one column-pruned aggregate, paid once at fit time
     if n <= cap:
         return df
-    thresh = int(_DENOM * cap / n)
+    thresh = _threshold(cap, n)
     return df.filter(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(_DENOM)) < F.lit(thresh)
     )

@@ -3163,9 +3163,13 @@ def dedup_substring_winnow(spark, sf_dir):
     win = D.duplicated_span_stats_winnow(d, min_len=30, w=8).select(
         "doc_id", F.col("dup_chars").alias("winnow_chars")
     )
-    j = exact.join(win, "doc_id", "left").select(
+    # FULL outer (ADVICE r7): a winnow-only doc — spans recovered where
+    # the exact tier found none — is exactly the precision-1 violation
+    # inv_ok exists to flag; a left join would silently drop it. With
+    # exact_chars coalesced to 0, such a doc fails winnow <= exact.
+    j = exact.join(win, "doc_id", "full").select(
         "doc_id",
-        "exact_chars",
+        F.coalesce("exact_chars", F.lit(0)).alias("exact_chars"),
         F.coalesce("winnow_chars", F.lit(0)).alias("winnow_chars"),
     )
     pooled = j.agg(

@@ -114,3 +114,15 @@ def test_pq_recall_with_active_cap(spark, sf_dir):
     truth = _exact_l2_top5(e, probes)
     # same floor test_pq_recall_floor pins for the full fit: 5x random
     assert _pooled_recall(truth, got) >= 5.0 * 5.0 / n
+
+
+def test_threshold_never_zero_at_extreme_scale():
+    # ADVICE r7: at n > cap * _DENOM the exact kept fraction floors to 0,
+    # which would make the fit stage train on an EMPTY sample at exactly
+    # the corpus scale sampling exists for. The guard keeps >= 1 hash slot.
+    from corintick_spark.operators.sampling import _DENOM, _threshold
+
+    assert _threshold(100_000, 100_000 * _DENOM * 10) == 1
+    assert _threshold(100_000, 10**15) >= 1
+    # ordinary regime unaffected: fraction is exact to 1/_DENOM
+    assert _threshold(100_000, 200_000) == _DENOM // 2

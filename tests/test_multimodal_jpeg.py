@@ -515,3 +515,17 @@ def test_wav_float64_still_stub():
 
     with _pytest.raises(NotImplementedError, match="float64|PCM"):
         decode_wav_pcm(_wav(3, 1, 8000, 64, bytes(16)))
+
+
+def test_bmp_rle8_truncated_absolute_mode_clean():
+    """ADVICE r7: a stream truncated inside an absolute-mode payload used
+    to RESIZE the index bytearray (short-slice assignment) and IndexError
+    in palette expansion; the decoder's malformed-input posture is a clean
+    None (or a successfully-decoded prefix), never a crash."""
+    pal = bytes((j * 19) % 256 for j in range(16 * 3))
+    w, h = 7, 6
+    idx = bytes(((x // 2 + y) % 16) for y in range(h) for x in range(w))
+    b = M.encode_bmp_rle8(w, h, idx, pal, absolute_rows=set(range(h)))
+    for cut in range(1, 40):
+        out = M.decode_bmp_pixels(b[:-cut])  # must not raise
+        assert out is None or (out[0], out[1], out[2]) == (w, h, 3)

@@ -1398,3 +1398,26 @@ def test_duplicated_span_stats_winnow_planted(spark):
         [(9, None), (10, "short")], "doc_id long, text string"
     )
     assert duplicated_span_stats_winnow(nulls, min_len=L).count() == 0
+
+
+def test_winnow_query_flags_winnow_only_docs(spark, sf_dir, monkeypatch):
+    """ADVICE r7: dedup_substring_winnow's precision invariant must be able
+    to FLAG a doc where the winnow tier emits spans but the exact tier
+    emits none (the exact failure mode inv_ok pins). With the old LEFT
+    join such a doc was silently dropped; the full outer join surfaces it
+    with exact_chars=0 so winnow_chars <= exact_chars fails."""
+    import corintick_spark.queries.llm as llm
+    from corintick_spark.operators import dedup as D
+
+    real = D.duplicated_span_stats
+
+    def exact_missing_one(df, min_len=30):
+        out = real(df, min_len=min_len)
+        first = out.select("doc_id").orderBy("doc_id").limit(1)
+        return out.join(first, "doc_id", "left_anti")
+
+    monkeypatch.setattr(llm.D, "duplicated_span_stats", exact_missing_one)
+    rows = llm.dedup_substring_winnow(spark, sf_dir).collect()
+    bad = [r for r in rows if r["exact_chars"] == 0 and r["winnow_chars"] > 0]
+    assert bad, "winnow-only doc must appear in the output"
+    assert all(not r["inv_ok"] for r in bad), "and must fail inv_ok"
