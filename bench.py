@@ -83,6 +83,17 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Stdout purity (verdict r07 item 4 — BENCH_r07 recorded parsed:null):
+    # the py4j-launched JVM inherits fd 1 and writes its banners there
+    # (incubator-modules warning, log4j defaults notice, progress bars),
+    # which can land BEFORE/AROUND the result JSON and break the driver's
+    # parse. Keep a private dup of the real stdout for the one JSON line
+    # and point fd 1 at stderr BEFORE the JVM starts, so every byte of
+    # Spark/JVM noise goes to stderr and stdout carries exactly one line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(1), "w", buffering=1)
+
     from corintick_spark.session import get_spark
 
     spark = get_spark(
@@ -161,23 +172,32 @@ def main() -> None:
     # cross-round tripwire can separate machine state from code.
     extras_med, extras_best = run_suite(EXTRAS, drop_first=True)
     total = round(sum(med.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": med,
-                "queries_min": best,
-                "extras": extras_med,
-                "extras_min": extras_best,
-                "extras_value": round(sum(extras_med.values()), 3),
-                "runs": passes,
-                "sf": sf,
-            }
-        )
+    # Contention tripwire (verdict r07 item 4): a median far above the
+    # best observed run is the signature of a dirty machine (page cache /
+    # competing load), not a code regression — label the run so a
+    # cross-round reader never has to re-litigate (r6/r7 both did).
+    contended = sorted(
+        n
+        for n, m in list(med.items()) + list(extras_med.items())
+        if m > 2.0 * {**best, **extras_best}[n] and m > 0.5
+    )
+    payload = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": med,
+            "queries_min": best,
+            "extras": extras_med,
+            "extras_min": extras_best,
+            "extras_value": round(sum(extras_med.values()), 3),
+            "contended": contended,
+            "runs": passes,
+            "sf": sf,
+        }
     )
     spark.stop()
+    os.write(real_stdout, (payload + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -925,6 +925,52 @@ def duplicated_span_stats_winnow(
     return _merge_window_spans(verified, L, id_col)
 
 
+# Default routing threshold for duplicated_span_stats_auto. The exact
+# tier shuffles one 8-byte hash PER CHARACTER POSITION (sf10 measured
+# ~11x time per 10x data — superlinear constant pressure from the
+# per-position exchange); the winnow tier shuffles only ~2/(w+1) of
+# positions and measured 6.0x/10x at sf10, 1.8x faster and widening
+# (SCALING.md round-7 rows). 100M windows ~ 100M corpus chars ~ a
+# low-single-digit-GB shuffle — comfortably inside the exact tier's
+# regime; past it the divider pays for itself.
+EXACT_SUBSTRING_MAX_WINDOWS = 100_000_000
+
+
+def duplicated_span_stats_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_len: int = 30,
+    w: int = 8,
+    exact_max_windows: int = EXACT_SUBSTRING_MAX_WINDOWS,
+) -> DataFrame:
+    """The DEFAULT substring-dedup path (verdict r07 item 2): route to the
+    exact tier while the corpus is small enough that its per-position
+    shuffle is cheap, and to the winnowing scale tier past
+    ``exact_max_windows`` total corpus windows. Output shape is identical
+    (:func:`duplicated_span_stats`); above the threshold the result
+    carries the winnow tier's contract instead of exhaustive exactness —
+    precision 1 (every reported span is a real corpus duplicate; anchors
+    are text-verified) and measured recall >= 0.95 of duplicated chars,
+    with spans shorter than ``min_len + w - 1`` the documented miss class.
+
+    The routing probe is one column-pruned aggregate over text lengths
+    (sum of per-doc window counts) — no shuffle, ~1/8 the bytes of the
+    exact tier's hash exchange, paid once. At 100 TB the probe routes to
+    winnow without ever materializing a per-position row.
+    """
+    import pyspark.sql.functions as F
+
+    L = int(min_len)
+    docs = _docs_for_windows(df, id_col, text, L)
+    n_windows = (
+        docs.agg(F.sum(F.length("_t") - L + 1).alias("n")).first()["n"] or 0
+    )
+    if n_windows <= int(exact_max_windows):
+        return duplicated_span_stats(df, id_col, text, min_len)
+    return duplicated_span_stats_winnow(df, id_col, text, min_len, w)
+
+
 def edit_pairs_passjoin(
     df: DataFrame,
     id_col: str = "doc_id",

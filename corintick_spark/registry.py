@@ -57,57 +57,45 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # rotation is zero-risk external confirmation. Rotated-out r06 queries keep
 # their green CORRECTNESS_r06 rows plus the local DuckDB differential
 # (tests/test_oracle_queries.py).
-# Round-8 rotation plan: the never-driver-windowed queue is (a) the seven
-# registered late in round 6 — storage_dv, storage_dv_cdf,
-# storage_merge_sync, dedup_substring, dedup_substring_spans,
-# multimodal_decode_g711, dedup_winnow — and (b) round 7's five new
-# queries — multimodal_decode_jpg_prog (progressive JPEG incl. AC
-# successive-approximation refinement), multimodal_decode_jpg_420
-# (chroma subsampling), multimodal_decode_png_palette,
-# multimodal_decode_gif_interlaced, dedup_substring_winnow (winnow
-# scale tier adjudicated vs exact, recall-floored),
-# multimodal_decode_bmp32, multimodal_decode_bmp_rle8, and
-# multimodal_decode_pcm24f (24-bit + IEEE-float WAV) — all green under
-# driver-sim at sf0.01 this round (the first 12 in the closing 298/298
-# sweep, the codec additions adjudicated right after). That is 15
-# slots; fill the remaining 35 with rotated-out r01-r06 queries
-# oldest-driver-row first (re-confirmation pass), prioritizing ones
-# whose implementation changed in r7: dedup_clusters, dedup_survivors,
-# graph_pagerank, graph_bfs, stream_cdf_partitioned,
-# similarity_ivf/pq/ivfpq, cluster_kmeans, multimodal_decode_jpg,
-# storage_* (dv-path normalization).
+# Round-8 rotation (executing the plan reserved in the round-7 comment):
+# (a) the 15 never-driver-windowed queries take slots first — the late-r6
+# registrations (storage_dv, storage_dv_cdf, storage_merge_sync,
+# dedup_substring, dedup_substring_spans, multimodal_decode_g711,
+# dedup_winnow) and the r7 codec/winnow wave (jpg_prog, jpg_420,
+# png_palette, gif_interlaced, bmp32, bmp_rle8, pcm24f,
+# dedup_substring_winnow) — all 15 ran green under the r7 judge's
+# driver-sim at the identical bar; (b) 22 re-confirmation slots for the
+# queries whose implementation changed in r7 (CC label-join fix +
+# block release: dedup_clusters/survivors, graph_pagerank/bfs;
+# sample-based ANN fit: similarity_ivf/pq/ivfpq, cluster_kmeans; JPEG
+# restart-boundary fix: multimodal_decode_jpg; DV path normalization +
+# changes() broadcast guard: the storage_*/stream_* snapshot tier;
+# multi-version catch-up: stream_cdf_partitioned); (c) the remaining 13
+# slots re-confirm the OLDEST external rows (round 1, never re-sampled
+# since). Rotated-out queries keep their green r02-r07 rows plus the
+# local DuckDB differential (tests/test_oracle_queries.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # joins / set ops
-    "join_asof_tolerance", "join_bloom_prefilter", "join_bitmap",
-    "join_bitmap_anti", "join_interval_point", "set_ops_all",
-    # window extras
-    "window_minmax_scale", "window_cusum", "window_winsorize",
-    # scalar/udf extras
-    "scalar_timezone", "udtf_dynamic",
-    # multimodal codecs (real decoders, oracle-adjudicated symbolically)
-    "multimodal_decode_jpg", "multimodal_decode_bmp",
-    "multimodal_decode_gif", "multimodal_decode_pcm",
-    "multimodal_frames", "multimodal_resize",
-    # training pipeline
-    "corpus_mixture", "shuffle_shards", "sample_per_group",
-    "sample_priority", "pack_fragments", "ml_split_stratified",
-    # text
-    "text_bm25", "docs_length_histogram",
-    # sources/sinks
-    "source_python_stream", "sink_roundtrip", "sink_stream_python",
-    "source_overlap",
-    # event analytics
-    "events_throttle", "events_peaks", "events_seasonality",
-    "events_interarrival", "events_abandonment", "events_top_paths",
-    "events_pattern", "events_rfm", "events_survival",
-    "events_cross_corr", "events_frequent_pairs",
-    "events_value_histogram",
-    # stats aggs
-    "agg_mad", "agg_iqr_outliers", "agg_topn_share", "agg_chi2",
-    "agg_ttest",
-    # graph / embeddings / ml
-    "graph_bfs", "embedding_centroids", "embedding_covariance",
-    "knn_classify",
+    # (a) never-driver-windowed — first external adjudication
+    "storage_dv", "storage_dv_cdf", "storage_merge_sync",
+    "dedup_substring", "dedup_substring_spans", "dedup_winnow",
+    "dedup_substring_winnow",
+    "multimodal_decode_g711", "multimodal_decode_jpg_prog",
+    "multimodal_decode_jpg_420", "multimodal_decode_png_palette",
+    "multimodal_decode_gif_interlaced", "multimodal_decode_bmp32",
+    "multimodal_decode_bmp_rle8", "multimodal_decode_pcm24f",
+    # (b) r7-changed implementations — re-confirmation
+    "dedup_clusters", "dedup_survivors", "graph_pagerank", "graph_bfs",
+    "stream_cdf_partitioned", "similarity_ivf", "similarity_pq",
+    "similarity_ivfpq", "cluster_kmeans", "multimodal_decode_jpg",
+    "storage_snapshot", "storage_merge", "storage_cdf", "storage_delete",
+    "storage_ivm", "storage_zorder", "storage_pruned_read",
+    "storage_bloom_lookup", "stream_cdf_source", "stream_snapshot_ingest",
+    "stream_ivm", "stream_versioned_enrich",
+    # (c) oldest external rows (round 1) — re-confirmation
+    "agg_approx", "agg_bitwise", "agg_corr", "agg_countif",
+    "agg_histogram", "agg_minmax_by", "agg_skew", "agg_stats",
+    "agg_string", "cohort_retention", "join_shufflehash",
+    "join_sortmerge", "sample_mod",
 )
 
 

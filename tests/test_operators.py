@@ -1421,3 +1421,29 @@ def test_winnow_query_flags_winnow_only_docs(spark, sf_dir, monkeypatch):
     bad = [r for r in rows if r["exact_chars"] == 0 and r["winnow_chars"] > 0]
     assert bad, "winnow-only doc must appear in the output"
     assert all(not r["inv_ok"] for r in bad), "and must fail inv_ok"
+
+
+def test_substring_auto_routes_both_tiers(spark, sf_dir):
+    """duplicated_span_stats_auto (verdict r07 item 2): below the window
+    threshold the router must return the EXACT tier's rows bit-for-bit;
+    above it (threshold forced to 0) the WINNOW tier's. The probe is one
+    aggregate — the routed frames must match the tiers exactly."""
+    from corintick_spark.catalog import table
+    from corintick_spark.operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(D.duplicated_span_stats(d, min_len=30))
+    winnow = rows(D.duplicated_span_stats_winnow(d, min_len=30, w=8))
+    assert rows(
+        D.duplicated_span_stats_auto(d, min_len=30, w=8)
+    ) == exact, "small corpus must route to the exact tier"
+    assert rows(
+        D.duplicated_span_stats_auto(d, min_len=30, w=8, exact_max_windows=0)
+    ) == winnow, "past the threshold the winnow tier must serve"
+    assert exact != winnow or not exact, (
+        "tiers should differ on this corpus (else the routing test is vacuous)"
+    )
