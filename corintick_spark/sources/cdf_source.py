@@ -210,11 +210,17 @@ def make_cdf_partitioned_datasource():
     already-committed versions (duplicates). The planned high-water mark
     is therefore persisted under ``<root>/_streams/cdfp_hwm.json``
     (atomic tmp+rename) before latestOffset returns, and re-read at
-    reader construction. Contract: one snapcdfp stream per store root
-    (our queries create a fresh store per stream); a crash between the
-    hwm write and Spark's own WAL write only collapses several versions
-    into one later batch — never loses or duplicates rows, since
-    ``partitions(start, end)`` is a pure function of the manifests."""
+    reader construction. Contract: ONE snapcdfp stream per (store root,
+    streamId) — concurrent streams over the same root MUST set distinct
+    ``streamId`` options (verdict r07 item 6), which namespace the hwm
+    file to ``cdfp_hwm_<id>.json`` so each stream owns its cursor; two
+    streams sharing the default cursor would race its rate-limit state
+    (the WAL keeps each stream's own offsets correct, but a shared hwm
+    can silently collapse the other stream's planned cadence). A crash
+    between the hwm write and Spark's own WAL write only collapses
+    several versions into one later batch — never loses or duplicates
+    rows, since ``partitions(start, end)`` is a pure function of the
+    manifests."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceStreamReader,
@@ -240,12 +246,25 @@ def make_cdf_partitioned_datasource():
             self.max_versions = max(
                 1, int(options.get("maxversionsperbatch") or 1)
             )
+            # hwm namespace for concurrent streams over one root (factory
+            # docstring): distinct streamIds -> distinct cursor files.
+            sid = options.get("streamid") or ""
+            if sid and not sid.replace("-", "").replace("_", "").isalnum():
+                raise ValueError(
+                    f"streamId must be alphanumeric/-/_ : {sid!r}"
+                )
+            self.stream_id = sid
             self._last = self._read_hwm()
 
         def _hwm_path(self):
             import os
 
-            return os.path.join(self.root, "_streams", "cdfp_hwm.json")
+            name = (
+                f"cdfp_hwm_{self.stream_id}.json"
+                if self.stream_id
+                else "cdfp_hwm.json"
+            )
+            return os.path.join(self.root, "_streams", name)
 
         def _read_hwm(self):
             import json

@@ -242,3 +242,69 @@ def test_partitioned_catchup_max_versions_per_batch(spark, tmp_path):
     nonempty = [n for n in seen if n > 0]
     assert sum(nonempty) == 60  # every version's rows, exactly once
     assert len(nonempty) <= 2  # the whole backlog in O(1) batches
+
+
+def test_partitioned_concurrent_streams_stream_id_isolation(spark, tmp_path):
+    """verdict r07 item 6: two streams over ONE store root must not share
+    the persisted hwm cursor. With distinct streamId options each stream
+    owns <root>/_streams/cdfp_hwm_<id>.json; run interleaved (A consumes,
+    B consumes, more commits, A again, B again) both receive every row
+    exactly once. A malformed streamId raises loudly."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    for i in range(2):
+        store.append(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+        )
+    _stream_p(spark, store)  # register format
+
+    def src(sid):
+        return (
+            spark.readStream.format("snapcdfp")
+            .option("path", store.root)
+            .option("columns", "k bigint, v bigint")
+            .option("streamId", sid)
+            .load()
+        )
+
+    got_a: list[int] = []
+    got_b: list[int] = []
+    ckpt_a = tempfile.mkdtemp(prefix="ckpt_cdf_a_")
+    ckpt_b = tempfile.mkdtemp(prefix="ckpt_cdf_b_")
+
+    def run(sid, ckpt, sink):
+        q = (
+            src(sid)
+            .writeStream.foreachBatch(sink)
+            .queryName("cdf" + uuid.uuid4().hex[:8])
+            .option("checkpointLocation", os.path.join(ckpt, "wal"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    sink_a = lambda df, b: got_a.extend(r.k for r in df.collect())
+    sink_b = lambda df, b: got_b.extend(r.k for r in df.collect())
+    run("alpha", ckpt_a, sink_a)
+    run("beta", ckpt_b, sink_b)
+    store.append(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    run("alpha", ckpt_a, sink_a)
+    run("beta", ckpt_b, sink_b)
+    expect = sorted(list(range(20)) + list(range(100, 105)))
+    assert sorted(got_a) == expect
+    assert sorted(got_b) == expect
+    streams_dir = os.path.join(store.root, "_streams")
+    names = set(os.listdir(streams_dir))
+    assert {"cdfp_hwm_alpha.json", "cdfp_hwm_beta.json"} <= names
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises((ValueError, StreamingQueryException), match="streamId"):
+        _run_foreach(spark, src("../evil"), lambda df, b: None)

@@ -67,3 +67,42 @@ def test_prefix_adversarial_shapes(spark):
     assert (1, 2, 1.0) in got and (5, 6, 1.0) in got
     assert not any(4 in (a, b) for a, b, _ in got)
     assert not any({a, b} == {1, 7} for a, b, _ in got)
+
+
+def test_bucket_guard_preserves_planted_clusters(spark):
+    """bucket_pair_max (the clustering scale guard): on planted duplicate
+    GROUPS sharing one common high-frequency token (the mixed-bucket worst
+    case), connected components over guarded pairs must equal components
+    over exact pairs — every group stays one cluster, no cross-group
+    merge. Guard forced to bind (bucket_pair_max=2, prefix path forced)."""
+    from corintick_spark.operators.dup_clusters import connected_components
+
+    rows = []
+    did = 0
+    # 6 groups of 8 near-identical docs; every doc also contains the
+    # common token "corpus" so all of them meet in one big mixed bucket
+    for g in range(6):
+        base = [f"g{g}tok{j}" for j in range(10)]
+        for c in range(8):
+            toks = list(base)
+            toks[9] = f"g{g}copy{c}"  # one差 token per copy -> J = 9/11 > 0.5
+            rows.append((did, "b", "corpus " + " ".join(toks)))
+            did += 1
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def comp_sets(pairs):
+        comps = connected_components(pairs)
+        groups = {}
+        for r in comps.collect():
+            groups.setdefault(r["comp"], set()).add(r["node"])
+        return {frozenset(v) for v in groups.values()}
+
+    exact = ngram_jaccard_pairs(
+        d, block_col="source", threshold=0.5, naive_block_max=0
+    ).select("a_id", "b_id")
+    guarded = ngram_jaccard_pairs(
+        d, block_col="source", threshold=0.5, naive_block_max=0,
+        bucket_pair_max=2,
+    ).select("a_id", "b_id")
+    assert comp_sets(exact) == comp_sets(guarded)
+    assert len(comp_sets(exact)) == 6
