@@ -185,50 +185,52 @@ def udtf_python(spark, sf_dir):
 
 # EWMA per uid via grouped-map pandas. The UNBOUNDED recursion has no
 # window built-in; the bounded-frame variant IS expressible JVM-side as a
-# list fold with an exact oracle (extras.py::window_ewma) — prefer that at
-# scale; this per-key pandas escape hatch covers full-history semantics.
-@query("udf_ewma", sql=None)
+# list fold (extras.py::window_ewma) — prefer that at scale; this per-key
+# pandas escape hatch covers full-history semantics.
+#
+# ORACLE-PAIRED (verdict r07 item 7): pandas .ewm(alpha, adjust=False)
+# computes s_i = (1-a)*s_{i-1} + a*v_i in exactly that double-precision
+# order, and DuckDB's list_reduce fold below performs the identical
+# operation sequence — measured BIT-EXACT over every sf0.01 row (1 - 0.2
+# is exactly the double 0.8, so both engines multiply by the same
+# constant). NULL values are excluded in both engines up front: pandas
+# NaN weighting semantics (ignore_na) have no SQL mirror.
+@query(
+    "udf_ewma",
+    sql="""
+    WITH src AS (
+      SELECT user_id, event_id, ts, value
+      FROM events WHERE value IS NOT NULL
+    ), o AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS vals
+      FROM src
+    )
+    SELECT user_id, event_id, value,
+           list_reduce(vals, (acc, x) -> 0.8*acc + 0.2*x) AS ewma
+    FROM o
+    """,
+)
 def udf_ewma(spark, sf_dir):
-    """Exponentially-weighted moving average per uid (alpha=0.2) computed by
-    pandas .ewm inside applyInPandas — rows-only (recursive semantics have
-    no ANSI-SQL mirror); differential-tested against pandas directly."""
+    """Exponentially-weighted moving average per uid (alpha=0.2) computed
+    by pandas .ewm inside applyInPandas; the DuckDB oracle replays the
+    identical left-fold via list_reduce (bit-exact, see module note)."""
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         pdf["ewma"] = pdf["value"].ewm(alpha=0.2, adjust=False).mean()
-        return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
+        return pdf[["user_id", "event_id", "value", "ewma"]]
 
-    ev = table(spark, sf_dir, "events")
-    out = (
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
         ev.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandas(
             ewma,
-            schema="user_id long, event_id long, ts timestamp, value double,"
-            " ewma double",
+            schema="user_id long, event_id long, value double, ewma double",
         )
-    )
-    # rows-only invariant: an EWMA is a convex combination of the values
-    # seen so far, so it must lie inside the running [min, max] of the
-    # user's value prefix — computed here JVM-side, independent of pandas.
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    eps = F.lit(1e-9)
-    return out.select(
-        "user_id",
-        "event_id",
-        "value",
-        "ewma",
-        (
-            F.col("ewma").isNull()
-            | (
-                (F.col("ewma") >= F.min("value").over(wp) - eps)
-                & (F.col("ewma") <= F.max("value").over(wp) + eps)
-            )
-        ).alias("inv_ok"),
     )
 
 
