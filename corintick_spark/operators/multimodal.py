@@ -369,26 +369,33 @@ def sample_container_frames(
 # 24-bit BMP (bottom-up BGR rows, 4-byte padding), LZW GIF, and baseline
 # sequential JPEG (see decode_jpeg_pixels below) are fully real end to
 # end: header, stream, and pixel bytes, all normalized to top-down RGB.
-# Unsupported sub-formats (progressive JPEG, chroma subsampling, 16-bit
-# PNG, ...) raise NotImplementedError naming the gap.
+# Round 7 added progressive JPEG, chroma subsampling, palette PNG,
+# interlaced GIF; round 8 adds 16-bit PNG and animated-GIF compositing
+# (decode_gif_frames). Remaining unsupported sub-formats (sub-byte
+# palette depths, interlaced PNG, JPEG arithmetic/lossless/12-bit, BMP
+# 1/4/16-bit, ...) raise NotImplementedError naming the gap.
 # ---------------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
 
 
 def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
-    """Decode a non-interlaced 8-bit-depth PNG (gray / RGB / gray+alpha /
-    RGBA / palette — round 7 adds color type 3) to raw pixel bytes:
-    (width, height, channels, pixels) with ``pixels`` row-major,
-    ``width*height*channels`` bytes. Palette images expand through their
+    """Decode a non-interlaced 8- or 16-bit-depth PNG (gray / RGB /
+    gray+alpha / RGBA / palette — round 7 added color type 3, round 8
+    adds bit depth 16) to raw pixel bytes: (width, height, channels,
+    pixels) with ``pixels`` row-major — one byte per sample at depth 8
+    (``width*height*channels`` bytes), two big-endian bytes per sample at
+    depth 16 (``width*height*channels*2`` bytes, the spec's network byte
+    order, full precision preserved). Palette images expand through their
     PLTE chunk to RGB (filters run on the 1-byte index stream, per spec).
 
     Pure stdlib: chunk walk -> IDAT concat -> ``zlib.decompress`` ->
     per-scanline un-filtering of all five PNG filter types (None/Sub/Up/
-    Average/Paeth). Returns None for non-PNG bytes; raises
-    NotImplementedError for valid PNGs outside the supported subset
-    (16-bit, sub-byte palette depths, interlaced, palette transparency)
-    — the honest-stub posture.
+    Average/Paeth); the filter byte-offset unit is bytes-per-pixel
+    (channels * depth/8), the spec's one depth-16 subtlety. Returns None
+    for non-PNG bytes; raises NotImplementedError for valid PNGs outside
+    the supported subset (sub-byte palette depths, 16-bit palette,
+    interlaced, palette transparency) — the honest-stub posture.
     """
     import struct
     import zlib
@@ -397,7 +404,8 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         return None
     pos = 8
     w = h = None
-    channels = 0  # bytes per pixel in the FILTER stream
+    channels = 0  # logical samples per pixel
+    bypp = 0  # bytes per pixel in the FILTER stream
     color = None
     palette = None
     idat = bytearray()
@@ -410,16 +418,18 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 ">IIBBBBB", body
             )
             if (
-                depth != 8
+                depth not in (8, 16)
                 or (color not in _PNG_CHANNELS and color != 3)
+                or (color == 3 and depth != 8)
                 or interlace != 0
             ):
                 raise NotImplementedError(
-                    "decode_png_pixels supports non-interlaced 8-bit "
-                    "gray/RGB/gray+a/RGBA/palette only (16-bit/sub-byte-"
-                    "palette/interlaced need a full codec)"
+                    "decode_png_pixels supports non-interlaced 8/16-bit "
+                    "gray/RGB/gray+a/RGBA and 8-bit palette only "
+                    "(sub-byte-palette/interlaced need a full codec)"
                 )
             channels = 1 if color == 3 else _PNG_CHANNELS[color]
+            bypp = channels * (depth // 8)
         elif ctype == b"PLTE":
             palette = bytes(body)
         elif ctype == b"tRNS":
@@ -437,7 +447,7 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     if color == 3 and (palette is None or len(palette) % 3):
         raise ValueError("palette PNG without a valid PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    stride = w * bypp
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel stream length mismatch")
     out = bytearray(stride * h)
@@ -446,19 +456,19 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
         if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bypp, stride):
+                line[i] = (line[i] + line[i - bypp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bypp] if i >= bypp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
+                a = line[i - bypp] if i >= bypp else 0
+                c = prev[i - bypp] if i >= bypp else 0
                 p = a + prev[i] - c
                 pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
@@ -484,16 +494,20 @@ def encode_png(
     pixels: bytes,
     channels: int = 3,
     filter_for_row=None,
+    depth: int = 8,
 ) -> bytes:
-    """Minimal non-interlaced 8-bit PNG encoder (synthesis/test helper —
-    the inverse of :func:`decode_png_pixels`). ``filter_for_row(y)`` picks
-    the per-scanline filter type (default 0/None), letting tests exercise
-    every un-filter path with known pixel content."""
+    """Minimal non-interlaced 8/16-bit PNG encoder (synthesis/test helper
+    — the inverse of :func:`decode_png_pixels`). ``filter_for_row(y)``
+    picks the per-scanline filter type (default 0/None), letting tests
+    exercise every un-filter path with known pixel content. At
+    ``depth=16`` ``pixels`` is the big-endian sample byte stream
+    (2 bytes per sample) and filters offset by channels*2 per the spec."""
     import struct
     import zlib
 
     color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = width * channels
+    bypp = channels * (depth // 8)
+    stride = width * bypp
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -510,26 +524,26 @@ def encode_png(
         ftype = filter_for_row(y) if filter_for_row else 0
         enc = bytearray(line)
         if ftype == 1:
-            for i in range(stride - 1, channels - 1, -1):
-                enc[i] = (enc[i] - line[i - channels]) & 0xFF
+            for i in range(stride - 1, bypp - 1, -1):
+                enc[i] = (enc[i] - line[i - bypp]) & 0xFF
         elif ftype == 2:
             for i in range(stride):
                 enc[i] = (enc[i] - prev[i]) & 0xFF
         elif ftype == 3:
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bypp] if i >= bypp else 0
                 enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
+                a = line[i - bypp] if i >= bypp else 0
+                c = prev[i - bypp] if i >= bypp else 0
                 p = a + prev[i] - c
                 pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
                 enc[i] = (enc[i] - pred) & 0xFF
         filtered += bytes([ftype]) + bytes(enc)
         prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -941,8 +955,9 @@ def decode_gif_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     extension-block skip, sub-block reassembly, then real variable-width
     LZW decompression (:func:`_gif_lzw_decode`). Returns None for non-GIF
     bytes; raises NotImplementedError for frames smaller than the logical
-    screen (animation/composition needs a full renderer) — the
-    honest-stub posture."""
+    screen — this is the strict single-image tier; sub-rectangle and
+    multi-frame GIFs go through :func:`decode_gif_frames` (round 8),
+    which composites them like a real viewer."""
     import struct
 
     if b is None or len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1029,6 +1044,24 @@ def encode_gif(
         ]
     n_colors = len(palette) // 3
     bits = max(2, (n_colors - 1).bit_length())
+    blocks = _gif_lzw_encode_blocks(indices, bits)
+    screen = struct.pack(
+        "<HHBBB", width, height, 0x80 | (bits - 1), 0, 0
+    )
+    descriptor = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+    )
+    return (
+        b"GIF89a" + screen + palette
+        + descriptor + bytes([bits]) + blocks + b"\x3B"
+    )
+
+
+def _gif_lzw_encode_blocks(indices: "list[int]", bits: int) -> bytes:
+    """All-literal LZW code stream for ``indices`` at ``bits`` root width,
+    sub-blocked with the 0x00 terminator — shared by :func:`encode_gif`
+    and :func:`encode_gif_anim` (see encode_gif docstring for why literal
+    emission with mirrored dictionary growth stays spec-valid)."""
     clear, end = 1 << bits, (1 << bits) + 1
 
     out_bits: list[tuple[int, int]] = []  # (code, width)
@@ -1069,16 +1102,181 @@ def encode_gif(
         chunk = stream[off : off + 255]
         blocks += bytes([len(chunk)]) + chunk
     blocks += b"\x00"
-    screen = struct.pack(
-        "<HHBBB", width, height, 0x80 | (bits - 1), 0, 0
-    )
-    descriptor = struct.pack(
-        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
-    )
-    return (
-        b"GIF89a" + screen + palette
-        + descriptor + bytes([bits]) + bytes(blocks) + b"\x3B"
-    )
+    return bytes(blocks)
+
+
+def encode_gif_anim(
+    width: int,
+    height: int,
+    frames: "list[dict]",
+    palette: bytes,
+    bg: int = 0,
+) -> bytes:
+    """Minimal animated GIF89a encoder (synthesis/test helper — the
+    inverse of :func:`decode_gif_frames`). Each frame dict:
+    ``{"left", "top", "iw", "ih", "indices", "disposal" (0-3),
+    "transparent" (index or None), "interlace" (bool, optional)}``.
+    A Graphic Control Extension precedes every frame carrying its
+    disposal method and transparency flag; ``palette`` is the global
+    color table (RGB bytes, power-of-two count); per the spec the
+    background index is recorded in the logical screen descriptor."""
+    import struct
+
+    n_colors = len(palette) // 3
+    bits = max(2, (n_colors - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), bg, 0)
+    out += palette
+    for fr in frames:
+        disposal = int(fr.get("disposal", 0))
+        t = fr.get("transparent")
+        flags = (disposal & 0x7) << 2 | (1 if t is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, 0, 0, t if t is not None else 0, 0])
+        indices = fr["indices"]
+        if fr.get("interlace"):
+            ih, iw = fr["ih"], fr["iw"]
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            indices = [
+                v for y in order for v in indices[y * iw : (y + 1) * iw]
+            ]
+        out += struct.pack(
+            "<BHHHHB",
+            0x2C,
+            fr["left"],
+            fr["top"],
+            fr["iw"],
+            fr["ih"],
+            0x40 if fr.get("interlace") else 0,
+        )
+        out += bytes([bits]) + _gif_lzw_encode_blocks(indices, bits)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    b: bytes | None,
+) -> "tuple[int, int, int, list[bytes]] | None":
+    """Decode an ANIMATED GIF89a (round 8 — the highest-frequency codec
+    stub of round 7): returns (width, height, 3, frames) where each frame
+    is the COMPOSITED logical-screen canvas (top-down RGB, the canonical
+    layout of :func:`decode_png_pixels`) after that frame renders — what
+    a viewer shows, not the raw sub-rectangle.
+
+    Real renderer semantics, pure stdlib:
+    - canvas starts as the background color (logical-screen background
+      index through the global color table; black without a GCT);
+    - each image descriptor composites its (left, top, iw, ih) rect,
+      skipping pixels equal to the preceding Graphic Control Extension's
+      transparency index (GIF89a §23) — transparency reveals the prior
+      canvas, the mechanism delta-frame animations rely on;
+    - after snapshotting, disposal method 2 restores the frame's rect to
+      the background color and 3 restores the canvas to its pre-frame
+      state (0/1 leave the canvas in place);
+    - local color tables override the global one per frame; interlaced
+      frames deinterlace before compositing.
+
+    Returns None for non-GIF bytes or a frame with no color table.
+    Single-image GIFs return one frame — :func:`decode_gif_pixels`
+    remains the strict single-image tier (it REJECTS sub-rectangle
+    frames rather than compositing)."""
+    import struct
+
+    if b is None or len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    if gct is not None and 3 * bg + 3 <= len(gct):
+        bg_rgb = gct[3 * bg : 3 * bg + 3]
+    else:
+        bg_rgb = b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (w * h))
+    frames: "list[bytes]" = []
+    disposal = 0
+    transparent = None
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension
+            label = b[pos + 1] if pos + 1 < len(b) else 0
+            if label == 0xF9 and pos + 7 < len(b) and b[pos + 2] >= 4:
+                flags = b[pos + 3]
+                disposal = (flags >> 2) & 0x7
+                transparent = b[pos + 6] if flags & 1 else None
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack_from(
+                "<HHHHB", b, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                return None
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(b) and b[pos]:
+                lzw += b[pos + 1 : pos + 1 + b[pos]]
+                pos += 1 + b[pos]
+            pos += 1
+            idx = _gif_lzw_decode(bytes(lzw), min_code)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel stream shorter than image")
+            idx = idx[: iw * ih]
+            if ipacked & 0x40:
+                idx = _gif_deinterlace(idx, iw, ih)
+            before = bytes(canvas) if disposal == 3 else None
+            for yy in range(ih):
+                cy = top + yy
+                if cy >= h:
+                    break
+                for xx in range(iw):
+                    cx = left + xx
+                    if cx >= w:
+                        break
+                    i = idx[yy * iw + xx]
+                    if transparent is not None and i == transparent:
+                        continue
+                    d = (cy * w + cx) * 3
+                    canvas[d : d + 3] = ct[3 * i : 3 * i + 3]
+            frames.append(bytes(canvas))
+            if disposal == 2:
+                for yy in range(ih):
+                    cy = top + yy
+                    if cy >= h:
+                        break
+                    for xx in range(iw):
+                        cx = left + xx
+                        if cx >= w:
+                            break
+                        d = (cy * w + cx) * 3
+                        canvas[d : d + 3] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas = bytearray(before)
+            disposal = 0
+            transparent = None
+        elif block == 0x3B:
+            break
+        else:
+            return None
+    if not frames:
+        return None
+    return w, h, 3, frames
 
 
 # ---------------------------------------------------------------------------
@@ -2244,6 +2442,58 @@ def decode_image_pixels(
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=PIXEL_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id long, width long, height long, n_frames long,"
+    " fr_sum long, fr_wsum long, fr_mean double"
+)
+
+
+def decode_gif_anim_stats(
+    df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
+) -> DataFrame:
+    """Per-document animated-GIF statistics from REAL multi-frame
+    compositing (:func:`decode_gif_frames`): (width, height, n_frames,
+    fr_sum, fr_wsum, fr_mean) over the frame-major concatenation of every
+    composited canvas — fr_wsum = sum(k * byte_k) is wrong unless frame
+    order, sub-rect placement, transparency pass-through, AND disposal
+    restores are all exactly right. Non-GIF / null payloads
+    null-propagate (corpus-scan posture). Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "n_frames", "fr_sum", "fr_wsum", "fr_mean")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for b in pdf[payload]:
+                m = decode_gif_frames(b)
+                if m is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                w, h, _ch, frames = m
+                blob = b"".join(frames)
+                s = sum(blob)
+                n = len(blob)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(frames))
+                rows["fr_sum"].append(s)
+                rows["fr_wsum"].append(sum(k * v for k, v in enumerate(blob)))
+                rows["fr_mean"].append(round(s / n, 6) if n else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(rows["width"], dtype="Int64"),
+                    "height": pd.array(rows["height"], dtype="Int64"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="Int64"),
+                    "fr_sum": pd.array(rows["fr_sum"], dtype="Int64"),
+                    "fr_wsum": pd.array(rows["fr_wsum"], dtype="Int64"),
+                    "fr_mean": pd.array(rows["fr_mean"], dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=FRAMES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

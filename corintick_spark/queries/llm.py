@@ -3211,3 +3211,180 @@ def dedup_substring_winnow(spark, sf_dir):
             F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
         )
     )
+
+
+# 16-BIT PNG decode (round 8 — verdict r07 item 5): bit depth 16 flows
+# through the same five-filter un-filter path with the spec's one
+# subtlety, a bytes-per-pixel offset of channels*2. Planted content:
+# sample p of doc i is (i*257 + p*1031) % 65536, stored big-endian; the
+# oracle recomputes BOTH bytes of every sample symbolically (hi = v div
+# 256, lo = v % 256), so a wrong byte order, a filter offset of 1, or
+# any truncation to 8 bits breaks px_wsum. Filters rotate per row.
+@query(
+    "multimodal_decode_png16",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 5 + 3 AS w, doc_id % 3 + 2 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 2)::INT),
+                   k -> CASE WHEN k % 2 = 0
+                        THEN ((doc_id * 257 + (k // 2) * 1031) % 65536) // 256
+                        ELSE ((doc_id * 257 + (k // 2) * 1031) % 65536) % 256
+                        END) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 2)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 2.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_png16(spark, sf_dir):
+    """16-bit grayscale PNG decode (full precision, big-endian sample
+    stream) through the format-dispatched decode_image_pixels path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 5 + 3, i % 3 + 2
+                be = b"".join(
+                    ((i * 257 + p * 1031) % 65536).to_bytes(2, "big")
+                    for p in range(w * h)
+                )
+                payloads.append(
+                    M.encode_png(
+                        w, h, be, channels=1,
+                        filter_for_row=lambda y: y % 5, depth=16,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_png)
+
+
+# ANIMATED GIF decode (round 8 — the round-7 codec tier's highest-
+# frequency honest stub): real multi-frame compositing over the logical
+# screen — sub-rectangle placement, GCE transparency pass-through,
+# disposal 1 (leave) and 2 (restore rect to background). Three planted
+# frames per doc: full-screen base, a transparent-holed inner rect that
+# disposal-2 erases, then a two-row top banner painted AFTER the erase —
+# the oracle recomputes every byte of all three composited canvases
+# symbolically, so wrong disposal ordering, transparency, placement, or
+# frame order each break fr_wsum. (Disposal 3 and interlaced frames are
+# exercised by the unit differential in tests/test_multimodal_jpeg.py.)
+@query(
+    "multimodal_decode_gif_anim",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (3 * w * h * 3)::INT), k ->
+                 (CASE
+                   -- frame index f = k // (w*h*3); pixel p; channel c
+                   WHEN k // (w * h * 3) = 0
+                   THEN (doc_id + (k % (w * h * 3)) // 3) % 8
+                   WHEN k // (w * h * 3) = 1
+                   THEN CASE
+                     WHEN ((k % (w * h * 3)) // 3) % w BETWEEN 1 AND w - 2
+                          AND ((k % (w * h * 3)) // 3) // w BETWEEN 1 AND h - 2
+                     THEN CASE
+                       WHEN (doc_id * 5
+                             + (((k % (w * h * 3)) // 3) // w - 1) * (w - 2)
+                             + (((k % (w * h * 3)) // 3) % w - 1)) % 8
+                            = doc_id % 8
+                       THEN (doc_id + (k % (w * h * 3)) // 3) % 8
+                       ELSE (doc_id * 5
+                             + (((k % (w * h * 3)) // 3) // w - 1) * (w - 2)
+                             + (((k % (w * h * 3)) // 3) % w - 1)) % 8
+                       END
+                     ELSE (doc_id + (k % (w * h * 3)) // 3) % 8
+                     END
+                   ELSE CASE
+                     WHEN ((k % (w * h * 3)) // 3) // w < 2
+                     THEN (doc_id * 11 + (k % (w * h * 3)) // 3) % 8
+                     WHEN ((k % (w * h * 3)) // 3) % w BETWEEN 1 AND w - 2
+                          AND ((k % (w * h * 3)) // 3) // w BETWEEN 1 AND h - 2
+                     THEN 0
+                     ELSE CASE
+                       WHEN ((k % (w * h * 3)) // 3) % w BETWEEN 1 AND w - 2
+                            AND ((k % (w * h * 3)) // 3) // w
+                                BETWEEN 1 AND h - 2
+                            AND (doc_id * 5
+                                 + (((k % (w * h * 3)) // 3) // w - 1) * (w - 2)
+                                 + (((k % (w * h * 3)) // 3) % w - 1)) % 8
+                                != doc_id % 8
+                       THEN (doc_id * 5
+                             + (((k % (w * h * 3)) // 3) // w - 1) * (w - 2)
+                             + (((k % (w * h * 3)) // 3) % w - 1)) % 8
+                       ELSE (doc_id + (k % (w * h * 3)) // 3) % 8
+                       END
+                     END
+                  END) * 30 + k % 3) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(list_sum(v) AS BIGINT) AS fr_sum,
+           CAST(list_sum(list_transform(range(0, (3 * w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS fr_wsum,
+           ROUND(list_sum(v) / (3 * w * h * 3.0), 6) AS fr_mean
+    FROM px
+    """,
+)
+def multimodal_decode_gif_anim(spark, sf_dir):
+    """Animated-GIF multi-frame compositing (transparency + disposal),
+    adjudicated against a symbolic replay of every composited canvas."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes(j * 30 + c for j in range(8) for c in range(3))
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 5 + 4, i % 4 + 3
+                f0 = dict(
+                    left=0, top=0, iw=w, ih=h, disposal=1, transparent=None,
+                    indices=[(i + p) % 8 for p in range(w * h)],
+                )
+                f1 = dict(
+                    left=1, top=1, iw=w - 2, ih=h - 2, disposal=2,
+                    transparent=i % 8,
+                    indices=[(i * 5 + q) % 8 for q in range((w - 2) * (h - 2))],
+                )
+                f2 = dict(
+                    left=0, top=0, iw=w, ih=2, disposal=0, transparent=None,
+                    indices=[(i * 11 + r) % 8 for r in range(w * 2)],
+                )
+                payloads.append(
+                    M.encode_gif_anim(w, h, [f0, f1, f2], palette, bg=0)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_gif = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_gif_anim_stats(with_gif)

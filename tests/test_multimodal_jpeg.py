@@ -529,3 +529,98 @@ def test_bmp_rle8_truncated_absolute_mode_clean():
     for cut in range(1, 40):
         out = M.decode_bmp_pixels(b[:-cut])  # must not raise
         assert out is None or (out[0], out[1], out[2]) == (w, h, 3)
+
+
+def test_png16_roundtrip_all_filters_and_channels():
+    """16-bit PNG (round 8): every channel count x all five filters must
+    reproduce the big-endian sample stream exactly — the filter offset is
+    channels*2 bytes (the spec's depth-16 subtlety; offset 1 or channels
+    would corrupt every Sub/Average/Paeth row)."""
+    w, h = 5, 7
+    for ch in (1, 2, 3, 4):
+        samples = [
+            (x * 12345 + y * 331 + c * 77 + 9) % 65536
+            for y in range(h) for x in range(w) for c in range(ch)
+        ]
+        be = b"".join(v.to_bytes(2, "big") for v in samples)
+        for f in range(5):
+            b = M.encode_png(
+                w, h, be, channels=ch,
+                filter_for_row=lambda y, f=f: (y + f) % 5, depth=16,
+            )
+            assert M.decode_png_pixels(b) == (w, h, ch, be), (ch, f)
+
+
+def test_png16_palette_still_stub():
+    import struct
+
+    idx = bytes(p % 4 for p in range(6 * 4))
+    pal = bytes(range(12))
+    b = bytearray(M.encode_png_palette(6, 4, idx, pal))
+    struct.pack_into("B", b, 24, 16)  # depth byte inside IHDR
+    with pytest.raises((NotImplementedError, Exception)):
+        M.decode_png_pixels(bytes(b))
+
+
+def test_gif_anim_compositor_differential():
+    """decode_gif_frames vs a straight-line reference compositor:
+    transparency pass-through, disposal 1 (leave) / 2 (restore-to-bg) /
+    3 (restore-to-previous), a sub-rectangle placement, and an
+    interlaced frame, all in one stream."""
+    pal = bytes(j * 30 + c for j in range(8) for c in range(3))
+    w, h, t = 6, 5, 5
+
+    def color(i):
+        return pal[3 * i : 3 * i + 3]
+
+    f0 = dict(left=0, top=0, iw=w, ih=h, disposal=1, transparent=None,
+              indices=[(p * 3) % 8 for p in range(w * h)])
+    f1 = dict(left=1, top=1, iw=w - 2, ih=h - 2, disposal=2, transparent=t,
+              indices=[(q * 5 + 1) % 8 for q in range((w - 2) * (h - 2))])
+    f2 = dict(left=0, top=0, iw=w, ih=2, disposal=3, transparent=None,
+              indices=[(r * 7 + 2) % 8 for r in range(w * 2)])
+    f3 = dict(left=0, top=0, iw=w, ih=h, disposal=0, transparent=None,
+              indices=[(p + 4) % 8 for p in range(w * h)], interlace=True)
+    got = M.decode_gif_frames(M.encode_gif_anim(w, h, [f0, f1, f2, f3], pal))
+    assert got is not None and (got[0], got[1], got[2]) == (w, h, 3)
+    frames = got[3]
+    assert len(frames) == 4
+
+    canvas = bytearray(color(0) * (w * h))
+    exp = []
+    for p, i in enumerate(f0["indices"]):
+        canvas[3 * p : 3 * p + 3] = color(i)
+    exp.append(bytes(canvas))
+    for yy in range(h - 2):
+        for xx in range(w - 2):
+            i = f1["indices"][yy * (w - 2) + xx]
+            if i == t:
+                continue
+            d = ((yy + 1) * w + xx + 1) * 3
+            canvas[d : d + 3] = color(i)
+    exp.append(bytes(canvas))
+    for yy in range(h - 2):  # disposal 2: rect back to background
+        for xx in range(w - 2):
+            d = ((yy + 1) * w + xx + 1) * 3
+            canvas[d : d + 3] = color(0)
+    before = bytes(canvas)
+    for yy in range(2):
+        for xx in range(w):
+            d = (yy * w + xx) * 3
+            canvas[d : d + 3] = color(f2["indices"][yy * w + xx])
+    exp.append(bytes(canvas))
+    canvas = bytearray(before)  # disposal 3: restore to previous
+    for p, i in enumerate(f3["indices"]):
+        canvas[3 * p : 3 * p + 3] = color(i)
+    exp.append(bytes(canvas))
+    assert frames == exp
+
+
+def test_gif_single_image_still_returns_one_frame():
+    pal = bytes(j * 30 + c for j in range(8) for c in range(3))
+    idx = [(p * 3) % 8 for p in range(24)]
+    b = M.encode_gif(6, 4, idx, pal)
+    got = M.decode_gif_frames(b)
+    assert got is not None and got[2] == 3 and len(got[3]) == 1
+    single = M.decode_gif_pixels(b)
+    assert single is not None and got[3][0] == single[3]
