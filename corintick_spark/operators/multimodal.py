@@ -378,78 +378,18 @@ def sample_container_frames(
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
 
+# Adam7 interlace pass grid: (x offset, y offset, x step, y step) —
+# PNG spec §8.2; each pass is an independently-filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
-    """Decode a non-interlaced 8- or 16-bit-depth PNG (gray / RGB /
-    gray+alpha / RGBA / palette — round 7 added color type 3, round 8
-    adds bit depth 16) to raw pixel bytes: (width, height, channels,
-    pixels) with ``pixels`` row-major — one byte per sample at depth 8
-    (``width*height*channels`` bytes), two big-endian bytes per sample at
-    depth 16 (``width*height*channels*2`` bytes, the spec's network byte
-    order, full precision preserved). Palette images expand through their
-    PLTE chunk to RGB (filters run on the 1-byte index stream, per spec).
 
-    Pure stdlib: chunk walk -> IDAT concat -> ``zlib.decompress`` ->
-    per-scanline un-filtering of all five PNG filter types (None/Sub/Up/
-    Average/Paeth); the filter byte-offset unit is bytes-per-pixel
-    (channels * depth/8), the spec's one depth-16 subtlety. Returns None
-    for non-PNG bytes; raises NotImplementedError for valid PNGs outside
-    the supported subset (sub-byte palette depths, 16-bit palette,
-    interlaced, palette transparency) — the honest-stub posture.
-    """
-    import struct
-    import zlib
-
-    if b is None or len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    pos = 8
-    w = h = None
-    channels = 0  # logical samples per pixel
-    bypp = 0  # bytes per pixel in the FILTER stream
-    color = None
-    palette = None
-    idat = bytearray()
-    while pos + 8 <= len(b):
-        (clen,) = struct.unpack_from(">I", b, pos)
-        ctype = b[pos + 4 : pos + 8]
-        body = b[pos + 8 : pos + 8 + clen]
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if (
-                depth not in (8, 16)
-                or (color not in _PNG_CHANNELS and color != 3)
-                or (color == 3 and depth != 8)
-                or interlace != 0
-            ):
-                raise NotImplementedError(
-                    "decode_png_pixels supports non-interlaced 8/16-bit "
-                    "gray/RGB/gray+a/RGBA and 8-bit palette only "
-                    "(sub-byte-palette/interlaced need a full codec)"
-                )
-            channels = 1 if color == 3 else _PNG_CHANNELS[color]
-            bypp = channels * (depth // 8)
-        elif ctype == b"PLTE":
-            palette = bytes(body)
-        elif ctype == b"tRNS":
-            raise NotImplementedError(
-                "decode_png_pixels does not support palette transparency "
-                "(tRNS) — needs RGBA palette expansion"
-            )
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen  # length + type + body + crc
-    if w is None or not idat:
-        return None
-    if color == 3 and (palette is None or len(palette) % 3):
-        raise ValueError("palette PNG without a valid PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * bypp
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG pixel stream length mismatch")
+def _png_unfilter(raw: bytes, stride: int, h: int, bypp: int) -> bytearray:
+    """Reverse PNG scanline filtering over an h x stride segment (filter
+    byte per row, all five types, byte offset unit = bytes-per-pixel).
+    Shared by the sequential path and each Adam7 pass."""
     out = bytearray(stride * h)
     prev = bytes(stride)  # zero row above the first scanline (spec)
     for y in range(h):
@@ -477,51 +417,137 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = bytes(line)
-    if color == 3:
-        n = len(palette) // 3
-        rgb = bytearray(w * h * 3)
-        for i, ix in enumerate(out):
-            if ix >= n:
-                raise ValueError("palette index out of range")
-            rgb[i * 3 : i * 3 + 3] = palette[ix * 3 : ix * 3 + 3]
-        return w, h, 3, bytes(rgb)
-    return w, h, channels, bytes(out)
+    return out
 
 
-def encode_png(
-    width: int,
-    height: int,
-    pixels: bytes,
-    channels: int = 3,
-    filter_for_row=None,
-    depth: int = 8,
-) -> bytes:
-    """Minimal non-interlaced 8/16-bit PNG encoder (synthesis/test helper
-    — the inverse of :func:`decode_png_pixels`). ``filter_for_row(y)``
-    picks the per-scanline filter type (default 0/None), letting tests
-    exercise every un-filter path with known pixel content. At
-    ``depth=16`` ``pixels`` is the big-endian sample byte stream
-    (2 bytes per sample) and filters offset by channels*2 per the spec."""
+def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
+    """Decode an 8- or 16-bit-depth PNG (gray / RGB / gray+alpha / RGBA /
+    palette — round 7 added color type 3, round 8 adds bit depth 16,
+    Adam7 interlacing, and palette transparency) to raw pixel bytes:
+    (width, height, channels, pixels) with ``pixels`` row-major — one
+    byte per sample at depth 8 (``width*height*channels`` bytes), two
+    big-endian bytes per sample at depth 16 (full precision preserved).
+    Palette images expand through their PLTE chunk to RGB — or to RGBA
+    when a tRNS chunk supplies per-entry alpha (entries past the tRNS
+    length are opaque, per spec). Adam7 streams reassemble from seven
+    independently-filtered sub-images (empty passes contribute no
+    scanlines).
+
+    Pure stdlib: chunk walk -> IDAT concat -> ``zlib.decompress`` ->
+    per-scanline un-filtering of all five PNG filter types (None/Sub/Up/
+    Average/Paeth); the filter byte-offset unit is bytes-per-pixel
+    (channels * depth/8), the spec's one depth-16 subtlety. Returns None
+    for non-PNG bytes; raises NotImplementedError for valid PNGs outside
+    the supported subset (sub-byte palette depths, 16-bit palette,
+    gray/RGB color-key tRNS) — the honest-stub posture.
+    """
     import struct
     import zlib
 
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    bypp = channels * (depth // 8)
-    stride = width * bypp
+    if b is None or len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    w = h = None
+    channels = 0  # logical samples per pixel
+    bypp = 0  # bytes per pixel in the FILTER stream
+    color = None
+    palette = None
+    trns = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (
+                depth not in (8, 16)
+                or (color not in _PNG_CHANNELS and color != 3)
+                or (color == 3 and depth != 8)
+                or interlace not in (0, 1)
+            ):
+                raise NotImplementedError(
+                    "decode_png_pixels supports 8/16-bit gray/RGB/gray+a/"
+                    "RGBA and 8-bit palette, sequential or Adam7 "
+                    "(sub-byte palette depths need a full codec)"
+                )
+            channels = 1 if color == 3 else _PNG_CHANNELS[color]
+            bypp = channels * (depth // 8)
+        elif ctype == b"PLTE":
+            palette = bytes(body)
+        elif ctype == b"tRNS":
+            if color != 3:
+                raise NotImplementedError(
+                    "decode_png_pixels supports tRNS on palette images "
+                    "only (color-keyed transparency on gray/RGB needs a "
+                    "full codec)"
+                )
+            trns = bytes(body)  # alpha per palette entry; rest opaque
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + body + crc
+    if w is None or not idat:
+        return None
+    if color == 3 and (palette is None or len(palette) % 3):
+        raise ValueError("palette PNG without a valid PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bypp
+    if interlace == 0:
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG pixel stream length mismatch")
+        out = _png_unfilter(raw, stride, h, bypp)
+    else:  # Adam7 (round 8): seven independently-filtered sub-images
+        out = bytearray(stride * h)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass contributes NO scanlines (spec)
+            pstride = wp * bypp
+            seg = raw[off : off + (pstride + 1) * hp]
+            if len(seg) != (pstride + 1) * hp:
+                raise ValueError("PNG pixel stream length mismatch")
+            off += len(seg)
+            sub = _png_unfilter(seg, pstride, hp, bypp)
+            for yy in range(hp):
+                oy = y0 + yy * dy
+                for xx in range(wp):
+                    ox = x0 + xx * dx
+                    s = (yy * wp + xx) * bypp
+                    d = (oy * w + ox) * bypp
+                    out[d : d + bypp] = sub[s : s + bypp]
+        if off != len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
+    if color == 3:
+        n = len(palette) // 3
+        ch = 3 if trns is None else 4
+        rgb = bytearray(w * h * ch)
+        for i, ix in enumerate(out):
+            if ix >= n:
+                raise ValueError("palette index out of range")
+            rgb[i * ch : i * ch + 3] = palette[ix * 3 : ix * 3 + 3]
+            if ch == 4:
+                rgb[i * ch + 3] = trns[ix] if ix < len(trns) else 255
+        return w, h, ch, bytes(rgb)
+    return w, h, channels, bytes(out)
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + ctype
-            + body
-            + struct.pack(">I", zlib.crc32(ctype + body))
-        )
 
-    filtered = bytearray()
+def _png_filter_segment(
+    seg: bytes, stride: int, rows: int, bypp: int, filter_for_row, row_off: int
+) -> bytearray:
+    """Forward-filter one sub-image (the exact inverse of
+    :func:`_png_unfilter`); ``row_off`` keeps filter_for_row's rotation
+    continuous across Adam7 passes."""
+    out = bytearray()
     prev = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride : (y + 1) * stride]
-        ftype = filter_for_row(y) if filter_for_row else 0
+    for y in range(rows):
+        line = seg[y * stride : (y + 1) * stride]
+        ftype = filter_for_row(row_off + y) if filter_for_row else 0
         enc = bytearray(line)
         if ftype == 1:
             for i in range(stride - 1, bypp - 1, -1):
@@ -541,13 +567,85 @@ def encode_png(
                 pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
                 enc[i] = (enc[i] - pred) & 0xFF
-        filtered += bytes([ftype]) + bytes(enc)
+        out += bytes([ftype]) + bytes(enc)
         prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    return out
+
+
+def _png_filter_stream(
+    pixels: bytes, width: int, height: int, bypp: int, filter_for_row,
+    interlace: bool,
+) -> bytes:
+    """Filtered IDAT payload — sequential, or seven Adam7 passes each
+    filtered as an independent sub-image (spec §8.2)."""
+    if not interlace:
+        return bytes(
+            _png_filter_segment(
+                pixels, width * bypp, height, bypp, filter_for_row, 0
+            )
+        )
+    out = bytearray()
+    row_off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        sub = bytearray(wp * hp * bypp)
+        for yy in range(hp):
+            oy = y0 + yy * dy
+            for xx in range(wp):
+                ox = x0 + xx * dx
+                s = (oy * width + ox) * bypp
+                d = (yy * wp + xx) * bypp
+                sub[d : d + bypp] = pixels[s : s + bypp]
+        out += _png_filter_segment(
+            bytes(sub), wp * bypp, hp, bypp, filter_for_row, row_off
+        )
+        row_off += hp
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    filter_for_row=None,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal 8/16-bit PNG encoder (synthesis/test helper — the inverse
+    of :func:`decode_png_pixels`). ``filter_for_row(y)`` picks the
+    per-scanline filter type (default 0/None), letting tests exercise
+    every un-filter path with known pixel content. At ``depth=16``
+    ``pixels`` is the big-endian sample byte stream (2 bytes per sample)
+    and filters offset by channels*2 per the spec; ``interlace`` stores
+    the seven Adam7 passes (``pixels`` stays the natural raster)."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bypp = channels * (depth // 8)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    filtered = _png_filter_stream(
+        pixels, width, height, bypp, filter_for_row, interlace
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IDAT", zlib.compress(filtered))
         + chunk(b"IEND", b"")
     )
 
@@ -558,12 +656,16 @@ def encode_png_palette(
     indices: "bytes | list[int]",
     palette: bytes,
     filter_for_row=None,
+    trns: "bytes | None" = None,
+    interlace: bool = False,
 ) -> bytes:
     """Minimal 8-bit PALETTE PNG encoder (color type 3; synthesis/test
     helper — the inverse of decode_png_pixels' palette path). ``indices``
     is one byte per pixel into ``palette`` (3 bytes per entry); filters
     run on the index stream per spec (``filter_for_row`` as in
-    :func:`encode_png`, bytes-per-pixel 1)."""
+    :func:`encode_png`, bytes-per-pixel 1). ``trns`` writes a tRNS chunk
+    (alpha per palette entry, may be shorter than the palette);
+    ``interlace`` stores the Adam7 passes."""
     import struct
     import zlib
 
@@ -583,40 +685,16 @@ def encode_png_palette(
             + struct.pack(">I", zlib.crc32(ctype + body))
         )
 
-    filtered = bytearray()
-    prev = bytes(width)
-    for y in range(height):
-        line = idx[y * width : (y + 1) * width]
-        ftype = filter_for_row(y) if filter_for_row else 0
-        enc = bytearray(line)
-        if ftype == 1:  # Sub (bpp = 1)
-            for i in range(width - 1, 0, -1):
-                enc[i] = (enc[i] - line[i - 1]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(width):
-                enc[i] = (enc[i] - prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(width):
-                a = line[i - 1] if i >= 1 else 0
-                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(width):
-                a = line[i - 1] if i >= 1 else 0
-                c = prev[i - 1] if i >= 1 else 0
-                p = a + prev[i] - c
-                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
-                enc[i] = (enc[i] - pred) & 0xFF
-        filtered += bytes([ftype]) + bytes(enc)
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", palette)
-        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
-        + chunk(b"IEND", b"")
+    filtered = _png_filter_stream(
+        idx, width, height, 1, filter_for_row, interlace
     )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 3, 0, 0, 1 if interlace else 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(filtered)) + chunk(b"IEND", b"")
 
 
 def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
@@ -723,9 +801,135 @@ def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 out[d + 2] = pal[i4]
         return w, h, 3, bytes(out)
 
+    if bpp in (1, 4) and comp == 0:
+        # 1/4-bit uncompressed palette BMPs (round 8): pixels pack
+        # MSB-first into bytes (8 or 2 per byte), rows pad to 32-bit
+        # boundaries, palette entries are BGRX quads.
+        (n_colors,) = struct.unpack_from("<I", b, 46)
+        n_colors = n_colors or (1 << bpp)
+        pal_off = 14 + dib_size
+        pal = b[pal_off : pal_off + 4 * n_colors]
+        if len(pal) < 4 * n_colors:
+            return None
+        stride = ((w * bpp + 31) // 32) * 4
+        if len(b) < data_off + stride * h:
+            return None
+        ppb = 8 // bpp  # pixels per byte
+        mask = (1 << bpp) - 1
+        out = bytearray(w * h * 3)
+        for y in range(h):
+            src_row = (h - 1 - y) if h_signed > 0 else y
+            row_off = data_off + src_row * stride
+            dst = y * w * 3
+            for x in range(w):
+                byte = b[row_off + x // ppb]
+                shift = (ppb - 1 - x % ppb) * bpp
+                i4 = ((byte >> shift) & mask) * 4
+                out[dst + 3 * x] = pal[i4 + 2]  # R <- B,G,R,X quad
+                out[dst + 3 * x + 1] = pal[i4 + 1]
+                out[dst + 3 * x + 2] = pal[i4]
+        return w, h, 3, bytes(out)
+
+    if bpp == 16 and comp in (0, 3):
+        # 16-bit BMPs (round 8): BI_RGB means X1R5G5B5; BI_BITFIELDS is
+        # accepted with the two standard layouts, R5G6B5 and X1R5G5B5.
+        # Components upscale to 8 bits by bit replication
+        # ((v << 3) | (v >> 2) for 5-bit, (v << 2) | (v >> 4) for 6-bit)
+        # — the exact integer upscale renderers use, so round-trips are
+        # deterministic. Exotic masks stay a named stub.
+        if comp == 3:
+            masks = struct.unpack_from("<III", b, 54)
+            if masks == (0xF800, 0x07E0, 0x001F):
+                g6 = True
+            elif masks == (0x7C00, 0x03E0, 0x001F):
+                g6 = False
+            else:
+                raise NotImplementedError(
+                    "decode_bmp_pixels supports 16-bit BI_BITFIELDS only "
+                    f"with 565 or 555 masks — got {masks}"
+                )
+        else:
+            g6 = False
+        stride = (w * 2 + 3) & ~3
+        if len(b) < data_off + stride * h:
+            return None
+        out = bytearray(w * h * 3)
+        for y in range(h):
+            src_row = (h - 1 - y) if h_signed > 0 else y
+            row_off = data_off + src_row * stride
+            dst = y * w * 3
+            for x in range(w):
+                (v,) = struct.unpack_from("<H", b, row_off + 2 * x)
+                if g6:
+                    r, g, bl = (v >> 11) & 0x1F, (v >> 5) & 0x3F, v & 0x1F
+                    out[dst + 3 * x] = (r << 3) | (r >> 2)
+                    out[dst + 3 * x + 1] = (g << 2) | (g >> 4)
+                    out[dst + 3 * x + 2] = (bl << 3) | (bl >> 2)
+                else:
+                    r, g, bl = (v >> 10) & 0x1F, (v >> 5) & 0x1F, v & 0x1F
+                    out[dst + 3 * x] = (r << 3) | (r >> 2)
+                    out[dst + 3 * x + 1] = (g << 3) | (g >> 2)
+                    out[dst + 3 * x + 2] = (bl << 3) | (bl >> 2)
+        return w, h, 3, bytes(out)
+
+    if bpp == 4 and comp == 2:
+        # RLE4 (round 8): encoded runs repeat TWO alternating nibbles of
+        # the run byte; absolute mode packs literal indices two per byte
+        # (high nibble first) padded to a word boundary; the escape set
+        # (EOL/EOB/delta) matches RLE8.
+        (n_colors,) = struct.unpack_from("<I", b, 46)
+        n_colors = n_colors or 16
+        pal_off = 14 + dib_size
+        pal = b[pal_off : pal_off + 4 * n_colors]
+        if len(pal) < 4 * n_colors:
+            return None
+        idx = bytearray(w * h)  # bottom-up grid
+        x = 0
+        y = 0
+        pos = data_off
+        while pos + 1 < len(b) and y < h:
+            c0, c1 = b[pos], b[pos + 1]
+            pos += 2
+            if c0 > 0:  # encoded run of alternating nibbles
+                run = min(c0, w - x)
+                hi, lo = c1 >> 4, c1 & 0x0F
+                for k in range(run):
+                    idx[y * w + x + k] = hi if k % 2 == 0 else lo
+                x += run
+            elif c1 == 0:  # end of line
+                x, y = 0, y + 1
+            elif c1 == 1:  # end of bitmap
+                break
+            elif c1 == 2:  # delta
+                if pos + 1 >= len(b):
+                    break
+                x = min(x + b[pos], w)
+                y = min(y + b[pos + 1], h - 1)
+                pos += 2
+            else:  # absolute mode: c1 literal nibbles, word-aligned
+                run = min(c1, w - x)
+                nbytes = (c1 + 1) // 2
+                if len(b) - pos < nbytes:
+                    return None  # truncated stream (same posture as RLE8)
+                for k in range(run):
+                    byte = b[pos + k // 2]
+                    idx[y * w + x + k] = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+                x += run
+                pos += nbytes + (nbytes & 1)
+        out = bytearray(w * h * 3)
+        for yy in range(h):
+            src_row = h - 1 - yy
+            for xx in range(w):
+                i4 = idx[src_row * w + xx] * 4
+                d = (yy * w + xx) * 3
+                out[d] = pal[i4 + 2]
+                out[d + 1] = pal[i4 + 1]
+                out[d + 2] = pal[i4]
+        return w, h, 3, bytes(out)
+
     if bpp != 24 or comp != 0:
         raise NotImplementedError(
-            "decode_bmp_pixels supports uncompressed 24/32-bit and RLE8 "
+            "decode_bmp_pixels supports 1/4/16/24/32-bit, RLE4 and RLE8 "
             f"BMPs only — got bpp={bpp} compression={comp}"
         )
     stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
@@ -873,6 +1077,169 @@ def encode_bmp_rle8(
     off = 14 + 40 + len(pal)
     dib = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(body),
+        2835, 2835, n, 0,
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + dib + pal + bytes(body)
+    )
+
+
+def encode_bmp_lowbit(
+    width: int,
+    height: int,
+    indices: "bytes | list[int]",
+    palette_rgb: bytes,
+    bpp: int,
+    top_down: bool = False,
+) -> bytes:
+    """Minimal 1/4-bit uncompressed BMP encoder (synthesis/test helper —
+    the inverse of decode_bmp_pixels' low-bit path). ``indices`` is one
+    palette index per pixel, top-down row-major; pixels pack MSB-first,
+    rows pad to 32-bit boundaries with nonzero bytes (a decoder that
+    reads padding shows up as a wrong checksum)."""
+    import struct
+
+    if bpp not in (1, 4):
+        raise ValueError("bpp must be 1 or 4")
+    idx = bytes(indices)
+    if len(idx) != width * height:
+        raise ValueError("index buffer length mismatch")
+    n = len(palette_rgb) // 3
+    if max(idx) >= n:
+        raise ValueError("palette index out of range")
+    pal = b"".join(
+        bytes((palette_rgb[j * 3 + 2], palette_rgb[j * 3 + 1],
+               palette_rgb[j * 3], 0))
+        for j in range(n)
+    )
+    ppb = 8 // bpp
+    stride = ((width * bpp + 31) // 32) * 4
+    body = bytearray()
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for y in rows:
+        row = bytearray(stride)
+        for i in range((width * bpp + 7) // 8, stride):
+            row[i] = 0xAA  # nonzero padding
+        for x in range(width):
+            shift = (ppb - 1 - x % ppb) * bpp
+            row[x // ppb] |= idx[y * width + x] << shift
+        body += row
+    off = 14 + 40 + len(pal)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, bpp, 0, len(body), 2835, 2835, n, 0,
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + dib + pal + bytes(body)
+    )
+
+
+def encode_bmp16(
+    width: int,
+    height: int,
+    values: "list[int]",
+    fmt: str = "555",
+    top_down: bool = False,
+) -> bytes:
+    """Minimal 16-bit BMP encoder (synthesis/test helper). ``values`` is
+    one packed 16-bit pixel per position, top-down row-major; ``fmt`` is
+    '555' (BI_RGB X1R5G5B5) or '565' (BI_BITFIELDS R5G6B5 with the
+    standard masks)."""
+    import struct
+
+    if len(values) != width * height:
+        raise ValueError("value buffer length mismatch")
+    bitfields = fmt == "565"
+    stride = (width * 2 + 3) & ~3
+    body = bytearray()
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for y in rows:
+        row = bytearray(stride)
+        for i in range(width * 2, stride):
+            row[i] = 0xAA
+        for x in range(width):
+            struct.pack_into("<H", row, 2 * x, values[y * width + x] & 0xFFFF)
+        body += row
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F) if bitfields else b""
+    off = 14 + 40 + len(masks)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 16, 3 if bitfields else 0, len(body), 2835, 2835, 0, 0,
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + dib + masks + bytes(body)
+    )
+
+
+def encode_bmp_rle4(
+    width: int,
+    height: int,
+    indices: "bytes | list[int]",
+    palette_rgb: bytes,
+    absolute_rows: "set[int] | None" = None,
+) -> bytes:
+    """Minimal RLE4 BMP encoder (synthesis/test helper). ``indices`` is
+    one palette index (< 16) per pixel, TOP-DOWN row-major. Encoded runs
+    repeat the run byte's two alternating nibbles; rows in
+    ``absolute_rows`` emit word-aligned ABSOLUTE mode (packed nibbles)
+    so both decoder paths sit on the adjudicated path."""
+    import struct
+
+    idx = bytes(indices)
+    if len(idx) != width * height:
+        raise ValueError("index buffer length mismatch")
+    if max(idx) > 0x0F:
+        raise ValueError("RLE4 indices must fit a nibble")
+    n = len(palette_rgb) // 3
+    pal = b"".join(
+        bytes((palette_rgb[j * 3 + 2], palette_rgb[j * 3 + 1],
+               palette_rgb[j * 3], 0))
+        for j in range(n)
+    )
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = idx[y * width : (y + 1) * width]
+        if absolute_rows and y in absolute_rows and width >= 3:
+            x = 0
+            while x < width:
+                run = min(width - x, 254)
+                if run < 3:  # absolute mode needs count >= 3
+                    body += bytes([1, row[x] << 4])
+                    x += 1
+                    continue
+                packed = bytearray()
+                for k in range(run):
+                    if k % 2 == 0:
+                        packed.append(row[x + k] << 4)
+                    else:
+                        packed[-1] |= row[x + k]
+                body += bytes([0, run]) + packed
+                if len(packed) & 1:
+                    body += b"\x00"  # word alignment
+                x += run
+        else:
+            x = 0
+            while x < width:
+                # a run byte alternates TWO nibbles — encode pairs
+                a = row[x]
+                bnib = row[x + 1] if x + 1 < width else a
+                run = 0
+                while (
+                    x + run < width
+                    and row[x + run] == (a if run % 2 == 0 else bnib)
+                    and run < 255
+                ):
+                    run += 1
+                body += bytes([run, (a << 4) | bnib])
+                x += run
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    off = 14 + 40 + len(pal)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 4, 2, len(body),
         2835, 2835, n, 0,
     )
     return (

@@ -3388,3 +3388,324 @@ def multimodal_decode_gif_anim(spark, sf_dir):
 
     with_gif = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_gif_anim_stats(with_gif)
+
+
+# Adam7 interlaced PNG (round 8): seven independently-filtered passes
+# reassembled to the natural raster — sizes rotate through shapes where
+# some passes are EMPTY (the spec's edge the naive implementation gets
+# wrong). Planted byte k of doc i is (i*7 + k*13) % 256; the oracle
+# recomputes every byte of the deinterlaced raster, so pass order,
+# scatter offsets, or per-pass filter state leaking across passes all
+# break px_wsum.
+@query(
+    "multimodal_decode_png_adam7",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 6 + 3 AS w, doc_id % 5 + 2 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT),
+                   k -> (doc_id * 7 + k * 13) % 256) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_png_adam7(spark, sf_dir):
+    """Adam7 interlaced RGB PNG decode (filter rotation across all seven
+    passes) through the format-dispatched decode_image_pixels path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 3, i % 5 + 2
+                px = bytes((i * 7 + k * 13) % 256 for k in range(w * h * 3))
+                payloads.append(
+                    M.encode_png(
+                        w, h, px, channels=3,
+                        filter_for_row=lambda y: y % 5, interlace=True,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_png)
+
+
+# Palette transparency (round 8): a tRNS chunk turns palette expansion
+# RGBA — per-entry alpha, entries past the chunk length opaque (255).
+# Planted: index (i*7 + p*3) % 8 into the round-7 palette; tRNS covers
+# entries 0-5 with alpha (j*37) % 256, entries 6-7 default opaque. The
+# oracle recomputes all four channels of every pixel.
+@query(
+    "multimodal_decode_png_trns",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 4)::INT),
+                   k -> CASE k % 4
+                        WHEN 0 THEN ((doc_id * 7 + (k // 4) * 3) % 8) * 17 % 256
+                        WHEN 1 THEN ((doc_id * 7 + (k // 4) * 3) % 8) * 31 % 256
+                        WHEN 2 THEN ((doc_id * 7 + (k // 4) * 3) % 8) * 53 % 256
+                        ELSE CASE
+                          WHEN (doc_id * 7 + (k // 4) * 3) % 8 < 6
+                          THEN ((doc_id * 7 + (k // 4) * 3) % 8) * 37 % 256
+                          ELSE 255 END
+                        END) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 4)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 4.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_png_trns(spark, sf_dir):
+    """Palette-PNG with tRNS transparency: RGBA expansion with default-
+    opaque entries past the chunk length, filters rotating."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes(
+        v for j in range(8)
+        for v in ((j * 17) % 256, (j * 31) % 256, (j * 53) % 256)
+    )
+    trns = bytes((j * 37) % 256 for j in range(6))
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 4, i % 4 + 3
+                idx = bytes((i * 7 + p * 3) % 8 for p in range(w * h))
+                payloads.append(
+                    M.encode_png_palette(
+                        w, h, idx, palette,
+                        filter_for_row=lambda y: y % 5, trns=trns,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_png)
+
+
+# 16-bit BMP (round 8): X1R5G5B5 (BI_RGB) on even docs, R5G6B5
+# (BI_BITFIELDS standard masks) on odd — components upscale by bit
+# replication, the exact integer formula the oracle replays per channel.
+@query(
+    "multimodal_decode_bmp16",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 5 + 3 AS w, doc_id % 3 + 2 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT), k ->
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   -- 555: v masked to 15 bits
+                   CASE k % 3
+                     WHEN 0 THEN (((doc_id * 257 + (k // 3) * 1031) % 32768) // 1024 % 32) * 8
+                                 + (((doc_id * 257 + (k // 3) * 1031) % 32768) // 1024 % 32) // 4
+                     WHEN 1 THEN (((doc_id * 257 + (k // 3) * 1031) % 32768) // 32 % 32) * 8
+                                 + (((doc_id * 257 + (k // 3) * 1031) % 32768) // 32 % 32) // 4
+                     ELSE (((doc_id * 257 + (k // 3) * 1031) % 32768) % 32) * 8
+                          + (((doc_id * 257 + (k // 3) * 1031) % 32768) % 32) // 4
+                   END
+                 ELSE
+                   -- 565
+                   CASE k % 3
+                     WHEN 0 THEN (((doc_id * 257 + (k // 3) * 1031) % 65536) // 2048 % 32) * 8
+                                 + (((doc_id * 257 + (k // 3) * 1031) % 65536) // 2048 % 32) // 4
+                     WHEN 1 THEN (((doc_id * 257 + (k // 3) * 1031) % 65536) // 32 % 64) * 4
+                                 + (((doc_id * 257 + (k // 3) * 1031) % 65536) // 32 % 64) // 16
+                     ELSE (((doc_id * 257 + (k // 3) * 1031) % 65536) % 32) * 8
+                          + (((doc_id * 257 + (k // 3) * 1031) % 65536) % 32) // 4
+                   END
+                 END) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_bmp16(spark, sf_dir):
+    """16-bit BMP decode, both standard layouts (555 BI_RGB / 565
+    BI_BITFIELDS) with bit-replication upscaling."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 5 + 3, i % 3 + 2
+                vals = [
+                    (i * 257 + p * 1031) % 65536 for p in range(w * h)
+                ]
+                if i % 2 == 0:
+                    vals = [v & 0x7FFF for v in vals]
+                    payloads.append(M.encode_bmp16(w, h, vals, "555"))
+                else:
+                    payloads.append(M.encode_bmp16(w, h, vals, "565"))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_bmp)
+
+
+# 1/4-bit palette BMPs (round 8): MSB-first sub-byte packing with 32-bit
+# row alignment — monochrome on odd docs, 16-color on even; widths rotate
+# through shapes that split pixels across byte boundaries.
+@query(
+    "multimodal_decode_bmp_lowbit",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 7 + 3 AS w, doc_id % 3 + 2 AS h,
+               CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 16 END AS ncol
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT),
+                   k -> (((doc_id + k // 3) % ncol) * 19 + (k % 3) * 7) % 256)
+                   AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_bmp_lowbit(spark, sf_dir):
+    """1-bit and 4-bit palette BMP decode (MSB-first packing, aligned
+    rows), alternating by doc parity."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 7 + 3, i % 3 + 2
+                bpp = 1 if i % 2 == 1 else 4
+                ncol = 2 if bpp == 1 else 16
+                pal = bytes(
+                    (j * 19 + c * 7) % 256
+                    for j in range(ncol) for c in range(3)
+                )
+                idx = bytes((i + p) % ncol for p in range(w * h))
+                payloads.append(
+                    M.encode_bmp_lowbit(w, h, idx, pal, bpp,
+                                        top_down=bool(i % 3 == 0))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_bmp)
+
+
+# RLE4 BMP (round 8): alternating-nibble encoded runs plus word-aligned
+# absolute mode rows (rotated in per doc), through the 16-color palette.
+@query(
+    "multimodal_decode_bmp_rle4",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT),
+                   k -> ((((doc_id + (k // 3) // 2) % 16) * 3 + k % 3) * 19)
+                        % 256) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_bmp_rle4(spark, sf_dir):
+    """RLE4 BMP decode (nibble runs + absolute escapes) through the
+    format-dispatched decode_image_pixels path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    palette = bytes((j * 19) % 256 for j in range(16 * 3))
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 4, i % 4 + 3
+                idx = bytes((i + p // 2) % 16 for p in range(w * h))
+                absrows = {y for y in range(h) if (i + y) % 2 == 0}
+                payloads.append(
+                    M.encode_bmp_rle4(w, h, idx, palette,
+                                      absolute_rows=absrows)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_bmp)

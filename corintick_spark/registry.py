@@ -74,12 +74,13 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # slots re-confirm the OLDEST external rows (round 1, never re-sampled
 # since). Rotated-out queries keep their green r02-r07 rows plus the
 # local DuckDB differential (tests/test_oracle_queries.py).
-# Round-9 queue: the three queries registered in round 8 after this
-# window was frozen — dedup_substring_auto (size-routed default
-# substring path), multimodal_decode_png16 (16-bit big-endian PNG),
-# multimodal_decode_gif_anim (animated-GIF compositing) — plus udf_ewma
-# (newly oracle-paired this round; its only external rows predate the
-# pairing); fill the rest oldest-driver-row first (the r02/r03 cohorts).
+# Round-9 queue: the queries registered in round 8 after this window
+# was frozen — dedup_substring_auto (size-routed default substring
+# path), the codec wave (multimodal_decode_png16, _gif_anim,
+# _png_adam7, _png_trns, _bmp16, _bmp_lowbit, _bmp_rle4) — plus
+# udf_ewma (newly oracle-paired this round; its only external rows
+# predate the pairing); fill the rest oldest-driver-row first (the
+# r02/r03 cohorts).
 DRIVER_WINDOW: tuple[str, ...] = (
     # (a) never-driver-windowed — first external adjudication
     "storage_dv", "storage_dv_cdf", "storage_merge_sync",

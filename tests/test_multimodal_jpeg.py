@@ -389,7 +389,9 @@ def test_png_palette_roundtrip_all_filters():
         assert got == (w, h, 3, expect)
 
 
-def test_png_palette_trns_still_stub():
+def test_png_palette_trns_now_real():
+    """Round 8 graduated palette tRNS from stub to RGBA expansion — a
+    single-entry tRNS makes index 0 translucent, everything else opaque."""
     import struct
     import zlib
 
@@ -400,8 +402,8 @@ def test_png_palette_trns_still_stub():
         struct.pack(">I", 1) + b"tRNS" + b"\x80"
         + struct.pack(">I", zlib.crc32(b"tRNS\x80"))
     )
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        M.decode_png_pixels(bytes(b[:i]) + trns + bytes(b[i:]))
+    got = M.decode_png_pixels(bytes(b[:i]) + trns + bytes(b[i:]))
+    assert got == (4, 4, 4, bytes([0, 0, 0, 0x80]) * 16)
 
 
 def test_gif_interlaced_roundtrip():
@@ -462,8 +464,8 @@ def test_bmp_unsupported_depths_still_stub():
 
     px = bytes((k * 5) % 256 for k in range(6 * 4 * 3))
     b = bytearray(M.encode_bmp(6, 4, px))
-    struct.pack_into("<H", b, 28, 16)  # 16-bit
-    with pytest.raises(NotImplementedError, match="bpp=16"):
+    struct.pack_into("<H", b, 28, 2)  # 2-bit: not a real BMP depth
+    with pytest.raises(NotImplementedError, match="bpp=2"):
         M.decode_bmp_pixels(bytes(b))
 
 
@@ -624,3 +626,108 @@ def test_gif_single_image_still_returns_one_frame():
     assert got is not None and got[2] == 3 and len(got[3]) == 1
     single = M.decode_gif_pixels(b)
     assert single is not None and got[3][0] == single[3]
+
+
+def test_png_adam7_roundtrip():
+    """Adam7 interlace (round 8): seven independently-filtered passes
+    reassemble to the natural raster for every channel count/depth and
+    odd sizes (incl. sizes with empty passes)."""
+    for ch, depth in [(1, 8), (3, 8), (4, 8), (1, 16), (3, 16)]:
+        for (w, h) in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (16, 3)]:
+            n = w * h * ch * (depth // 8)
+            px = bytes((k * 37 + ch * 11 + depth) % 256 for k in range(n))
+            b = M.encode_png(
+                w, h, px, channels=ch, filter_for_row=lambda y: y % 5,
+                depth=depth, interlace=True,
+            )
+            assert M.decode_png_pixels(b) == (w, h, ch, px), (ch, depth, w, h)
+
+
+def test_png_trns_rgba_expansion():
+    """Palette transparency (round 8): tRNS alphas attach per entry,
+    entries past the chunk length default opaque, output becomes RGBA."""
+    pal = bytes(
+        v for j in range(8) for v in ((j * 17) % 256, (j * 31) % 256, (j * 53) % 256)
+    )
+    trns = bytes([255, 128, 0, 7])
+    w, h = 6, 5
+    idx = bytes((p * 3) % 8 for p in range(w * h))
+    b = M.encode_png_palette(w, h, idx, pal, filter_for_row=lambda y: y % 5, trns=trns)
+    exp = bytearray()
+    for i in idx:
+        exp += pal[3 * i : 3 * i + 3] + bytes([trns[i] if i < len(trns) else 255])
+    assert M.decode_png_pixels(b) == (w, h, 4, bytes(exp))
+    # gray/RGB color-key tRNS stays a named stub
+    px = bytes((k * 7) % 256 for k in range(w * h * 3))
+    raw = bytearray(M.encode_png(w, h, px, 3))
+    import struct, zlib
+    body = struct.pack(">HHH", 1, 2, 3)
+    chunk = struct.pack(">I", len(body)) + b"tRNS" + body + struct.pack(
+        ">I", zlib.crc32(b"tRNS" + body))
+    ihdr_end = 8 + 25
+    raw2 = bytes(raw[:ihdr_end]) + chunk + bytes(raw[ihdr_end:])
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        M.decode_png_pixels(raw2)
+
+
+def test_bmp_lowbit_roundtrip():
+    """1/4-bit palette BMPs: MSB-first packing, 32-bit row alignment,
+    both orientations, odd widths crossing byte boundaries."""
+    for bpp, ncol in [(1, 2), (4, 16)]:
+        pal = bytes((j * 19 + c * 7) % 256 for j in range(ncol) for c in range(3))
+        for (w, h) in [(1, 1), (7, 3), (9, 4), (13, 5), (33, 3)]:
+            idx = bytes((x * 3 + y) % ncol for y in range(h) for x in range(w))
+            exp = bytes(v for i in idx for v in pal[i * 3 : i * 3 + 3])
+            for td in (False, True):
+                got = M.decode_bmp_pixels(
+                    M.encode_bmp_lowbit(w, h, idx, pal, bpp, top_down=td)
+                )
+                assert got == (w, h, 3, exp), (bpp, w, h, td)
+
+
+def test_bmp16_roundtrip_555_565():
+    def up5(v):
+        return (v << 3) | (v >> 2)
+
+    def up6(v):
+        return (v << 2) | (v >> 4)
+
+    for fmt in ("555", "565"):
+        for (w, h) in [(1, 1), (3, 2), (5, 4), (8, 3)]:
+            vals = [(x * 257 + y * 1031 + 7) % 65536 for y in range(h) for x in range(w)]
+            if fmt == "555":
+                vals = [v & 0x7FFF for v in vals]
+            exp = bytearray()
+            for v in vals:
+                if fmt == "565":
+                    exp += bytes([up5((v >> 11) & 31), up6((v >> 5) & 63), up5(v & 31)])
+                else:
+                    exp += bytes([up5((v >> 10) & 31), up5((v >> 5) & 31), up5(v & 31)])
+            for td in (False, True):
+                got = M.decode_bmp_pixels(M.encode_bmp16(w, h, vals, fmt, top_down=td))
+                assert got == (w, h, 3, bytes(exp)), (fmt, w, h, td)
+    # exotic 16-bit masks stay a named stub
+    import struct
+    b = bytearray(M.encode_bmp16(3, 2, [0] * 6, "565"))
+    struct.pack_into("<III", b, 54, 0x001F, 0x07E0, 0xF800)
+    with pytest.raises(NotImplementedError, match="masks"):
+        M.decode_bmp_pixels(bytes(b))
+
+
+def test_bmp_rle4_runs_absolute_truncation():
+    pal = bytes((j * 19) % 256 for j in range(16 * 3))
+    w, h = 9, 6
+    idx = bytes(((x // 2 + y) % 16) for y in range(h) for x in range(w))
+    exp = bytes(v for i in idx for v in pal[i * 3 : i * 3 + 3])
+    assert M.decode_bmp_pixels(M.encode_bmp_rle4(w, h, idx, pal)) == (w, h, 3, exp)
+    assert M.decode_bmp_pixels(
+        M.encode_bmp_rle4(w, h, idx, pal, absolute_rows={1, 3, 5})
+    ) == (w, h, 3, exp)
+    # alternating-nibble runs — the RLE4-specific encoding
+    idx2 = bytes((x % 2) * 5 + 2 for y in range(h) for x in range(w))
+    exp2 = bytes(v for i in idx2 for v in pal[i * 3 : i * 3 + 3])
+    assert M.decode_bmp_pixels(M.encode_bmp_rle4(w, h, idx2, pal)) == (w, h, 3, exp2)
+    b = M.encode_bmp_rle4(w, h, idx, pal, absolute_rows=set(range(h)))
+    for cut in range(1, 30):
+        out = M.decode_bmp_pixels(b[:-cut])
+        assert out is None or (out[0], out[1], out[2]) == (w, h, 3)
