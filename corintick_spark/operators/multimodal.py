@@ -463,18 +463,22 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 ">IIBBBBB", body
             )
             if (
-                depth not in (8, 16)
+                (color in _PNG_CHANNELS and depth not in (8, 16))
+                or (color == 3 and depth not in (1, 2, 4, 8))
                 or (color not in _PNG_CHANNELS and color != 3)
-                or (color == 3 and depth != 8)
                 or interlace not in (0, 1)
             ):
                 raise NotImplementedError(
                     "decode_png_pixels supports 8/16-bit gray/RGB/gray+a/"
-                    "RGBA and 8-bit palette, sequential or Adam7 "
-                    "(sub-byte palette depths need a full codec)"
+                    "RGBA and 1/2/4/8-bit palette, sequential or Adam7 "
+                    "(sub-byte gray depths need a full codec)"
                 )
             channels = 1 if color == 3 else _PNG_CHANNELS[color]
-            bypp = channels * (depth // 8)
+            # sub-byte palette depths (round 8): the filter stream is the
+            # PACKED byte stream and the filter offset unit is ONE byte
+            # (spec: bpp rounds up to 1); indices unpack after
+            # un-filtering, per scanline (pass-scanline under Adam7).
+            bypp = max(1, channels * (depth // 8))
         elif ctype == b"PLTE":
             palette = bytes(body)
         elif ctype == b"tRNS":
@@ -495,34 +499,77 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     if color == 3 and (palette is None or len(palette) % 3):
         raise ValueError("palette PNG without a valid PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = w * bypp
-    if interlace == 0:
-        if len(raw) != (stride + 1) * h:
-            raise ValueError("PNG pixel stream length mismatch")
-        out = _png_unfilter(raw, stride, h, bypp)
-    else:  # Adam7 (round 8): seven independently-filtered sub-images
-        out = bytearray(stride * h)
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            wp = (w - x0 + dx - 1) // dx
-            hp = (h - y0 + dy - 1) // dy
-            if wp <= 0 or hp <= 0:
-                continue  # empty pass contributes NO scanlines (spec)
-            pstride = wp * bypp
-            seg = raw[off : off + (pstride + 1) * hp]
-            if len(seg) != (pstride + 1) * hp:
+    packed = color == 3 and depth < 8
+    if not packed:
+        stride = w * bypp
+        if interlace == 0:
+            if len(raw) != (stride + 1) * h:
                 raise ValueError("PNG pixel stream length mismatch")
-            off += len(seg)
-            sub = _png_unfilter(seg, pstride, hp, bypp)
-            for yy in range(hp):
-                oy = y0 + yy * dy
-                for xx in range(wp):
-                    ox = x0 + xx * dx
-                    s = (yy * wp + xx) * bypp
-                    d = (oy * w + ox) * bypp
-                    out[d : d + bypp] = sub[s : s + bypp]
-        if off != len(raw):
-            raise ValueError("PNG pixel stream length mismatch")
+            out = _png_unfilter(raw, stride, h, bypp)
+        else:  # Adam7 (round 8): seven independently-filtered sub-images
+            out = bytearray(stride * h)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue  # empty pass contributes NO scanlines (spec)
+                pstride = wp * bypp
+                seg = raw[off : off + (pstride + 1) * hp]
+                if len(seg) != (pstride + 1) * hp:
+                    raise ValueError("PNG pixel stream length mismatch")
+                off += len(seg)
+                sub = _png_unfilter(seg, pstride, hp, bypp)
+                for yy in range(hp):
+                    oy = y0 + yy * dy
+                    for xx in range(wp):
+                        ox = x0 + xx * dx
+                        s = (yy * wp + xx) * bypp
+                        d = (oy * w + ox) * bypp
+                        out[d : d + bypp] = sub[s : s + bypp]
+            if off != len(raw):
+                raise ValueError("PNG pixel stream length mismatch")
+    else:
+        # sub-byte palette depths (1/2/4): scanlines are PACKED index
+        # bytes (MSB-first within each byte, rows padded to whole bytes);
+        # un-filter the packed stream (offset unit 1 byte per spec),
+        # then unpack per scanline — per PASS scanline under Adam7.
+        ppb = 8 // depth
+        mask = (1 << depth) - 1
+
+        def _unpack(row: bytes, npix: int) -> bytes:
+            return bytes(
+                (row[i // ppb] >> ((ppb - 1 - i % ppb) * depth)) & mask
+                for i in range(npix)
+            )
+
+        out = bytearray(w * h)
+        if interlace == 0:
+            rb = (w * depth + 7) // 8
+            if len(raw) != (rb + 1) * h:
+                raise ValueError("PNG pixel stream length mismatch")
+            flat = _png_unfilter(raw, rb, h, 1)
+            for y in range(h):
+                out[y * w : (y + 1) * w] = _unpack(flat[y * rb : (y + 1) * rb], w)
+        else:
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue
+                rb = (wp * depth + 7) // 8
+                seg = raw[off : off + (rb + 1) * hp]
+                if len(seg) != (rb + 1) * hp:
+                    raise ValueError("PNG pixel stream length mismatch")
+                off += len(seg)
+                sub = _png_unfilter(seg, rb, hp, 1)
+                for yy in range(hp):
+                    vals = _unpack(sub[yy * rb : (yy + 1) * rb], wp)
+                    for xx in range(wp):
+                        out[(y0 + yy * dy) * w + (x0 + xx * dx)] = vals[xx]
+            if off != len(raw):
+                raise ValueError("PNG pixel stream length mismatch")
     if color == 3:
         n = len(palette) // 3
         ch = 3 if trns is None else 4
@@ -658,23 +705,27 @@ def encode_png_palette(
     filter_for_row=None,
     trns: "bytes | None" = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Minimal 8-bit PALETTE PNG encoder (color type 3; synthesis/test
-    helper — the inverse of decode_png_pixels' palette path). ``indices``
-    is one byte per pixel into ``palette`` (3 bytes per entry); filters
-    run on the index stream per spec (``filter_for_row`` as in
-    :func:`encode_png`, bytes-per-pixel 1). ``trns`` writes a tRNS chunk
-    (alpha per palette entry, may be shorter than the palette);
-    ``interlace`` stores the Adam7 passes."""
+    """Minimal PALETTE PNG encoder (color type 3, depth 1/2/4/8;
+    synthesis/test helper — the inverse of decode_png_pixels' palette
+    path). ``indices`` is one value per pixel into ``palette`` (3 bytes
+    per entry); filters run on the (packed, for sub-byte depths) index
+    stream per spec (``filter_for_row`` as in :func:`encode_png`,
+    bytes-per-pixel 1). ``trns`` writes a tRNS chunk (alpha per palette
+    entry, may be shorter than the palette); ``interlace`` stores the
+    Adam7 passes."""
     import struct
     import zlib
 
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
     idx = bytes(indices)
     if len(idx) != width * height:
         raise ValueError("index buffer length mismatch")
     if not palette or len(palette) % 3:
         raise ValueError("palette must be 3 bytes per entry")
-    if max(idx) >= len(palette) // 3:
+    if max(idx) >= min(len(palette) // 3, 1 << depth):
         raise ValueError("palette index out of range")
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -685,11 +736,47 @@ def encode_png_palette(
             + struct.pack(">I", zlib.crc32(ctype + body))
         )
 
-    filtered = _png_filter_stream(
-        idx, width, height, 1, filter_for_row, interlace
-    )
+    def pack_rows(vals: bytes, wp: int, hp: int) -> bytes:
+        if depth == 8:
+            return vals
+        ppb = 8 // depth
+        rb = (wp * depth + 7) // 8
+        out = bytearray(rb * hp)
+        for y in range(hp):
+            for x in range(wp):
+                shift = (ppb - 1 - x % ppb) * depth
+                out[y * rb + x // ppb] |= vals[y * wp + x] << shift
+        return bytes(out)
+
+    if not interlace:
+        rb = (width * depth + 7) // 8
+        filtered = bytes(
+            _png_filter_segment(
+                pack_rows(idx, width, height), rb, height, 1,
+                filter_for_row, 0,
+            )
+        )
+    else:
+        parts = bytearray()
+        row_off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub = bytes(
+                idx[(y0 + yy * dy) * width + (x0 + xx * dx)]
+                for yy in range(hp)
+                for xx in range(wp)
+            )
+            rb = (wp * depth + 7) // 8
+            parts += _png_filter_segment(
+                pack_rows(sub, wp, hp), rb, hp, 1, filter_for_row, row_off
+            )
+            row_off += hp
+        filtered = bytes(parts)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 3, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, 3, 0, 0, 1 if interlace else 0
     )
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
     if trns is not None:

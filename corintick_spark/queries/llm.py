@@ -3709,3 +3709,72 @@ def multimodal_decode_bmp_rle4(spark, sf_dir):
 
     with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_bmp)
+
+
+# Sub-byte palette PNG (round 8): depths 1/2/4 rotate by doc (with
+# sequential vs Adam7 alternating) — the filter stream is the PACKED
+# byte stream (offset unit 1 byte per spec) and indices unpack MSB-first
+# per scanline. Planted: index (i + p) % 2^depth into the standard test
+# palette; the oracle recomputes every expanded byte.
+@query(
+    "multimodal_decode_png_lowbit",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h,
+               CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS ncol
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT),
+                   k -> CASE k % 3
+                        WHEN 0 THEN ((doc_id + k // 3) % ncol) * 17 % 256
+                        WHEN 1 THEN ((doc_id + k // 3) % ncol) * 31 % 256
+                        ELSE ((doc_id + k // 3) % ncol) * 53 % 256
+                        END) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_png_lowbit(spark, sf_dir):
+    """Sub-byte palette PNG decode (1/2/4-bit packed index scanlines,
+    sequential and Adam7 alternating)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    pal16 = bytes(
+        v for j in range(16)
+        for v in ((j * 17) % 256, (j * 31) % 256, (j * 53) % 256)
+    )
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 4, i % 4 + 3
+                depth = {0: 1, 1: 2, 2: 4}[i % 3]
+                ncol = 1 << depth
+                idx = bytes((i + p) % ncol for p in range(w * h))
+                payloads.append(
+                    M.encode_png_palette(
+                        w, h, idx, pal16[: 3 * ncol],
+                        filter_for_row=lambda y: y % 5,
+                        interlace=bool(i % 2), depth=depth,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_png)

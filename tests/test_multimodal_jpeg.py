@@ -731,3 +731,31 @@ def test_bmp_rle4_runs_absolute_truncation():
     for cut in range(1, 30):
         out = M.decode_bmp_pixels(b[:-cut])
         assert out is None or (out[0], out[1], out[2]) == (w, h, 3)
+
+
+def test_png_subbyte_palette_roundtrip():
+    """1/2/4-bit palette PNGs (round 8): filters run on the PACKED byte
+    stream (offset unit 1 byte), indices unpack MSB-first per scanline —
+    per PASS scanline under Adam7; tRNS still expands RGBA."""
+    pal16 = bytes(
+        v for j in range(16) for v in ((j * 17) % 256, (j * 31) % 256, (j * 53) % 256)
+    )
+    for depth in (1, 2, 4):
+        ncol = 1 << depth
+        p = pal16[: 3 * ncol]
+        for (w, h) in [(1, 1), (3, 2), (7, 5), (9, 4), (17, 6)]:
+            idx = bytes((x * 3 + y) % ncol for y in range(h) for x in range(w))
+            exp = bytes(v for i in idx for v in p[3 * i : 3 * i + 3])
+            for il in (False, True):
+                b = M.encode_png_palette(
+                    w, h, idx, p, filter_for_row=lambda y: y % 5,
+                    interlace=il, depth=depth,
+                )
+                assert M.decode_png_pixels(b) == (w, h, 3, exp), (depth, w, h, il)
+    trns = bytes([10, 200, 255])
+    idx = bytes((x + y) % 4 for y in range(4) for x in range(9))
+    b = M.encode_png_palette(9, 4, idx, pal16[:12], trns=trns, depth=2)
+    exp = bytearray()
+    for i in idx:
+        exp += pal16[3 * i : 3 * i + 3] + bytes([trns[i] if i < len(trns) else 255])
+    assert M.decode_png_pixels(b) == (9, 4, 4, bytes(exp))
