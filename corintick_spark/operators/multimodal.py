@@ -2984,7 +2984,7 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
         (csize,) = struct.unpack_from("<I", b, pos + 4)
         body = pos + 8
         if cid == b"fmt " and csize >= 16 and body + 16 <= len(b):
-            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+            fmt_tag, channels, rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", b, body
             )
         elif cid == b"data":
@@ -3027,6 +3027,60 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
             v = x * 32767.0
             v = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
             samples.append(max(-32768, min(32767, v)))
+    elif fmt_tag == 3 and bits == 64:
+        # IEEE float64 (round 8): same ±1.0 nominal range and symmetric
+        # round-half-away scaling as the float32 path.
+        import math
+
+        fl = array("d")
+        fl.frombytes(data[: len(data) & ~7])
+        if sys.byteorder == "big":
+            fl.byteswap()
+        samples = []
+        for x in fl:
+            if x != x:
+                samples.append(0)
+                continue
+            v = x * 32767.0
+            v = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            samples.append(max(-32768, min(32767, v)))
+    elif fmt_tag == 0x11 and bits == 4:
+        # IMA/DVI ADPCM (round 8, format tag 17; public IMA spec):
+        # mono only — each block_align-byte block opens with a 4-byte
+        # header (int16 predictor emitted as the block's first sample,
+        # uint8 step index, reserved byte) followed by packed nibbles,
+        # LOW nibble first. Per nibble: diff = step/8 (+step/4 if bit0)
+        # (+step/2 if bit1) (+step if bit2), subtracted when bit3 set;
+        # predictor clamps to int16, index steps by the standard adjust
+        # table and clamps to [0, 88].
+        if channels != 1:
+            raise NotImplementedError(
+                "decode_wav_pcm supports mono IMA ADPCM only — stereo "
+                "interleaves 4-byte channel groups (needs a demuxer)"
+            )
+        ba = block_align or len(data)
+        samples = []
+        for boff in range(0, len(data), ba):
+            block = data[boff : boff + ba]
+            if len(block) < 4:
+                break
+            pred = struct.unpack_from("<h", block, 0)[0]
+            index = min(88, block[2])
+            samples.append(pred)
+            for byte in block[4:]:
+                for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                    step = _IMA_STEPS[index]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+                    samples.append(pred)
     elif fmt_tag in (6, 7) and bits == 8:
         # G.711 companded telephony audio (format tags 6 = A-law,
         # 7 = µ-law): REAL expansion to 13/14-bit linear, the exact
@@ -3040,10 +3094,25 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
     else:
         raise NotImplementedError(
             "decode_wav_pcm supports integer PCM (8/16/24-bit), IEEE "
-            "float32, and G.711 mu-law/A-law only — float64/ADPCM/other "
-            "compressed audio needs libsndfile/ffmpeg (not in container)"
+            "float32/float64, G.711 mu-law/A-law, and mono IMA ADPCM "
+            "only — MS-ADPCM/MP3-in-WAV need libsndfile/ffmpeg (not in "
+            "container)"
         )
     return rate, channels, samples
+
+
+# IMA ADPCM quantizer tables (public IMA spec / RFC-adjacent constants,
+# identical in every implementation).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
 
 
 def ulaw_expand(u: int) -> int:

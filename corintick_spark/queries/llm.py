@@ -3778,3 +3778,180 @@ def multimodal_decode_png_lowbit(spark, sf_dir):
 
     with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_png)
+
+
+# IMA ADPCM decode (round 8, WAV format tag 17): the quantizer is a
+# sequential state machine (predictor + step index, 89-entry step
+# table), so the oracle replays it with a RECURSIVE CTE — a genuinely
+# different implementation (SQL row-per-step fixpoint vs the Python
+# nibble loop) computing the identical per-sample values. One block per
+# doc: header predictor (the block's sample 0) + packed nibbles, LOW
+# nibble first. Output is one row PER SAMPLE — the strongest possible
+# adjudication of a stateful codec.
+@query(
+    "multimodal_decode_adpcm",
+    sql="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, doc_id % 12 + 3 AS nbytes FROM documents
+    ), st AS (
+        SELECT doc_id, nbytes, 0 AS pos,
+               CAST((doc_id * 73) % 4096 - 2048 AS INT) AS pred,
+               CAST(doc_id % 89 AS INT) AS idx
+        FROM s
+        UNION ALL
+        SELECT doc_id, nbytes, pos + 1,
+               CAST(GREATEST(-32768, LEAST(32767,
+                 pred + CASE WHEN nib >= 8 THEN -1 ELSE 1 END *
+                   (stp // 8
+                    + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END
+                    + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+                    + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END)))
+                 AS INT),
+               CAST(GREATEST(0, LEAST(88,
+                 idx + CASE nib % 8
+                       WHEN 4 THEN 2 WHEN 5 THEN 4
+                       WHEN 6 THEN 6 WHEN 7 THEN 8
+                       ELSE -1 END)) AS INT)
+        FROM (
+            SELECT doc_id, nbytes, pos, pred, idx,
+                   CASE WHEN pos % 2 = 0
+                        THEN ((doc_id * 13 + (pos // 2) * 7) % 256) % 16
+                        ELSE ((doc_id * 13 + (pos // 2) * 7) % 256) // 16
+                   END AS nib,
+                   ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                     41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+                     173,190,209,230,253,279,307,337,371,408,449,494,544,
+                     598,658,724,796,876,963,1060,1166,1282,1411,1552,
+                     1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+                     4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+                     11487,12635,13899,15289,16818,18500,20350,22385,
+                     24623,27086,29794,32767])[idx + 1] AS stp
+            FROM st WHERE pos < nbytes * 2
+        )
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(pred AS BIGINT) AS sample
+    FROM st
+    """,
+)
+def multimodal_decode_adpcm(spark, sf_dir):
+    """Mono IMA ADPCM WAV decode, one output row per sample (header
+    predictor = sample 0), adjudicated against a recursive-CTE replay of
+    the quantizer state machine."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from corintick_spark.operators.multimodal import decode_wav_pcm
+
+        for pdf in it:
+            out = {"doc_id": [], "pos": [], "sample": []}
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                nbytes = i % 12 + 3
+                ba = 4 + nbytes
+                data = struct.pack("<hBB", (i * 73) % 4096 - 2048, i % 89, 0)
+                data += bytes((i * 13 + k * 7) % 256 for k in range(nbytes))
+                fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, ba, 4)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) % 2 else b"")
+                )
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                _, _, samples = decode_wav_pcm(wav)
+                for p, v in enumerate(samples):
+                    out["doc_id"].append(i)
+                    out["pos"].append(p)
+                    out["sample"].append(v)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(decode, schema="doc_id long, pos long, sample long")
+
+
+# IEEE float64 WAV decode (round 8): dyadic planted values (m/256 with
+# |m| <= 1023) make every double operation exact, so the symmetric
+# round-half-away scaling is bit-reproducible in SQL.
+@query(
+    "multimodal_decode_f64",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 30 + 2 AS n FROM documents
+    ), v AS (
+        SELECT doc_id, n,
+               list_transform(range(0, n::INT), k ->
+                 CASE WHEN ((doc_id * 13 + k * 7) % 2047 - 1023) >= 0
+                 THEN CAST(FLOOR(((doc_id * 13 + k * 7) % 2047 - 1023)
+                          / 256.0 * 32767 + 0.5) AS BIGINT)
+                 ELSE CAST(CEIL(((doc_id * 13 + k * 7) % 2047 - 1023)
+                          / 256.0 * 32767 - 0.5) AS BIGINT)
+                 END) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(v,
+                x -> GREATEST(-32768, LEAST(32767, x)))) AS BIGINT)
+               AS sample_sum,
+           CAST(list_sum(list_transform(range(0, n::INT),
+                k -> k * GREATEST(-32768, LEAST(32767, v[k + 1]))))
+               AS BIGINT) AS sample_wsum
+    FROM v
+    """,
+)
+def multimodal_decode_f64(spark, sf_dir):
+    """IEEE float64 WAV decode (exact dyadic planted values), position-
+    weighted sample stats."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from corintick_spark.operators.multimodal import decode_wav_pcm
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "sample_sum": [], "sample_wsum": [],
+            }
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                n = i % 30 + 2
+                xs = [
+                    ((i * 13 + k * 7) % 2047 - 1023) / 256.0
+                    for k in range(n)
+                ]
+                data = struct.pack(f"<{n}d", *xs)
+                fmt = struct.pack("<HHIIHH", 3, 1, 8000, 64000, 8, 64)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                rate, ch, samples = decode_wav_pcm(wav)
+                out["doc_id"].append(i)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_samples"].append(len(samples))
+                out["sample_sum"].append(sum(samples))
+                out["sample_wsum"].append(
+                    sum(k * v for k, v in enumerate(samples))
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        decode,
+        schema="doc_id long, sample_rate long, channels long,"
+        " n_samples long, sample_sum long, sample_wsum long",
+    )

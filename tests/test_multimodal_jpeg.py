@@ -510,13 +510,15 @@ def test_wav_float32_landmarks():
     assert samples[8] == 0  # rounds to zero
 
 
-def test_wav_float64_still_stub():
+def test_wav_ms_adpcm_still_stub():
     import pytest as _pytest
 
     from corintick_spark.operators.multimodal import decode_wav_pcm
 
-    with _pytest.raises(NotImplementedError, match="float64|PCM"):
-        decode_wav_pcm(_wav(3, 1, 8000, 64, bytes(16)))
+    # MS-ADPCM (format tag 2) remains a named stub; float64 and IMA
+    # ADPCM graduated in round 8.
+    with _pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav_pcm(_wav(2, 1, 8000, 4, bytes(16)))
 
 
 def test_bmp_rle8_truncated_absolute_mode_clean():
@@ -759,3 +761,78 @@ def test_png_subbyte_palette_roundtrip():
     for i in idx:
         exp += pal16[3 * i : 3 * i + 3] + bytes([trns[i] if i < len(trns) else 255])
     assert M.decode_png_pixels(b) == (9, 4, 4, bytes(exp))
+
+
+def test_wav_float64_landmarks():
+    import struct
+
+    from corintick_spark.operators.multimodal import decode_wav_pcm
+
+    xs = [0.0, 1.0, -1.0, 0.25, 2.0, -3.0, float("nan"), 1e-9]
+    data = struct.pack(f"<{len(xs)}d", *xs)
+    _, _, s = decode_wav_pcm(_wav(3, 1, 8000, 64, data))
+    assert s == [0, 32767, -32767, 8192, 32767, -32768, 0, 0]
+
+
+def test_wav_ima_adpcm_blocks_and_stubs():
+    """IMA ADPCM (round 8): multi-block streams decode with per-block
+    header resets (predictor emitted as sample 0 of each block); a
+    truncated trailing block drops cleanly; stereo stays a named stub."""
+    import struct
+
+    from corintick_spark.operators.multimodal import (
+        _IMA_INDEX_ADJ, _IMA_STEPS, decode_wav_pcm,
+    )
+
+    def wav_adpcm(data, ba):
+        fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, ba, 4)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def ref(blocks, ba):
+        out = []
+        for boff in range(0, len(blocks), ba):
+            blk = blocks[boff : boff + ba]
+            if len(blk) < 4:
+                break
+            pred = struct.unpack_from("<h", blk, 0)[0]
+            idx = min(88, blk[2])
+            out.append(pred)
+            for byte in blk[4:]:
+                for nib in (byte & 15, byte >> 4):
+                    st = _IMA_STEPS[idx]
+                    d = st >> 3
+                    if nib & 1:
+                        d += st >> 2
+                    if nib & 2:
+                        d += st >> 1
+                    if nib & 4:
+                        d += st
+                    pred = pred - d if nib & 8 else pred + d
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+                    out.append(pred)
+        return out
+
+    import random
+
+    rng = random.Random(7)
+    for _ in range(10):
+        nblocks, ba = rng.randint(1, 3), 4 + rng.randint(1, 12)
+        data = b""
+        for _b in range(nblocks):
+            data += struct.pack("<hBB", rng.randint(-2048, 2047),
+                                rng.randint(0, 88), 0)
+            data += bytes(rng.randrange(256) for _ in range(ba - 4))
+        _, _, s = decode_wav_pcm(wav_adpcm(data, ba))
+        assert s == ref(data, ba)
+    # truncated trailing block (fewer than 4 header bytes) drops cleanly
+    _, _, s = decode_wav_pcm(wav_adpcm(data + b"\x01\x02", ba))
+    assert s == ref(data, ba)
+    with pytest.raises(NotImplementedError, match="mono"):
+        fmt = struct.pack("<HHIIHH", 0x11, 2, 8000, 8000, 8, 4)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 16) + b"\x00" * 16)
+        decode_wav_pcm(b"RIFF" + struct.pack("<I", len(body)) + body)
