@@ -2032,9 +2032,13 @@ def encode_jpeg_progressive(
     quant: "list[int] | None" = None,
     dc_al: int = 1,
     ac_al: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal PROGRESSIVE JPEG encoder (SOF2) — synthesis/test helper,
     the inverse of the progressive path of :func:`decode_jpeg_pixels`.
+    ``restart_interval`` emits a DRI segment and RSTn markers every that
+    many MCUs inside EVERY scan (round 8) — bit buffer flushed with 1-pad,
+    DC predictors and EOB runs reset, marker counter cycling 0-7 per scan.
 
     Emits the standard spectral-selection + successive-approximation
     progression:
@@ -2131,6 +2135,14 @@ def encode_jpeg_progressive(
                 self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
             return bytes(self.out)
 
+        def restart(self, idx: int) -> None:
+            """1-pad to the byte boundary and emit RSTn (round 8). The
+            pad goes through put(), so an all-ones flush byte gets its
+            stuffed 0x00 exactly as the decoder's consume_rst expects."""
+            if self.nbits:
+                self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+            self.out += bytes([0xFF, 0xD0 + idx % 8])
+
     def magnitude(v: int) -> tuple[int, int]:
         size = int(v).bit_length() if v > 0 else int(-v).bit_length()
         bits = v if v >= 0 else v + (1 << size) - 1
@@ -2151,7 +2163,12 @@ def encode_jpeg_progressive(
     # right shift of the signed quantized coefficient — T.81 G.1.2.1)
     wtr = _Writer()
     preds = [0] * channels
+    rst = 0
     for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            wtr.restart(rst)
+            rst += 1
+            preds = [0] * channels
         for ci in range(channels):
             scaled = seqs[ci][bi][0] >> dc_al
             diff = scaled - preds[ci]
@@ -2169,7 +2186,11 @@ def encode_jpeg_progressive(
     # DC refinement scans: one raw bit per block per component
     for al in range(dc_al - 1, -1, -1):
         wtr = _Writer()
+        rst = 0
         for bi in range(nblocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                wtr.restart(rst)
+                rst += 1
             for ci in range(channels):
                 wtr.put((seqs[ci][bi][0] >> al) & 1, 1)
         scans += sos(list(range(1, channels + 1)), 0, 0, al + 1, al) + wtr.flush()
@@ -2195,7 +2216,12 @@ def encode_jpeg_progressive(
         def pt(v: int) -> int:  # AC point transform: magnitude shift
             return (abs(v) >> ac_al) * (1 if v > 0 else -1)
 
+        rst = 0
         for bi in range(nblocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eobrun()
+                wtr.restart(rst)
+                rst += 1
             seq = seqs[ci][bi]
             vals = [pt(seq[k]) for k in range(64)]
             last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
@@ -2248,7 +2274,12 @@ def encode_jpeg_progressive(
                     wtr.put(bit, 1)
                 be_bits.clear()
 
+            rst = 0
             for bi in range(nblocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    flush_eobrun_r()
+                    wtr.restart(rst)
+                    rst += 1
                 seq = seqs[ci][bi]
                 # t[k]: magnitude at this bit plane; 0 = still zero,
                 # 1 = newly significant this scan, >1 = already significant
@@ -2299,7 +2330,12 @@ def encode_jpeg_progressive(
         b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
     )
-    return b"\xff\xd8" + dqt + sof + dht + bytes(scans) + b"\xff\xd9"
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dqt + sof + dht + dri + bytes(scans) + b"\xff\xd9"
 
 
 def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
@@ -2310,10 +2346,11 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
     G.1.2.3: zero-history run codes + interleaved correction bits), all
     with EOB-run handling — then dequantize → IDCT once.
 
-    Honest-stub boundaries (NotImplementedError, naming the gap): restart
-    intervals inside progressive scans, arithmetic coding, 12-bit, chroma
-    subsampling in progressive streams — the same subset discipline as
-    the baseline path."""
+    Restart intervals inside progressive scans are REAL (round 8): the
+    entropy reader realigns at each RSTn, resetting DC predictors and
+    EOB runs. Honest-stub boundaries (NotImplementedError, naming the
+    gap): arithmetic coding, 12-bit, chroma subsampling in progressive
+    streams — the same subset discipline as the baseline path."""
     import struct
 
     import numpy as np
@@ -2412,10 +2449,6 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
             coefs = [[[0] * 64 for _ in range(nblocks)] for _ in range(ncomp)]
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-            if restart_interval:
-                raise NotImplementedError(
-                    "progressive decode does not support restart intervals"
-                )
         elif marker == 0xDA:  # one scan of the progression
             if coefs is None:
                 raise ValueError("SOS before SOF in JPEG stream")
@@ -2430,21 +2463,51 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
             ss, se, ahl = body[1 + ns * 2], body[2 + ns * 2], body[3 + ns * 2]
             ah, al = ahl >> 4, ahl & 0x0F
 
-            # entropy data: from after SOS to the next real marker
+            # entropy data: from after SOS to the next real marker —
+            # RSTn markers (round 8) belong to the scan's entropy data
             data_start = pos + 2 + seglen
             i = data_start
             while i + 1 < len(b):
                 if b[i] == 0xFF and b[i + 1] != 0x00:
+                    if 0xD0 <= b[i + 1] <= 0xD7:
+                        i += 2
+                        continue
                     break
                 i += 1
             data = b[data_start:i]
             bitpos = 0
+
+            def consume_rst() -> bool:
+                """Byte-align and step over an RSTn marker at the restart
+                cadence (round 8). Same stuffed-pad subtlety as the
+                baseline path: an all-ones flush byte is 0xFF and its
+                stuffed 0x00 sits at the boundary — entropy data, not
+                the marker."""
+                nonlocal bitpos
+                j = (bitpos + 7) >> 3
+                if (
+                    0 < j < len(data)
+                    and data[j] == 0x00
+                    and data[j - 1] == 0xFF
+                ):
+                    j += 1
+                if (
+                    j + 1 < len(data)
+                    and data[j] == 0xFF
+                    and 0xD0 <= data[j + 1] <= 0xD7
+                ):
+                    bitpos = (j + 2) << 3
+                    return True
+                return False
 
             if ss == 0:  # DC scan (interleaved over the scan's components)
                 if se != 0:
                     raise ValueError("DC scan with Se != 0")
                 preds = [0] * len(scan_comps)
                 for bi in range(nblocks):
+                    if restart_interval and bi and bi % restart_interval == 0:
+                        if consume_rst():
+                            preds = [0] * len(scan_comps)
                     for sci, ci in enumerate(scan_comps):
                         if ah == 0:  # first pass: diff of point-transformed DC
                             tab = htables[(0, scan_tabs[sci][0])]
@@ -2475,6 +2538,9 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
                             cf[k] += p1 if cf[k] > 0 else -p1
 
                     for bi in range(nblocks):
+                        if restart_interval and bi and bi % restart_interval == 0:
+                            if consume_rst():
+                                eobrun = 0
                         cf = coefs[ci][bi]
                         k = ss
                         if eobrun > 0:
@@ -2519,6 +2585,9 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
                     pos = i
                     continue
                 for bi in range(nblocks):
+                    if restart_interval and bi and bi % restart_interval == 0:
+                        if consume_rst():
+                            eobrun = 0
                     if eobrun > 0:
                         eobrun -= 1
                         continue

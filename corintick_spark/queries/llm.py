@@ -712,6 +712,10 @@ def multimodal_decode_jpg_prog(spark, sf_dir):
                     M.encode_jpeg_progressive(
                         w, h, bytes(px), channels=3,
                         dc_al=i % 3, ac_al=i % 2,
+                        # round 8: restart markers inside every scan on
+                        # 2 of 5 docs (interval rotates 1-2 MCUs) — the
+                        # decoder realigns + resets DC/EOB state at each
+                        restart_interval=(i % 5) if i % 5 < 3 else 0,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -836,3 +836,23 @@ def test_wav_ima_adpcm_blocks_and_stubs():
         body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 + b"data" + struct.pack("<I", 16) + b"\x00" * 16)
         decode_wav_pcm(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_progressive_restart_intervals_match_no_restart():
+    """Round 8: progressive streams WITH restart markers (DRI + RSTn in
+    every scan — DC first/refine, AC first/refine) decode byte-identically
+    to the same image without restarts, across channel counts, point
+    transforms, and restart cadences (incl. interval 1 — a marker between
+    every pair of MCUs — and the all-ones-flush stuffed-pad boundary)."""
+    import itertools
+
+    for ch, dc_al, ac_al, ri in itertools.product((1, 3), (0, 2), (0, 1), (1, 3)):
+        w, h = 24, 16
+        px = bytes((k * 37 + ch * 11 + dc_al * 5 + ac_al * 3) % 256
+                   for k in range(w * h * ch))
+        a = M.decode_jpeg_pixels(M.encode_jpeg_progressive(
+            w, h, px, channels=ch, dc_al=dc_al, ac_al=ac_al))
+        b = M.decode_jpeg_pixels(M.encode_jpeg_progressive(
+            w, h, px, channels=ch, dc_al=dc_al, ac_al=ac_al,
+            restart_interval=ri))
+        assert a == b, (ch, dc_al, ac_al, ri)
