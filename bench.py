@@ -75,6 +75,11 @@ EXTRAS = [
     "storage_dv",
     "storage_merge_sync",
     "dedup_substring",
+    # round-8: the size-routed default substring path (exact branch at
+    # this SF — the winnow branch is the sf10 SCALING row) and the
+    # animated-GIF compositor
+    "dedup_substring_auto",
+    "multimodal_decode_gif_anim",
 ]
 
 
