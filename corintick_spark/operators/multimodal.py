@@ -2967,7 +2967,7 @@ def decode_image_pixels(
     return df.select(id_col, payload).mapInPandas(batches, schema=PIXEL_SCHEMA)
 
 
-FRAMES_SCHEMA = (
+GIF_ANIM_SCHEMA = (
     "doc_id long, width long, height long, n_frames long,"
     " fr_sum long, fr_wsum long, fr_mean double"
 )
@@ -3016,7 +3016,7 @@ def decode_gif_anim_stats(
                 }
             )
 
-    return df.select(id_col, payload).mapInPandas(batches, schema=FRAMES_SCHEMA)
+    return df.select(id_col, payload).mapInPandas(batches, schema=GIF_ANIM_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
