@@ -429,7 +429,11 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     big-endian bytes per sample at depth 16 (full precision preserved).
     Palette images expand through their PLTE chunk to RGB — or to RGBA
     when a tRNS chunk supplies per-entry alpha (entries past the tRNS
-    length are opaque, per spec). Adam7 streams reassemble from seven
+    length are opaque, per spec). Gray/RGB images with a color-key tRNS
+    (round 8) gain an alpha sample per pixel: 0 where every sample
+    equals the key exactly, full opacity elsewhere (spec 11.3.2 — the
+    key is stored as 2-byte big-endian samples whose low ``depth`` bits
+    are significant). Adam7 streams reassemble from seven
     independently-filtered sub-images (empty passes contribute no
     scanlines).
 
@@ -438,8 +442,8 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     Average/Paeth); the filter byte-offset unit is bytes-per-pixel
     (channels * depth/8), the spec's one depth-16 subtlety. Returns None
     for non-PNG bytes; raises NotImplementedError for valid PNGs outside
-    the supported subset (sub-byte palette depths, 16-bit palette,
-    gray/RGB color-key tRNS) — the honest-stub posture.
+    the supported subset (sub-byte gray depths) — the honest-stub
+    posture.
     """
     import struct
     import zlib
@@ -482,13 +486,14 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         elif ctype == b"PLTE":
             palette = bytes(body)
         elif ctype == b"tRNS":
-            if color != 3:
-                raise NotImplementedError(
-                    "decode_png_pixels supports tRNS on palette images "
-                    "only (color-keyed transparency on gray/RGB needs a "
-                    "full codec)"
+            if color in (4, 6):
+                raise ValueError(
+                    "tRNS is invalid on alpha-bearing color types "
+                    "(PNG spec 11.3.2)"
                 )
-            trns = bytes(body)  # alpha per palette entry; rest opaque
+            # color 3: alpha per palette entry (rest opaque); color 0/2
+            # (round 8): the color key — 2-byte big-endian sample(s)
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -581,6 +586,29 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             if ch == 4:
                 rgb[i * ch + 3] = trns[ix] if ix < len(trns) else 255
         return w, h, ch, bytes(rgb)
+    if trns is not None and color in (0, 2):
+        # color-key transparency (round 8): append one alpha sample per
+        # pixel — 0 where EVERY sample equals the key, full opacity
+        # elsewhere. Keys store as 2-byte big-endian samples whose low
+        # `depth` bits are significant (spec 11.3.2).
+        if len(trns) != 2 * channels:
+            raise ValueError("tRNS color-key length mismatch")
+        key = struct.unpack(">" + "H" * channels, trns)
+        sb = depth // 8  # bytes per sample
+        opaque, clear = b"\xff" * sb, b"\x00" * sb
+        step = channels * sb
+        res = bytearray()
+        for off in range(0, len(out), step):
+            px = out[off : off + step]
+            if sb == 1:
+                match = all(px[j] == (key[j] & 0xFF) for j in range(channels))
+            else:
+                match = all(
+                    ((px[2 * j] << 8) | px[2 * j + 1]) == key[j]
+                    for j in range(channels)
+                )
+            res += px + (clear if match else opaque)
+        return w, h, channels + 1, bytes(res)
     return w, h, channels, bytes(out)
 
 
@@ -661,6 +689,7 @@ def encode_png(
     filter_for_row=None,
     depth: int = 8,
     interlace: bool = False,
+    trns_key: "tuple[int, ...] | None" = None,
 ) -> bytes:
     """Minimal 8/16-bit PNG encoder (synthesis/test helper — the inverse
     of :func:`decode_png_pixels`). ``filter_for_row(y)`` picks the
@@ -668,12 +697,16 @@ def encode_png(
     every un-filter path with known pixel content. At ``depth=16``
     ``pixels`` is the big-endian sample byte stream (2 bytes per sample)
     and filters offset by channels*2 per the spec; ``interlace`` stores
-    the seven Adam7 passes (``pixels`` stays the natural raster)."""
+    the seven Adam7 passes (``pixels`` stays the natural raster).
+    ``trns_key`` (round 8, gray/RGB only) writes a color-key tRNS chunk
+    — 1 or 3 sample values stored as 2-byte big-endian."""
     import struct
     import zlib
 
     color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     bypp = channels * (depth // 8)
+    if trns_key is not None and channels not in (1, 3):
+        raise ValueError("color-key tRNS is valid on gray/RGB only")
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -689,9 +722,15 @@ def encode_png(
     ihdr = struct.pack(
         ">IIBBBBB", width, height, depth, color, 0, 0, 1 if interlace else 0
     )
+    trns = (
+        b""
+        if trns_key is None
+        else chunk(b"tRNS", struct.pack(">" + "H" * channels, *trns_key))
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + trns
         + chunk(b"IDAT", zlib.compress(filtered))
         + chunk(b"IEND", b"")
     )

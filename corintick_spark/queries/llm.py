@@ -3959,3 +3959,101 @@ def multimodal_decode_f64(spark, sf_dir):
         schema="doc_id long, sample_rate long, channels long,"
         " n_samples long, sample_sum long, sample_wsum long",
     )
+
+
+# Color-key tRNS PNG decode (round 8): gray/RGB images gain an alpha
+# sample per pixel — 0 where every sample equals the planted key, full
+# opacity elsewhere (spec 11.3.2). Three classes rotate by doc: gray8
+# (filters rotating), RGB8 (filters rotating, phase-shifted), gray16
+# (sequential/Adam7 alternating, 2-byte big-endian samples). The key is
+# planted at pixel p0 = doc_id % (w*h); the sample generators use
+# multipliers coprime to the modulus, so p0 is provably the ONLY
+# transparent pixel and the oracle recomputes every output byte.
+@query(
+    "multimodal_decode_png_ckey",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h,
+               doc_id % 3 AS cls
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               CASE cls WHEN 1 THEN 4 ELSE 2 END AS channels,
+               flatten(list_transform(range(0, (w * h)::INT), p ->
+                 CASE cls
+                 WHEN 0 THEN [
+                     (doc_id + 3 * p) % 256,
+                     CASE WHEN p = doc_id % (w * h) THEN 0 ELSE 255 END]
+                 WHEN 1 THEN [
+                     (doc_id + 5 * p) % 256,
+                     (doc_id * 2 + 7 * p) % 256,
+                     (doc_id * 3 + 11 * p) % 256,
+                     CASE WHEN p = doc_id % (w * h) THEN 0 ELSE 255 END]
+                 ELSE [
+                     ((doc_id * 257 + 1031 * p) % 65536) // 256,
+                     ((doc_id * 257 + 1031 * p) % 65536) % 256,
+                     CASE WHEN p = doc_id % (w * h) THEN 0 ELSE 255 END,
+                     CASE WHEN p = doc_id % (w * h) THEN 0 ELSE 255 END]
+                 END)) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, len(v)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (len(v) * 1.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_png_ckey(spark, sf_dir):
+    """Color-key tRNS PNG decode (gray8 / RGB8 / gray16 rotating; the
+    planted key pixel is the only transparent one by construction)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 4, i % 4 + 3
+                n = w * h
+                p0 = i % n
+                cls = i % 3
+                if cls == 0:
+                    px = bytes((i + 3 * p) % 256 for p in range(n))
+                    payloads.append(M.encode_png(
+                        w, h, px, 1, filter_for_row=lambda y: y % 5,
+                        trns_key=((i + 3 * p0) % 256,),
+                    ))
+                elif cls == 1:
+                    px = bytes(
+                        v for p in range(n)
+                        for v in ((i + 5 * p) % 256,
+                                  (i * 2 + 7 * p) % 256,
+                                  (i * 3 + 11 * p) % 256)
+                    )
+                    payloads.append(M.encode_png(
+                        w, h, px, 3, filter_for_row=lambda y: (y + 1) % 5,
+                        trns_key=tuple(px[3 * p0 : 3 * p0 + 3]),
+                    ))
+                else:
+                    vals = [(i * 257 + 1031 * p) % 65536 for p in range(n)]
+                    px = b"".join(struct.pack(">H", v) for v in vals)
+                    payloads.append(M.encode_png(
+                        w, h, px, 1, depth=16, interlace=bool(i % 2),
+                        trns_key=(vals[p0],),
+                    ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_png)

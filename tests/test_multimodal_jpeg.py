@@ -659,17 +659,68 @@ def test_png_trns_rgba_expansion():
     for i in idx:
         exp += pal[3 * i : 3 * i + 3] + bytes([trns[i] if i < len(trns) else 255])
     assert M.decode_png_pixels(b) == (w, h, 4, bytes(exp))
-    # gray/RGB color-key tRNS stays a named stub
-    px = bytes((k * 7) % 256 for k in range(w * h * 3))
-    raw = bytearray(M.encode_png(w, h, px, 3))
-    import struct, zlib
-    body = struct.pack(">HHH", 1, 2, 3)
-    chunk = struct.pack(">I", len(body)) + b"tRNS" + body + struct.pack(
+
+
+def test_png_color_key_trns():
+    """Color-key tRNS (round 8): gray/RGB pixels matching the key get
+    alpha 0, everything else full opacity — at depth 8 AND 16, filtered,
+    sequential and Adam7; only low `depth` bits of the stored key count."""
+    import struct
+    import zlib
+
+    # gray8: key value planted at exactly one pixel
+    w, h = 6, 5
+    px = bytes((3 * p + 1) % 256 for p in range(w * h))
+    b = M.encode_png(w, h, px, 1, filter_for_row=lambda y: y % 5,
+                     trns_key=(px[7],))
+    exp = b"".join(bytes([v, 0 if v == px[7] else 255]) for v in px)
+    assert M.decode_png_pixels(b) == (w, h, 2, exp)
+
+    # RGB8: all three samples must match
+    px = bytes((p * 7 + c * 5) % 256 for p in range(w * h) for c in range(3))
+    key = tuple(px[9:12])
+    b = M.encode_png(w, h, px, 3, trns_key=key)
+    got = M.decode_png_pixels(b)
+    assert got[:3] == (w, h, 4)
+    out = got[3]
+    for p in range(w * h):
+        a = out[4 * p + 3]
+        assert out[4 * p : 4 * p + 3] == px[3 * p : 3 * p + 3]
+        assert a == (0 if tuple(px[3 * p : 3 * p + 3]) == key else 255)
+
+    # gray16 Adam7: 2-byte samples, 2-byte alpha
+    vals = [(p * 1031 + 5) % 65536 for p in range(w * h)]
+    px = b"".join(struct.pack(">H", v) for v in vals)
+    b = M.encode_png(w, h, px, 1, depth=16, interlace=True,
+                     trns_key=(vals[13],))
+    got = M.decode_png_pixels(b)
+    assert got[:3] == (w, h, 2)
+    out = got[3]
+    for p, v in enumerate(vals):
+        assert (out[4 * p] << 8) | out[4 * p + 1] == v
+        alpha = (out[4 * p + 2], out[4 * p + 3])
+        assert alpha == ((0, 0) if v == vals[13] else (255, 255))
+
+    # stored key uses only the low `depth` bits (spec 11.3.2)
+    raw = bytearray(M.encode_png(2, 1, bytes([9, 10]), 1))
+    i = bytes(raw).find(b"IDAT") - 4
+    body = struct.pack(">H", 0x0109)  # low byte 9
+    chunk = struct.pack(">I", 2) + b"tRNS" + body + struct.pack(
         ">I", zlib.crc32(b"tRNS" + body))
-    ihdr_end = 8 + 25
-    raw2 = bytes(raw[:ihdr_end]) + chunk + bytes(raw[ihdr_end:])
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        M.decode_png_pixels(raw2)
+    got = M.decode_png_pixels(bytes(raw[:i]) + chunk + bytes(raw[i:]))
+    assert got == (2, 1, 2, bytes([9, 0, 10, 255]))
+
+    # tRNS on alpha-bearing color types is spec-invalid -> ValueError
+    raw = bytearray(M.encode_png(2, 1, bytes(8), 4))
+    i = bytes(raw).find(b"IDAT") - 4
+    body = struct.pack(">H", 0)
+    chunk = struct.pack(">I", 2) + b"tRNS" + body + struct.pack(
+        ">I", zlib.crc32(b"tRNS" + body))
+    with pytest.raises(ValueError, match="alpha-bearing"):
+        M.decode_png_pixels(bytes(raw[:i]) + chunk + bytes(raw[i:]))
+    # and the encoder refuses a key on alpha-bearing channel counts
+    with pytest.raises(ValueError, match="gray/RGB"):
+        M.encode_png(2, 1, bytes(8), 4, trns_key=(0, 0, 0, 0))
 
 
 def test_bmp_lowbit_roundtrip():
