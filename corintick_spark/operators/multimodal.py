@@ -823,21 +823,87 @@ def encode_png_palette(
     return out + chunk(b"IDAT", zlib.compress(filtered)) + chunk(b"IEND", b"")
 
 
+def _bmp_mask_params(mask: int, bpp: int) -> tuple[int, int]:
+    """(shift, width) of a BI_BITFIELDS channel mask. The spec requires
+    masks to be contiguous runs of set bits inside the pixel word;
+    anything else is malformed input (ValueError)."""
+    if mask == 0 or mask >= (1 << bpp):
+        raise ValueError(f"BI_BITFIELDS mask out of range: {mask:#x}")
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    if (mask >> shift) != (1 << width) - 1:
+        raise ValueError(f"BI_BITFIELDS mask not contiguous: {mask:#x}")
+    return shift, width
+
+
+def _bit_replicate(v: int, width: int) -> int:
+    """Upscale a ``width``-bit sample to 8 bits by bit replication — the
+    exact integer upscale renderers use ((v << 3) | (v >> 2) for 5-bit,
+    v * 17 for 4-bit, v * 85 for 2-bit, v >> (width - 8) past 8 bits)."""
+    if width >= 8:
+        return v >> (width - 8)
+    res, filled = 0, 0
+    while filled < 8:
+        res = (res << width) | v
+        filled += width
+    return res >> (filled - 8)
+
+
+def _bmp_bitfields_decode(
+    b: bytes, w: int, h: int, h_signed: int, data_off: int,
+    dib_size: int, bpp: int,
+) -> tuple[int, int, int, bytes] | None:
+    """General BI_BITFIELDS decode (round 8): arbitrary contiguous
+    non-overlapping masks for 16- and 32-bit pixels, each channel
+    upscaled to 8 bits by bit replication. An alpha mask (BITMAPV4+
+    headers, DIB offset 52) adds a fourth output channel; without one
+    the output is RGB. Overlapping/non-contiguous masks are malformed
+    per the public BMP spec (ValueError)."""
+    import struct
+
+    rm, gm, bm = struct.unpack_from("<III", b, 54)
+    am = struct.unpack_from("<I", b, 66)[0] if dib_size >= 56 else 0
+    if (rm & gm) | (rm & bm) | (gm & bm) | (am & (rm | gm | bm)):
+        raise ValueError("BI_BITFIELDS masks overlap")
+    params = [_bmp_mask_params(m, bpp) for m in (rm, gm, bm)]
+    if am:
+        params.append(_bmp_mask_params(am, bpp))
+    ch = len(params)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    if len(b) < data_off + stride * h:
+        return None
+    fmt = "<H" if bpp == 16 else "<I"
+    out = bytearray(w * h * ch)
+    for y in range(h):
+        src_row = (h - 1 - y) if h_signed > 0 else y
+        row_off = data_off + src_row * stride
+        dst = y * w * ch
+        for x in range(w):
+            (v,) = struct.unpack_from(fmt, b, row_off + nb * x)
+            for ci, (shift, width) in enumerate(params):
+                out[dst + ch * x + ci] = _bit_replicate(
+                    (v >> shift) & ((1 << width) - 1), width
+                )
+    return w, h, ch, bytes(out)
+
+
 def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     """Decode a BMP to raw pixel bytes in the canonical top-down layout
     :func:`decode_png_pixels` emits: 24-bit BI_RGB → (w, h, 3, RGB);
     32-bit BI_RGB / BI_BITFIELDS-with-standard-masks → (w, h, 4, RGBA)
     (round 7); RLE8 palette → (w, h, 3, RGB) through the BGRX color
     table, incl. end-of-line/bitmap, delta, and word-aligned absolute
-    escapes (round 7).
+    escapes (round 7); arbitrary contiguous BI_BITFIELDS masks at 16/32
+    bpp (round 8) → (w, h, 3 or 4) with bit-replicated 8-bit upscale and
+    a fourth channel only when a V4+ alpha mask is present.
 
     Pure stdlib: the pixel-array offset comes from the file header, rows
     are 4-byte aligned (padding stripped), stored bottom-up unless the DIB
     height is negative (top-down), and samples are BGR(A) on disk
     (swapped here) — all per the public Windows BMP format. Returns None
     for non-BMP bytes; raises NotImplementedError for valid BMPs outside
-    the supported subset (1/4/16-bit, RLE4, exotic bitfield masks) — the
-    honest-stub posture.
+    the supported subset — the honest-stub posture.
     """
     import struct
 
@@ -855,9 +921,9 @@ def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         if comp == 3:
             masks = struct.unpack_from("<III", b, 54)
             if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
-                raise NotImplementedError(
-                    "decode_bmp_pixels supports BI_BITFIELDS only with "
-                    f"the standard BGRA masks — got {masks}"
+                # exotic masks (round 8): general bitfields path
+                return _bmp_bitfields_decode(
+                    b, w, h, h_signed, data_off, dib_size, 32
                 )
         stride = w * 4  # already 4-byte aligned
         if len(b) < data_off + stride * h:
@@ -962,7 +1028,8 @@ def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         # Components upscale to 8 bits by bit replication
         # ((v << 3) | (v >> 2) for 5-bit, (v << 2) | (v >> 4) for 6-bit)
         # — the exact integer upscale renderers use, so round-trips are
-        # deterministic. Exotic masks stay a named stub.
+        # deterministic. Exotic masks route to the general bitfields
+        # path (round 8).
         if comp == 3:
             masks = struct.unpack_from("<III", b, 54)
             if masks == (0xF800, 0x07E0, 0x001F):
@@ -970,9 +1037,8 @@ def decode_bmp_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             elif masks == (0x7C00, 0x03E0, 0x001F):
                 g6 = False
             else:
-                raise NotImplementedError(
-                    "decode_bmp_pixels supports 16-bit BI_BITFIELDS only "
-                    f"with 565 or 555 masks — got {masks}"
+                return _bmp_bitfields_decode(
+                    b, w, h, h_signed, data_off, dib_size, 16
                 )
         else:
             g6 = False
@@ -1297,6 +1363,62 @@ def encode_bmp16(
     return (
         b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
         + dib + masks + bytes(body)
+    )
+
+
+def encode_bmp_masks(
+    width: int,
+    height: int,
+    values: "list[int]",
+    bpp: int,
+    masks: "tuple[int, int, int]",
+    alpha_mask: int = 0,
+    top_down: bool = False,
+) -> bytes:
+    """Minimal BI_BITFIELDS BMP encoder with ARBITRARY masks (round 8
+    synthesis/test helper — the inverse of the general bitfields decode
+    path). ``values`` is one packed ``bpp``-bit pixel per position,
+    top-down row-major. Without ``alpha_mask`` the classic 40-byte DIB
+    header is written with the three masks appended (file offset 54);
+    with one, a BITMAPV4 header (108 bytes) carries all four masks
+    in-header at the same file offset."""
+    import struct
+
+    if bpp not in (16, 32):
+        raise ValueError("bitfields BMPs are 16- or 32-bit")
+    if len(values) != width * height:
+        raise ValueError("value buffer length mismatch")
+    nb = bpp // 8
+    fmt = "<H" if bpp == 16 else "<I"
+    stride = (width * nb + 3) & ~3
+    body = bytearray()
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for y in rows:
+        row = bytearray(stride)
+        for x in range(width):
+            struct.pack_into(
+                fmt, row, nb * x, values[y * width + x] & ((1 << bpp) - 1)
+            )
+        body += row
+    if alpha_mask:
+        dib = struct.pack(
+            "<IiiHHIIiiII", 108, width, -height if top_down else height,
+            1, bpp, 3, len(body), 2835, 2835, 0, 0,
+        )
+        dib += struct.pack("<IIII", *masks, alpha_mask)
+        dib += struct.pack("<I", 0x73524742)  # LCS 'sRGB'
+        dib += bytes(48)  # endpoints + gammas (ignored for sRGB)
+        mask_tail = b""
+    else:
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, -height if top_down else height,
+            1, bpp, 3, len(body), 2835, 2835, 0, 0,
+        )
+        mask_tail = struct.pack("<III", *masks)
+    off = 14 + len(dib) + len(mask_tail)
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + dib + mask_tail + bytes(body)
     )
 
 

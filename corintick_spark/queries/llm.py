@@ -4057,3 +4057,103 @@ def multimodal_decode_png_ckey(spark, sf_dir):
 
     with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_png)
+
+
+# Exotic BMP bitfield masks (round 8): the general BI_BITFIELDS path —
+# arbitrary contiguous masks, bit-replicated 8-bit upscale, alpha
+# channel only when a BITMAPV4 alpha mask is present. Four mask layouts
+# rotate by doc: byte-swapped B5G6R5 (16bpp, no alpha), A4R4G4B4
+# (16bpp + alpha), A2R10G10B10 (32bpp + alpha), and byte-reversed RGBX
+# (32bpp, no alpha); orientation alternates top-down/bottom-up. The
+# oracle recomputes every replicated output byte symbolically
+# (rep5 = v*8 + v//4, rep6 = v*4 + v//16, rep4 = v*17, rep10 = v//4,
+# rep2 = v*85).
+@query(
+    "multimodal_decode_bmp_masks",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h,
+               doc_id % 4 AS cls
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               CASE WHEN cls IN (1, 2) THEN 4 ELSE 3 END AS channels,
+               flatten(list_transform(range(0, (w * h)::INT), p ->
+                 CASE cls
+                 WHEN 0 THEN [
+                     ((doc_id + 3 * p) % 32) * 8 + ((doc_id + 3 * p) % 32) // 4,
+                     ((doc_id + 3 * p + 7) % 64) * 4
+                       + ((doc_id + 3 * p + 7) % 64) // 16,
+                     ((doc_id + 3 * p + 14) % 32) * 8
+                       + ((doc_id + 3 * p + 14) % 32) // 4]
+                 WHEN 1 THEN [
+                     ((doc_id + 3 * p) % 16) * 17,
+                     ((doc_id + 3 * p + 7) % 16) * 17,
+                     ((doc_id + 3 * p + 14) % 16) * 17,
+                     ((doc_id + 3 * p + 21) % 16) * 17]
+                 WHEN 2 THEN [
+                     ((doc_id + 3 * p) % 1024) // 4,
+                     ((doc_id + 3 * p + 7) % 1024) // 4,
+                     ((doc_id + 3 * p + 14) % 1024) // 4,
+                     ((doc_id + 3 * p + 21) % 4) * 85]
+                 ELSE [
+                     (doc_id + 3 * p) % 256,
+                     (doc_id + 3 * p + 7) % 256,
+                     (doc_id + 3 * p + 14) % 256]
+                 END)) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, len(v)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (len(v) * 1.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_bmp_masks(spark, sf_dir):
+    """Exotic BMP bitfield masks via the general BI_BITFIELDS decode
+    path (swapped 565, A4R4G4B4, A2R10G10B10, reversed RGBX rotating)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    # (bpp, (r, g, b) masks, alpha mask, per-channel widths)
+    layouts = [
+        (16, (0x001F, 0x07E0, 0xF800), 0, (5, 6, 5)),
+        (16, (0x0F00, 0x00F0, 0x000F), 0xF000, (4, 4, 4, 4)),
+        (32, (0x3FF00000, 0x000FFC00, 0x000003FF), 0xC0000000,
+         (10, 10, 10, 2)),
+        (32, (0x000000FF, 0x0000FF00, 0x00FF0000), 0, (8, 8, 8)),
+    ]
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 4, i % 4 + 3
+                bpp, masks, am, widths = layouts[i % 4]
+                shifts = [
+                    (m & -m).bit_length() - 1
+                    for m in list(masks) + ([am] if am else [])
+                ]
+                vals = []
+                for p in range(w * h):
+                    v = 0
+                    for c, (s, wd) in enumerate(zip(shifts, widths)):
+                        v |= ((i + 3 * p + 7 * c) % (1 << wd)) << s
+                    vals.append(v)
+                payloads.append(M.encode_bmp_masks(
+                    w, h, vals, bpp, masks, am, top_down=bool(i % 2)
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_bmp)

@@ -435,13 +435,20 @@ def test_bmp32_roundtrip_all_variants():
                 M.encode_bmp32(w, h, rgba, top_down=td, bitfields=bf)
             )
             assert got == (w, h, 4, rgba), (bf, td)
-    # exotic bitfield masks stay a named stub
+    # exotic bitfield masks now route through the general path (round 8):
+    # byte-reversed RGBX masks re-read the same payload with R and B
+    # swapped, and the missing alpha mask drops the fourth channel
     import struct
 
     b = bytearray(M.encode_bmp32(w, h, rgba, bitfields=True))
     struct.pack_into("<III", b, 54, 0x000000FF, 0x0000FF00, 0x00FF0000)
-    with pytest.raises(NotImplementedError, match="masks"):
-        M.decode_bmp_pixels(bytes(b))
+    got = M.decode_bmp_pixels(bytes(b))
+    assert got[:3] == (w, h, 3)
+    for p in range(w * h):
+        # disk bytes are B,G,R,A; reversed masks read them as R,G,B
+        assert got[3][3 * p : 3 * p + 3] == bytes(
+            [rgba[4 * p + 2], rgba[4 * p + 1], rgba[4 * p]]
+        )
 
 
 def test_bmp_rle8_runs_and_absolute():
@@ -759,12 +766,72 @@ def test_bmp16_roundtrip_555_565():
             for td in (False, True):
                 got = M.decode_bmp_pixels(M.encode_bmp16(w, h, vals, fmt, top_down=td))
                 assert got == (w, h, 3, bytes(exp)), (fmt, w, h, td)
-    # exotic 16-bit masks stay a named stub
+    # exotic 16-bit masks route through the general path (round 8):
+    # swapped 565 reads the same payload with R and B exchanged
     import struct
-    b = bytearray(M.encode_bmp16(3, 2, [0] * 6, "565"))
+    vals = [(x * 257 + 7) % 65536 for x in range(6)]
+    b = bytearray(M.encode_bmp16(3, 2, vals, "565"))
     struct.pack_into("<III", b, 54, 0x001F, 0x07E0, 0xF800)
-    with pytest.raises(NotImplementedError, match="masks"):
-        M.decode_bmp_pixels(bytes(b))
+    got = M.decode_bmp_pixels(bytes(b))
+    assert got[:3] == (3, 2, 3)
+    base = M.decode_bmp_pixels(M.encode_bmp16(3, 2, vals, "565"))[3]
+    for p in range(6):
+        assert got[3][3 * p : 3 * p + 3] == bytes(
+            [base[3 * p + 2], base[3 * p + 1], base[3 * p]]
+        )
+
+
+def test_bmp_bitfields_general():
+    """Arbitrary contiguous BI_BITFIELDS masks (round 8): bit-replicated
+    upscale at any width, optional V4 alpha channel, both orientations;
+    overlapping or non-contiguous masks raise (spec-malformed)."""
+    def rep(v, width):
+        if width >= 8:
+            return v >> (width - 8)
+        res, filled = 0, 0
+        while filled < 8:
+            res = (res << width) | v
+            filled += width
+        return res >> (filled - 8)
+
+    cases = [
+        (16, (0x001F, 0x07E0, 0xF800), 0, (5, 6, 5)),
+        (16, (0x0F00, 0x00F0, 0x000F), 0xF000, (4, 4, 4, 4)),
+        (32, (0x3FF00000, 0x000FFC00, 0x000003FF), 0xC0000000,
+         (10, 10, 10, 2)),
+        (32, (0x000000FF, 0x0000FF00, 0x00FF0000), 0, (8, 8, 8)),
+    ]
+    w, h = 5, 4
+    for bpp, masks, am, widths in cases:
+        shifts = [
+            (m & -m).bit_length() - 1
+            for m in list(masks) + ([am] if am else [])
+        ]
+        comps_all, vals = [], []
+        for p in range(w * h):
+            comps = [(p * 3 + c * 7 + 1) % (1 << widths[c])
+                     for c in range(len(widths))]
+            comps_all.append(comps)
+            vals.append(sum(c << s for c, s in zip(comps, shifts)))
+        for td in (False, True):
+            got = M.decode_bmp_pixels(
+                M.encode_bmp_masks(w, h, vals, bpp, masks, am, top_down=td)
+            )
+            ch = len(widths)
+            assert got[:3] == (w, h, ch), (bpp, masks, td)
+            for p in range(w * h):
+                for c in range(ch):
+                    assert got[3][p * ch + c] == rep(
+                        comps_all[p][c], widths[c]
+                    ), (bpp, p, c, td)
+    with pytest.raises(ValueError, match="overlap"):
+        M.decode_bmp_pixels(
+            M.encode_bmp_masks(2, 2, [0] * 4, 16, (0x00FF, 0x0FF0, 0xF000))
+        )
+    with pytest.raises(ValueError, match="contiguous"):
+        M.decode_bmp_pixels(
+            M.encode_bmp_masks(2, 2, [0] * 4, 16, (0x00C3, 0x0300, 0xF000))
+        )
 
 
 def test_bmp_rle4_runs_absolute_truncation():
