@@ -3195,9 +3195,10 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
     -128, 24-bit little-endian signed (round 7), G.711 µ/A-law expansion,
     or IEEE float32 (round 7 — scaled by 32767 and symmetrically rounded
     to integers, the standard float→int16-range convention; values
-    outside ±1 clip to the int16 extremes). Returns None for non-WAV
+    outside ±1 clip to the int16 extremes), IEEE float64, mono IMA
+    ADPCM, or mono MS-ADPCM (all round 8). Returns None for non-WAV
     bytes; raises NotImplementedError for valid WAVs outside the
-    supported subset (float64, ADPCM/MP3-in-WAV) — the honest-stub
+    supported subset (stereo ADPCM, MP3-in-WAV) — the honest-stub
     posture.
     """
     import struct
@@ -3311,6 +3312,41 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
                     pred = max(-32768, min(32767, pred))
                     index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
                     samples.append(pred)
+    elif fmt_tag == 2 and bits == 4:
+        # MS-ADPCM (round 8, format tag 2; public Microsoft spec): mono
+        # only. Block header: predictor index (0-6), initial delta
+        # (int16), sample1 (int16, the NEWER stored sample), sample2
+        # (int16, older); output starts sample2, sample1, then one
+        # sample per nibble — HIGH nibble first, the opposite order of
+        # IMA. Per nibble: pred = ((s1*c1 + s2*c2) >> 8) +
+        # signed_nibble * delta (arithmetic shift, i.e. floor), clamped
+        # to int16; delta = max(16, (adapt[nib] * delta) >> 8).
+        if channels != 1:
+            raise NotImplementedError(
+                "decode_wav_pcm supports mono MS-ADPCM only — stereo "
+                "splits the header per channel and alternates nibbles"
+            )
+        ba = block_align or len(data)
+        samples = []
+        for boff in range(0, len(data), ba):
+            block = data[boff : boff + ba]
+            if len(block) < 7:
+                break
+            ip = block[0]
+            if ip >= 7:
+                raise ValueError("MS-ADPCM predictor index out of range")
+            delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
+            c1, c2 = _MS_COEF[ip]
+            samples.append(s2)
+            samples.append(s1)
+            for byte in block[7:]:
+                for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                    snib = nib - 16 if nib >= 8 else nib
+                    pred = ((s1 * c1 + s2 * c2) >> 8) + snib * delta
+                    pred = max(-32768, min(32767, pred))
+                    s2, s1 = s1, pred
+                    delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+                    samples.append(pred)
     elif fmt_tag in (6, 7) and bits == 8:
         # G.711 companded telephony audio (format tags 6 = A-law,
         # 7 = µ-law): REAL expansion to 13/14-bit linear, the exact
@@ -3324,9 +3360,8 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
     else:
         raise NotImplementedError(
             "decode_wav_pcm supports integer PCM (8/16/24-bit), IEEE "
-            "float32/float64, G.711 mu-law/A-law, and mono IMA ADPCM "
-            "only — MS-ADPCM/MP3-in-WAV need libsndfile/ffmpeg (not in "
-            "container)"
+            "float32/float64, G.711 mu-law/A-law, and mono IMA/MS ADPCM "
+            "only — MP3-in-WAV needs a full codec (not in container)"
         )
     return rate, channels, samples
 
@@ -3343,6 +3378,17 @@ _IMA_STEPS = (
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
 )
 _IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+# MS-ADPCM predictor coefficient pairs and delta-adaptation table
+# (public Microsoft WAVE spec constants, identical in every decoder).
+_MS_COEF = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+    (460, -208), (392, -232),
+)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
 
 
 def ulaw_expand(u: int) -> int:

@@ -4157,3 +4157,101 @@ def multimodal_decode_bmp_masks(spark, sf_dir):
 
     with_bmp = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_bmp)
+
+
+# MS-ADPCM decode (round 8, WAV format tag 2): like the IMA query, the
+# quantizer is a sequential state machine — predictor = floor((s1*c1 +
+# s2*c2) / 256) + signed_nibble * delta (7 public coefficient pairs),
+# delta adapting by a 16-entry table with a floor of 16 — so the oracle
+# replays it with a RECURSIVE CTE computing identical per-sample values
+# (the floor division is spelled out with an explicit non-negative mod
+# because the decoder's >> 8 is an ARITHMETIC shift). One block per
+# doc: header (predictor index, initial delta, sample1, sample2) emits
+# sample2 then sample1, then one sample per nibble, HIGH nibble first.
+# delta grows unboundedly under adversarial nibbles, so state stays
+# BIGINT. One row PER SAMPLE.
+@query(
+    "multimodal_decode_msadpcm",
+    sql="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, doc_id % 12 + 3 AS nbytes,
+               ([256, 512, 0, 192, 240, 460, 392])[doc_id % 7 + 1] AS c1,
+               ([0, -256, 0, 64, 0, -208, -232])[doc_id % 7 + 1] AS c2
+        FROM documents
+    ), st AS (
+        SELECT doc_id, nbytes, c1, c2, 1 AS pos,
+               CAST((doc_id * 37) % 4096 - 2048 AS BIGINT) AS s1,
+               CAST((doc_id * 91) % 4096 - 2048 AS BIGINT) AS s2,
+               CAST(doc_id % 500 + 16 AS BIGINT) AS delta
+        FROM s
+        UNION ALL
+        SELECT doc_id, nbytes, c1, c2, pos + 1,
+               GREATEST(-32768, LEAST(32767,
+                 (s1 * c1 + s2 * c2
+                  - ((((s1 * c1 + s2 * c2) % 256) + 256) % 256)) // 256
+                 + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END)
+                   * delta)),
+               s1,
+               GREATEST(16,
+                 ([230, 230, 230, 230, 307, 409, 512, 614, 768, 614,
+                   512, 409, 307, 230, 230, 230])[nib + 1] * delta // 256)
+        FROM (
+            SELECT doc_id, nbytes, c1, c2, pos, s1, s2, delta,
+                   CASE WHEN (pos - 1) % 2 = 0
+                        THEN ((doc_id * 13 + ((pos - 1) // 2) * 7) % 256)
+                             // 16
+                        ELSE ((doc_id * 13 + ((pos - 1) // 2) * 7) % 256)
+                             % 16
+                   END AS nib
+            FROM st WHERE pos < nbytes * 2 + 1
+        )
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+           CAST((doc_id * 91) % 4096 - 2048 AS BIGINT) AS sample
+    FROM s
+    UNION ALL
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(s1 AS BIGINT) AS sample
+    FROM st
+    """,
+)
+def multimodal_decode_msadpcm(spark, sf_dir):
+    """Mono MS-ADPCM WAV decode, one output row per sample (header
+    sample2/sample1 = samples 0/1), adjudicated against a recursive-CTE
+    replay of the predictor + delta-adaptation state machine."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from corintick_spark.operators.multimodal import decode_wav_pcm
+
+        for pdf in it:
+            out = {"doc_id": [], "pos": [], "sample": []}
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                nbytes = i % 12 + 3
+                ba = 7 + nbytes
+                data = struct.pack(
+                    "<Bhhh", i % 7, i % 500 + 16,
+                    (i * 37) % 4096 - 2048, (i * 91) % 4096 - 2048,
+                )
+                data += bytes((i * 13 + k * 7) % 256 for k in range(nbytes))
+                fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, ba, 4)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) % 2 else b"")
+                )
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                _, _, samples = decode_wav_pcm(wav)
+                for p, v in enumerate(samples):
+                    out["doc_id"].append(i)
+                    out["pos"].append(p)
+                    out["sample"].append(v)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(decode, schema="doc_id long, pos long, sample long")

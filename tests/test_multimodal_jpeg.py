@@ -517,15 +517,80 @@ def test_wav_float32_landmarks():
     assert samples[8] == 0  # rounds to zero
 
 
-def test_wav_ms_adpcm_still_stub():
+def test_wav_ms_adpcm_decode():
+    """MS-ADPCM (round 8, format tag 2): header emits sample2 then
+    sample1, nibbles decode HIGH-first through the 7 coefficient pairs
+    with floor-division prediction and adapting delta (floored at 16);
+    multi-block streams reset per block; stereo stays a named stub."""
+    import random
+    import struct
+
     import pytest as _pytest
 
-    from corintick_spark.operators.multimodal import decode_wav_pcm
+    from corintick_spark.operators.multimodal import (
+        _MS_ADAPT, _MS_COEF, decode_wav_pcm,
+    )
 
-    # MS-ADPCM (format tag 2) remains a named stub; float64 and IMA
-    # ADPCM graduated in round 8.
-    with _pytest.raises(NotImplementedError, match="PCM"):
-        decode_wav_pcm(_wav(2, 1, 8000, 4, bytes(16)))
+    def wav_ms(data, ba, channels=1):
+        fmt = struct.pack("<HHIIHH", 2, channels, 8000, 4000, ba, 4)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def ref(blocks, ba):
+        out = []
+        for boff in range(0, len(blocks), ba):
+            blk = blocks[boff : boff + ba]
+            if len(blk) < 7:
+                break
+            c1, c2 = _MS_COEF[blk[0]]
+            delta, s1, s2 = struct.unpack_from("<hhh", blk, 1)
+            out += [s2, s1]
+            for byte in blk[7:]:
+                for nib in (byte >> 4, byte & 15):
+                    snib = nib - 16 if nib >= 8 else nib
+                    # // with explicit floor semantics (Python // floors)
+                    pred = (s1 * c1 + s2 * c2) // 256 + snib * delta
+                    pred = max(-32768, min(32767, pred))
+                    s2, s1 = s1, pred
+                    delta = max(16, _MS_ADAPT[nib] * delta // 256)
+                    out.append(pred)
+        return out
+
+    rng = random.Random(11)
+    for _ in range(10):
+        nblocks = rng.randint(1, 3)
+        nbytes = rng.randint(1, 12)
+        ba = 7 + nbytes
+        data = b""
+        for _b in range(nblocks):
+            data += struct.pack(
+                "<Bhhh", rng.randint(0, 6), rng.randint(16, 2000),
+                rng.randint(-32768, 32767), rng.randint(-32768, 32767),
+            )
+            data += bytes(rng.randint(0, 255) for _ in range(nbytes))
+        rate, ch, samples = decode_wav_pcm(wav_ms(data, ba))
+        assert (rate, ch) == (8000, 1)
+        assert samples == ref(data, ba)
+
+    # negative predictor sums exercise the arithmetic (floor) shift
+    data = struct.pack("<Bhhh", 1, 16, -32768, 32767) + bytes([0x18, 0x7F])
+    _, _, samples = decode_wav_pcm(wav_ms(data, 11))
+    assert samples == ref(data, 11)
+
+    # a truncated trailing block drops cleanly
+    _, _, samples = decode_wav_pcm(wav_ms(data + data[:5], 11))
+    assert samples == ref(data + data[:5], 11)
+
+    # predictor index past the 7 coefficient pairs is malformed
+    bad = struct.pack("<Bhhh", 7, 16, 0, 0) + bytes(2)
+    with _pytest.raises(ValueError, match="predictor"):
+        decode_wav_pcm(wav_ms(bad, 9))
+
+    # stereo MS-ADPCM stays a named stub
+    with _pytest.raises(NotImplementedError, match="stereo"):
+        decode_wav_pcm(wav_ms(bytes(16), 16, channels=2))
 
 
 def test_bmp_rle8_truncated_absolute_mode_clean():
