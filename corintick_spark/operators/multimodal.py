@@ -2185,6 +2185,149 @@ def encode_jpeg(
     )
 
 
+def encode_jpeg12(
+    width: int,
+    height: int,
+    samples: "list[int]",
+    quant: "list[int] | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal 12-bit EXTENDED SEQUENTIAL (SOF1) grayscale JPEG encoder
+    — round-8 synthesis/test helper, the inverse of the 12-bit path of
+    :func:`decode_jpeg_pixels`. ``samples`` is one 12-bit value (0-4095)
+    per pixel, row-major; width/height must be multiples of 8. The DQT
+    stores 16-bit entries (Pq=1); the level shift is 2048. Because
+    12-bit magnitudes reach SSSS category 15 (DC) / 14 (AC), the stream
+    carries CUSTOM Huffman tables built here: 16 DC categories at code
+    length 5 and every (run, size) AC symbol at code length 8 — valid
+    canonical tables that any conforming decoder accepts."""
+    import struct
+
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg12 requires dimensions divisible by 8")
+    if len(samples) != width * height:
+        raise ValueError("sample buffer length mismatch")
+    if min(samples) < 0 or max(samples) > 4095:
+        raise ValueError("12-bit samples must be 0-4095")
+    q = list(quant) if quant is not None else [1] * 64
+    m = _dct_matrix()
+
+    # custom canonical tables covering the 12-bit magnitude range
+    dc_bits = [0, 0, 0, 0, 16] + [0] * 11  # sizes 0..15, all length 5
+    dc_vals = list(range(16))
+    ac_syms = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 15)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # all length 8 (226 codes < 255)
+    dc_codes = {
+        v: (ln, code)
+        for (ln, code), v in _huff_canonical(dc_bits, dc_vals).items()
+    }
+    ac_codes = {
+        v: (ln, code)
+        for (ln, code), v in _huff_canonical(ac_bits, ac_syms).items()
+    }
+
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (bitbuf >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+
+    def flush() -> None:
+        nonlocal bitbuf, nbits
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    def put_magnitude(v: int) -> tuple[int, int]:
+        size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
+
+    zz = _JPEG_ZIGZAG
+    qv = np.array(q, dtype=np.float64)[np.argsort(zz)].reshape(8, 8)
+    arr = np.array(samples, dtype=np.float64).reshape(height, width)
+    pred = 0
+    mcu_index = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                flush()
+                out.append(0xFF)
+                out.append(0xD0 + ((mcu_index // restart_interval - 1) % 8))
+                pred = 0
+            block = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+            coeff = m @ block @ m.T
+            quantized = np.rint(coeff / qv).astype(np.int64)
+            seq = [int(quantized.flat[i]) for i in zz]
+            diff = seq[0] - pred
+            pred = seq[0]
+            if diff == 0:
+                ln, code = dc_codes[0]
+                put(code, ln)
+            else:
+                size, bits = put_magnitude(diff)
+                ln, code = dc_codes[size]
+                put(code, ln)
+                put(bits, size)
+            run = 0
+            for v in seq[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = ac_codes[0xF0]
+                    put(code, ln)
+                    run -= 16
+                size, bits = put_magnitude(v)
+                ln, code = ac_codes[(run << 4) | size]
+                put(code, ln)
+                put(bits, size)
+                run = 0
+            if run:
+                ln, code = ac_codes[0x00]
+                put(code, ln)
+            mcu_index += 1
+    flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x10" + struct.pack(">64H", *q))  # Pq=1: 16-bit
+    sof = seg(
+        0xC1,
+        struct.pack(">BHHB", 12, height, width, 1)
+        + struct.pack(">BBB", 1, 0x11, 0),
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_syms),
+    )
+    sos = seg(0xDA, b"\x01" + struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00")
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(out) + b"\xff\xd9"
+
+
 def encode_jpeg_progressive(
     width: int,
     height: int,
@@ -2838,6 +2981,7 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     htables: dict[tuple[int, int], dict] = {}  # (class, slot) -> canonical
     w = h = None
     ncomp = 0
+    precision = 8
     comp_info: "list[tuple[int, int]]" = []  # (component id, quant slot)
     scan_tables: "list[tuple[dict, dict]]" = []
     restart_interval = 0
@@ -2855,12 +2999,14 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError(
-                        "decode_jpeg_pixels supports 8-bit quant tables only"
+                if pq == 0:
+                    qtables[tq] = list(body[off + 1 : off + 65])
+                    off += 65
+                else:  # 16-bit table entries (round 8; 12-bit streams)
+                    qtables[tq] = list(
+                        struct.unpack_from(">64H", body, off + 1)
                     )
-                qtables[tq] = list(body[off + 1 : off + 65])
-                off += 65
+                    off += 129
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             off = 0
             while off < len(body):
@@ -2872,10 +3018,14 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 off += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if marker == 0xC0 and prec != 8:
+                raise ValueError("baseline JPEG (SOF0) is 8-bit by spec")
+            if prec not in (8, 12):
                 raise NotImplementedError(
-                    "decode_jpeg_pixels supports 8-bit precision only"
+                    "decode_jpeg_pixels supports 8- and 12-bit precision "
+                    f"only — got {prec}"
                 )
+            precision = prec
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     "decode_jpeg_pixels supports 1 or 3 components only"
@@ -2980,6 +3130,8 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
 
     m = _dct_matrix()
     zz = _JPEG_ZIGZAG
+    level = float(1 << (precision - 1))  # +128 at 8-bit, +2048 at 12-bit
+    maxval = (1 << precision) - 1
 
     def decode_block(ci: int) -> "np.ndarray":
         """One entropy-decoded, dequantized, IDCT'd 8x8 block of
@@ -3008,7 +3160,7 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
         block = np.zeros(64)
         for i, rm in enumerate(zz):
             block[rm] = seq[i] * qt[i]
-        return m.T @ block.reshape(8, 8) @ m + 128.0
+        return m.T @ block.reshape(8, 8) @ m + level
 
     # MCU-interleaved loop (T.81 A.2.3): with 1x1 factors everywhere the
     # MCU is one block per component (the pre-round-7 shape, identical
@@ -3054,15 +3206,21 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             p = np.repeat(p, hmax // hi, axis=1)
         full.append(p)
     planes = [p[:h, :w] for p in full]
+    # canonical output is 8-bit bytes: 12-bit samples clamp at full
+    # precision first, then downscale by >> 4 (the deterministic
+    # truncating reduction viewers use)
+    shift = precision - 8
     if ncomp == 3:
         y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        bl = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - level)
+        g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+        bl = y + 1.772 * (cb - level)
         rgb = np.stack([r, g, bl], axis=-1)
-        px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+        full_px = np.clip(np.rint(rgb), 0, maxval).astype(np.int64)
+        px = (full_px >> shift).astype(np.uint8).tobytes()
         return w, h, 3, px
-    px = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8).tobytes()
+    full_px = np.clip(np.rint(planes[0]), 0, maxval).astype(np.int64)
+    px = (full_px >> shift).astype(np.uint8).tobytes()
     return w, h, 1, px
 
 

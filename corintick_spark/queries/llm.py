@@ -4255,3 +4255,67 @@ def multimodal_decode_msadpcm(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return d.mapInPandas(decode, schema="doc_id long, pos long, sample long")
+
+
+# 12-bit extended-sequential JPEG decode (round 8, SOF1 + 16-bit DQT
+# entries): constant-gray 8x8 blocks at 12-bit precision (DC-only FDCT
+# with quant 8 is exact: quantized DC = g - 2048), level shift 2048,
+# canonical 8-bit output via the documented >> 4 downscale — so the
+# oracle recomputes every output byte symbolically. Restart cadences
+# rotate 0/1/2 MCUs by doc, exercising RSTn in the 12-bit path; a
+# 16-bit AC quant entry (300) pins the Pq=1 table parse.
+@query(
+    "multimodal_decode_jpg12",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, (doc_id % 3 + 1) * 8 AS w, (doc_id % 2 + 1) * 8 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h)::INT), k ->
+                 ((doc_id * 97
+                   + ((k // w) // 8 * (w // 8) + (k % w) // 8) * 251)
+                  % 4096) // 16) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 1.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_jpg12(spark, sf_dir):
+    """12-bit extended-sequential JPEG decode (SOF1, Pq=1 quant tables,
+    2048 level shift, rotating restart intervals)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
+                nbx = w // 8
+                samples = [
+                    (i * 97 + ((y // 8) * nbx + x // 8) * 251) % 4096
+                    for y in range(h) for x in range(w)
+                ]
+                q = [8] + [1] * 63
+                q[1] = 300  # 16-bit table entry on an always-zero AC slot
+                payloads.append(M.encode_jpeg12(
+                    w, h, samples, quant=q, restart_interval=i % 3
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_jpg)

@@ -1039,3 +1039,80 @@ def test_progressive_restart_intervals_match_no_restart():
             w, h, px, channels=ch, dc_al=dc_al, ac_al=ac_al,
             restart_interval=ri))
         assert a == b, (ch, dc_al, ac_al, ri)
+
+
+def test_jpeg12_extended_sequential():
+    """12-bit JPEG (round 8, SOF1): Pq=1 16-bit quant tables, 2048 level
+    shift, custom wide-category Huffman tables, restarts; the canonical
+    8-bit output downscales by >> 4. SOF0 with 12-bit precision is
+    spec-malformed."""
+    import struct
+
+    import numpy as np
+
+    # constant blocks with quant DC=8: every output byte is gray >> 4
+    for w, h, ri in [(8, 8, 0), (24, 16, 2)]:
+        nbx = w // 8
+        q = [8] + [1] * 63
+        q[1] = 300  # 16-bit entry on an always-zero slot
+        samples = [
+            (97 + ((y // 8) * nbx + x // 8) * 251) % 4096
+            for y in range(h) for x in range(w)
+        ]
+        got = M.decode_jpeg_pixels(
+            M.encode_jpeg12(w, h, samples, quant=q, restart_interval=ri)
+        )
+        assert got[:3] == (w, h, 1), (w, h, ri)
+        for y in range(h):
+            for x in range(w):
+                g = (97 + ((y // 8) * nbx + x // 8) * 251) % 4096
+                assert got[3][y * w + x] == g >> 4, (w, h, ri, y, x)
+
+    # AC-content round trip: decode must equal the encoder's own
+    # quantize->dequantize reconstruction (pins extend/category widths
+    # past the 8-bit range and the wide Huffman tables)
+    import random
+
+    rng = random.Random(5)
+    m = M._dct_matrix()
+    zz = M._JPEG_ZIGZAG
+    w = h = 16
+    plane = np.zeros((h, w))
+    for by in range(2):
+        for bx in range(2):
+            block = np.zeros(64)
+            block[0] = rng.randint(-2000, 2000)
+            for k in rng.sample(range(1, 64), 12):
+                block[zz[k]] = rng.randint(-4000, 4000)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                m.T @ block.reshape(8, 8) @ m + 2048.0
+            )
+    samples = np.clip(np.rint(plane), 0, 4095).astype(int).flatten().tolist()
+    got = M.decode_jpeg_pixels(M.encode_jpeg12(w, h, samples, restart_interval=1))
+    arr = np.array(samples, dtype=np.float64).reshape(h, w)
+    ref = np.zeros((h, w))
+    for by in range(2):
+        for bx in range(2):
+            blk = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+            qc = np.rint(m @ blk @ m.T)
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                m.T @ qc @ m + 2048.0
+            )
+    exp = (
+        (np.clip(np.rint(ref), 0, 4095).astype(np.int64) >> 4)
+        .astype(np.uint8).tobytes()
+    )
+    assert got == (w, h, 1, exp)
+
+    # SOF0 claiming 12-bit precision is malformed (baseline is 8-bit)
+    b = bytearray(M.encode_jpeg12(8, 8, [0] * 64))
+    sof = bytes(b).find(b"\xff\xc1")
+    b[sof + 1] = 0xC0
+    with pytest.raises(ValueError, match="8-bit by spec"):
+        M.decode_jpeg_pixels(bytes(b))
+
+    # unsupported precision stays a named stub
+    b = bytearray(M.encode_jpeg12(8, 8, [0] * 64))
+    b[sof + 4] = 16
+    with pytest.raises(NotImplementedError, match="precision"):
+        M.decode_jpeg_pixels(bytes(b))
