@@ -2013,7 +2013,8 @@ def encode_jpeg(
     (only the DC coefficient survives the FDCT and 8·(v−128) is integer),
     the property the oracle query plants.
 
-    ``sampling``: per-component (h, v) factors in 1..2 (default all 1×1).
+    ``sampling``: per-component (h, v) factors in 1..4, every factor
+    dividing the maximum (default all 1×1).
     E.g. ``[(2, 2), (1, 1), (1, 1)]`` emits 4:2:0 and ``[(2, 1), (1, 1),
     (1, 1)]`` 4:2:2 — chroma planes are box-mean downsampled before the
     FDCT and blocks are MCU-interleaved, matching the decoder's
@@ -2029,11 +2030,18 @@ def encode_jpeg(
         raise ValueError("pixel buffer length mismatch")
     samp = list(sampling) if sampling is not None else [(1, 1)] * channels
     if len(samp) != channels or any(
-        hi not in (1, 2) or vi not in (1, 2) for hi, vi in samp
+        not (1 <= hi <= 4 and 1 <= vi <= 4) for hi, vi in samp
     ):
-        raise ValueError("sampling must give (h, v) in 1..2 per component")
+        raise ValueError("sampling must give (h, v) in 1..4 per component")
     hmax = max(hi for hi, _ in samp)
     vmax = max(vi for _, vi in samp)
+    if any(hmax % hi or vmax % vi for hi, vi in samp):
+        # the decoder handles non-divisible pairs; the box-mean
+        # downsample below does not — synthesis keeps to divisor sets
+        raise ValueError(
+            "encode_jpeg supports factor sets where every factor divides "
+            "the maximum"
+        )
     if width % (8 * hmax) or height % (8 * vmax):
         raise ValueError(
             f"encode_jpeg requires dimensions divisible by the MCU tile "
@@ -2954,7 +2962,8 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
 
 def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components,
-    sampling factors 1-2 incl. 4:2:0/4:2:2 chroma subsampling — round 7)
+    sampling factors 1-4 incl. 4:2:0/4:2:2 (round 7) and 4:1:1 (round 8)
+    chroma subsampling
     to raw pixels: (width, height, channels, pixels) with ``pixels``
     row-major gray or RGB bytes — the same canonical layout as the
     PNG/BMP/GIF decoders. Progressive (SOF2) streams route to the
@@ -3034,10 +3043,10 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 # component entries start at body byte 6 (after prec/h/w/n)
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + ci * 3)
                 hi, vi = samp >> 4, samp & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
-                    raise NotImplementedError(
-                        "decode_jpeg_pixels supports sampling factors 1-2 "
-                        f"only — got {hi}x{vi} (4:1:1-style needs factor 4)"
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        "JPEG sampling factors must be 1-4 (T.81 B.2.2) "
+                        f"— got {hi}x{vi}"
                     )
                 if ncomp == 1:
                     # single-component scans are NON-interleaved (T.81
@@ -3195,15 +3204,18 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             mcu_index += 1
 
     # nearest-replication upsample of subsampled components to the full
-    # padded grid, then crop to the image
+    # padded grid, then crop to the image. Index mapping (x*hi)//hmax
+    # rather than np.repeat so NON-divisible factor pairs (3 vs 4,
+    # legal per T.81) map by floor-nearest too — identical to repeat
+    # when the ratio divides.
     full = []
     for ci in range(ncomp):
         _, _, hi, vi = comp_info[ci]
         p = planes[ci]
-        if vi < vmax:
-            p = np.repeat(p, vmax // vi, axis=0)
-        if hi < hmax:
-            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax or hi < hmax:
+            ys = (np.arange(mcus_y * vmax * 8) * vi) // vmax
+            xs = (np.arange(mcus_x * hmax * 8) * hi) // hmax
+            p = p[np.ix_(ys, xs)]
         full.append(p)
     planes = [p[:h, :w] for p in full]
     # canonical output is 8-bit bytes: 12-bit samples clamp at full

@@ -4319,3 +4319,77 @@ def multimodal_decode_jpg12(spark, sf_dir):
 
     with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_jpg)
+
+
+# Factor-4 (and factor-3) chroma sampling (round 8): 4:1:1 — four luma
+# blocks per MCU sharing one chroma block horizontally — plus a 4x4
+# chroma-solid class and a legal non-power-of-two 3x1 class. Planted
+# gray-valued RGB tiles sized to the MCU grid are constant over every
+# sampling grid, so box-mean downsample and nearest upsample are both
+# identity and the decode is bit-exact; the oracle recomputes every
+# byte. Restart cadence alternates by doc.
+@query(
+    "multimodal_decode_jpg_411",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 64 ELSE 48 END AS w,
+               CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 32 ELSE 8 END AS h,
+               CASE doc_id % 3 WHEN 0 THEN 32 WHEN 1 THEN 32 ELSE 24 END AS tw,
+               CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 32 ELSE 8 END AS th
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT), k ->
+                 (doc_id * 31
+                  + (((k // 3) // w) // th * (w // tw)
+                     + ((k // 3) % w) // tw) * 53) % 256) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_jpg_411(spark, sf_dir):
+    """4:1:1 / 4:4 / 3:1 chroma-sampled JPEG decode on grid-constant
+    gray-valued tiles (bit-exact through the lossy pipeline)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    # (w, h, tile_w, tile_h, sampling)
+    layouts = [
+        (64, 8, 32, 8, [(4, 1), (1, 1), (1, 1)]),
+        (64, 32, 32, 32, [(4, 4), (1, 1), (1, 1)]),
+        (48, 8, 24, 8, [(3, 1), (1, 1), (1, 1)]),
+    ]
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h, tw, th, samp = layouts[i % 3]
+                px = bytearray()
+                for p in range(w * h):
+                    x, y = p % w, p // w
+                    v = (i * 31 + ((y // th) * (w // tw) + x // tw) * 53) % 256
+                    px += bytes((v, v, v))
+                payloads.append(M.encode_jpeg(
+                    w, h, bytes(px), 3, sampling=samp,
+                    restart_interval=i % 2,
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_jpg)

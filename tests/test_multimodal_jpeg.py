@@ -92,7 +92,7 @@ def test_non_jpeg_and_null_return_none():
     assert M.decode_jpeg_pixels(b"\xff\xd8") is None  # SOI alone
 
 
-def test_arithmetic_and_factor4_rejected():
+def test_arithmetic_rejected_factor5_malformed():
     px = _const_block_image(8, 8, 10)
     # flip SOF0 (0xC0) to SOF9 (arithmetic sequential) — still a stub
     b = bytearray(M.encode_jpeg(8, 8, px, channels=1))
@@ -100,13 +100,74 @@ def test_arithmetic_and_factor4_rejected():
     b[i + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="SOF"):
         M.decode_jpeg_pixels(bytes(b))
-    # 4x4 sampling factor (4:1:1-style) — outside the 1-2 factor subset
+    # sampling factor 5 is outside T.81's legal 1-4 range -> malformed
     b = bytearray(M.encode_jpeg(8, 8, px, channels=1))
     i = bytes(b).find(b"\xff\xc0")
     # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1) then [id, samp, tq]
-    b[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x44
-    with pytest.raises(NotImplementedError, match="sampling"):
+    b[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x55
+    with pytest.raises(ValueError, match="1-4"):
         M.decode_jpeg_pixels(bytes(b))
+
+
+def test_factor4_sampling_roundtrip():
+    """Sampling factors up to 4 (round 8): 4:1:1 and other factor-4 (and
+    factor-3) sets round-trip on sampling-grid-constant tiles; random
+    4:1:1 content matches the numpy reference exactly."""
+    w, h = 64, 32
+    px = _const_tile_rgb(w, h, 32)
+    for s in ([(4, 1), (1, 1), (1, 1)],   # 4:1:1
+              [(4, 4), (1, 1), (1, 1)],
+              [(4, 2), (2, 1), (1, 1)],   # mixed divisor set
+              [(4, 1), (2, 1), (1, 1)]):
+        got = M.decode_jpeg_pixels(M.encode_jpeg(w, h, px, 3, sampling=s))
+        assert got == (w, h, 3, px), s
+    got = M.decode_jpeg_pixels(
+        M.encode_jpeg(w, h, px, 3, sampling=[(4, 1), (1, 1), (1, 1)],
+                      restart_interval=1)
+    )
+    assert got == (w, h, 3, px)
+    # factor-3 luma (legal, non-power-of-two)
+    w3, h3 = 48, 8
+    px3 = _const_tile_rgb(w3, h3, 24 if w3 % 24 == 0 else 8)
+    got = M.decode_jpeg_pixels(
+        M.encode_jpeg(w3, h3, px3, 3, sampling=[(3, 1), (1, 1), (1, 1)])
+    )
+    assert got == (w3, h3, 3, px3)
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(16, 32, 3)).astype(np.uint8)
+    got = M.decode_jpeg_pixels(
+        M.encode_jpeg(32, 16, img.tobytes(), 3,
+                      sampling=[(4, 1), (1, 1), (1, 1)])
+    )
+    m = M._dct_matrix()
+    r, g, b = (img[..., c].astype(float) for c in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def roundtrip(p):
+        out = np.zeros_like(p)
+        for by in range(p.shape[0] // 8):
+            for bx in range(p.shape[1] // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qk = np.rint(m @ blk @ m.T)
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    m.T @ qk @ m + 128.0
+                )
+        return out
+
+    yr = roundtrip(y)
+    cbd = cb.reshape(16, 1, 8, 4).mean(axis=(1, 3))
+    crd = cr.reshape(16, 1, 8, 4).mean(axis=(1, 3))
+    cbr = np.repeat(roundtrip(cbd), 4, 1)
+    crr = np.repeat(roundtrip(crd), 4, 1)
+    rr = yr + 1.402 * (crr - 128.0)
+    gg = yr - 0.344136 * (cbr - 128.0) - 0.714136 * (crr - 128.0)
+    bb = yr + 1.772 * (cbr - 128.0)
+    ref = np.clip(np.rint(np.stack([rr, gg, bb], -1)), 0, 255)
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(16, 32, 3)
+    assert (arr.astype(float) == ref).all()
 
 
 def _const_tile_rgb(w, h, tile):
