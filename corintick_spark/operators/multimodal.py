@@ -2960,6 +2960,304 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
     return w, h, 1, px
 
 
+def _decode_jpeg_lossless(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Lossless JPEG (SOF3, round 8 — T.81 Annex H): predictive coding,
+    no DCT and no quantization. Per sample a DC-style Huffman code gives
+    the SSSS difference category (0-16; category 16 means diff = 32768
+    with no extra bits), the difference extends sign per F.2.2.1, and
+    reconstruction is (prediction + diff) mod 65536 (H.1.2.1). The
+    predictor is selected by the scan header's Ss field (1-7: a, b, c,
+    a+b-c, a+((b-c)>>1), b+((a-c)>>1), (a+b)>>1 with a = left, b =
+    above, c = above-left); the first sample predicts 2^(P-1-Pt), the
+    rest of the first line uses the left neighbor, the first column
+    uses the sample above (H.1.1). The point transform Pt shifts
+    decoded values back up by Pt bits. Components carry NO color
+    transform (lossless tooling convention — RGB stays RGB).
+
+    Supported subset: precision 8-16, 1-3 non-subsampled components,
+    single scan, no restart markers (named stubs otherwise). Canonical
+    output is 8-bit: samples downscale by >> (P - 8)."""
+    import struct
+
+    if b is None or len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    ncomp = 0
+    precision = 8
+    comp_tables: "list[dict]" = []
+    predictor = 1
+    pt = 0
+    data_start = None
+
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        body = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                htables[(tc, th)] = _huff_canonical(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xC3:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if not 8 <= precision <= 16:
+                raise NotImplementedError(
+                    "lossless JPEG decode supports precision 8-16 only "
+                    f"— got {precision}"
+                )
+            if ncomp not in (1, 2, 3):
+                raise NotImplementedError(
+                    "lossless JPEG decode supports 1-3 components only"
+                )
+            for ci in range(ncomp):
+                _cid, samp, _tq = struct.unpack_from(">BBB", body, 6 + ci * 3)
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG decode supports non-subsampled "
+                        "components only"
+                    )
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "lossless JPEG decode does not support restart markers"
+            )
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != ncomp:
+                raise NotImplementedError(
+                    "lossless JPEG decode supports single-scan streams only"
+                )
+            for si in range(ns):
+                _cid, tt = body[1 + si * 2], body[2 + si * 2]
+                comp_tables.append(htables[(0, tt >> 4)])
+            predictor = body[1 + 2 * ns]  # Ss = predictor selector
+            pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+            if not 1 <= predictor <= 7:
+                raise ValueError("lossless predictor selector must be 1-7")
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+
+    if w is None or data_start is None:
+        return None
+
+    data = b[data_start:]
+    bitpos = 0
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        i = bitpos >> 3
+        if i >= len(data):
+            raise ValueError("JPEG bitstream truncated")
+        byte = data[i]
+        if byte == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else None
+            if nxt != 0x00:
+                raise ValueError("unexpected marker inside entropy data")
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        if (bitpos & 7) == 0 and byte == 0xFF:
+            bitpos += 8
+        return bit
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def huff_decode(table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    def extend(v: int, size: int) -> int:
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    default = 1 << (precision - 1 - pt)
+    planes = [[[0] * w for _ in range(h)] for _ in range(ncomp)]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                size = huff_decode(comp_tables[ci])
+                if size == 16:
+                    diff = 32768  # category 16: no extra bits (H.1.2.2)
+                elif size:
+                    diff = extend(read_bits(size), size)
+                else:
+                    diff = 0
+                p = planes[ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = p[0][x - 1]
+                elif x == 0:
+                    pred = p[y - 1][0]
+                else:
+                    a, bb, c = p[y][x - 1], p[y - 1][x], p[y - 1][x - 1]
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = bb
+                    elif predictor == 3:
+                        pred = c
+                    elif predictor == 4:
+                        pred = a + bb - c
+                    elif predictor == 5:
+                        pred = a + ((bb - c) >> 1)
+                    elif predictor == 6:
+                        pred = bb + ((a - c) >> 1)
+                    else:
+                        pred = (a + bb) >> 1
+                p[y][x] = (pred + diff) & 0xFFFF
+
+    shift = precision - 8
+    out = bytearray(w * h * ncomp)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                s = (planes[ci][y][x] << pt) & 0xFFFF
+                out[(y * w + x) * ncomp + ci] = (s >> shift) & 0xFF
+    return w, h, ncomp, bytes(out)
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    samples: "list[int] | list[tuple[int, ...]]",
+    precision: int = 8,
+    predictor: int = 1,
+    pt: int = 0,
+    channels: int = 1,
+) -> bytes:
+    """Minimal lossless JPEG (SOF3) encoder — round-8 synthesis/test
+    helper, the exact inverse of :func:`_decode_jpeg_lossless`.
+    ``samples`` holds one value per pixel (``channels`` == 1) or one
+    tuple per pixel, row-major, each value already point-transformed
+    DOWN (i.e. the coded value; the decoder shifts back up by ``pt``).
+    Carries a custom canonical DC table with all 17 SSSS categories."""
+    import struct
+
+    if not 8 <= precision <= 16:
+        raise ValueError("precision must be 8-16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    rows = [
+        [
+            (samples[y * width + x],) if channels == 1
+            else tuple(samples[y * width + x])
+            for x in range(width)
+        ]
+        for y in range(height)
+    ]
+    maxv = (1 << (precision - pt)) - 1
+    for r in rows:
+        for tup in r:
+            for v in tup:
+                if not 0 <= v <= maxv:
+                    raise ValueError("sample out of coded range")
+
+    dc_bits = [0, 0, 0, 0, 0, 17] + [0] * 10  # 17 categories, length 6
+    dc_vals = list(range(17))
+    dc_codes = {
+        v: (ln, code)
+        for (ln, code), v in _huff_canonical(dc_bits, dc_vals).items()
+    }
+
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (bitbuf >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+
+    default = 1 << (precision - 1 - pt)
+    for y in range(height):
+        for x in range(width):
+            for ci in range(channels):
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = rows[0][x - 1][ci]
+                elif x == 0:
+                    pred = rows[y - 1][0][ci]
+                else:
+                    a = rows[y][x - 1][ci]
+                    bb = rows[y - 1][x][ci]
+                    c = rows[y - 1][x - 1][ci]
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = bb
+                    elif predictor == 3:
+                        pred = c
+                    elif predictor == 4:
+                        pred = a + bb - c
+                    elif predictor == 5:
+                        pred = a + ((bb - c) >> 1)
+                    elif predictor == 6:
+                        pred = bb + ((a - c) >> 1)
+                    else:
+                        pred = (a + bb) >> 1
+                sdiff = ((rows[y][x][ci] - pred + 32768) & 0xFFFF) - 32768
+                if sdiff == -32768:
+                    ln, code = dc_codes[16]  # category 16, no extra bits
+                    put(code, ln)
+                elif sdiff == 0:
+                    ln, code = dc_codes[0]
+                    put(code, ln)
+                else:
+                    size = (
+                        sdiff.bit_length() if sdiff > 0
+                        else (-sdiff).bit_length()
+                    )
+                    bits = sdiff if sdiff >= 0 else sdiff + (1 << size) - 1
+                    ln, code = dc_codes[size]
+                    put(code, ln)
+                    put(bits, size)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    sof = seg(
+        0xC3,
+        struct.pack(">BHHB", precision, height, width, channels)
+        + b"".join(
+            struct.pack(">BBB", ci + 1, 0x11, 0) for ci in range(channels)
+        ),
+    )
+    dht = seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    sos = seg(
+        0xDA,
+        bytes([channels])
+        + b"".join(struct.pack(">BB", ci + 1, 0x00) for ci in range(channels))
+        + bytes([predictor, 0, pt]),
+    )
+    return b"\xff\xd8" + sof + dht + sos + bytes(out) + b"\xff\xd9"
+
+
 def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components,
     sampling factors 1-4 incl. 4:2:0/4:2:2 (round 7) and 4:1:1 (round 8)
@@ -3055,13 +3353,15 @@ def decode_jpeg_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 comp_info.append((cid, tq, hi, vi))
         elif marker == 0xC2:  # progressive — dedicated multi-scan path
             return _decode_jpeg_progressive(b)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # lossless — dedicated predictive path
+            return _decode_jpeg_lossless(b)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "decode_jpeg_pixels supports baseline sequential (SOF0) "
-                f"and progressive (SOF2) only — got SOF marker "
-                f"0x{marker:02X} (arithmetic/lossless/hierarchical need "
-                "a full codec)"
+                "decode_jpeg_pixels supports baseline sequential (SOF0/"
+                f"SOF1), progressive (SOF2), and lossless (SOF3) only — "
+                f"got SOF marker 0x{marker:02X} (arithmetic/hierarchical "
+                "need a full codec)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)

@@ -4393,3 +4393,64 @@ def multimodal_decode_jpg_411(spark, sf_dir):
 
     with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_jpg)
+
+
+# Lossless JPEG decode (round 8, SOF3 — T.81 Annex H): predictive
+# coding with no DCT, so decode is EXACT and the oracle recomputes every
+# output byte from the planted sample generator alone. Precision
+# rotates 8/12/16 by doc, all seven predictors and both point-transform
+# values are exercised across the corpus; canonical 8-bit output is
+# (sample << Pt) >> (P - 8).
+@query(
+    "multimodal_decode_jpg_lossless",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h,
+               CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 12 ELSE 16 END AS p,
+               doc_id % 2 AS pt
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h)::INT), k ->
+                 (((doc_id * 7 + k * 13) % (1 << (p - pt))) * (1 << pt))
+                 // (1 << (p - 8))) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 1.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_jpg_lossless(spark, sf_dir):
+    """Lossless JPEG decode (SOF3, predictors 1-7 rotating, precision
+    8/12/16, point transform 0/1) — exact predictive reconstruction."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 4, i % 4 + 3
+                p = {0: 8, 1: 12, 2: 16}[i % 3]
+                pt = i % 2
+                modv = 1 << (p - pt)
+                samples = [(i * 7 + k * 13) % modv for k in range(w * h)]
+                payloads.append(M.encode_jpeg_lossless(
+                    w, h, samples, p, predictor=i % 7 + 1, pt=pt
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_jpg)

@@ -1177,3 +1177,55 @@ def test_jpeg12_extended_sequential():
     b[sof + 4] = 16
     with pytest.raises(NotImplementedError, match="precision"):
         M.decode_jpeg_pixels(bytes(b))
+
+
+def test_jpeg_lossless_all_predictors():
+    """Lossless JPEG (round 8, SOF3): every predictor (1-7), precision
+    8/12/16, point transforms, category-16 wrap-around diffs, RGB
+    pass-through (no color transform), and the named stubs."""
+    import random
+    import struct
+
+    rng = random.Random(42)
+    for precision in (8, 12, 16):
+        for pred in range(1, 8):
+            pt = rng.choice([0, 1, 2])
+            w, h = rng.randint(1, 9), rng.randint(1, 7)
+            maxv = (1 << (precision - pt)) - 1
+            samples = [rng.randint(0, maxv) for _ in range(w * h)]
+            got = M.decode_jpeg_pixels(
+                M.encode_jpeg_lossless(w, h, samples, precision, pred, pt)
+            )
+            shift = precision - 8
+            exp = bytes(
+                (((s << pt) & 0xFFFF) >> shift) & 0xFF for s in samples
+            )
+            assert got == (w, h, 1, exp), (precision, pred, pt)
+
+    # RGB components carry NO color transform
+    w, h = 6, 5
+    px = [tuple(rng.randint(0, 255) for _ in range(3)) for _ in range(w * h)]
+    got = M.decode_jpeg_pixels(
+        M.encode_jpeg_lossless(w, h, px, 8, predictor=4, channels=3)
+    )
+    assert got == (w, h, 3, bytes(v for tup in px for v in tup))
+
+    # diffs of exactly -32768 use SSSS category 16 (no extra bits) and
+    # reconstruction wraps mod 65536
+    samples = [0, 32768, 0, 65535, 1] * 4
+    got = M.decode_jpeg_pixels(M.encode_jpeg_lossless(5, 4, samples, 16))
+    assert got[3] == bytes(s >> 8 for s in samples)
+
+    # restart markers in a lossless stream stay a named stub
+    raw = bytearray(M.encode_jpeg_lossless(4, 4, [0] * 16, 8))
+    dri = struct.pack(">BBHH", 0xFF, 0xDD, 4, 2)
+    i = bytes(raw).find(b"\xff\xda")
+    with pytest.raises(NotImplementedError, match="restart"):
+        M.decode_jpeg_pixels(bytes(raw[:i]) + dri + bytes(raw[i:]))
+
+    # subsampled lossless components stay a named stub
+    raw = bytearray(M.encode_jpeg_lossless(8, 8, [0] * 64, 8))
+    i = bytes(raw).find(b"\xff\xc3")
+    raw[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22
+    with pytest.raises(NotImplementedError, match="non-subsampled"):
+        M.decode_jpeg_pixels(bytes(raw))
