@@ -2345,6 +2345,7 @@ def encode_jpeg_progressive(
     dc_al: int = 1,
     ac_al: int = 0,
     restart_interval: int = 0,
+    sampling: "list[tuple[int, int]] | None" = None,
 ) -> bytes:
     """Minimal PROGRESSIVE JPEG encoder (SOF2) — synthesis/test helper,
     the inverse of the progressive path of :func:`decode_jpeg_pixels`.
@@ -2366,14 +2367,15 @@ def encode_jpeg_progressive(
        codes, correction bits interleaved exactly where the decoder's
        advance loops consume them.
 
-    Same constraints as :func:`encode_jpeg`: gray or RGB, 1×1 sampling,
-    multiple-of-8 dimensions."""
+    Same constraints as :func:`encode_jpeg`: gray or RGB, per-component
+    ``sampling`` factors in 1..4 forming a divisor set (round 8 —
+    box-mean chroma downsample before the FDCT, DC scans interleaved in
+    MCU order, AC scans per component over that component's own block
+    grid), dimensions divisible by the MCU tile."""
     import struct
 
     import numpy as np
 
-    if width % 8 or height % 8:
-        raise ValueError("encode_jpeg_progressive requires multiple-of-8 dimensions")
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -2382,6 +2384,23 @@ def encode_jpeg_progressive(
         raise ValueError("dc_al out of range")
     if not 0 <= ac_al <= 13:
         raise ValueError("ac_al out of range")
+    samp = list(sampling) if sampling is not None else [(1, 1)] * channels
+    if len(samp) != channels or any(
+        not (1 <= hi <= 4 and 1 <= vi <= 4) for hi, vi in samp
+    ):
+        raise ValueError("sampling must give (h, v) in 1..4 per component")
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    if any(hmax % hi or vmax % vi for hi, vi in samp):
+        raise ValueError(
+            "encode_jpeg_progressive supports factor sets where every "
+            "factor divides the maximum"
+        )
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError(
+            f"encode_jpeg_progressive requires dimensions divisible by "
+            f"the MCU tile ({8 * hmax}x{8 * vmax} for this sampling)"
+        )
     q = list(quant) if quant is not None else [1] * 64
     m = _dct_matrix()
 
@@ -2396,6 +2415,14 @@ def encode_jpeg_progressive(
         ]
     else:
         comps = [arr[..., 0]]
+    # box-mean downsample each component to its sampling grid (round 8)
+    for ci, (hi, vi) in enumerate(samp):
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            p = comps[ci]
+            comps[ci] = p.reshape(
+                p.shape[0] // ry, ry, p.shape[1] // rx, rx
+            ).mean(axis=(1, 3))
 
     dc_codes = {
         v: (length, code)
@@ -2412,19 +2439,39 @@ def encode_jpeg_progressive(
 
     zz = _JPEG_ZIGZAG
     qv = np.array(q, dtype=np.float64)[np.argsort(zz)].reshape(8, 8)
-    blocks_w, blocks_h = width // 8, height // 8
 
     # quantized zigzag coefficient sequences, once per (component, block)
+    # — each component over its OWN block grid, raster order
     seqs: "list[list[list[int]]]" = []  # [comp][block_index][64]
-    for comp in comps:
+    cbw: "list[int]" = []  # per-component blocks across
+    cbh: "list[int]" = []
+    for ci, comp in enumerate(comps):
+        bw, bh = comp.shape[1] // 8, comp.shape[0] // 8
+        cbw.append(bw)
+        cbh.append(bh)
         cs = []
-        for by in range(blocks_h):
-            for bx in range(blocks_w):
+        for by in range(bh):
+            for bx in range(bw):
                 block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 quantized = np.rint((m @ block @ m.T) / qv).astype(np.int64)
                 cs.append([int(quantized.flat[i]) for i in zz])
         seqs.append(cs)
-    nblocks = blocks_w * blocks_h
+
+    # MCU traversal for interleaved DC scans: (comp, block_index) pairs
+    # per MCU in T.81 A.2.3 order
+    mcus_x, mcus_y = width // (8 * hmax), height // (8 * vmax)
+    mcu_members: "list[list[tuple[int, int]]]" = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            members = []
+            for ci in range(channels):
+                hi, vi = samp[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        members.append(
+                            (ci, (my * vi + byi) * cbw[ci] + mx * hi + bxi)
+                        )
+            mcu_members.append(members)
 
     class _Writer:
         def __init__(self) -> None:
@@ -2476,12 +2523,12 @@ def encode_jpeg_progressive(
     wtr = _Writer()
     preds = [0] * channels
     rst = 0
-    for bi in range(nblocks):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mi, members in enumerate(mcu_members):
+        if restart_interval and mi and mi % restart_interval == 0:
             wtr.restart(rst)
             rst += 1
             preds = [0] * channels
-        for ci in range(channels):
+        for ci, bi in members:
             scaled = seqs[ci][bi][0] >> dc_al
             diff = scaled - preds[ci]
             preds[ci] = scaled
@@ -2499,11 +2546,11 @@ def encode_jpeg_progressive(
     for al in range(dc_al - 1, -1, -1):
         wtr = _Writer()
         rst = 0
-        for bi in range(nblocks):
-            if restart_interval and bi and bi % restart_interval == 0:
+        for mi, members in enumerate(mcu_members):
+            if restart_interval and mi and mi % restart_interval == 0:
                 wtr.restart(rst)
                 rst += 1
-            for ci in range(channels):
+            for ci, bi in members:
                 wtr.put((seqs[ci][bi][0] >> al) & 1, 1)
         scans += sos(list(range(1, channels + 1)), 0, 0, al + 1, al) + wtr.flush()
 
@@ -2529,7 +2576,7 @@ def encode_jpeg_progressive(
             return (abs(v) >> ac_al) * (1 if v > 0 else -1)
 
         rst = 0
-        for bi in range(nblocks):
+        for bi in range(cbh[ci] * cbw[ci]):
             if restart_interval and bi and bi % restart_interval == 0:
                 flush_eobrun()
                 wtr.restart(rst)
@@ -2587,7 +2634,7 @@ def encode_jpeg_progressive(
                 be_bits.clear()
 
             rst = 0
-            for bi in range(nblocks):
+            for bi in range(cbh[ci] * cbw[ci]):
                 if restart_interval and bi and bi % restart_interval == 0:
                     flush_eobrun_r()
                     wtr.restart(rst)
@@ -2634,7 +2681,10 @@ def encode_jpeg_progressive(
     zz_q = bytes(q)
     dqt = seg(0xDB, b"\x00" + zz_q)
     sof_comps = b"".join(
-        struct.pack(">BBB", ci + 1, 0x11, 0) for ci in range(channels)
+        struct.pack(
+            ">BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0
+        )
+        for ci in range(channels)
     )
     sof = seg(0xC2, struct.pack(">BHHB", 8, height, width, channels) + sof_comps)
     dht = seg(
@@ -2660,9 +2710,12 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
 
     Restart intervals inside progressive scans are REAL (round 8): the
     entropy reader realigns at each RSTn, resetting DC predictors and
-    EOB runs. Honest-stub boundaries (NotImplementedError, naming the
-    gap): arithmetic coding, 12-bit, chroma subsampling in progressive
-    streams — the same subset discipline as the baseline path."""
+    EOB runs. Chroma subsampling is REAL too (round 8): interleaved DC
+    scans cover the padded MCU grid, non-interleaved AC scans cover each
+    component's own block grid (T.81 A.2.2/A.2.3), and reconstruction
+    nearest-upsamples like the baseline path. Honest-stub boundaries
+    (NotImplementedError, naming the gap): arithmetic coding and 12-bit
+    precision in progressive streams."""
     import struct
 
     import numpy as np
@@ -2750,15 +2803,38 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
                 )
             for ci in range(ncomp):
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + ci * 3)
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "decode_jpeg_pixels supports 1x1 sampling only "
-                        "(chroma subsampling needs an upsampler)"
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        "JPEG sampling factors must be 1-4 (T.81 B.2.2) "
+                        f"— got {hi}x{vi}"
                     )
-                comp_info.append((cid, tq))
-            blocks_w, blocks_h = (w + 7) // 8, (h + 7) // 8
-            nblocks = blocks_w * blocks_h
-            coefs = [[[0] * 64 for _ in range(nblocks)] for _ in range(ncomp)]
+                if ncomp == 1:
+                    hi = vi = 1  # single-component: factors irrelevant
+                comp_info.append((cid, tq, hi, vi))
+            # per-component block grids (round 8, subsampled progressive):
+            # interleaved DC scans cover the PADDED MCU grid (bw_pad x
+            # bh_pad blocks); non-interleaved AC scans cover only the
+            # component's ACTUAL grid (cbw x cbh, T.81 A.2.2). Storage is
+            # the padded grid; AC block indices map into it.
+            hmax = max(c[2] for c in comp_info)
+            vmax = max(c[3] for c in comp_info)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            bw_pad = [mcus_x * hi for (_, _, hi, _) in comp_info]
+            bh_pad = [mcus_y * vi for (_, _, _, vi) in comp_info]
+            cbw = [
+                ((w * hi + hmax - 1) // hmax + 7) // 8
+                for (_, _, hi, _) in comp_info
+            ]
+            cbh = [
+                ((h * vi + vmax - 1) // vmax + 7) // 8
+                for (_, _, _, vi) in comp_info
+            ]
+            coefs = [
+                [[0] * 64 for _ in range(bw_pad[ci] * bh_pad[ci])]
+                for ci in range(ncomp)
+            ]
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # one scan of the progression
@@ -2767,7 +2843,7 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
             ns = body[0]
             scan_comps: "list[int]" = []  # component indices
             scan_tabs: "list[tuple[int, int]]" = []  # (dc slot, ac slot)
-            cid_to_ix = {cid: ix for ix, (cid, _) in enumerate(comp_info)}
+            cid_to_ix = {cid: ix for ix, (cid, *_rest) in enumerate(comp_info)}
             for si in range(ns):
                 cid, tt = body[1 + si * 2], body[2 + si * 2]
                 scan_comps.append(cid_to_ix[cid])
@@ -2812,15 +2888,41 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
                     return True
                 return False
 
-            if ss == 0:  # DC scan (interleaved over the scan's components)
+            if ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("DC scan with Se != 0")
                 preds = [0] * len(scan_comps)
-                for bi in range(nblocks):
-                    if restart_interval and bi and bi % restart_interval == 0:
+                if ns > 1:
+                    # interleaved: MCU order over the PADDED grid, restart
+                    # cadence per MCU (T.81 A.2.3)
+                    units = []
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            members = []
+                            for sci, ci in enumerate(scan_comps):
+                                _, _, hi, vi = comp_info[ci]
+                                for byi in range(vi):
+                                    for bxi in range(hi):
+                                        members.append((
+                                            sci, ci,
+                                            (my * vi + byi) * bw_pad[ci]
+                                            + mx * hi + bxi,
+                                        ))
+                            units.append(members)
+                else:
+                    # non-interleaved: the component's ACTUAL grid,
+                    # restart cadence per data unit (T.81 A.2.2)
+                    ci0 = scan_comps[0]
+                    units = [
+                        [(0, ci0, r * bw_pad[ci0] + c)]
+                        for r in range(cbh[ci0])
+                        for c in range(cbw[ci0])
+                    ]
+                for ui, members in enumerate(units):
+                    if restart_interval and ui and ui % restart_interval == 0:
                         if consume_rst():
                             preds = [0] * len(scan_comps)
-                    for sci, ci in enumerate(scan_comps):
+                    for sci, ci, bi in members:
                         if ah == 0:  # first pass: diff of point-transformed DC
                             tab = htables[(0, scan_tabs[sci][0])]
                             size = huff_decode(tab)
@@ -2835,6 +2937,13 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
                 ci = scan_comps[0]
                 ac_tab = htables[(1, scan_tabs[0][1])]
                 eobrun = 0
+                # the component's ACTUAL grid mapped into padded storage
+                indices = [
+                    r * bw_pad[ci] + c
+                    for r in range(cbh[ci])
+                    for c in range(cbw[ci])
+                ]
+                nblocks = len(indices)
                 if ah != 0:
                     # AC successive-approximation REFINEMENT (T.81
                     # G.1.2.3): one bit of precision per coefficient —
@@ -2853,7 +2962,7 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
                         if restart_interval and bi and bi % restart_interval == 0:
                             if consume_rst():
                                 eobrun = 0
-                        cf = coefs[ci][bi]
+                        cf = coefs[ci][indices[bi]]
                         k = ss
                         if eobrun > 0:
                             eobrun -= 1
@@ -2919,7 +3028,7 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
                         k += run
                         if k > se:
                             raise ValueError("AC index overflow in JPEG stream")
-                        coefs[ci][bi][k] = extend(read_bits(size), size) << al
+                        coefs[ci][indices[bi]][k] = extend(read_bits(size), size) << al
                         k += 1
             pos = i
             continue
@@ -2933,21 +3042,33 @@ def _decode_jpeg_progressive(b: bytes) -> tuple[int, int, int, bytes] | None:
 
     m = _dct_matrix()
     zz = _JPEG_ZIGZAG
-    blocks_w, blocks_h = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((blocks_h * 8, blocks_w * 8)) for _ in range(ncomp)]
+    planes = []
     for ci in range(ncomp):
         qt = qtables[comp_info[ci][1]]
-        for by in range(blocks_h):
-            for bx in range(blocks_w):
-                seq = coefs[ci][by * blocks_w + bx]
+        p = np.zeros((bh_pad[ci] * 8, bw_pad[ci] * 8))
+        for by in range(bh_pad[ci]):
+            for bx in range(bw_pad[ci]):
+                seq = coefs[ci][by * bw_pad[ci] + bx]
                 block = np.zeros(64)
                 for i2, rm in enumerate(zz):
                     block[rm] = seq[i2] * qt[i2]
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     m.T @ block.reshape(8, 8) @ m + 128.0
                 )
+        planes.append(p)
 
-    planes = [p[:h, :w] for p in planes]
+    # nearest-replication upsample of subsampled components (round 8 —
+    # same floor index mapping as the baseline path), then crop
+    full = []
+    for ci in range(ncomp):
+        _, _, hi, vi = comp_info[ci]
+        p = planes[ci]
+        if vi < vmax or hi < hmax:
+            ys = (np.arange(mcus_y * vmax * 8) * vi) // vmax
+            xs = (np.arange(mcus_x * hmax * 8) * hi) // hmax
+            p = p[np.ix_(ys, xs)]
+        full.append(p)
+    planes = [p[:h, :w] for p in full]
     if ncomp == 3:
         y, cb, cr = planes
         r = y + 1.402 * (cr - 128.0)

@@ -4454,3 +4454,80 @@ def multimodal_decode_jpg_lossless(spark, sf_dir):
 
     with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_jpg)
+
+
+# Progressive JPEG with chroma subsampling (round 8): interleaved DC
+# scans cover the padded MCU grid while the non-interleaved AC scans
+# cover each component's own block grid (T.81 A.2.2/A.2.3) — the block
+# geometry the 1x1 progressive query could never exercise. Planted
+# gray-valued tiles sized to the MCU grid are constant over every
+# sampling grid, so the multi-scan decode is bit-exact and the oracle
+# recomputes every byte. Sampling rotates 4:2:0 / 4:2:2 / 4:1:1 by doc;
+# DC refinement depth and restart cadence rotate too.
+@query(
+    "multimodal_decode_jpg_prog420",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 2 THEN 64 ELSE 32 END AS w,
+               CASE doc_id % 3 WHEN 0 THEN 32 ELSE 16 END AS h,
+               CASE doc_id % 3 WHEN 2 THEN 32 ELSE 16 END AS tw,
+               CASE doc_id % 3 WHEN 0 THEN 16 ELSE 8 END AS th
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               list_transform(range(0, (w * h * 3)::INT), k ->
+                 (doc_id * 29
+                  + (((k // 3) // w) // th * (w // tw)
+                     + ((k // 3) % w) // tw) * 47) % 256) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, (w * h * 3)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (w * h * 3.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_jpg_prog420(spark, sf_dir):
+    """Chroma-subsampled progressive JPEG decode (4:2:0 / 4:2:2 / 4:1:1
+    rotating, grid-constant gray-valued tiles, rotating DC refinement
+    depth and restart cadence)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    # (w, h, tile_w, tile_h, sampling) — tiles span the MCU grid so the
+    # lossy pipeline is bit-exact on them
+    layouts = [
+        (32, 32, 16, 16, [(2, 2), (1, 1), (1, 1)]),  # 4:2:0
+        (32, 16, 16, 8, [(2, 1), (1, 1), (1, 1)]),   # 4:2:2
+        (64, 16, 32, 8, [(4, 1), (1, 1), (1, 1)]),   # 4:1:1
+    ]
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h, tw, th, samp = layouts[i % 3]
+                px = bytearray()
+                for p in range(w * h):
+                    x, y = p % w, p // w
+                    v = (i * 29 + ((y // th) * (w // tw) + x // tw) * 47) % 256
+                    px += bytes((v, v, v))
+                payloads.append(M.encode_jpeg_progressive(
+                    w, h, bytes(px), 3, dc_al=i % 3, ac_al=i % 2,
+                    restart_interval=i % 2, sampling=samp,
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_jpg)

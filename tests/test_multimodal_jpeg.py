@@ -1229,3 +1229,26 @@ def test_jpeg_lossless_all_predictors():
     raw[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22
     with pytest.raises(NotImplementedError, match="non-subsampled"):
         M.decode_jpeg_pixels(bytes(raw))
+
+
+def test_progressive_subsampled_equals_baseline():
+    """Subsampled progressive JPEG (round 8): with identical content and
+    sampling, the multi-scan decode must equal the baseline decode
+    byte-for-byte — across DC/AC refinement depths and restart cadences.
+    The baseline subsampled path is itself pinned against the numpy
+    reference, so equality transfers that adjudication."""
+    rng = np.random.RandomState(7)
+    for s, (w, h) in [([(2, 2), (1, 1), (1, 1)], (32, 16)),
+                      ([(2, 1), (1, 1), (1, 1)], (32, 16)),
+                      ([(4, 1), (1, 1), (1, 1)], (64, 16)),
+                      ([(4, 2), (2, 1), (1, 1)], (64, 32))]:
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        base = M.decode_jpeg_pixels(
+            M.encode_jpeg(w, h, img.tobytes(), 3, sampling=s)
+        )
+        for dc_al, ac_al, ri in [(1, 0, 0), (2, 1, 0), (1, 1, 3)]:
+            prog = M.decode_jpeg_pixels(M.encode_jpeg_progressive(
+                w, h, img.tobytes(), 3, dc_al=dc_al, ac_al=ac_al,
+                restart_interval=ri, sampling=s,
+            ))
+            assert prog == base, (s, dc_al, ac_al, ri)
