@@ -467,15 +467,15 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                 ">IIBBBBB", body
             )
             if (
-                (color in _PNG_CHANNELS and depth not in (8, 16))
+                (color in (2, 4, 6) and depth not in (8, 16))
+                or (color == 0 and depth not in (1, 2, 4, 8, 16))
                 or (color == 3 and depth not in (1, 2, 4, 8))
                 or (color not in _PNG_CHANNELS and color != 3)
                 or interlace not in (0, 1)
             ):
-                raise NotImplementedError(
-                    "decode_png_pixels supports 8/16-bit gray/RGB/gray+a/"
-                    "RGBA and 1/2/4/8-bit palette, sequential or Adam7 "
-                    "(sub-byte gray depths need a full codec)"
+                raise ValueError(
+                    "invalid PNG depth/color-type combination "
+                    f"(depth {depth}, color {color} — spec 11.2.2)"
                 )
             channels = 1 if color == 3 else _PNG_CHANNELS[color]
             # sub-byte palette depths (round 8): the filter stream is the
@@ -504,7 +504,7 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
     if color == 3 and (palette is None or len(palette) % 3):
         raise ValueError("palette PNG without a valid PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    packed = color == 3 and depth < 8
+    packed = depth < 8  # colors 0 and 3 only, per the validation above
     if not packed:
         stride = w * bypp
         if interlace == 0:
@@ -575,6 +575,23 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
                         out[(y0 + yy * dy) * w + (x0 + xx * dx)] = vals[xx]
             if off != len(raw):
                 raise ValueError("PNG pixel stream length mismatch")
+    if color == 0 and depth < 8:
+        # sub-byte grayscale (round 8): samples scale to 8 bits by bit
+        # replication (spec 12.5 sample-depth scaling — 1-bit -> 0/255,
+        # 2-bit -> v*85, 4-bit -> v*17); a color-key tRNS compares at
+        # the RAW sample depth before scaling.
+        key = None
+        if trns is not None:
+            if len(trns) != 2:
+                raise ValueError("tRNS color-key length mismatch")
+            key = struct.unpack(">H", trns)[0] & ((1 << depth) - 1)
+        ch = 1 if key is None else 2
+        rgb = bytearray(w * h * ch)
+        for i, v in enumerate(out):
+            rgb[i * ch] = _bit_replicate(v, depth)
+            if ch == 2:
+                rgb[i * ch + 1] = 0 if v == key else 255
+        return w, h, ch, bytes(rgb)
     if color == 3:
         n = len(palette) // 3
         ch = 3 if trns is None else 4
@@ -820,6 +837,86 @@ def encode_png_palette(
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
     if trns is not None:
         out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(filtered)) + chunk(b"IEND", b"")
+
+
+def encode_png_gray_lowbit(
+    width: int,
+    height: int,
+    values: "bytes | list[int]",
+    depth: int,
+    filter_for_row=None,
+    trns_key: "int | None" = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal sub-byte GRAYSCALE PNG encoder (color type 0, depth
+    1/2/4 — round-8 synthesis/test helper, the inverse of
+    decode_png_pixels' sub-byte gray path). ``values`` is one raw sample
+    (< 2^depth) per pixel; samples pack MSB-first and filters run on the
+    packed stream (bytes-per-pixel 1 per spec). ``trns_key`` writes a
+    gray color-key tRNS chunk."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4):
+        raise ValueError("sub-byte gray depth must be 1/2/4")
+    vals = bytes(values)
+    if len(vals) != width * height:
+        raise ValueError("value buffer length mismatch")
+    if max(vals) >= 1 << depth:
+        raise ValueError("gray sample out of range for depth")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    def pack_rows(v: bytes, wp: int, hp: int) -> bytes:
+        ppb = 8 // depth
+        rb = (wp * depth + 7) // 8
+        out = bytearray(rb * hp)
+        for y in range(hp):
+            for x in range(wp):
+                shift = (ppb - 1 - x % ppb) * depth
+                out[y * rb + x // ppb] |= v[y * wp + x] << shift
+        return bytes(out)
+
+    if not interlace:
+        rb = (width * depth + 7) // 8
+        filtered = bytes(
+            _png_filter_segment(
+                pack_rows(vals, width, height), rb, height, 1,
+                filter_for_row, 0,
+            )
+        )
+    else:
+        parts = bytearray()
+        row_off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub = bytes(
+                vals[(y0 + yy * dy) * width + (x0 + xx * dx)]
+                for yy in range(hp)
+                for xx in range(wp)
+            )
+            rb = (wp * depth + 7) // 8
+            parts += _png_filter_segment(
+                pack_rows(sub, wp, hp), rb, hp, 1, filter_for_row, row_off
+            )
+            row_off += hp
+        filtered = bytes(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, 0, 0, 0, 1 if interlace else 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if trns_key is not None:
+        out += chunk(b"tRNS", struct.pack(">H", trns_key))
     return out + chunk(b"IDAT", zlib.compress(filtered)) + chunk(b"IEND", b"")
 
 

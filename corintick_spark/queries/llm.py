@@ -4531,3 +4531,72 @@ def multimodal_decode_jpg_prog420(spark, sf_dir):
 
     with_jpg = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_jpg)
+
+
+# Sub-byte grayscale PNG decode (round 8, color type 0, depths 1/2/4):
+# the packed scanline stream un-filters at byte offset 1 and samples
+# bit-replicate to 8 bits (1-bit -> 0/255, 2-bit -> v*85, 4-bit ->
+# v*17 — spec 12.5 sample-depth scaling); docs alternate sequential and
+# Adam7 and a third of them carry a gray color-key tRNS compared at raw
+# sample depth. The oracle recomputes every output byte.
+@query(
+    "multimodal_decode_png_gray_lowbit",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS d,
+               doc_id % 3 = 0 AS keyed
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               CASE WHEN keyed THEN 2 ELSE 1 END AS channels,
+               flatten(list_transform(range(0, (w * h)::INT), p ->
+                 CASE WHEN keyed THEN [
+                     ((doc_id + p) % (1 << d)) * (255 // ((1 << d) - 1)),
+                     CASE WHEN (doc_id + p) % (1 << d)
+                               = doc_id % (1 << d)
+                          THEN 0 ELSE 255 END]
+                 ELSE [((doc_id + p) % (1 << d)) * (255 // ((1 << d) - 1))]
+                 END)) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, len(v)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           ROUND(list_sum(v) / (len(v) * 1.0), 6) AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_png_gray_lowbit(spark, sf_dir):
+    """Sub-byte grayscale PNG decode (1/2/4-bit packed, bit-replicated
+    upscale, sequential/Adam7 alternating, rotating color-key tRNS)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 6 + 4, i % 4 + 3
+                depth = {0: 1, 1: 2, 2: 4}[i % 3]
+                ncol = 1 << depth
+                vals = bytes((i + p) % ncol for p in range(w * h))
+                payloads.append(M.encode_png_gray_lowbit(
+                    w, h, vals, depth,
+                    filter_for_row=lambda y: y % 5,
+                    interlace=bool(i % 2),
+                    trns_key=(i % ncol) if i % 3 == 0 else None,
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+    return M.decode_image_pixels(with_png)

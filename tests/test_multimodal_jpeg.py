@@ -1252,3 +1252,42 @@ def test_progressive_subsampled_equals_baseline():
                 restart_interval=ri, sampling=s,
             ))
             assert prog == base, (s, dc_al, ac_al, ri)
+
+
+def test_png_gray_lowbit_roundtrip():
+    """Sub-byte grayscale PNG (round 8, depths 1/2/4): packed MSB-first
+    scanlines un-filter at byte offset 1, samples bit-replicate to 8
+    bits (1-bit -> 0/255, 2-bit -> v*85, 4-bit -> v*17), sequential and
+    Adam7, with color-key tRNS compared at RAW sample depth."""
+    def rep(v, d):
+        r, f = 0, 0
+        while f < 8:
+            r = (r << d) | v
+            f += d
+        return r
+
+    for depth in (1, 2, 4):
+        ncol = 1 << depth
+        for (w, h) in [(1, 1), (7, 3), (9, 4), (13, 5)]:
+            vals = bytes((x * 3 + y) % ncol for y in range(h) for x in range(w))
+            exp = bytes(rep(v, depth) for v in vals)
+            for il in (False, True):
+                for f in (None, lambda y: y % 5):
+                    got = M.decode_png_pixels(M.encode_png_gray_lowbit(
+                        w, h, vals, depth, filter_for_row=f, interlace=il))
+                    assert got == (w, h, 1, exp), (depth, w, h, il)
+            key = vals[len(vals) // 2]
+            got = M.decode_png_pixels(
+                M.encode_png_gray_lowbit(w, h, vals, depth, trns_key=key)
+            )
+            assert got[:3] == (w, h, 2)
+            for i, v in enumerate(vals):
+                assert got[3][2 * i] == rep(v, depth)
+                assert got[3][2 * i + 1] == (0 if v == key else 255)
+
+    # sub-byte RGB is spec-invalid
+    import struct
+    raw = bytearray(M.encode_png_gray_lowbit(4, 4, bytes(16), 4))
+    raw[8 + 8 + 9] = 2  # IHDR color-type byte
+    with pytest.raises(ValueError, match="depth/color"):
+        M.decode_png_pixels(bytes(raw))
