@@ -3883,11 +3883,10 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
     -128, 24-bit little-endian signed (round 7), G.711 µ/A-law expansion,
     or IEEE float32 (round 7 — scaled by 32767 and symmetrically rounded
     to integers, the standard float→int16-range convention; values
-    outside ±1 clip to the int16 extremes), IEEE float64, mono IMA
-    ADPCM, or mono MS-ADPCM (all round 8). Returns None for non-WAV
-    bytes; raises NotImplementedError for valid WAVs outside the
-    supported subset (stereo ADPCM, MP3-in-WAV) — the honest-stub
-    posture.
+    outside ±1 clip to the int16 extremes), IEEE float64, or mono/stereo
+    IMA and MS ADPCM (all round 8). Returns None for non-WAV bytes;
+    raises NotImplementedError for valid WAVs outside the supported
+    subset (>2 ADPCM channels, MP3-in-WAV) — the honest-stub posture.
     """
     import struct
     import sys
@@ -3964,42 +3963,73 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
             v = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
             samples.append(max(-32768, min(32767, v)))
     elif fmt_tag == 0x11 and bits == 4:
-        # IMA/DVI ADPCM (round 8, format tag 17; public IMA spec):
-        # mono only — each block_align-byte block opens with a 4-byte
-        # header (int16 predictor emitted as the block's first sample,
+        # IMA/DVI ADPCM (round 8, format tag 17; public IMA spec): each
+        # block_align-byte block opens with a 4-byte header PER CHANNEL
+        # (int16 predictor emitted as the block's first sample frame,
         # uint8 step index, reserved byte) followed by packed nibbles,
         # LOW nibble first. Per nibble: diff = step/8 (+step/4 if bit0)
         # (+step/2 if bit1) (+step if bit2), subtracted when bit3 set;
         # predictor clamps to int16, index steps by the standard adjust
-        # table and clamps to [0, 88].
-        if channels != 1:
+        # table and clamps to [0, 88]. STEREO (round 8, this session)
+        # interleaves 4-byte (8-nibble) channel groups: left gets bytes
+        # 0-3 of each 8-byte pair, right gets bytes 4-7; output frames
+        # interleave L/R.
+        if channels not in (1, 2):
             raise NotImplementedError(
-                "decode_wav_pcm supports mono IMA ADPCM only — stereo "
-                "interleaves 4-byte channel groups (needs a demuxer)"
+                "decode_wav_pcm supports mono/stereo IMA ADPCM only"
             )
         ba = block_align or len(data)
         samples = []
+
+        def ima_steps(pred: int, index: int, nibbles) -> "list[int]":
+            out = []
+            for nib in nibbles:
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+                out.append(pred)
+            return out
+
         for boff in range(0, len(data), ba):
             block = data[boff : boff + ba]
-            if len(block) < 4:
+            if len(block) < 4 * channels:
                 break
-            pred = struct.unpack_from("<h", block, 0)[0]
-            index = min(88, block[2])
-            samples.append(pred)
-            for byte in block[4:]:
-                for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
-                    step = _IMA_STEPS[index]
-                    diff = step >> 3
-                    if nib & 1:
-                        diff += step >> 2
-                    if nib & 2:
-                        diff += step >> 1
-                    if nib & 4:
-                        diff += step
-                    pred = pred - diff if nib & 8 else pred + diff
-                    pred = max(-32768, min(32767, pred))
-                    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
-                    samples.append(pred)
+            preds = [
+                struct.unpack_from("<h", block, 4 * c)[0]
+                for c in range(channels)
+            ]
+            idxs = [min(88, block[4 * c + 2]) for c in range(channels)]
+            samples.extend(preds)  # header predictors = first frame
+            payload = block[4 * channels :]
+            if channels == 1:
+                nibs = [
+                    n for byte in payload for n in (byte & 0x0F, byte >> 4)
+                ]
+                samples.extend(ima_steps(preds[0], idxs[0], nibs))
+            else:
+                chans = []
+                for c in range(2):
+                    cbytes = bytearray()
+                    g = 0
+                    while 8 * g + 4 * c + 4 <= len(payload):
+                        cbytes += payload[8 * g + 4 * c : 8 * g + 4 * c + 4]
+                        g += 1
+                    nibs = [
+                        n for byte in cbytes
+                        for n in (byte & 0x0F, byte >> 4)
+                    ]
+                    chans.append(ima_steps(preds[c], idxs[c], nibs))
+                for lv, rv in zip(chans[0], chans[1]):
+                    samples.append(lv)
+                    samples.append(rv)
     elif fmt_tag == 2 and bits == 4:
         # MS-ADPCM (round 8, format tag 2; public Microsoft spec): mono
         # only. Block header: predictor index (0-6), initial delta
@@ -4008,32 +4038,47 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
         # sample per nibble — HIGH nibble first, the opposite order of
         # IMA. Per nibble: pred = ((s1*c1 + s2*c2) >> 8) +
         # signed_nibble * delta (arithmetic shift, i.e. floor), clamped
-        # to int16; delta = max(16, (adapt[nib] * delta) >> 8).
-        if channels != 1:
+        # to int16; delta = max(16, (adapt[nib] * delta) >> 8). STEREO
+        # (round 8, this session): header fields interleave per channel
+        # (predictors, then ideltas, sample1s, sample2s) and stream
+        # nibbles alternate channels — every HIGH nibble is left, every
+        # LOW nibble right — so appending in stream order IS the
+        # interleaved frame order.
+        if channels not in (1, 2):
             raise NotImplementedError(
-                "decode_wav_pcm supports mono MS-ADPCM only — stereo "
-                "splits the header per channel and alternates nibbles"
+                "decode_wav_pcm supports mono/stereo MS-ADPCM only"
             )
+        nch = channels
         ba = block_align or len(data)
         samples = []
         for boff in range(0, len(data), ba):
             block = data[boff : boff + ba]
-            if len(block) < 7:
+            if len(block) < 7 * nch:
                 break
-            ip = block[0]
-            if ip >= 7:
-                raise ValueError("MS-ADPCM predictor index out of range")
-            delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
-            c1, c2 = _MS_COEF[ip]
-            samples.append(s2)
-            samples.append(s1)
-            for byte in block[7:]:
+            coef = []
+            for c in range(nch):
+                ip = block[c]
+                if ip >= 7:
+                    raise ValueError("MS-ADPCM predictor index out of range")
+                coef.append(_MS_COEF[ip])
+            deltas = list(
+                struct.unpack_from(f"<{nch}h", block, nch)
+            )
+            s1s = list(struct.unpack_from(f"<{nch}h", block, 3 * nch))
+            s2s = list(struct.unpack_from(f"<{nch}h", block, 5 * nch))
+            samples.extend(s2s)
+            samples.extend(s1s)
+            ni = 0
+            for byte in block[7 * nch :]:
                 for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                    c = ni % nch
+                    ni += 1
                     snib = nib - 16 if nib >= 8 else nib
-                    pred = ((s1 * c1 + s2 * c2) >> 8) + snib * delta
+                    c1, c2 = coef[c]
+                    pred = ((s1s[c] * c1 + s2s[c] * c2) >> 8) + snib * deltas[c]
                     pred = max(-32768, min(32767, pred))
-                    s2, s1 = s1, pred
-                    delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+                    s2s[c], s1s[c] = s1s[c], pred
+                    deltas[c] = max(16, (_MS_ADAPT[nib] * deltas[c]) >> 8)
                     samples.append(pred)
     elif fmt_tag in (6, 7) and bits == 8:
         # G.711 companded telephony audio (format tags 6 = A-law,

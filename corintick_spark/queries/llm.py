@@ -4600,3 +4600,219 @@ def multimodal_decode_png_gray_lowbit(spark, sf_dir):
 
     with_png = d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
     return M.decode_image_pixels(with_png)
+
+
+# Stereo IMA ADPCM decode (round 8): per-channel 4-byte headers and
+# nibble payload in alternating 4-byte channel groups. The oracle
+# replays BOTH channels' quantizer state machines with one recursive
+# CTE over (doc, channel) — channel ch's k-th nibble lives at payload
+# byte 8*(k//8) + 4*ch + (k%8)//2, LOW nibble first — so every sample
+# of every channel is recomputed. One row per (channel, sample).
+@query(
+    "multimodal_decode_adpcm_stereo",
+    sql="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, ch, (doc_id % 3 + 1) * 8 AS nnib
+        FROM documents, (SELECT unnest([0, 1]) AS ch)
+    ), st AS (
+        SELECT doc_id, ch, nnib, 0 AS pos,
+               CAST(((doc_id + ch * 7) * 73) % 4096 - 2048 AS INT) AS pred,
+               CAST((doc_id + ch * 31) % 89 AS INT) AS idx
+        FROM s
+        UNION ALL
+        SELECT doc_id, ch, nnib, pos + 1,
+               CAST(GREATEST(-32768, LEAST(32767,
+                 pred + CASE WHEN nib >= 8 THEN -1 ELSE 1 END *
+                   (stp // 8
+                    + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END
+                    + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+                    + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END)))
+                 AS INT),
+               CAST(GREATEST(0, LEAST(88,
+                 idx + CASE nib % 8
+                       WHEN 4 THEN 2 WHEN 5 THEN 4
+                       WHEN 6 THEN 6 WHEN 7 THEN 8
+                       ELSE -1 END)) AS INT)
+        FROM (
+            SELECT doc_id, ch, nnib, pos, pred, idx,
+                   CASE WHEN pos % 2 = 0
+                        THEN ((doc_id * 13 + ch * 17 + (pos // 2) * 7)
+                              % 256) % 16
+                        ELSE ((doc_id * 13 + ch * 17 + (pos // 2) * 7)
+                              % 256) // 16
+                   END AS nib,
+                   ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                     41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+                     173,190,209,230,253,279,307,337,371,408,449,494,544,
+                     598,658,724,796,876,963,1060,1166,1282,1411,1552,
+                     1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+                     4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+                     11487,12635,13899,15289,16818,18500,20350,22385,
+                     24623,27086,29794,32767])[idx + 1] AS stp
+            FROM st WHERE pos < nnib
+        )
+    )
+    SELECT doc_id, CAST(ch AS BIGINT) AS ch, CAST(pos AS BIGINT) AS pos,
+           CAST(pred AS BIGINT) AS sample
+    FROM st
+    """,
+)
+def multimodal_decode_adpcm_stereo(spark, sf_dir):
+    """Stereo IMA ADPCM WAV decode, one output row per (channel,
+    sample), adjudicated against a recursive-CTE replay of both
+    channels' quantizer state machines."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from corintick_spark.operators.multimodal import decode_wav_pcm
+
+        for pdf in it:
+            out = {"doc_id": [], "ch": [], "pos": [], "sample": []}
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                ngroups = i % 3 + 1
+                headers = b"".join(
+                    struct.pack(
+                        "<hBB",
+                        ((i + ch * 7) * 73) % 4096 - 2048,
+                        (i + ch * 31) % 89, 0,
+                    )
+                    for ch in range(2)
+                )
+                inter = bytearray()
+                for g in range(ngroups):
+                    for ch in range(2):
+                        inter += bytes(
+                            (i * 13 + ch * 17 + (g * 4 + bb) * 7) % 256
+                            for bb in range(4)
+                        )
+                data = headers + bytes(inter)
+                ba = len(data)
+                fmt = struct.pack("<HHIIHH", 0x11, 2, 8000, 8000, ba, 4)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) % 2 else b"")
+                )
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                _, nch, samples = decode_wav_pcm(wav)
+                for fi in range(len(samples) // 2):
+                    for ch in range(2):
+                        out["doc_id"].append(i)
+                        out["ch"].append(ch)
+                        out["pos"].append(fi)
+                        out["sample"].append(samples[2 * fi + ch])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        decode, schema="doc_id long, ch long, pos long, sample long"
+    )
+
+
+# Stereo MS-ADPCM decode (round 8): interleaved header fields, every
+# HIGH nibble left / LOW nibble right. Same recursive-CTE replay as the
+# mono query, parameterized by channel; one row per (channel, sample).
+@query(
+    "multimodal_decode_msadpcm_stereo",
+    sql="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, ch, doc_id % 10 + 2 AS nbytes,
+               ([256, 512, 0, 192, 240, 460, 392])[(doc_id + ch) % 7 + 1]
+                   AS c1,
+               ([0, -256, 0, 64, 0, -208, -232])[(doc_id + ch) % 7 + 1]
+                   AS c2
+        FROM documents, (SELECT unnest([0, 1]) AS ch)
+    ), st AS (
+        SELECT doc_id, ch, nbytes, c1, c2, 1 AS pos,
+               CAST(((doc_id + ch * 5) * 37) % 4096 - 2048 AS BIGINT) AS s1,
+               CAST(((doc_id + ch * 3) * 91) % 4096 - 2048 AS BIGINT) AS s2,
+               CAST((doc_id + ch * 13) % 500 + 16 AS BIGINT) AS delta
+        FROM s
+        UNION ALL
+        SELECT doc_id, ch, nbytes, c1, c2, pos + 1,
+               GREATEST(-32768, LEAST(32767,
+                 (s1 * c1 + s2 * c2
+                  - ((((s1 * c1 + s2 * c2) % 256) + 256) % 256)) // 256
+                 + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END)
+                   * delta)),
+               s1,
+               GREATEST(16,
+                 ([230, 230, 230, 230, 307, 409, 512, 614, 768, 614,
+                   512, 409, 307, 230, 230, 230])[nib + 1] * delta // 256)
+        FROM (
+            SELECT doc_id, ch, nbytes, c1, c2, pos, s1, s2, delta,
+                   CASE WHEN ch = 0
+                        THEN ((doc_id * 13 + (pos - 1) * 7) % 256) // 16
+                        ELSE ((doc_id * 13 + (pos - 1) * 7) % 256) % 16
+                   END AS nib
+            FROM st WHERE pos < nbytes + 1
+        )
+    )
+    SELECT doc_id, CAST(ch AS BIGINT) AS ch, CAST(0 AS BIGINT) AS pos,
+           CAST(((doc_id + ch * 3) * 91) % 4096 - 2048 AS BIGINT) AS sample
+    FROM (SELECT DISTINCT doc_id, ch FROM s)
+    UNION ALL
+    SELECT doc_id, CAST(ch AS BIGINT) AS ch, CAST(pos AS BIGINT) AS pos,
+           CAST(s1 AS BIGINT) AS sample
+    FROM st
+    """,
+)
+def multimodal_decode_msadpcm_stereo(spark, sf_dir):
+    """Stereo MS-ADPCM WAV decode, one output row per (channel,
+    sample), adjudicated against a per-channel recursive-CTE replay."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from corintick_spark.operators.multimodal import decode_wav_pcm
+
+        for pdf in it:
+            out = {"doc_id": [], "ch": [], "pos": [], "sample": []}
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                nbytes = i % 10 + 2
+                ips = bytes(((i + ch) % 7) for ch in range(2))
+                deltas = struct.pack(
+                    "<2h", *((i + ch * 13) % 500 + 16 for ch in range(2))
+                )
+                s1s = struct.pack(
+                    "<2h",
+                    *(((i + ch * 5) * 37) % 4096 - 2048 for ch in range(2)),
+                )
+                s2s = struct.pack(
+                    "<2h",
+                    *(((i + ch * 3) * 91) % 4096 - 2048 for ch in range(2)),
+                )
+                payload = bytes((i * 13 + j * 7) % 256 for j in range(nbytes))
+                data = ips + deltas + s1s + s2s + payload
+                ba = len(data)
+                fmt = struct.pack("<HHIIHH", 2, 2, 8000, 4000, ba, 4)
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) % 2 else b"")
+                )
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                _, _, samples = decode_wav_pcm(wav)
+                for fi in range(len(samples) // 2):
+                    for ch in range(2):
+                        out["doc_id"].append(i)
+                        out["ch"].append(ch)
+                        out["pos"].append(fi)
+                        out["sample"].append(samples[2 * fi + ch])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        decode, schema="doc_id long, ch long, pos long, sample long"
+    )

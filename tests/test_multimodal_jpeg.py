@@ -582,7 +582,7 @@ def test_wav_ms_adpcm_decode():
     """MS-ADPCM (round 8, format tag 2): header emits sample2 then
     sample1, nibbles decode HIGH-first through the 7 coefficient pairs
     with floor-division prediction and adapting delta (floored at 16);
-    multi-block streams reset per block; stereo stays a named stub."""
+    multi-block streams reset per block."""
     import random
     import struct
 
@@ -649,9 +649,9 @@ def test_wav_ms_adpcm_decode():
     with _pytest.raises(ValueError, match="predictor"):
         decode_wav_pcm(wav_ms(bad, 9))
 
-    # stereo MS-ADPCM stays a named stub
-    with _pytest.raises(NotImplementedError, match="stereo"):
-        decode_wav_pcm(wav_ms(bytes(16), 16, channels=2))
+    # more than two ADPCM channels stays a named stub
+    with _pytest.raises(NotImplementedError, match="mono/stereo"):
+        decode_wav_pcm(wav_ms(bytes(32), 32, channels=3))
 
 
 def test_bmp_rle8_truncated_absolute_mode_clean():
@@ -1021,7 +1021,7 @@ def test_wav_float64_landmarks():
 def test_wav_ima_adpcm_blocks_and_stubs():
     """IMA ADPCM (round 8): multi-block streams decode with per-block
     header resets (predictor emitted as sample 0 of each block); a
-    truncated trailing block drops cleanly; stereo stays a named stub."""
+    truncated trailing block drops cleanly."""
     import struct
 
     from corintick_spark.operators.multimodal import (
@@ -1075,11 +1075,111 @@ def test_wav_ima_adpcm_blocks_and_stubs():
     # truncated trailing block (fewer than 4 header bytes) drops cleanly
     _, _, s = decode_wav_pcm(wav_adpcm(data + b"\x01\x02", ba))
     assert s == ref(data, ba)
-    with pytest.raises(NotImplementedError, match="mono"):
-        fmt = struct.pack("<HHIIHH", 0x11, 2, 8000, 8000, 8, 4)
+
+
+def test_wav_ima_adpcm_stereo():
+    """Stereo IMA ADPCM (round 8): per-channel 4-byte headers, nibble
+    payload in alternating 4-byte channel groups, output frames
+    interleaving L/R — each channel must decode exactly as the same
+    nibble stream would mono."""
+    import random
+    import struct
+
+    from corintick_spark.operators.multimodal import decode_wav_pcm
+
+    def wav_adpcm(data, ba, channels):
+        fmt = struct.pack("<HHIIHH", 0x11, channels, 8000, 8000, ba, 4)
         body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                + b"data" + struct.pack("<I", 16) + b"\x00" * 16)
-        decode_wav_pcm(b"RIFF" + struct.pack("<I", len(body)) + body)
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rng = random.Random(13)
+    for _ in range(6):
+        ngroups = rng.randint(1, 4)
+        headers, payload_l, payload_r = [], b"", b""
+        for c in range(2):
+            headers.append(struct.pack(
+                "<hBB", rng.randint(-2048, 2047), rng.randint(0, 88), 0
+            ))
+        for _g in range(ngroups):
+            payload_l += bytes(rng.randrange(256) for _ in range(4))
+            payload_r += bytes(rng.randrange(256) for _ in range(4))
+        inter = b"".join(
+            payload_l[4 * g : 4 * g + 4] + payload_r[4 * g : 4 * g + 4]
+            for g in range(ngroups)
+        )
+        ba = 8 + len(inter)
+        data = headers[0] + headers[1] + inter
+        rate, nch, stereo = decode_wav_pcm(wav_adpcm(data, ba, 2))
+        assert (rate, nch) == (8000, 2)
+        # per-channel reference: decode each channel's stream as mono
+        for c, payload in ((0, payload_l), (1, payload_r)):
+            mono_data = headers[c] + payload
+            _, _, mono = decode_wav_pcm(
+                wav_adpcm(mono_data, 4 + len(payload), 1)
+            )
+            assert stereo[c::2] == mono, c
+
+
+def test_wav_ms_adpcm_stereo():
+    """Stereo MS-ADPCM (round 8): interleaved header fields, HIGH
+    nibble = left / LOW nibble = right, output frames starting
+    sample2[L], sample2[R], sample1[L], sample1[R] — each channel must
+    decode exactly as its own nibble stream would mono."""
+    import random
+    import struct
+
+    from corintick_spark.operators.multimodal import decode_wav_pcm
+
+    def wav_ms(data, ba, channels):
+        fmt = struct.pack("<HHIIHH", 2, channels, 8000, 4000, ba, 4)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rng = random.Random(17)
+    for _ in range(6):
+        nbytes = rng.randint(1, 10)
+        ips = [rng.randint(0, 6) for _ in range(2)]
+        deltas = [rng.randint(16, 2000) for _ in range(2)]
+        s1s = [rng.randint(-32768, 32767) for _ in range(2)]
+        s2s = [rng.randint(-32768, 32767) for _ in range(2)]
+        payload = bytes(rng.randrange(256) for _ in range(nbytes))
+        data = (
+            bytes(ips) + struct.pack("<2h", *deltas)
+            + struct.pack("<2h", *s1s) + struct.pack("<2h", *s2s)
+            + payload
+        )
+        ba = 14 + nbytes
+        rate, nch, stereo = decode_wav_pcm(wav_ms(data, ba, 2))
+        assert (rate, nch) == (8000, 2)
+        # per-channel reference: channel c's nibbles are the HIGH (c=0)
+        # or LOW (c=1) nibble of every payload byte; repack as a mono
+        # stream (two nibbles per byte, high first)
+        for c in range(2):
+            nibs = [
+                (byte >> 4) if c == 0 else (byte & 0x0F)
+                for byte in payload
+            ]
+            if len(nibs) % 2:
+                nibs.append(0)
+            mono_payload = bytes(
+                (nibs[2 * i] << 4) | nibs[2 * i + 1]
+                for i in range(len(nibs) // 2)
+            )
+            mono_data = (
+                bytes([ips[c]])
+                + struct.pack("<hhh", deltas[c], s1s[c], s2s[c])
+                + mono_payload
+            )
+            _, _, mono = decode_wav_pcm(
+                wav_ms(mono_data, 7 + len(mono_payload), 1)
+            )
+            # stereo emits len(payload) nibble samples per channel...
+            # channel c gets one sample per payload byte
+            assert stereo[c::2][: 2 + len(payload)] == mono[: 2 + len(payload)], c
 
 
 def test_progressive_restart_intervals_match_no_restart():
