@@ -76,11 +76,13 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # local DuckDB differential (tests/test_oracle_queries.py).
 # Round-9 queue: the queries registered in round 8 after this window
 # was frozen — dedup_substring_auto (size-routed default substring
-# path), the codec wave (multimodal_decode_png16, _gif_anim,
-# _png_adam7, _png_trns, _bmp16, _bmp_lowbit, _bmp_rle4) — plus
-# udf_ewma (newly oracle-paired this round; its only external rows
-# predate the pairing); fill the rest oldest-driver-row first (the
-# r02/r03 cohorts).
+# path), the first codec wave (multimodal_decode_png16, _gif_anim,
+# _png_adam7, _png_trns, _bmp16, _bmp_lowbit, _bmp_rle4), the second
+# codec wave (_png_ckey, _png_gray_lowbit, _bmp_masks, _jpg12,
+# _jpg_411, _jpg_lossless, _jpg_prog420, _msadpcm, _adpcm_stereo,
+# _msadpcm_stereo) — plus udf_ewma (newly oracle-paired this round;
+# its only external rows predate the pairing); fill the rest
+# oldest-driver-row first (the r02/r03 cohorts).
 DRIVER_WINDOW: tuple[str, ...] = (
     # (a) never-driver-windowed — first external adjudication
     "storage_dv", "storage_dv_cdf", "storage_merge_sync",
