@@ -4816,3 +4816,113 @@ def multimodal_decode_msadpcm_stereo(spark, sf_dir):
     return d.mapInPandas(
         decode, schema="doc_id long, ch long, pos long, sample long"
     )
+
+
+# Mixed-format corpus scan (round 8): the realistic 100 TB ingest shape
+# — one binary column whose payloads rotate PNG / BMP / GIF / JPEG /
+# non-image bytes per doc, decoded by ONE magic-byte-dispatching pass
+# (decode_image_pixels) with non-image rows null-propagating instead of
+# failing the scan. Every class plants exactly-reconstructible content
+# (lossless codecs verbatim; JPEG constant-gray blocks), so the oracle
+# recomputes the stats of all four decodable classes and pins NULL rows
+# for the fifth.
+@query(
+    "multimodal_decode_mixed",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 5 AS cls,
+               CASE WHEN doc_id % 5 = 3
+                    THEN (doc_id % 2 + 1) * 8 ELSE doc_id % 6 + 4 END AS w,
+               CASE WHEN doc_id % 5 = 3 THEN 8 ELSE doc_id % 4 + 3 END AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, cls, w, h,
+               CASE cls WHEN 0 THEN 1 WHEN 3 THEN 1
+                        WHEN 1 THEN 3 WHEN 2 THEN 3 END AS channels,
+               CASE cls
+               WHEN 0 THEN list_transform(range(0, (w * h)::INT),
+                    p -> (doc_id + 3 * p) % 256)
+               WHEN 1 THEN list_transform(range(0, (w * h * 3)::INT),
+                    k -> (doc_id + 2 * k) % 256)
+               WHEN 2 THEN list_transform(range(0, (w * h * 3)::INT),
+                    k -> CASE k % 3
+                         WHEN 0 THEN ((doc_id + k // 3) % 8) * 17 % 256
+                         WHEN 1 THEN ((doc_id + k // 3) % 8) * 31 % 256
+                         ELSE ((doc_id + k // 3) % 8) * 53 % 256 END)
+               WHEN 3 THEN list_transform(range(0, (w * h)::INT),
+                    p -> (doc_id * 97
+                          + ((p // w) // 8 * (w // 8) + (p % w) // 8)
+                            * 251) % 256)
+               ELSE NULL
+               END AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN cls = 4 THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+           CASE WHEN cls = 4 THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_sum(list_transform(range(0, len(v)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS px_wsum,
+           CASE WHEN cls = 4 THEN NULL
+                ELSE ROUND(list_sum(v) / (len(v) * 1.0), 6) END AS px_mean
+    FROM px
+    """,
+)
+def multimodal_decode_mixed(spark, sf_dir):
+    """Mixed-format binary-column scan: PNG/BMP/GIF/JPEG/non-image
+    payloads rotating per doc through one magic-byte-dispatching decode
+    pass; non-image rows null-propagate (corpus-scan posture)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    pal8 = bytes(
+        v for j in range(8)
+        for v in ((j * 17) % 256, (j * 31) % 256, (j * 53) % 256)
+    )
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls = i % 5
+                if cls == 3:
+                    w, h = (i % 2 + 1) * 8, 8
+                else:
+                    w, h = i % 6 + 4, i % 4 + 3
+                if cls == 0:
+                    px = bytes((i + 3 * p) % 256 for p in range(w * h))
+                    payloads.append(M.encode_png(
+                        w, h, px, 1, filter_for_row=lambda y: y % 5
+                    ))
+                elif cls == 1:
+                    px = bytes((i + 2 * k) % 256 for k in range(w * h * 3))
+                    payloads.append(M.encode_bmp(w, h, px,
+                                                 top_down=bool(i % 2)))
+                elif cls == 2:
+                    idx = [(i + p) % 8 for p in range(w * h)]
+                    payloads.append(M.encode_gif(w, h, idx, pal8,
+                                                 interlace=bool(i % 2)))
+                elif cls == 3:
+                    nbx = w // 8
+                    px = bytes(
+                        (i * 97 + ((y // 8) * nbx + x // 8) * 251) % 256
+                        for y in range(h) for x in range(w)
+                    )
+                    payloads.append(M.encode_jpeg(
+                        w, h, px, 1, restart_interval=i % 3
+                    ))
+                else:  # non-image bytes: the scan must null-propagate
+                    payloads.append(
+                        (f"plain text payload {i} " * 3).encode()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_mixed = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return M.decode_image_pixels(with_mixed)
