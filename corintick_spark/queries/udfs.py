@@ -209,14 +209,21 @@ def udtf_python(spark, sf_dir):
       FROM src
     )
     SELECT user_id, event_id, value,
-           list_reduce(vals, (acc, x) -> 0.8*acc + 0.2*x) AS ewma
+           list_reduce(vals, (acc, x) ->
+               CASE WHEN acc = x THEN acc ELSE 0.8*acc + 0.2*x END) AS ewma
     FROM o
     """,
 )
 def udf_ewma(spark, sf_dir):
     """Exponentially-weighted moving average per uid (alpha=0.2) computed
     by pandas .ewm inside applyInPandas; the DuckDB oracle replays the
-    identical left-fold via list_reduce (bit-exact, see module note)."""
+    identical left-fold via list_reduce (bit-exact, see module note).
+    The fold carries pandas' constant-run short-circuit: when the running
+    average EQUALS the incoming value, pandas skips the update ("avoid
+    numerical errors on constant series" in its ewm kernel) — the literal
+    convex combination would drift by 1 ulp there (0.8*7 + 0.2*7 is
+    7.000000000000001 in doubles), caught by the edge set's constant-value
+    runs."""
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])

@@ -1095,19 +1095,30 @@ def test_png_pixel_codec_roundtrip_and_stubs():
         assert M.decode_png_pixels(b)[3] == px
     assert M.decode_png_pixels(None) is None
     assert M.decode_png_pixels(b"not a png") is None
-    # 16-bit depth → honest stub
+    # 16-bit depth graduated to a real decode path in round 8; a header
+    # with no IDAT is simply not-a-PNG-payload (None), and a
+    # spec-invalid depth/color combination is malformed (ValueError)
     import struct
     import zlib
 
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    bad = (
+    headless = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", 13)
         + b"IHDR"
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
     )
-    with pytest.raises(NotImplementedError):
+    assert M.decode_png_pixels(headless) is None
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr_bad
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_bad))
+    )
+    with pytest.raises(ValueError, match="depth/color"):
         M.decode_png_pixels(bad)
 
 
