@@ -3760,6 +3760,26 @@ PIXEL_SCHEMA = (
 )
 
 
+def _decode_any_image(b: "bytes | None") -> tuple[int, int, int, bytes] | None:
+    """Magic-byte dispatch over every pixel decoder (PNG, BMP, GIF,
+    JPEG). A GIF whose first frame is a sub-rectangle (animation)
+    composites its POSTER FRAME through :func:`decode_gif_frames` like a
+    real viewer (round 8) instead of failing the corpus scan; non-image
+    bytes return None."""
+    m = decode_png_pixels(b)
+    if m is None:
+        m = decode_bmp_pixels(b)
+    if m is None:
+        try:
+            m = decode_gif_pixels(b)
+        except NotImplementedError:
+            g = decode_gif_frames(b)
+            m = (g[0], g[1], g[2], g[3][0]) if g is not None and g[3] else None
+    if m is None:
+        m = decode_jpeg_pixels(b)
+    return m
+
+
 def decode_image_pixels(
     df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
 ) -> DataFrame:
@@ -3781,13 +3801,7 @@ def decode_image_pixels(
         for pdf in it:
             rows = {k: [] for k in cols}
             for b in pdf[payload]:
-                m = decode_png_pixels(b)
-                if m is None:
-                    m = decode_bmp_pixels(b)
-                if m is None:
-                    m = decode_gif_pixels(b)
-                if m is None:
-                    m = decode_jpeg_pixels(b)
+                m = _decode_any_image(b)
                 if m is None:
                     for k in rows:
                         rows[k].append(None)
@@ -4257,13 +4271,7 @@ def resize_images(
         for pdf in it:
             rows = {k: [] for k in cols}
             for b in pdf[payload]:
-                m = decode_png_pixels(b)
-                if m is None:
-                    m = decode_bmp_pixels(b)
-                if m is None:
-                    m = decode_gif_pixels(b)
-                if m is None:
-                    m = decode_jpeg_pixels(b)
+                m = _decode_any_image(b)
                 if m is None:
                     for k in rows:
                         rows[k].append(None)

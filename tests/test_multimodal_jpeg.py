@@ -1391,3 +1391,25 @@ def test_png_gray_lowbit_roundtrip():
     raw[8 + 8 + 9] = 2  # IHDR color-type byte
     with pytest.raises(ValueError, match="depth/color"):
         M.decode_png_pixels(bytes(raw))
+
+
+def test_image_dispatch_gif_poster_frame():
+    """Corpus-scan dispatch (round 8): a GIF whose first frame is a
+    sub-rectangle (animation) composites its poster frame through the
+    multi-frame decoder instead of failing the scan; full-frame-first
+    GIFs keep the strict static decode; non-image bytes stay None."""
+    pal = bytes(
+        v for j in range(8)
+        for v in ((j * 17) % 256, (j * 31) % 256, (j * 53) % 256)
+    )
+    frames = [
+        {"indices": [3] * 4, "left": 1, "top": 1, "iw": 2, "ih": 2},
+        {"indices": [5] * 4, "left": 0, "top": 0, "iw": 2, "ih": 2},
+    ]
+    b = M.encode_gif_anim(6, 4, frames, pal)
+    with pytest.raises(NotImplementedError):
+        M.decode_gif_pixels(b)  # the strict tier still refuses sub-rects
+    g = M.decode_gif_frames(b)
+    assert M._decode_any_image(b) == (g[0], g[1], g[2], g[3][0])
+    assert M._decode_any_image(b"not an image") is None
+    assert M._decode_any_image(None) is None
