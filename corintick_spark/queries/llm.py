@@ -4926,3 +4926,137 @@ def multimodal_decode_mixed(spark, sf_dir):
         make_payloads, schema="doc_id long, payload binary"
     )
     return M.decode_image_pixels(with_mixed)
+
+
+# Mixed-format audio scan (round 8): WAV payloads rotating PCM16 /
+# PCM8 / G.711 mu-law / IEEE float32 / non-audio bytes per doc through
+# ONE decode pass (decode_audio_samples), non-audio rows
+# null-propagating — the audio-corpus analogue of
+# multimodal_decode_mixed. Every decodable class plants exactly-
+# reconstructible samples (dyadic float32 values make the double
+# arithmetic exact), so the oracle recomputes count/sum/mean/peak/RMS
+# for all four and pins NULL rows for the fifth.
+@query(
+    "multimodal_audio_mixed",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 5 AS cls,
+               CASE doc_id % 5
+               WHEN 0 THEN doc_id % 20 + 2
+               WHEN 1 THEN doc_id % 30 + 3
+               WHEN 2 THEN doc_id % 40 + 1
+               WHEN 3 THEN doc_id % 30 + 2
+               END AS n,
+               CASE doc_id % 5 WHEN 0 THEN 16000 WHEN 3 THEN 44100
+                    WHEN 4 THEN NULL ELSE 8000 END AS rate
+        FROM documents
+    ), v AS (
+        SELECT doc_id, cls, n, rate,
+               CASE cls
+               WHEN 0 THEN list_transform(range(0, n::INT),
+                    k -> (doc_id * 13 + k * 7) % 4096 - 2048)
+               WHEN 1 THEN list_transform(range(0, n::INT),
+                    k -> (doc_id + k) % 256 - 128)
+               WHEN 2 THEN list_transform(range(0, n::INT), k -> CASE
+                    WHEN ((255 - ((doc_id + 3 * k) % 256)) & 128) != 0
+                    THEN 132 - (((255 - ((doc_id + 3 * k) % 256)) % 16)
+                                * 8 + 132)
+                             * (1 << (((255 - ((doc_id + 3 * k) % 256))
+                                       // 16) % 8))
+                    ELSE (((255 - ((doc_id + 3 * k) % 256)) % 16)
+                          * 8 + 132)
+                         * (1 << (((255 - ((doc_id + 3 * k) % 256))
+                                   // 16) % 8)) - 132 END)
+               WHEN 3 THEN list_transform(range(0, n::INT), k ->
+                    CASE WHEN ((doc_id * 13 + k * 7) % 2047 - 1023) >= 0
+                    THEN GREATEST(-32768, LEAST(32767,
+                         CAST(FLOOR(((doc_id * 13 + k * 7) % 2047 - 1023)
+                              / 256.0 * 32767 + 0.5) AS BIGINT)))
+                    ELSE GREATEST(-32768, LEAST(32767,
+                         CAST(CEIL(((doc_id * 13 + k * 7) % 2047 - 1023)
+                              / 256.0 * 32767 - 0.5) AS BIGINT)))
+                    END)
+               ELSE NULL
+               END AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CASE WHEN cls = 4 THEN NULL
+                ELSE CAST(1 AS BIGINT) END AS channels,
+           CASE WHEN cls = 4 THEN NULL
+                ELSE CAST(n AS BIGINT) END AS n_samples,
+           CAST(list_sum(v) AS BIGINT) AS sample_sum,
+           CASE WHEN cls = 4 THEN NULL
+                ELSE ROUND(list_sum(v) / (1.0 * n), 6) END AS sample_mean,
+           CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT)
+               AS peak_abs,
+           CASE WHEN cls = 4 THEN NULL
+                ELSE ROUND(SQRT(list_sum(
+                         list_transform(v, x -> 1.0 * x * x)) / n), 6)
+                END AS rms
+    FROM v
+    """,
+)
+def multimodal_audio_mixed(spark, sf_dir):
+    """Mixed-format audio scan: PCM16/PCM8/mu-law/float32/non-audio
+    payloads rotating per doc through one decode pass; non-audio rows
+    null-propagate (corpus-scan posture)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def wav(fmt_tag, rate, bits, data):
+            block = max(1, bits // 8)
+            fmt = struct.pack(
+                "<HHIIHH", fmt_tag, 1, rate, rate * block, block, bits
+            )
+            body = (
+                b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b"")
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls = i % 5
+                if cls == 0:
+                    n = i % 20 + 2
+                    vals = [(i * 13 + k * 7) % 4096 - 2048 for k in range(n)]
+                    payloads.append(
+                        wav(1, 16000, 16, struct.pack(f"<{n}h", *vals))
+                    )
+                elif cls == 1:
+                    n = i % 30 + 3
+                    raw = bytes(((i + k) % 256) for k in range(n))
+                    payloads.append(wav(1, 8000, 8, raw))
+                elif cls == 2:
+                    n = i % 40 + 1
+                    raw = bytes((i + 3 * k) % 256 for k in range(n))
+                    payloads.append(wav(7, 8000, 8, raw))
+                elif cls == 3:
+                    n = i % 30 + 2
+                    xs = [
+                        ((i * 13 + k * 7) % 2047 - 1023) / 256.0
+                        for k in range(n)
+                    ]
+                    payloads.append(
+                        wav(3, 44100, 32, struct.pack(f"<{n}f", *xs))
+                    )
+                else:  # non-audio bytes: the scan must null-propagate
+                    payloads.append(f"not a wav payload {i}".encode())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_audio = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return M.decode_audio_samples(with_audio)
