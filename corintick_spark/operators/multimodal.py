@@ -4296,3 +4296,66 @@ def resize_images(
             )
 
     return df.select(id_col, payload).mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "doc_id long, out_rate long, n_out long,"
+    " rs_sum long, rs_wsum long, rs_mean double"
+)
+
+
+def resample_audio_nearest(
+    df: DataFrame,
+    out_rate: int,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+) -> DataFrame:
+    """Decode WAV audio (every :func:`decode_wav_pcm` format) →
+    nearest-neighbor resample each channel to ``out_rate`` → stats of
+    the resampled interleaved stream (round 8 — the audio twin of
+    :func:`resize_images`, the sample-rate-normalization pass an
+    audio-corpus pipeline runs before featurization). Output frame j
+    takes input frame floor(j * in_rate / out_rate); the output length
+    is floor(n_frames * out_rate / in_rate) frames. rs_wsum is
+    position-weighted over the interleaved output order, so frame
+    indexing or channel-interleave mistakes change it. Undecodable
+    payloads null-propagate; Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("out_rate", "n_out", "rs_sum", "rs_wsum", "rs_mean")
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for b in pdf[payload]:
+                m = decode_wav_pcm(b)
+                if m is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                rate, ch, samples = m
+                nf = len(samples) // ch
+                n_out = (nf * out_rate) // rate
+                rz = [
+                    samples[(j * rate // out_rate) * ch + c]
+                    for j in range(n_out)
+                    for c in range(ch)
+                ]
+                s, n = sum(rz), len(rz)
+                rows["out_rate"].append(out_rate)
+                rows["n_out"].append(n_out)
+                rows["rs_sum"].append(s)
+                rows["rs_wsum"].append(sum(k * v for k, v in enumerate(rz)))
+                rows["rs_mean"].append(round(s / n, 6) if n else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_rate": pd.array(rows["out_rate"], dtype="Int64"),
+                    "n_out": pd.array(rows["n_out"], dtype="Int64"),
+                    "rs_sum": pd.array(rows["rs_sum"], dtype="Int64"),
+                    "rs_wsum": pd.array(rows["rs_wsum"], dtype="Int64"),
+                    "rs_mean": pd.array(rows["rs_mean"], dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(
+        batches, schema=AUDIO_RESAMPLE_SCHEMA
+    )

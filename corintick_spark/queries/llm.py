@@ -5060,3 +5060,83 @@ def multimodal_audio_mixed(spark, sf_dir):
         make_payloads, schema="doc_id long, payload binary"
     )
     return M.decode_audio_samples(with_audio)
+
+
+# Audio sample-rate normalization (round 8): nearest-neighbor resample
+# to a fixed 8 kHz — the standardization pass an audio-corpus pipeline
+# runs before featurization. Input rates rotate 16k/8k/4k by doc
+# (downsample, identity, upsample) and channel count alternates
+# mono/stereo, so frame indexing AND channel interleave are both load-
+# bearing; the oracle rebuilds the resampled stream symbolically
+# (output frame j takes input frame j*in_rate//8000).
+@query(
+    "multimodal_audio_resample",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 8000
+                    ELSE 4000 END AS in_rate,
+               doc_id % 20 + 4 AS nf,
+               doc_id % 2 + 1 AS ch
+        FROM documents
+    ), r AS (
+        SELECT doc_id, in_rate, ch,
+               (nf * 8000) // in_rate AS n_out,
+               flatten(list_transform(range(0, ((nf * 8000) // in_rate)::INT),
+                 j -> list_transform(range(0, ch::INT),
+                   c -> (doc_id * 13
+                         + ((j * in_rate // 8000) * ch + c) * 7)
+                        % 4096 - 2048))) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS out_rate,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(list_sum(v) AS BIGINT) AS rs_sum,
+           CAST(list_sum(list_transform(range(0, len(v)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS rs_wsum,
+           ROUND(list_sum(v) / (len(v) * 1.0), 6) AS rs_mean
+    FROM r
+    """,
+)
+def multimodal_audio_resample(spark, sf_dir):
+    """Nearest-neighbor audio resample to 8 kHz (16k/8k/4k inputs
+    rotating, mono/stereo alternating), stats of the resampled stream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                in_rate = {0: 16000, 1: 8000, 2: 4000}[i % 3]
+                nf = i % 20 + 4
+                ch = i % 2 + 1
+                vals = [
+                    (i * 13 + k * 7) % 4096 - 2048 for k in range(nf * ch)
+                ]
+                data = struct.pack(f"<{len(vals)}h", *vals)
+                block = ch * 2
+                fmt = struct.pack(
+                    "<HHIIHH", 1, ch, in_rate, in_rate * block, block, 16
+                )
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_audio = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return M.resample_audio_nearest(with_audio, 8000)

@@ -1413,3 +1413,47 @@ def test_image_dispatch_gif_poster_frame():
     assert M._decode_any_image(b) == (g[0], g[1], g[2], g[3][0])
     assert M._decode_any_image(b"not an image") is None
     assert M._decode_any_image(None) is None
+
+
+def test_audio_resample_nearest_math():
+    """Audio resample (round 8): output frame j takes input frame
+    j*in_rate//out_rate per channel — down/identity/up, mono and
+    stereo, with the interleave preserved."""
+    import struct
+
+    from corintick_spark.operators.multimodal import decode_wav_pcm
+
+    def wav(rate, vals, channels=1):
+        data = struct.pack(f"<{len(vals)}h", *vals)
+        block = channels * 2
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                          block, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def ref(vals, ch, in_rate, out_rate):
+        nf = len(vals) // ch
+        n_out = (nf * out_rate) // in_rate
+        return [
+            vals[(j * in_rate // out_rate) * ch + c]
+            for j in range(n_out) for c in range(ch)
+        ]
+
+    for in_rate, ch in [(16000, 1), (16000, 2), (8000, 1), (4000, 2)]:
+        vals = [(k * 7) % 4096 - 2048 for k in range(12 * ch)]
+        rate, got_ch, samples = decode_wav_pcm(wav(in_rate, vals, ch))
+        assert (rate, got_ch) == (in_rate, ch)
+        out = ref(samples, ch, in_rate, 8000)
+        if in_rate == 8000:
+            assert out == vals  # identity
+        elif in_rate == 16000 and ch == 1:
+            assert out == vals[::2]  # 2:1 decimation
+        elif in_rate == 4000:
+            # 1:2 upsample duplicates every frame
+            nf = len(vals) // ch
+            exp = []
+            for j in range(nf * 2):
+                src = j // 2
+                exp.extend(vals[src * ch : src * ch + ch])
+            assert out == exp
