@@ -81,7 +81,8 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # codec wave (_png_ckey, _png_gray_lowbit, _bmp_masks, _jpg12,
 # _jpg_411, _jpg_lossless, _jpg_prog420, _msadpcm, _adpcm_stereo,
 # _msadpcm_stereo), the mixed-format scans (multimodal_decode_mixed,
-# multimodal_audio_mixed), audio resampling (multimodal_audio_resample) — plus udf_ewma (newly oracle-paired this
+# multimodal_audio_mixed), and audio resampling
+# (multimodal_audio_resample) — plus udf_ewma (newly oracle-paired this
 # round; its only external rows predate the pairing AND its oracle
 # gained pandas' constant-run short-circuit late in r8); fill the rest
 # oldest-driver-row first (the r02/r03 cohorts).
