@@ -484,8 +484,16 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             # un-filtering, per scanline (pass-scanline under Adam7).
             bypp = max(1, channels * (depth // 8))
         elif ctype == b"PLTE":
+            if w is None:
+                raise ValueError("PLTE before IHDR (PNG spec 5.6)")
             palette = bytes(body)
         elif ctype == b"tRNS":
+            # chunk ordering is part of the spec: tRNS/PLTE/IDAT are
+            # only meaningful once IHDR fixed the color type — a tRNS
+            # stored while color is still None would silently be
+            # re-interpreted later (ADVICE r8)
+            if w is None:
+                raise ValueError("tRNS before IHDR (PNG spec 5.6)")
             if color in (4, 6):
                 raise ValueError(
                     "tRNS is invalid on alpha-bearing color types "
@@ -495,6 +503,8 @@ def decode_png_pixels(b: bytes | None) -> tuple[int, int, int, bytes] | None:
             # (round 8): the color key — 2-byte big-endian sample(s)
             trns = bytes(body)
         elif ctype == b"IDAT":
+            if w is None:
+                raise ValueError("IDAT before IHDR (PNG spec 5.6)")
             idat += body
         elif ctype == b"IEND":
             break
@@ -3760,24 +3770,51 @@ PIXEL_SCHEMA = (
 )
 
 
+# Exception classes a malformed-but-magic payload can raise out of the
+# strict per-codec decoders. The corpus-scan dispatch catches these per
+# ROW so one corrupt file nulls out instead of aborting the whole Spark
+# task (ADVICE r8); the per-codec decoders themselves stay strict.
+_DECODE_ERRORS: tuple[type[BaseException], ...] | None = None
+
+
+def _decode_errors() -> tuple[type[BaseException], ...]:
+    global _DECODE_ERRORS
+    if _DECODE_ERRORS is None:
+        import struct
+        import zlib
+
+        _DECODE_ERRORS = (
+            ValueError, struct.error, zlib.error, EOFError, IndexError,
+            KeyError, OverflowError, MemoryError, NotImplementedError,
+        )
+    return _DECODE_ERRORS
+
+
 def _decode_any_image(b: "bytes | None") -> tuple[int, int, int, bytes] | None:
     """Magic-byte dispatch over every pixel decoder (PNG, BMP, GIF,
     JPEG). A GIF whose first frame is a sub-rectangle (animation)
     composites its POSTER FRAME through :func:`decode_gif_frames` like a
     real viewer (round 8) instead of failing the corpus scan; non-image
-    bytes return None."""
-    m = decode_png_pixels(b)
-    if m is None:
-        m = decode_bmp_pixels(b)
-    if m is None:
-        try:
-            m = decode_gif_pixels(b)
-        except NotImplementedError:
-            g = decode_gif_frames(b)
-            m = (g[0], g[1], g[2], g[3][0]) if g is not None and g[3] else None
-    if m is None:
-        m = decode_jpeg_pixels(b)
-    return m
+    bytes return None. Corpus-scan posture (ADVICE r8): a payload whose
+    magic bytes pass but whose body is truncated/malformed — or that
+    hits a documented codec stub (NotImplementedError) — also returns
+    None instead of propagating the decoder's strict exception, so one
+    corrupt file can't abort a 100 TB scan."""
+    try:
+        m = decode_png_pixels(b)
+        if m is None:
+            m = decode_bmp_pixels(b)
+        if m is None:
+            try:
+                m = decode_gif_pixels(b)
+            except NotImplementedError:
+                g = decode_gif_frames(b)
+                m = (g[0], g[1], g[2], g[3][0]) if g is not None and g[3] else None
+        if m is None:
+            m = decode_jpeg_pixels(b)
+        return m
+    except _decode_errors():
+        return None
 
 
 def decode_image_pixels(
@@ -4050,9 +4087,14 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
         # (int16), sample1 (int16, the NEWER stored sample), sample2
         # (int16, older); output starts sample2, sample1, then one
         # sample per nibble — HIGH nibble first, the opposite order of
-        # IMA. Per nibble: pred = ((s1*c1 + s2*c2) >> 8) +
-        # signed_nibble * delta (arithmetic shift, i.e. floor), clamped
-        # to int16; delta = max(16, (adapt[nib] * delta) >> 8). STEREO
+        # IMA. Per nibble: pred = trunc((s1*c1 + s2*c2) / 256) +
+        # signed_nibble * delta — C integer division truncating toward
+        # zero, matching the Microsoft spec pseudocode and mainstream
+        # decoders (ffmpeg); an arithmetic >> 8 (floor) is 1 off on
+        # negative sums not divisible by 256 and the error compounds
+        # through the predictor state (ADVICE r8). Clamped to int16;
+        # delta = max(16, (adapt[nib] * delta) >> 8) — delta is
+        # positive there so floor == truncate. STEREO
         # (round 8, this session): header fields interleave per channel
         # (predictors, then ideltas, sample1s, sample2s) and stream
         # nibbles alternate channels — every HIGH nibble is left, every
@@ -4089,7 +4131,11 @@ def decode_wav_pcm(b: bytes | None) -> tuple[int, int, "list[int]"] | None:
                     ni += 1
                     snib = nib - 16 if nib >= 8 else nib
                     c1, c2 = coef[c]
-                    pred = ((s1s[c] * c1 + s2s[c] * c2) >> 8) + snib * deltas[c]
+                    acc = s1s[c] * c1 + s2s[c] * c2
+                    # C-style truncation toward zero (spec/ffmpeg), NOT
+                    # an arithmetic shift (ADVICE r8)
+                    base = acc >> 8 if acc >= 0 else -((-acc) >> 8)
+                    pred = base + snib * deltas[c]
                     pred = max(-32768, min(32767, pred))
                     s2s[c], s1s[c] = s1s[c], pred
                     deltas[c] = max(16, (_MS_ADAPT[nib] * deltas[c]) >> 8)

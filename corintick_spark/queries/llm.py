@@ -4160,12 +4160,14 @@ def multimodal_decode_bmp_masks(spark, sf_dir):
 
 
 # MS-ADPCM decode (round 8, WAV format tag 2): like the IMA query, the
-# quantizer is a sequential state machine — predictor = floor((s1*c1 +
-# s2*c2) / 256) + signed_nibble * delta (7 public coefficient pairs),
-# delta adapting by a 16-entry table with a floor of 16 — so the oracle
-# replays it with a RECURSIVE CTE computing identical per-sample values
-# (the floor division is spelled out with an explicit non-negative mod
-# because the decoder's >> 8 is an ARITHMETIC shift). One block per
+# quantizer is a sequential state machine — predictor = trunc((s1*c1 +
+# s2*c2) / 256) + signed_nibble * delta (7 public coefficient pairs;
+# C integer division truncating toward zero per the Microsoft spec and
+# ffmpeg — ADVICE r8 replaced the earlier floor convention on both
+# sides), delta adapting by a 16-entry table with a floor of 16 — so
+# the oracle replays it with a RECURSIVE CTE computing identical
+# per-sample values (DuckDB's integer `//` truncates toward zero,
+# exactly the C convention). One block per
 # doc: header (predictor index, initial delta, sample1, sample2) emits
 # sample2 then sample1, then one sample per nibble, HIGH nibble first.
 # delta grows unboundedly under adversarial nibbles, so state stays
@@ -4187,8 +4189,7 @@ def multimodal_decode_bmp_masks(spark, sf_dir):
         UNION ALL
         SELECT doc_id, nbytes, c1, c2, pos + 1,
                GREATEST(-32768, LEAST(32767,
-                 (s1 * c1 + s2 * c2
-                  - ((((s1 * c1 + s2 * c2) % 256) + 256) % 256)) // 256
+                 (s1 * c1 + s2 * c2) // 256
                  + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END)
                    * delta)),
                s1,
@@ -4737,8 +4738,7 @@ def multimodal_decode_adpcm_stereo(spark, sf_dir):
         UNION ALL
         SELECT doc_id, ch, nbytes, c1, c2, pos + 1,
                GREATEST(-32768, LEAST(32767,
-                 (s1 * c1 + s2 * c2
-                  - ((((s1 * c1 + s2 * c2) % 256) + 256) % 256)) // 256
+                 (s1 * c1 + s2 * c2) // 256
                  + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END)
                    * delta)),
                s1,

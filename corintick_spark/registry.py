@@ -74,40 +74,52 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # slots re-confirm the OLDEST external rows (round 1, never re-sampled
 # since). Rotated-out queries keep their green r02-r07 rows plus the
 # local DuckDB differential (tests/test_oracle_queries.py).
-# Round-9 queue: the queries registered in round 8 after this window
-# was frozen — dedup_substring_auto (size-routed default substring
-# path), the first codec wave (multimodal_decode_png16, _gif_anim,
-# _png_adam7, _png_trns, _bmp16, _bmp_lowbit, _bmp_rle4), the second
-# codec wave (_png_ckey, _png_gray_lowbit, _bmp_masks, _jpg12,
-# _jpg_411, _jpg_lossless, _jpg_prog420, _msadpcm, _adpcm_stereo,
-# _msadpcm_stereo), the mixed-format scans (multimodal_decode_mixed,
-# multimodal_audio_mixed), and audio resampling
-# (multimodal_audio_resample) — plus udf_ewma (newly oracle-paired this
-# round; its only external rows predate the pairing AND its oracle
-# gained pandas' constant-run short-circuit late in r8); fill the rest
-# oldest-driver-row first (the r02/r03 cohorts).
+# Round-9 rotation (executing the plan reserved in the round-8 comment
+# and confirmed by the r8 verdict): (a) the 24 queries registered in
+# round 8 after that window froze take slots first — all 24 ran MATCH
+# under the r8 judge's driver-sim at the identical bar — plus udf_ewma
+# (oracle re-paired late in r8: pandas constant-run short-circuit; its
+# only external rows predate the pairing); (b) the remaining 25 slots
+# re-confirm the OLDEST external rows: the 3 round-1-latest queries
+# (window_percent, subquery_scalar, source_range) and the first 22 of
+# the round-2 cohort in their r02 adjudication order. Rotated-out
+# queries keep their green r02–r08 rows plus the local DuckDB
+# differential (tests/test_oracle_queries.py).
+# NOTE: the ADVICE-r8 MS-ADPCM division-convention fix (truncate
+# toward zero, spec/ffmpeg) landed BEFORE this window froze, so
+# multimodal_decode_msadpcm / _msadpcm_stereo are adjudicated against
+# the fixed decoder + matching oracle (preflighted MATCH).
+# Round-10 queue: any query registered this round after this window
+# froze (dedup_image_phash/dhash, multimodal_audio_resample_linear, …);
+# fill the rest oldest-driver-row first (the remaining r02 cohort:
+# window_vwap onward, then r03).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) never-driver-windowed — first external adjudication
-    "storage_dv", "storage_dv_cdf", "storage_merge_sync",
-    "dedup_substring", "dedup_substring_spans", "dedup_winnow",
-    "dedup_substring_winnow",
-    "multimodal_decode_g711", "multimodal_decode_jpg_prog",
-    "multimodal_decode_jpg_420", "multimodal_decode_png_palette",
-    "multimodal_decode_gif_interlaced", "multimodal_decode_bmp32",
-    "multimodal_decode_bmp_rle8", "multimodal_decode_pcm24f",
-    # (b) r7-changed implementations — re-confirmation
-    "dedup_clusters", "dedup_survivors", "graph_pagerank", "graph_bfs",
-    "stream_cdf_partitioned", "similarity_ivf", "similarity_pq",
-    "similarity_ivfpq", "cluster_kmeans", "multimodal_decode_jpg",
-    "storage_snapshot", "storage_merge", "storage_cdf", "storage_delete",
-    "storage_ivm", "storage_zorder", "storage_pruned_read",
-    "storage_bloom_lookup", "stream_cdf_source", "stream_snapshot_ingest",
-    "stream_ivm", "stream_versioned_enrich",
-    # (c) oldest external rows (round 1) — re-confirmation
-    "agg_approx", "agg_bitwise", "agg_corr", "agg_countif",
-    "agg_histogram", "agg_minmax_by", "agg_skew", "agg_stats",
-    "agg_string", "cohort_retention", "join_shufflehash",
-    "join_sortmerge", "sample_mod",
+    # (a) never-driver-windowed r8 registrations — first external
+    # adjudication (judge-verified MATCH under driver-sim in r8)
+    "dedup_substring_auto",
+    "multimodal_decode_png16", "multimodal_decode_gif_anim",
+    "multimodal_decode_png_adam7", "multimodal_decode_png_trns",
+    "multimodal_decode_bmp16", "multimodal_decode_bmp_lowbit",
+    "multimodal_decode_bmp_rle4", "multimodal_decode_png_lowbit",
+    "multimodal_decode_adpcm", "multimodal_decode_f64",
+    "multimodal_decode_png_ckey", "multimodal_decode_bmp_masks",
+    "multimodal_decode_msadpcm", "multimodal_decode_jpg12",
+    "multimodal_decode_jpg_411", "multimodal_decode_jpg_lossless",
+    "multimodal_decode_jpg_prog420", "multimodal_decode_png_gray_lowbit",
+    "multimodal_decode_adpcm_stereo", "multimodal_decode_msadpcm_stereo",
+    "multimodal_decode_mixed", "multimodal_audio_mixed",
+    "multimodal_audio_resample",
+    # (a') oracle changed after last external row
+    "udf_ewma",
+    # (b) oldest external rows — round-1-latest first, then the r02
+    # cohort in its adjudication order
+    "window_percent", "subquery_scalar", "source_range",
+    "range_read", "limit_n", "union_all", "list_uids",
+    "overlap_semi_join", "meta_join", "project_compute",
+    "filter_complex", "join_broadcast", "join_outer", "join_semi",
+    "join_range", "join_asof", "agg_distinct", "agg_rollup",
+    "agg_conditional", "agg_collect", "topk_global", "topk_per_group",
+    "set_ops", "ingest_csv", "window_rolling",
 )
 
 

@@ -581,8 +581,9 @@ def test_wav_float32_landmarks():
 def test_wav_ms_adpcm_decode():
     """MS-ADPCM (round 8, format tag 2): header emits sample2 then
     sample1, nibbles decode HIGH-first through the 7 coefficient pairs
-    with floor-division prediction and adapting delta (floored at 16);
-    multi-block streams reset per block."""
+    with C-truncating-division prediction (spec/ffmpeg convention,
+    ADVICE r8) and adapting delta (floored at 16); multi-block streams
+    reset per block."""
     import random
     import struct
 
@@ -611,8 +612,11 @@ def test_wav_ms_adpcm_decode():
             for byte in blk[7:]:
                 for nib in (byte >> 4, byte & 15):
                     snib = nib - 16 if nib >= 8 else nib
-                    # // with explicit floor semantics (Python // floors)
-                    pred = (s1 * c1 + s2 * c2) // 256 + snib * delta
+                    # C integer division truncates toward zero (Python
+                    # // floors, so spell the truncation out)
+                    acc = s1 * c1 + s2 * c2
+                    trunc = acc // 256 if acc >= 0 else -((-acc) // 256)
+                    pred = trunc + snib * delta
                     pred = max(-32768, min(32767, pred))
                     s2, s1 = s1, pred
                     delta = max(16, _MS_ADAPT[nib] * delta // 256)
@@ -635,10 +639,17 @@ def test_wav_ms_adpcm_decode():
         assert (rate, ch) == (8000, 1)
         assert samples == ref(data, ba)
 
-    # negative predictor sums exercise the arithmetic (floor) shift
+    # negative predictor sums exercise the truncation-toward-zero path
     data = struct.pack("<Bhhh", 1, 16, -32768, 32767) + bytes([0x18, 0x7F])
     _, _, samples = decode_wav_pcm(wav_ms(data, 11))
     assert samples == ref(data, 11)
+
+    # pin the division convention itself (ADVICE r8): coefficient pair 5
+    # is (460, -208); s1=0, s2=1 gives acc = -208, not divisible by 256,
+    # so truncation emits 0 where the old floor convention emitted -1.
+    data = struct.pack("<Bhhh", 5, 16, 0, 1) + bytes([0x00])
+    _, _, samples = decode_wav_pcm(wav_ms(data, 8))
+    assert samples[:3] == [1, 0, 0]  # s2, s1, trunc(-208/256) + 0*delta
 
     # a truncated trailing block drops cleanly
     _, _, samples = decode_wav_pcm(wav_ms(data + data[:5], 11))
@@ -1413,6 +1424,58 @@ def test_image_dispatch_gif_poster_frame():
     assert M._decode_any_image(b) == (g[0], g[1], g[2], g[3][0])
     assert M._decode_any_image(b"not an image") is None
     assert M._decode_any_image(None) is None
+
+
+def test_image_dispatch_null_propagates_malformed():
+    """ADVICE r8: a payload whose magic bytes pass but whose body is
+    truncated or corrupt nulls out of the corpus-scan dispatch instead
+    of aborting the task; the strict per-codec decoders keep raising."""
+    good = M.encode_png(3, 2, bytes(range(18)))
+    assert M._decode_any_image(good) is not None
+
+    # truncated inside IHDR: strict decoder raises, dispatch nulls
+    trunc = good[:20]
+    with pytest.raises(Exception):
+        M.decode_png_pixels(trunc)
+    assert M._decode_any_image(trunc) is None
+
+    # corrupt zlib stream inside IDAT
+    corrupt = bytearray(good)
+    corrupt[-20] ^= 0xFF
+    with pytest.raises(Exception):
+        M.decode_png_pixels(bytes(corrupt))
+    assert M._decode_any_image(bytes(corrupt)) is None
+
+    # truncated BMP and JPEG payloads null out the same way
+    bmp = M.encode_bmp(3, 2, bytes(range(18)))
+    assert M._decode_any_image(bmp[:18]) is None
+    jpg = M.encode_jpeg(8, 8, bytes(range(64)), channels=1)
+    assert M._decode_any_image(jpg[: len(jpg) // 2]) is None
+
+
+def test_png_chunk_before_ihdr_rejected():
+    """ADVICE r8: tRNS/PLTE/IDAT arriving before IHDR is a spec-invalid
+    chunk ordering (PNG spec 5.6) — the strict decoder now raises
+    instead of silently stashing a stale chunk for later
+    re-interpretation; the dispatch path nulls it."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    good = M.encode_png(3, 2, bytes(range(18)))
+    rest = good[8:]  # IHDR + IDAT + IEND, in order
+    for early in (
+        chunk(b"tRNS", struct.pack(">H", 7)),
+        chunk(b"PLTE", bytes(9)),
+        chunk(b"IDAT", zlib.compress(bytes(7))),
+    ):
+        bad = b"\x89PNG\r\n\x1a\n" + early + rest
+        with pytest.raises(ValueError, match="before IHDR"):
+            M.decode_png_pixels(bad)
+        assert M._decode_any_image(bad) is None
 
 
 def test_audio_resample_nearest_math():
