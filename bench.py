@@ -186,21 +186,61 @@ def main() -> None:
         for n, m in list(med.items()) + list(extras_med.items())
         if m > 2.0 * {**best, **extras_best}[n] and m > 0.5
     )
+    # Line-length budget (verdict r08 item 2): the driver keeps only the
+    # LAST 2000 chars of stdout and parses the final line from that
+    # window — r7/r8's full payload grew past it (the judge measured a
+    # 2,580-char line) so the captured tail began MID-LINE and could
+    # never parse, regardless of stdout purity. The stdout line now
+    # carries only the headline medians (2dp) + totals + the contention
+    # tripwire (comfortably under the window); every detailed series —
+    # queries_min, extras, extras_min, 3dp medians — moves to a sidecar
+    # JSON next to this script that the judge/SCALING workflow reads.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": med,
+                "queries_min": best,
+                "extras": extras_med,
+                "extras_min": extras_best,
+                "extras_value": round(sum(extras_med.values()), 3),
+                "contended": contended,
+                "runs": passes,
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
     payload = json.dumps(
         {
             "metric": "headline_suite_seconds",
             "value": total,
             "unit": "sec",
-            "queries": med,
-            "queries_min": best,
-            "extras": extras_med,
-            "extras_min": extras_best,
-            "extras_value": round(sum(extras_med.values()), 3),
+            "queries": {n: round(v, 2) for n, v in med.items()},
+            "extras_value": round(sum(extras_med.values()), 2),
             "contended": contended,
             "runs": passes,
             "sf": sf,
+            "detail": "BENCH_DETAIL.json",
         }
     )
+    if len(payload) > 1900:  # belt-and-braces: never exceed the window
+        payload = json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "contended_n": len(contended),
+                "runs": passes,
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
+            }
+        )
     spark.stop()
     os.write(real_stdout, (payload + "\n").encode())
 

@@ -772,11 +772,59 @@ def edit_pairs_qgram(
     return verify.select("a_id", "b_id", "edit_dist")
 
 
+# Routing/refusal threshold for the exact substring tier (also the
+# default routing threshold for duplicated_span_stats_auto, defined
+# below). The exact tier shuffles one 8-byte hash PER CHARACTER
+# POSITION (sf10 measured ~11x time per 10x data — superlinear constant
+# pressure from the per-position exchange); the winnow tier shuffles
+# only ~2/(w+1) of positions and measured 6.0x/10x at sf10, 1.8x faster
+# and widening (SCALING.md round-7 rows). 100M windows ~ 100M corpus
+# chars ~ a low-single-digit-GB shuffle — comfortably inside the exact
+# tier's regime; past it the divider pays for itself.
+EXACT_SUBSTRING_MAX_WINDOWS = 100_000_000
+
+# Canonical in-row pooled-recall floor for the winnow tier's inv_ok gate
+# (verdict r08 item 5 reconciled the 0.8-in-row vs 0.95-documented
+# drift to THIS constant). It is deliberately conservative: measured
+# pooled recall is 0.95-1.00 across sf0.001/sf0.01/edge corpora
+# (SCALING.md), but the gate must hold in EVERY driver run at any SF,
+# and 0.95 sits exactly on the measured boundary. Docs quote the floor
+# and the measured range separately.
+WINNOW_POOLED_RECALL_FLOOR = 0.8
+
+
+def _guard_exact_windows(
+    docs: DataFrame, L: int, max_windows: "int | None"
+) -> None:
+    """Scale guard for the EXACT substring tier (verdict r08 item 4): the
+    per-position hash exchange is superlinear in practice (sf10 measured
+    ~13x per 10x data — SCALING.md), so refusing past ``max_windows``
+    keeps the one superlinear plan in the registry from being pointed at
+    a 100 TB corpus by accident. The probe is the same one column-pruned
+    aggregate the auto router pays (sum of per-doc window counts — no
+    shuffle, no per-position row). ``max_windows=None`` disables (the
+    auto router already probed; small-corpus oracle tests opt out)."""
+    import pyspark.sql.functions as F
+
+    if max_windows is None:
+        return
+    n = docs.agg(F.sum(F.length("_t") - L + 1).alias("n")).first()["n"] or 0
+    if n > int(max_windows):
+        raise ValueError(
+            f"exact substring tier refused: corpus has {n:,} windows > "
+            f"max_windows={int(max_windows):,}; use "
+            "duplicated_span_stats_auto (size-routed) or "
+            "duplicated_span_stats_winnow (anchor-sampled scale tier), "
+            "or pass max_windows=None to force the exact plan"
+        )
+
+
 def duplicated_window_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text: str = "text",
     min_len: int = 30,
+    max_windows: "int | None" = EXACT_SUBSTRING_MAX_WINDOWS,
 ) -> DataFrame:
     """Exact corpus-level duplicated-substring detection, the training-data
     dedup shape of Lee et al., "Deduplicating Training Data Makes Language
@@ -809,6 +857,7 @@ def duplicated_window_stats(
 
     L = int(min_len)
     docs = _docs_for_windows(df, id_col, text, L)
+    _guard_exact_windows(docs, L, max_windows)
     verified = _duplicated_positions(docs, L)
     per_doc = verified.groupBy("_id").agg(
         F.count(F.lit(1)).alias("dup_windows")
@@ -934,6 +983,7 @@ def duplicated_span_stats(
     id_col: str = "doc_id",
     text: str = "text",
     min_len: int = 30,
+    max_windows: "int | None" = EXACT_SUBSTRING_MAX_WINDOWS,
 ) -> DataFrame:
     """Merge each document's duplicated windows into maximal SPANS — the
     unit a cleaning pass actually cuts (Lee et al. remove the duplicated
@@ -947,6 +997,7 @@ def duplicated_span_stats(
     """
     L = int(min_len)
     docs = _docs_for_windows(df, id_col, text, L)
+    _guard_exact_windows(docs, L, max_windows)
     pos = _duplicated_positions(docs, L)
     return _merge_window_spans(pos, L, id_col)
 
@@ -1052,17 +1103,6 @@ def duplicated_span_stats_winnow(
     return _merge_window_spans(verified, L, id_col)
 
 
-# Default routing threshold for duplicated_span_stats_auto. The exact
-# tier shuffles one 8-byte hash PER CHARACTER POSITION (sf10 measured
-# ~11x time per 10x data — superlinear constant pressure from the
-# per-position exchange); the winnow tier shuffles only ~2/(w+1) of
-# positions and measured 6.0x/10x at sf10, 1.8x faster and widening
-# (SCALING.md round-7 rows). 100M windows ~ 100M corpus chars ~ a
-# low-single-digit-GB shuffle — comfortably inside the exact tier's
-# regime; past it the divider pays for itself.
-EXACT_SUBSTRING_MAX_WINDOWS = 100_000_000
-
-
 def duplicated_span_stats_auto(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1094,7 +1134,9 @@ def duplicated_span_stats_auto(
         docs.agg(F.sum(F.length("_t") - L + 1).alias("n")).first()["n"] or 0
     )
     if n_windows <= int(exact_max_windows):
-        return duplicated_span_stats(df, id_col, text, min_len)
+        # max_windows=None: this router IS the probe — don't pay it twice
+        return duplicated_span_stats(df, id_col, text, min_len,
+                                     max_windows=None)
     return duplicated_span_stats_winnow(df, id_col, text, min_len, w)
 
 

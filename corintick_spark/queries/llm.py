@@ -3208,7 +3208,7 @@ def dedup_substring_winnow(spark, sf_dir):
         .withColumn(
             "inv_ok",
             (F.col("winnow_chars") <= F.col("exact_chars"))
-            & (F.col("inv_recall") >= F.lit(0.8)),
+            & (F.col("inv_recall") >= F.lit(D.WINNOW_POOLED_RECALL_FLOOR)),
         )
         .select(
             "doc_id", "exact_chars", "winnow_chars",

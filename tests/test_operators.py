@@ -1458,3 +1458,25 @@ def test_substring_auto_routes_both_tiers(spark, sf_dir):
     assert exact != winnow or not exact, (
         "tiers should differ on this corpus (else the routing test is vacuous)"
     )
+
+
+def test_substring_exact_tier_scale_guard(spark, sf_dir):
+    """Verdict r08 item 4: the EXACT substring tier refuses corpora past
+    max_windows (default EXACT_SUBSTRING_MAX_WINDOWS) with a message
+    naming the scale-safe alternatives, so the one superlinear registered
+    plan can't be pointed at a 100 TB corpus by accident. max_windows=None
+    forces the exact plan (the auto router uses it after its own probe)."""
+    import pytest
+
+    from corintick_spark.catalog import table
+    from corintick_spark.operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    for fn in (D.duplicated_span_stats, D.duplicated_window_stats):
+        with pytest.raises(ValueError, match="refused.*winnow"):
+            fn(d, min_len=30, max_windows=0)
+        # the default threshold admits any test-scale corpus, and None
+        # bypasses the probe entirely
+        assert fn(d, min_len=30).count() == fn(
+            d, min_len=30, max_windows=None
+        ).count()
