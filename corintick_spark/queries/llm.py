@@ -5140,3 +5140,92 @@ def multimodal_audio_resample(spark, sf_dir):
         make_payloads, schema="doc_id long, payload binary"
     )
     return M.resample_audio_nearest(with_audio, 8000)
+
+
+# Linear-interpolation audio resample (round 9, verdict r8 item 6): the
+# interpolating normalization a pipeline actually runs. Input rates
+# rotate 12k (rem alternates 0/4000 — every other output frame is a
+# true midpoint), 8k (identity — rem always 0, output must equal
+# input), and 3k (upsample — rem cycles through eighths), so the
+# interpolation weights, the tail clamp, and the channel interleave are
+# all load-bearing. Output sample = trunc((x[p]*(8000-rem) +
+# x[p+1]*rem)/8000) with p+1 clamped to the last frame; DuckDB's
+# integer `//` truncates toward zero exactly like the operator, so the
+# oracle rebuilds every output sample symbolically.
+@query(
+    "multimodal_audio_resample_linear",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 12000 WHEN 1 THEN 8000
+                    ELSE 3000 END AS in_rate,
+               doc_id % 20 + 4 AS nf,
+               doc_id % 2 + 1 AS ch
+        FROM documents
+    ), r AS (
+        SELECT doc_id, in_rate, ch,
+               (nf * 8000) // in_rate AS n_out,
+               flatten(list_transform(range(0, ((nf * 8000) // in_rate)::INT),
+                 j -> list_transform(range(0, ch::INT),
+                   c -> (((doc_id * 13
+                           + (((j * in_rate) // 8000) * ch + c) * 7)
+                          % 4096 - 2048)
+                         * (8000 - (j * in_rate) % 8000)
+                         + ((doc_id * 13
+                             + (LEAST((j * in_rate) // 8000 + 1, nf - 1)
+                                * ch + c) * 7)
+                            % 4096 - 2048)
+                           * ((j * in_rate) % 8000)) // 8000))) AS v
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS out_rate,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(list_sum(v) AS BIGINT) AS rs_sum,
+           CAST(list_sum(list_transform(range(0, len(v)::INT),
+                    k -> k * v[k + 1])) AS BIGINT) AS rs_wsum,
+           ROUND(list_sum(v) / (len(v) * 1.0), 6) AS rs_mean
+    FROM r
+    """,
+)
+def multimodal_audio_resample_linear(spark, sf_dir):
+    """Linear-interpolation audio resample to 8 kHz (12k/8k/3k inputs
+    rotating, mono/stereo alternating), stats of the resampled stream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                in_rate = {0: 12000, 1: 8000, 2: 3000}[i % 3]
+                nf = i % 20 + 4
+                ch = i % 2 + 1
+                vals = [
+                    (i * 13 + k * 7) % 4096 - 2048 for k in range(nf * ch)
+                ]
+                data = struct.pack(f"<{len(vals)}h", *vals)
+                block = ch * 2
+                fmt = struct.pack(
+                    "<HHIIHH", 1, ch, in_rate, in_rate * block, block, 16
+                )
+                body = (
+                    b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_audio = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return M.resample_audio_linear(with_audio, 8000)

@@ -1478,6 +1478,68 @@ def test_png_chunk_before_ihdr_rejected():
         assert M._decode_any_image(bad) is None
 
 
+def test_audio_resample_linear_math():
+    """Linear resample (round 9, verdict r8 item 6): output frame j is
+    trunc((x[p]*(out-rem) + x[p+1]*rem)/out) with p+1 clamped at the
+    tail — identity at equal rates, exact midpoints at 12k->8k, hold at
+    the clamp, and C-truncation (not floor) on negative midpoints."""
+    import struct
+
+    from corintick_spark.operators.multimodal import decode_wav_pcm
+
+    def wav(rate, vals, channels=1):
+        data = struct.pack(f"<{len(vals)}h", *vals)
+        block = channels * 2
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                          block, 16)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def ref(vals, ch, in_rate, out_rate):
+        nf = len(vals) // ch
+        n_out = (nf * out_rate) // in_rate
+        rz = []
+        for j in range(n_out):
+            pos = j * in_rate
+            p, rem = pos // out_rate, pos % out_rate
+            p1 = min(p + 1, nf - 1)
+            for c in range(ch):
+                num = (vals[p * ch + c] * (out_rate - rem)
+                       + vals[p1 * ch + c] * rem)
+                rz.append(num // out_rate if num >= 0
+                          else -((-num) // out_rate))
+        return rz
+
+    # identity rate: rem is always 0, output == input (mono and stereo)
+    for ch in (1, 2):
+        vals = [(k * 7) % 4096 - 2048 for k in range(10 * ch)]
+        _, _, samples = decode_wav_pcm(wav(8000, vals, ch))
+        assert ref(samples, ch, 8000, 8000) == vals
+
+    # 12k -> 8k: every odd output frame is a true midpoint, truncated
+    assert ref([0, 100, 301], 1, 12000, 8000) == [0, 200]
+    # ... and truncation goes toward zero on negative midpoints (floor
+    # would give -101)
+    assert ref([0, -101, -100], 1, 12000, 8000) == [0, -100]
+
+    # 3k -> 8k upsample: interior frames interpolate with 3000/8000
+    # steps; past the last input frame the clamp HOLDS the tail value
+    got = ref([80, -80], 1, 3000, 8000)
+    assert got == [
+        80,                                   # pos 0
+        (80 * 5000 + -80 * 3000) // 8000,     # pos 3/8
+        (80 * 2000 + -80 * 6000) // 8000,     # pos 6/8
+        -80,                                  # pos 9/8 -> both clamped
+        -80,                                  # pos 12/8 -> clamped
+    ]
+
+    # stereo interleave: each channel interpolates independently
+    vals = [10, -1000, 90, 1000, 170, -1000]  # L: 10,90,170  R: ±1000
+    got = ref(vals, 2, 12000, 8000)
+    assert got == [10, -1000, (90 + 170) // 2, 0]
+
+
 def test_audio_resample_nearest_math():
     """Audio resample (round 8): output frame j takes input frame
     j*in_rate//out_rate per channel — down/identity/up, mono and
