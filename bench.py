@@ -80,6 +80,11 @@ EXTRAS = [
     # animated-GIF compositor
     "dedup_substring_auto",
     "multimodal_decode_gif_anim",
+    # round-9: perceptual image dedup (dHash exact tier, pHash near tier
+    # + Hamming banding) and the interpolating audio resample
+    "dedup_image_dhash",
+    "dedup_image_phash",
+    "multimodal_audio_resample_linear",
 ]
 
 

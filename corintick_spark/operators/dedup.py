@@ -304,25 +304,47 @@ def simhash_pairs(
     an equi-join on (chunk_id, chunk_value) — never a crossJoin.
     Returns (a_id, b_id, hamming).
     """
+    sh = simhash(spread_input(df), text)
+    return hamming_pairs(sh, id_col=id_col, sig_col="simhash",
+                         max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic Hamming-ball self-join over any 64-bit signature column
+    (round 9: factored out of :func:`simhash_pairs` so the perceptual
+    image hashes — dHash/pHash, operators/multimodal.py — reuse the same
+    scale shape). Pigeonhole banding: split the signature into
+    max_hamming+1 chunks; any pair within distance d agrees exactly on
+    >= 1 chunk, so candidates are an equi-join on (chunk_id, chunk_val)
+    — never a crossJoin, and at 100 TB the shuffle carries only
+    (id, 8-byte sig) rows fanned out d+1 ways. Null signatures
+    (undecodable payloads upstream) are dropped, not joined.
+    Returns (a_id, b_id, hamming)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = simhash(spread_input(df), text)
-    banded = sh.select(
+    banded = sigs.filter(F.col(sig_col).isNotNull()).select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.posexplode(
             F.expr(
                 f"""transform(sequence(0, {chunks - 1}),
-                              c -> shiftright(simhash, c * {width})
+                              c -> shiftright({sig_col}, c * {width})
                                    & {(1 << width) - 1}L)"""
             )
         ).alias("chunk_id", "chunk_val"),
     )
     a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sig"), "chunk_id", "chunk_val"
+        F.col(id_col).alias("a_id"), F.col("_sig").alias("a_sig"),
+        "chunk_id", "chunk_val",
     )
     b = banded.select(
-        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sig"), "chunk_id", "chunk_val"
+        F.col(id_col).alias("b_id"), F.col("_sig").alias("b_sig"),
+        "chunk_id", "chunk_val",
     )
     cand = (
         a.join(b, ["chunk_id", "chunk_val"])
@@ -330,8 +352,12 @@ def simhash_pairs(
         .select("a_id", "b_id", "a_sig", "b_sig")
         .dropDuplicates(["a_id", "b_id"])
     )
-    ham = cand.withColumn("hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))))
-    return ham.filter(F.col("hamming") <= max_hamming).select("a_id", "b_id", "hamming")
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    )
+    return ham.filter(F.col("hamming") <= max_hamming).select(
+        "a_id", "b_id", "hamming"
+    )
 
 
 def ngram_jaccard_pairs(

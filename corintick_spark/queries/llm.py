@@ -5229,3 +5229,201 @@ def multimodal_audio_resample_linear(spark, sf_dir):
         make_payloads, schema="doc_id long, payload binary"
     )
     return M.resample_audio_linear(with_audio, 8000)
+
+
+# Perceptual image dedup, EXACT tier (round 9, verdict r8 item 3): dHash
+# over the decoded-pixel path. Every doc plants a 9s x 8s image (s =
+# doc_id % 3 + 1) whose adjacent-cell comparison pattern IS a 63-bit
+# spread of its content key m = doc_id % 40 (bit k of the hash = bit 5
+# of m*2654435761 + k*40503 — distinct for every m, verified in tests),
+# alternating PNG / BMP encodings per doc parity. Because dHash is pure
+# integer end to end (BT.601 luma // 1000, exact area-average, strict
+# >), re-encoded and integer-upscaled copies hash bit-identically, so
+# the oracle reconstructs the hash AND the duplicate-group size from
+# doc_id arithmetic alone — the full decode -> luma -> downscale ->
+# compare -> pack -> group pipeline is adjudicated hash-exact.
+@query(
+    "dedup_image_dhash",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, doc_id % 40 AS m, doc_id % 3 + 1 AS sc
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(9 * sc AS BIGINT) AS width,
+           CAST(8 * sc AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, 63),
+               k -> CASE WHEN ((m * 2654435761 + k * 40503) // 32) % 2 = 1
+                    THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT)
+                    END)) AS BIGINT) AS dhash,
+           CAST(COUNT(*) OVER (PARTITION BY m) AS BIGINT) AS n_copies
+    FROM s
+    """,
+)
+def dedup_image_dhash(spark, sf_dir):
+    """Exact image dedup via dHash: per-doc planted images (re-encoded
+    PNG/BMP, integer-upscaled) -> 64-bit difference hash -> duplicate
+    group sizes by hash equality; hash values adjudicated bit-exact."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                m, s = i % 40, i % 3 + 1
+                grid = []
+                for r in range(8):
+                    row = [128]
+                    for c in range(8):
+                        k = r * 8 + c
+                        bit = (
+                            0 if k == 63
+                            else ((m * 2654435761 + k * 40503) >> 5) & 1
+                        )
+                        row.append(row[-1] - 7 if bit else row[-1] + 7)
+                    grid.append(row)
+                w, h = 9 * s, 8 * s
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        v = grid[y // s][x // s]
+                        px += bytes((v, v, v))
+                enc = M.encode_png if i % 2 == 0 else M.encode_bmp
+                payloads.append(enc(w, h, bytes(px)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_img = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    hset = M.dhash_images(with_img)
+    return hset.withColumn(
+        "n_copies", F.count(F.lit(1)).over(Window.partitionBy("dhash"))
+    ).select("doc_id", "width", "height", "dhash", "n_copies")
+
+
+# Perceptual image dedup, NEAR tier (round 9, verdict r8 item 3): pHash
+# + the Hamming-ball banding reused from simhash_pairs
+# (operators/dedup.py::hamming_pairs). Docs group by fours (g = doc_id
+# div 4 — group count scales with the corpus, group SIZE stays
+# constant, so pair volume stays linear at 100 TB); each group plants a
+# smooth 32x32 base image with nonzero amplitude in every low-freq DCT
+# slot (margins ~3x the noise), and members 1-3 perturb 16 pixels by
+# +-5 — measured pHash ball <= 2 bits, inter-group distance >= 16, so
+# max_hamming=6 recovers every planted pair (intra <= 2*ball = 4) and
+# admits no cross-group pair (>= 16 - 4 = 12). Rows-only by design
+# (float DCT is not SQL-replayable); inv_ok gates per row: pair is
+# same-group (precision 1 on planted data), hamming <= 6, and pooled
+# planted recall == 1 (found same-group pairs / C(group,2) summed).
+@query("dedup_image_phash", sql=None)
+def dedup_image_phash(spark, sf_dir):
+    """Near-dup image pairs via pHash + pigeonhole Hamming banding over
+    planted perturbed duplicates; planted-recall/precision invariants
+    in inv_ok."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        W = H = 32
+        cx = np.array(
+            [[np.cos(np.pi * (2 * x + 1) * u / (2 * W)) for x in range(W)]
+             for u in range(8)]
+        )
+        cy = np.array(
+            [[np.cos(np.pi * (2 * y + 1) * p / (2 * H)) for y in range(H)]
+             for p in range(8)]
+        )
+        cache: dict = {}
+
+        def base(g: int):
+            im = cache.get(g)
+            if im is None:
+                v = (g * 2654435761 + 97) % (2**31)
+                amps = np.zeros((8, 8))
+                for u in range(8):
+                    for p in range(8):
+                        if u == 0 and p == 0:
+                            continue
+                        v = (v * 1103515245 + 12345) % (2**31)
+                        t = v % 11 - 5
+                        if t >= 0:
+                            t += 1
+                        amps[u, p] = 3 * t
+                img = 128.0 + cy.T @ amps.T @ cx
+                im = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+                if len(cache) > 512:
+                    cache.clear()
+                cache[g] = im
+            return im
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                g, r = divmod(i, 4)
+                im = base(g)
+                if r:
+                    b = im.flatten().astype(int)
+                    for t in range(16):
+                        idx = (g * 9973 + t * 613 + r * 331) % 1024
+                        b[idx] = min(
+                            255, max(0, int(b[idx]) + (5 if (t + r) % 2 else -5))
+                        )
+                    pxb = bytes(b.astype(np.uint8))
+                else:
+                    pxb = im.tobytes()
+                payloads.append(M.encode_png(W, H, pxb, channels=1))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_img = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    sigs = M.phash_images(with_img)
+    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=6)
+    found = pairs.withColumn(
+        "same_grp", F.expr("(a_id div 4) = (b_id div 4)")
+    )
+    expected = (
+        d.select(F.expr("doc_id div 4").alias("_g"))
+        .groupBy("_g")
+        .count()
+        .agg(
+            F.sum(F.expr("count * (count - 1) div 2"))
+            .cast("long")
+            .alias("expected_pairs")
+        )
+    )
+    pooled = found.agg(
+        F.sum(F.when(F.col("same_grp"), 1).otherwise(0))
+        .cast("long")
+        .alias("found_same")
+    )
+    return (
+        found.crossJoin(F.broadcast(expected))  # 1-row invariant aggregates
+        .crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "inv_recall",
+            F.col("found_same").cast("double") / F.col("expected_pairs"),
+        )
+        .withColumn(
+            "inv_ok",
+            F.col("same_grp")
+            & (F.col("hamming") <= F.lit(6))
+            & (F.col("inv_recall") >= F.lit(0.999)),
+        )
+        .select(
+            "a_id", "b_id", "hamming", "same_grp",
+            F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
+        )
+    )

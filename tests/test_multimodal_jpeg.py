@@ -1582,3 +1582,113 @@ def test_audio_resample_nearest_math():
                 src = j // 2
                 exp.extend(vals[src * ch : src * ch + ch])
             assert out == exp
+
+
+def _dhash_planted(m, s=1):
+    """9x8 base image whose dHash is exactly m (bit k = r*8+c drives the
+    sign of the adjacent-cell step), integer-upscaled by s and returned
+    as RGB bytes (r=g=b so the BT.601 luma is the planted value)."""
+    base = []
+    for r in range(8):
+        row = [128]
+        for c in range(8):
+            k = r * 8 + c
+            row.append(row[-1] - 7 if (m >> k) & 1 else row[-1] + 7)
+        base.append(row)
+    w, h = 9 * s, 8 * s
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = base[y // s][x // s]
+            px += bytes((v, v, v))
+    return w, h, bytes(px)
+
+
+def test_dhash_planted_reencode_and_upscale_invariance():
+    """dHash (round 9, verdict r8 item 3): the planted comparison
+    pattern IS the hash (bit-exact); PNG and BMP encodings of the same
+    pixels hash identically, as do integer-upscaled copies (the exact
+    area-average collapses s x s blocks back to the base grid)."""
+    from corintick_spark.operators.multimodal import dhash64
+
+    for m in (0, 1, 0x5A5A_1234_DEAD_77, (1 << 62) | 0xF0F0, 40):
+        for s in (1, 2, 3):
+            w, h, px = _dhash_planted(m, s)
+            assert dhash64(px, w, h, 3) == m, (hex(m), s)
+            # re-encoding invariance: decode(PNG) == decode(BMP) == planted
+            for enc in (M.encode_png, M.encode_bmp):
+                got = M._decode_any_image(enc(w, h, px))
+                assert got is not None
+                assert dhash64(got[3], got[0], got[1], got[2]) == m
+
+    # bit 63 wraps into the sign bit but survives the int64 round-trip
+    m = 1 << 63
+    w, h, px = _dhash_planted(m, 1)
+    assert dhash64(px, w, h, 3) == m - (1 << 64)
+
+
+def _phash_planted(seed, w=32, h=32):
+    """Smooth planted content with NONZERO amplitude in every low-freq
+    DCT slot (the regime pHash is built for — every coefficient sits
+    far from the median, so small pixel noise can't flip bits while
+    distinct seeds differ in many slots). Amplitudes come from a
+    Lehmer-style integer walk, so seed distinctness doesn't hinge on a
+    small modulus. Shared by the unit test and the dedup_image_phash
+    query's payload generator."""
+    import math
+
+    v = (seed * 2654435761 + 97) % (2**31)
+    amps = {}
+    for u in range(8):
+        for p in range(8):
+            if u == 0 and p == 0:
+                continue
+            v = (v * 1103515245 + 12345) % (2**31)
+            t = v % 11 - 5
+            if t >= 0:
+                t += 1
+            amps[(u, p)] = 2 * t
+    cos_x = [[math.cos(math.pi * (2 * x + 1) * u / (2 * w))
+              for x in range(w)] for u in range(8)]
+    cos_y = [[math.cos(math.pi * (2 * y + 1) * p / (2 * h))
+              for y in range(h)] for p in range(8)]
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            val = 128.0
+            for (u, p), av in amps.items():
+                val += av * cos_x[u][x] * cos_y[p][y]
+            out.append(min(255, max(0, int(round(val)))))
+    return bytes(out)
+
+
+def test_phash_near_duplicate_behavior():
+    """pHash: identical pixels -> identical hash; a perturbed copy (40
+    pixels shifted by ±7) stays within a small Hamming ball; distinct
+    planted contents land far away; integer upscale is hash-invariant."""
+    from corintick_spark.operators.multimodal import phash64
+
+    w = h = 32
+    a = _phash_planted(1)
+    pa = phash64(a, w, h, 1)
+    assert pa == phash64(bytes(a), w, h, 1)
+
+    b = bytearray(a)
+    for t in range(40):
+        i = (9973 + t * 613) % len(b)
+        b[i] = min(255, max(0, b[i] + (7 if t % 2 else -7)))
+    d_near = bin((pa ^ phash64(bytes(b), w, h, 1)) & (2**64 - 1)).count("1")
+    assert d_near <= 6, d_near
+
+    for s in (2, 3, 7, 19):
+        d_far = bin(
+            (pa ^ phash64(_phash_planted(s), w, h, 1)) & (2**64 - 1)
+        ).count("1")
+        assert d_far > 6, (s, d_far)
+
+    # 2x integer upscale: area-average collapses it back, hash unchanged
+    up = bytearray()
+    for y in range(2 * h):
+        for x in range(2 * w):
+            up.append(a[(y // 2) * w + (x // 2)])
+    assert phash64(bytes(up), 2 * w, 2 * h, 1) == pa

@@ -1480,3 +1480,24 @@ def test_substring_exact_tier_scale_guard(spark, sf_dir):
         assert fn(d, min_len=30).count() == fn(
             d, min_len=30, max_windows=None
         ).count()
+
+
+def test_hamming_pairs_generic_signature_column(spark):
+    """hamming_pairs (round 9): the banding factored out of simhash_pairs
+    works over any 64-bit signature column — near signatures pair up,
+    far ones don't, nulls drop, and the reported distance is exact."""
+    from corintick_spark.operators.dedup import hamming_pairs
+
+    rows = [
+        (1, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x0F0F0F0F0F0F0F0B),  # hamming 1 from id 1 (0xF ^ 0xB = 0x4)
+        (3, 0x0F0F0F0F0F0F0F0F),  # hamming 0 from id 1
+        (4, -0x0123456789ABCDF0),  # far from everything
+        (5, None),                 # undecodable upstream: must drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in hamming_pairs(df, sig_col="sig", max_hamming=3).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
