@@ -5320,11 +5320,13 @@ def dedup_image_dhash(spark, sf_dir):
 # (float DCT is not SQL-replayable); inv_ok gates per row: pair is
 # same-group (precision 1 on planted data), hamming <= 6, and pooled
 # planted recall == 1 (found same-group pairs / C(group,2) summed).
-@query("dedup_image_phash", sql=None)
-def dedup_image_phash(spark, sf_dir):
-    """Near-dup image pairs via pHash + pigeonhole Hamming banding over
-    planted perturbed duplicates; planted-recall/precision invariants
-    in inv_ok."""
+def _planted_phash_corpus(spark, sf_dir):
+    """Shared planted near-dup image corpus for the pHash tier: groups of
+    four (g = doc_id div 4), one smooth full-spectrum base image per
+    group (every low-freq DCT slot at amplitude 3x{±1..6} — pHash ball
+    measured <= 2 bits under the member perturbation, inter-group
+    distance >= 16 over 300 seeds), members 1-3 perturbing 16 pixels by
+    ±5, PNG-gray encoded. Returns (doc_id, payload)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -5386,9 +5388,16 @@ def dedup_image_phash(spark, sf_dir):
                 payloads.append(M.encode_png(W, H, pxb, channels=1))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    with_img = d.mapInPandas(
-        make_payloads, schema="doc_id long, payload binary"
-    )
+    return d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+
+
+@query("dedup_image_phash", sql=None)
+def dedup_image_phash(spark, sf_dir):
+    """Near-dup image pairs via pHash + pigeonhole Hamming banding over
+    planted perturbed duplicates; planted-recall/precision invariants
+    in inv_ok."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    with_img = _planted_phash_corpus(spark, sf_dir)
     sigs = M.phash_images(with_img)
     pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=6)
     found = pairs.withColumn(
@@ -5427,3 +5436,48 @@ def dedup_image_phash(spark, sf_dir):
             F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
         )
     )
+
+
+# Image near-dup CLUSTERING (round 9): the full multimodal dedup stage —
+# pHash signatures -> Hamming-banded pairs -> alternating-star connected
+# components (operators/dup_clusters.py) -> (doc, component, size). The
+# planted corpus makes the fixpoint labels derivable from doc_id
+# arithmetic alone (groups of four, label = min member = 4*(doc_id div
+# 4); measured pHash margins guarantee the edge set is exactly the
+# intra-group pairs), so the ITERATIVE clustering is adjudicated
+# hash-exact — rare for a fixpoint algorithm. Docs whose group has a
+# single member (corpus size not divisible by 4) label themselves.
+@query(
+    "dedup_image_clusters",
+    sql="""
+    SELECT doc_id,
+           CAST((doc_id // 4) * 4 AS BIGINT) AS comp,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id // 4) AS BIGINT)
+               AS csize
+    FROM documents
+    """,
+)
+def dedup_image_clusters(spark, sf_dir):
+    """Image near-dup clusters: pHash -> Hamming pairs -> connected
+    components; component label (min member) and size per document."""
+    from corintick_spark.operators.dup_clusters import connected_components
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sigs = M.phash_images(_planted_phash_corpus(spark, sf_dir))
+    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=6)
+    labels = connected_components(pairs)
+    out = (
+        d.join(
+            labels.select(
+                F.col("node").alias("doc_id"), F.col("comp").alias("_c")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("_c", F.col("doc_id")).alias("comp")
+        )
+    )
+    return out.withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("comp"))
+    ).select("doc_id", "comp", "csize")
