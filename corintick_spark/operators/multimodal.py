@@ -4664,3 +4664,81 @@ def phash_images(
     return df.select(id_col, payload).mapInPandas(
         batches, schema=IMAGE_PHASH_SCHEMA
     )
+
+
+def _classify_image_payload(
+    b: "bytes | None",
+) -> "tuple[tuple[int, int, int, bytes] | None, str]":
+    """Corpus-scan decode WITH an error class (ADVICE r8's optional
+    surfacing): returns (decoded-or-None, status) where status is
+    'ok' (decoded), 'not_image' (no magic-byte match / null payload),
+    'stub' (valid container hitting a documented NotImplementedError
+    codec stub), or 'corrupt' (magic bytes pass but the body is
+    malformed/truncated). Keeps the honest-stub posture VISIBLE in scan
+    output instead of folding stubs and corruption into one null."""
+    try:
+        m = decode_png_pixels(b)
+        if m is None:
+            m = decode_bmp_pixels(b)
+        if m is None:
+            try:
+                m = decode_gif_pixels(b)
+            except NotImplementedError:
+                g = decode_gif_frames(b)
+                m = (
+                    (g[0], g[1], g[2], g[3][0])
+                    if g is not None and g[3]
+                    else None
+                )
+        if m is None:
+            m = decode_jpeg_pixels(b)
+        return (m, "ok") if m is not None else (None, "not_image")
+    except NotImplementedError:
+        return None, "stub"
+    except _decode_errors():
+        return None, "corrupt"
+
+
+IMAGE_SCAN_SCHEMA = (
+    "doc_id long, status string, width long, height long, px_sum long"
+)
+
+
+def scan_images(
+    df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
+) -> DataFrame:
+    """Corpus-scan image decode with per-row error classification:
+    (id, status, width, height, px_sum) where non-'ok' rows carry null
+    stats. The realistic 100 TB ingest-audit shape — one pass tells you
+    how much of the corpus decodes, how much is corrupt, and how much
+    hits codec stubs, without a single task failure. Arrow-batched
+    mapInPandas; zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"status": [], "width": [], "height": [], "px_sum": []}
+            for b in pdf[payload]:
+                m, status = _classify_image_payload(b)
+                rows["status"].append(status)
+                if m is None:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["px_sum"].append(None)
+                else:
+                    w, h, ch, px = m
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["px_sum"].append(sum(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "status": rows["status"],
+                    "width": pd.array(rows["width"], dtype="Int64"),
+                    "height": pd.array(rows["height"], dtype="Int64"),
+                    "px_sum": pd.array(rows["px_sum"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(
+        batches, schema=IMAGE_SCAN_SCHEMA
+    )

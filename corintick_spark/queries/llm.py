@@ -5481,3 +5481,116 @@ def dedup_image_clusters(spark, sf_dir):
     return out.withColumn(
         "csize", F.count(F.lit(1)).over(Window.partitionBy("comp"))
     ).select("doc_id", "comp", "csize")
+
+
+# Image survivor selection (round 9): what the multimodal dedup stage
+# actually EMITS — one canonical survivor per near-dup image cluster
+# (min doc_id, the same deterministic policy as the text tier's
+# dedup_survivors) and a keep/drop verdict per document. Planted labels
+# make the whole pHash -> banding -> connected-components -> survivor
+# pipeline derivable from doc_id arithmetic, so the oracle is exact.
+@query(
+    "dedup_image_survivors",
+    sql="""
+    SELECT doc_id,
+           CAST((doc_id // 4) * 4 AS BIGINT) AS survivor,
+           doc_id = (doc_id // 4) * 4 AS keep
+    FROM documents
+    """,
+)
+def dedup_image_survivors(spark, sf_dir):
+    """Canonical survivor (min member) per image near-dup cluster and a
+    keep/drop verdict per document."""
+    from corintick_spark.operators.dup_clusters import connected_components
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sigs = M.phash_images(_planted_phash_corpus(spark, sf_dir))
+    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=6)
+    labels = connected_components(pairs)
+    return (
+        d.join(
+            labels.select(
+                F.col("node").alias("doc_id"), F.col("comp").alias("_c")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("_c", F.col("doc_id")).alias("survivor"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("survivor"))
+    )
+
+
+# Corpus ingest audit (round 9 — the ADVICE-r8 "surface an error class"
+# suggestion made a first-class operator): ONE scan over a mixed/dirty
+# binary column classifying every payload — 'ok' (decoded, with stats),
+# 'corrupt' (magic bytes pass, body malformed: truncated stream,
+# spec-violating header), 'stub' (valid container hitting a documented
+# codec stub, here arithmetic-coded JPEG SOF9), 'not_image'. No task
+# failures, no silent nulls: at 100 TB this is the pass that tells you
+# what fraction of the corpus decodes BEFORE the pipeline runs. Every
+# class is planted per doc_id % 6, so the oracle pins status AND the
+# decoded stats symbolically.
+@query(
+    "multimodal_scan_errors",
+    sql="""
+    WITH s AS (SELECT doc_id, doc_id % 6 AS cls FROM documents)
+    SELECT doc_id,
+           CASE WHEN cls <= 1 THEN 'ok'
+                WHEN cls <= 3 THEN 'corrupt'
+                WHEN cls = 4 THEN 'stub'
+                ELSE 'not_image' END AS status,
+           CASE WHEN cls <= 1 THEN CAST(3 AS BIGINT) END AS width,
+           CASE WHEN cls <= 1 THEN CAST(2 AS BIGINT) END AS height,
+           CASE WHEN cls <= 1 THEN CAST(list_sum(list_transform(
+                range(0, 18), k -> (doc_id * 7 + k * 13) % 256))
+                AS BIGINT) END AS px_sum
+    FROM s
+    """,
+)
+def multimodal_scan_errors(spark, sf_dir):
+    """Ingest-audit scan: per-payload decode status (ok / corrupt / stub
+    / not_image) + stats for decodable rows, planted per doc_id class."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        stub_jpg = (
+            b"\xff\xd8\xff\xc9" + (9).to_bytes(2, "big")
+            + bytes([8]) + (8).to_bytes(2, "big") * 2 + bytes([1])
+        )
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls = i % 6
+                if cls <= 1:
+                    px = bytes((i * 7 + k * 13) % 256 for k in range(18))
+                    enc = M.encode_png if cls == 0 else M.encode_bmp
+                    payloads.append(enc(3, 2, px))
+                elif cls == 2:
+                    px = bytes((i * 7 + k * 13) % 256 for k in range(18))
+                    payloads.append(M.encode_png(3, 2, px)[:20])
+                elif cls == 3:
+                    px = bytes((i * 7 + k * 13) % 256 for k in range(18))
+                    b = bytearray(M.encode_png(3, 2, px))
+                    b[20:24] = struct.pack(">I", 200)  # inflate IHDR height
+                    payloads.append(bytes(b))
+                elif cls == 4:
+                    payloads.append(stub_jpg)  # arithmetic SOF9: named stub
+                else:
+                    payloads.append(f"not an image {i}".encode())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_img = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return M.scan_images(with_img)

@@ -1692,3 +1692,26 @@ def test_phash_near_duplicate_behavior():
         for x in range(2 * w):
             up.append(a[(y // 2) * w + (x // 2)])
     assert phash64(bytes(up), 2 * w, 2 * h, 1) == pa
+
+
+def test_classify_image_payload_classes():
+    """Ingest-audit classifier (round 9): ok / corrupt / stub /
+    not_image, with stats only for ok rows and stubs distinguished from
+    corruption (the honest-stub posture stays visible in scan output)."""
+    import struct
+
+    from corintick_spark.operators.multimodal import _classify_image_payload
+
+    px = bytes(range(18))
+    ok = M.encode_png(3, 2, px)
+    assert _classify_image_payload(ok)[1] == "ok"
+    assert _classify_image_payload(M.encode_bmp(3, 2, px))[1] == "ok"
+    assert _classify_image_payload(ok[:20]) == (None, "corrupt")
+    inflated = bytearray(ok)
+    inflated[20:24] = struct.pack(">I", 200)
+    assert _classify_image_payload(bytes(inflated)) == (None, "corrupt")
+    stub = (b"\xff\xd8\xff\xc9" + (9).to_bytes(2, "big") + bytes([8])
+            + (8).to_bytes(2, "big") * 2 + bytes([1]))
+    assert _classify_image_payload(stub) == (None, "stub")
+    assert _classify_image_payload(b"plain text") == (None, "not_image")
+    assert _classify_image_payload(None) == (None, "not_image")
