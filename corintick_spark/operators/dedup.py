@@ -314,6 +314,7 @@ def hamming_pairs(
     id_col: str = "doc_id",
     sig_col: str = "sig",
     max_hamming: int = 3,
+    within: "list[str] | None" = None,
 ) -> DataFrame:
     """Generic Hamming-ball self-join over any 64-bit signature column
     (round 9: factored out of :func:`simhash_pairs` so the perceptual
@@ -329,17 +330,23 @@ def hamming_pairs(
     binary decode (pHash over a 100 TB image corpus) that must run
     once, not twice — the checkpoint holds 16 bytes/row (measured on
     the image tier: pairs stage 8.1s -> 2.3s at sf0.01).
-    Returns (a_id, b_id, hamming)."""
+
+    ``within``: optional extra equality columns added to the band join
+    key — only rows agreeing on ALL of them can pair (aligned video
+    frame index, language shard, tenant). Returned alongside the pair.
+    Returns (*within, a_id, b_id, hamming)."""
     chunks = max_hamming + 1
     width = 64 // chunks
+    within = list(within or [])
     sigs = (
         sigs.filter(F.col(sig_col).isNotNull())
-        .select(id_col, sig_col)
+        .select(id_col, sig_col, *within)
         .localCheckpoint(eager=True)
     )
     banded = sigs.select(
         F.col(id_col),
         F.col(sig_col).alias("_sig"),
+        *within,
         F.posexplode(
             F.expr(
                 f"""transform(sequence(0, {chunks - 1}),
@@ -348,25 +355,24 @@ def hamming_pairs(
             )
         ).alias("chunk_id", "chunk_val"),
     )
+    keys = ["chunk_id", "chunk_val", *within]
     a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("_sig").alias("a_sig"),
-        "chunk_id", "chunk_val",
+        F.col(id_col).alias("a_id"), F.col("_sig").alias("a_sig"), *keys
     )
     b = banded.select(
-        F.col(id_col).alias("b_id"), F.col("_sig").alias("b_sig"),
-        "chunk_id", "chunk_val",
+        F.col(id_col).alias("b_id"), F.col("_sig").alias("b_sig"), *keys
     )
     cand = (
-        a.join(b, ["chunk_id", "chunk_val"])
+        a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .dropDuplicates(["a_id", "b_id"])
+        .select(*within, "a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates([*within, "a_id", "b_id"])
     )
     ham = cand.withColumn(
         "hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
     )
     return ham.filter(F.col("hamming") <= max_hamming).select(
-        "a_id", "b_id", "hamming"
+        *within, "a_id", "b_id", "hamming"
     )
 
 

@@ -4742,3 +4742,48 @@ def scan_images(
     return df.select(id_col, payload).mapInPandas(
         batches, schema=IMAGE_SCAN_SCHEMA
     )
+
+
+VIDEO_HASH_SCHEMA = "doc_id long, frame_idx long, phash long"
+
+
+def phash_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    sample_every: int = 1,
+) -> DataFrame:
+    """Per-FRAME perceptual hashes over animated sequences (round 9):
+    decode the multi-frame container (:func:`decode_gif_frames` — the
+    in-container stand-in for video; a real deployment swaps the frame
+    iterator for a video demuxer, the Spark shape is identical) and emit
+    (id, frame_idx, phash64) for every ``sample_every``-th composited
+    frame. The video-dedup signature a training pipeline banks: joined
+    within frame_idx by dedup.hamming_pairs, two clips near-dup when
+    enough ALIGNED frames match. Undecodable payloads contribute no
+    rows; Arrow-batched mapInPandas, zero shuffle — only (id, idx,
+    8-byte hash) rows leave the scan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload]):
+                g = decode_gif_frames(b)
+                if g is None:
+                    continue
+                w, h, ch, frames = g
+                for fi in range(0, len(frames), max(1, int(sample_every))):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    hashes.append(phash64(frames[fi], w, h, ch))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(
+        batches, schema=VIDEO_HASH_SCHEMA
+    )

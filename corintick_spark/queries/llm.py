@@ -5594,3 +5594,143 @@ def multimodal_scan_errors(spark, sf_dir):
         make_payloads, schema="doc_id long, payload binary"
     )
     return M.scan_images(with_img)
+
+
+# Video (animated-sequence) near-dup (round 9): per-frame pHash joined
+# WITHIN aligned frame index — two clips are near-dups when every
+# sampled frame pairs inside the Hamming ball. Planted: groups of three
+# (g = doc_id div 3), each doc a 4-frame animated GIF (256-gray global
+# palette; frame f of group g seeded by the full-spectrum generator at
+# g*4+f), members 1-2 perturbing 16 pixels per frame by ±5 — per-frame
+# ball <= 2 bits, inter-group frames >= 12 apart, so matched_frames is
+# exactly 4 for every intra-group pair and no cross-group frame pairs
+# at all. Rows-only (float DCT); inv_ok gates same-group, full frame
+# agreement, and pooled planted recall == 1. Group SIZE is constant, so
+# pair volume stays linear in the corpus at 100 TB; the shuffle carries
+# (id, frame_idx, 8-byte hash) rows only.
+@query("dedup_video_phash", sql=None)
+def dedup_video_phash(spark, sf_dir):
+    """Video near-dup via aligned-frame pHash voting over planted
+    animated GIFs; planted-recall/precision invariants in inv_ok."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    N_FRAMES = 4
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        W = H = 32
+        cx = np.array(
+            [[np.cos(np.pi * (2 * x + 1) * u / (2 * W)) for x in range(W)]
+             for u in range(8)]
+        )
+        cy = np.array(
+            [[np.cos(np.pi * (2 * y + 1) * p / (2 * H)) for y in range(H)]
+             for p in range(8)]
+        )
+        palette = bytes(v for v in range(256) for _ in range(3))
+        cache: dict = {}
+
+        def base(seed: int):
+            im = cache.get(seed)
+            if im is None:
+                v = (seed * 2654435761 + 97) % (2**31)
+                amps = np.zeros((8, 8))
+                for u in range(8):
+                    for p in range(8):
+                        if u == 0 and p == 0:
+                            continue
+                        v = (v * 1103515245 + 12345) % (2**31)
+                        t = v % 11 - 5
+                        if t >= 0:
+                            t += 1
+                        amps[u, p] = 3 * t
+                img = 128.0 + cy.T @ amps.T @ cx
+                im = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+                if len(cache) > 1024:
+                    cache.clear()
+                cache[seed] = im
+            return im
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                g, r = divmod(i, 3)
+                frames = []
+                for f in range(N_FRAMES):
+                    im = base(g * N_FRAMES + f)
+                    if r:
+                        b = im.flatten().astype(int)
+                        for t in range(16):
+                            idx = (g * 9973 + f * 127 + t * 613
+                                   + r * 331) % 1024
+                            b[idx] = min(
+                                255,
+                                max(0, int(b[idx]) + (5 if (t + r) % 2 else -5)),
+                            )
+                        indices = list(b.astype(np.uint8))
+                    else:
+                        indices = list(im.flatten())
+                    frames.append(
+                        {"left": 0, "top": 0, "iw": 32, "ih": 32,
+                         "indices": indices, "disposal": 0,
+                         "transparent": None}
+                    )
+                payloads.append(M.encode_gif_anim(32, 32, frames, palette))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_vid = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    sigs = M.phash_video_frames(with_vid)
+    frame_pairs = D.hamming_pairs(
+        sigs, sig_col="phash", max_hamming=6, within=["frame_idx"]
+    )
+    votes = frame_pairs.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).alias("matched_frames"),
+        F.max("hamming").alias("max_hamming"),
+    )
+    near = votes.filter(F.col("matched_frames") * 4 >= F.lit(3 * N_FRAMES))
+    found = near.withColumn(
+        "same_grp", F.expr("(a_id div 3) = (b_id div 3)")
+    )
+    expected = (
+        d.select(F.expr("doc_id div 3").alias("_g"))
+        .groupBy("_g")
+        .count()
+        .agg(
+            F.sum(F.expr("count * (count - 1) div 2"))
+            .cast("long")
+            .alias("expected_pairs")
+        )
+    )
+    pooled = found.agg(
+        F.sum(F.when(F.col("same_grp"), 1).otherwise(0))
+        .cast("long")
+        .alias("found_same")
+    )
+    return (
+        found.crossJoin(F.broadcast(expected))  # 1-row invariant aggregates
+        .crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "inv_recall",
+            F.col("found_same").cast("double") / F.col("expected_pairs"),
+        )
+        .withColumn(
+            "inv_ok",
+            F.col("same_grp")
+            & (F.col("matched_frames") == F.lit(N_FRAMES))
+            & (F.col("max_hamming") <= F.lit(6))
+            & (F.col("inv_recall") >= F.lit(0.999)),
+        )
+        .select(
+            "a_id", "b_id", "matched_frames", "max_hamming", "same_grp",
+            F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
+        )
+    )
