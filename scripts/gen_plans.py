@@ -59,6 +59,8 @@ NOTES = {
     "text_bm25": "one explode feeds tf and df; document lengths, corpus stats, query terms, and df all enter as broadcasts — the document side crosses exactly one exchange for the per-doc score fold.",
     "agg_group_median": "no sort and no percentile buffers anywhere: each refinement round is one (group, bucket) hash aggregation against broadcast per-group ranges; the per-round driver exchange is bounded by groups × buckets.",
     "agg_chi2": "one corpus aggregation builds the contingency cells; marginals re-aggregate the cells-sized table and broadcast back — the statistic is computed without a second corpus pass.",
+    "dedup_image_phash": "pixels never cross an exchange: decode+DCT run inside ONE Arrow-batched mapInPandas, and the localCheckpointed (id, 8-byte sig) frame feeds BOTH sides of the band join (decode runs once, not twice); candidates meet in a hash join on (chunk_id, chunk_val) — a (max_hamming+1)-way fan-out of 16-byte rows, never a crossJoin.",
+    "dedup_video_phash": "per-frame hashes join WITHIN (chunk_id, chunk_val, frame_idx) — misaligned frames never become candidates; the vote is one (a_id, b_id) hash aggregation over frame pairs, and only (id, idx, 8-byte hash) rows ever shuffle.",
 }
 
 

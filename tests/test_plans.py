@@ -408,3 +408,39 @@ def test_dpp_partition_filter_is_dynamic(spark, sf_dir):
         if "PartitionFilters" in l and "dynamicpruning" in l
     )
     assert "event_type" in scan_line
+
+
+def test_image_dedup_plan_shape(spark, sf_dir):
+    """Perceptual image dedup (round 9): the band join must be a hash
+    join on chunk keys (never a cartesian/BNLJ), and no plan may carry
+    the binary payload column through an exchange — only (id, sig)
+    rows shuffle."""
+    plan = plan_of(spark, sf_dir, "dedup_image_phash")
+    assert "CartesianProduct" not in plan
+    # the only BNLJs allowed are the broadcast-1-ROW invariant
+    # aggregates (expected_pairs / found_same crossJoins)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    # the payload never appears downstream of the hashing scan: Exchange
+    # nodes must not reference the payload column
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+
+    # the band join in isolation: hash join on chunk keys, no cartesian
+    from corintick_spark.operators.dedup import hamming_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, 7), (2, 7)], "doc_id long, sig long"
+    )
+    band = hamming_pairs(sigs, sig_col="sig", max_hamming=3)
+    bplan = band._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in bplan
+    assert "BroadcastNestedLoopJoin" not in bplan
+    assert "chunk_id" in bplan and "chunk_val" in bplan
+
+    vid = plan_of(spark, sf_dir, "dedup_video_phash")
+    assert "CartesianProduct" not in vid
+    # aligned-frame constraint: frame_idx participates in the band join
+    assert "frame_idx" in vid
