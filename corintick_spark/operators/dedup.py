@@ -140,10 +140,31 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    # Every build side below scales WITH THE CORPUS — but a
+    # localCheckpointed frame INHERITS the originating plan's size
+    # estimate (here: the compressed parquet bytes of the documents
+    # scan), which undercounts the exploded shingle arrays by orders of
+    # magnitude, so Catalyst CANNOT be trusted with the broadcast
+    # decision. At sf30 it broadcast the shingle-bearing verification
+    # side off that estimate and the driver collect blew
+    # spark.driver.maxResultSize (1.2 GiB of task results — caught by
+    # the round-9 sf30 scale run). The guard below measures the REAL
+    # size with one aggregate over the already-materialized checkpoint
+    # (count + total shingle elements, ~24 B each) and pins
+    # shuffle_hash on every corpus-sized build side once the true bytes
+    # approach the broadcast threshold; small corpora keep Catalyst's
+    # (locally faster) broadcast plan.
+    st = sig.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("shingles")).alias("el"),
+    ).first()
+    real_bytes = (st["el"] or 0) * 24 + (st["n"] or 0) * 16
+    big = real_bytes > 48 * 1024 * 1024
+    pin = (lambda d: d.hint("shuffle_hash")) if big else (lambda d: d)
     a = banded.select(F.col(id_col).alias("a_id"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("b_id"), "band_id", "band_hash")
     cand = (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(pin(b), ["band_id", "band_hash"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
@@ -154,10 +175,14 @@ def minhash_lsh_pairs(
     sh = sig.select(F.col(id_col), F.col("shingles"))
     jac = (
         cand.join(
-            sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")), "a_id"
+            pin(sh.select(F.col(id_col).alias("a_id"),
+                          F.col("shingles").alias("a_sh"))),
+            "a_id",
         )
         .join(
-            sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")), "b_id"
+            pin(sh.select(F.col(id_col).alias("b_id"),
+                          F.col("shingles").alias("b_sh"))),
+            "b_id",
         )
         .withColumn(
             # nullif: two token-less docs give a 0-size union — ANSI mode
@@ -362,6 +387,14 @@ def hamming_pairs(
     b = banded.select(
         F.col(id_col).alias("b_id"), F.col("_sig").alias("b_sig"), *keys
     )
+    # Measured broadcast guard (see minhash_lsh_pairs): the build side
+    # is the banded CORPUS and the checkpointed frame's inherited size
+    # estimate cannot be trusted; one count over the materialized
+    # checkpoint decides. Banded bytes ~ rows * (d+1) * 24.
+    n_sigs = sigs.count()
+    big = n_sigs * chunks * 24 > 48 * 1024 * 1024
+    if big:
+        b = b.hint("shuffle_hash")
     cand = (
         a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))
