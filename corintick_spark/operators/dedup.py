@@ -150,21 +150,40 @@ def minhash_lsh_pairs(
     # spark.driver.maxResultSize (1.2 GiB of task results — caught by
     # the round-9 sf30 scale run). The guard below measures the REAL
     # size with one aggregate over the already-materialized checkpoint
-    # (count + total shingle elements, ~24 B each) and pins
-    # shuffle_hash on every corpus-sized build side once the true bytes
-    # approach the broadcast threshold; small corpora keep Catalyst's
-    # (locally faster) broadcast plan.
+    # (count + total shingle elements, ~24 B each) and, once the true
+    # bytes approach the broadcast threshold, pins shuffle_hash with a
+    # partition count SIZED FROM THOSE BYTES (~32 MB of build side per
+    # partition): a shuffle-hash relation must fit in one task's
+    # execution memory — at the session default of 32 partitions the
+    # sf30 shingle side needed ~134 MB builds and aborted, while
+    # sort-merge (which spills) measured 6x slower at sf10 because it
+    # sorts the full array payloads. Sizing the exchange to the data is
+    # the fix, not changing the algorithm. Small corpora keep
+    # Catalyst's (locally faster) broadcast plan.
     st = sig.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size("shingles")).alias("el"),
     ).first()
     real_bytes = (st["el"] or 0) * 24 + (st["n"] or 0) * 16
     big = real_bytes > 48 * 1024 * 1024
-    pin = (lambda d: d.hint("shuffle_hash")) if big else (lambda d: d)
+    if big:
+        nparts = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            int(real_bytes // (32 * 1024 * 1024)) + 1,
+        )
+
+        def pin(d: DataFrame, *keys: str) -> DataFrame:
+            return d.repartition(nparts, *keys).hint("shuffle_hash")
+
+    else:
+
+        def pin(d: DataFrame, *keys: str) -> DataFrame:
+            return d
+
     a = banded.select(F.col(id_col).alias("a_id"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("b_id"), "band_id", "band_hash")
     cand = (
-        a.join(pin(b), ["band_id", "band_hash"])
+        a.join(pin(b, "band_id", "band_hash"), ["band_id", "band_hash"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
@@ -176,12 +195,12 @@ def minhash_lsh_pairs(
     jac = (
         cand.join(
             pin(sh.select(F.col(id_col).alias("a_id"),
-                          F.col("shingles").alias("a_sh"))),
+                          F.col("shingles").alias("a_sh")), "a_id"),
             "a_id",
         )
         .join(
             pin(sh.select(F.col(id_col).alias("b_id"),
-                          F.col("shingles").alias("b_sh"))),
+                          F.col("shingles").alias("b_sh")), "b_id"),
             "b_id",
         )
         .withColumn(
@@ -392,9 +411,15 @@ def hamming_pairs(
     # estimate cannot be trusted; one count over the materialized
     # checkpoint decides. Banded bytes ~ rows * (d+1) * 24.
     n_sigs = sigs.count()
-    big = n_sigs * chunks * 24 > 48 * 1024 * 1024
-    if big:
-        b = b.hint("shuffle_hash")
+    banded_bytes = n_sigs * chunks * 24
+    if banded_bytes > 48 * 1024 * 1024:
+        # size the exchange to the data (~32 MB of build per partition)
+        # and pin shuffle_hash — see minhash_lsh_pairs for the rationale
+        nparts = max(
+            sigs.sparkSession.sparkContext.defaultParallelism,
+            int(banded_bytes // (32 * 1024 * 1024)) + 1,
+        )
+        b = b.repartition(nparts, *keys).hint("shuffle_hash")
     cand = (
         a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))

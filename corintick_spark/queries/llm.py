@@ -16,6 +16,7 @@ from pyspark.sql import Window
 from corintick_spark.catalog import table
 from corintick_spark.operators import dedup as D
 from corintick_spark.operators import multimodal as M
+from corintick_spark.operators.spread import spread_input
 from corintick_spark.operators import similarity as S
 from corintick_spark.operators import text as T
 from corintick_spark.registry import query
@@ -5268,7 +5269,9 @@ def dedup_image_dhash(spark, sf_dir):
 
     import pandas as pd
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_input(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -5315,7 +5318,7 @@ def dedup_image_dhash(spark, sf_dir):
 # smooth 32x32 base image with nonzero amplitude in every low-freq DCT
 # slot (margins ~3x the noise), and members 1-3 perturb 16 pixels by
 # +-5 — measured pHash ball <= 2 bits, inter-group distance >= 16, so
-# max_hamming=6 recovers every planted pair (intra <= 2*ball = 4) and
+# max_hamming=4 recovers every planted pair (intra <= 2*ball = 4) and
 # admits no cross-group pair (>= 16 - 4 = 12). Rows-only by design
 # (float DCT is not SQL-replayable); inv_ok gates per row: pair is
 # same-group (precision 1 on planted data), hamming <= 6, and pooled
@@ -5326,12 +5329,16 @@ def _planted_phash_corpus(spark, sf_dir):
     group (every low-freq DCT slot at amplitude 3x{±1..6} — pHash ball
     measured <= 2 bits under the member perturbation, inter-group
     distance >= 16 over 300 seeds), members 1-3 perturbing 16 pixels by
-    ±5, PNG-gray encoded. Returns (doc_id, payload)."""
+    ±5, PNG-gray encoded. Returns (doc_id, payload). The doc_id source
+    is spread to defaultParallelism first: payload synthesis + decode +
+    DCT are the CPU-bound stage, and a single-file local scan would
+    otherwise run them on one partition (a well-partitioned cluster
+    scan skips the shuffle)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_input(table(spark, sf_dir, "documents").select("doc_id"))
 
     def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -5399,7 +5406,7 @@ def dedup_image_phash(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id")
     with_img = _planted_phash_corpus(spark, sf_dir)
     sigs = M.phash_images(with_img)
-    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=6)
+    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=4)
     found = pairs.withColumn(
         "same_grp", F.expr("(a_id div 4) = (b_id div 4)")
     )
@@ -5428,7 +5435,7 @@ def dedup_image_phash(spark, sf_dir):
         .withColumn(
             "inv_ok",
             F.col("same_grp")
-            & (F.col("hamming") <= F.lit(6))
+            & (F.col("hamming") <= F.lit(4))
             & (F.col("inv_recall") >= F.lit(0.999)),
         )
         .select(
@@ -5464,7 +5471,7 @@ def dedup_image_clusters(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     sigs = M.phash_images(_planted_phash_corpus(spark, sf_dir))
-    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=6)
+    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=4)
     labels = connected_components(pairs)
     out = (
         d.join(
@@ -5505,7 +5512,7 @@ def dedup_image_survivors(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     sigs = M.phash_images(_planted_phash_corpus(spark, sf_dir))
-    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=6)
+    pairs = D.hamming_pairs(sigs, sig_col="phash", max_hamming=4)
     labels = connected_components(pairs)
     return (
         d.join(
@@ -5557,7 +5564,9 @@ def multimodal_scan_errors(spark, sf_dir):
 
     import pandas as pd
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_input(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -5618,7 +5627,9 @@ def dedup_video_phash(spark, sf_dir):
 
     N_FRAMES = 4
 
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = spread_input(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -5690,7 +5701,7 @@ def dedup_video_phash(spark, sf_dir):
     )
     sigs = M.phash_video_frames(with_vid)
     frame_pairs = D.hamming_pairs(
-        sigs, sig_col="phash", max_hamming=6, within=["frame_idx"]
+        sigs, sig_col="phash", max_hamming=4, within=["frame_idx"]
     )
     votes = frame_pairs.groupBy("a_id", "b_id").agg(
         F.count(F.lit(1)).alias("matched_frames"),
@@ -5726,7 +5737,7 @@ def dedup_video_phash(spark, sf_dir):
             "inv_ok",
             F.col("same_grp")
             & (F.col("matched_frames") == F.lit(N_FRAMES))
-            & (F.col("max_hamming") <= F.lit(6))
+            & (F.col("max_hamming") <= F.lit(4))
             & (F.col("inv_recall") >= F.lit(0.999)),
         )
         .select(
