@@ -5321,7 +5321,7 @@ def dedup_image_dhash(spark, sf_dir):
 # max_hamming=4 recovers every planted pair (intra <= 2*ball = 4) and
 # admits no cross-group pair (>= 16 - 4 = 12). Rows-only by design
 # (float DCT is not SQL-replayable); inv_ok gates per row: pair is
-# same-group (precision 1 on planted data), hamming <= 6, and pooled
+# same-group (precision 1 on planted data), hamming <= 4, and pooled
 # planted recall == 1 (found same-group pairs / C(group,2) summed).
 def _planted_phash_corpus(spark, sf_dir):
     """Shared planted near-dup image corpus for the pHash tier: groups of
