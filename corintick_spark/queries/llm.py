@@ -5449,16 +5449,18 @@ def dedup_image_phash(spark, sf_dir):
 # pHash signatures -> Hamming-banded pairs -> alternating-star connected
 # components (operators/dup_clusters.py) -> (doc, component, size). The
 # planted corpus makes the fixpoint labels derivable from doc_id
-# arithmetic alone (groups of four, label = min member = 4*(doc_id div
-# 4); measured pHash margins guarantee the edge set is exactly the
-# intra-group pairs), so the ITERATIVE clustering is adjudicated
+# arithmetic alone (groups of four, label = the group's MIN PRESENT
+# member — a windowed MIN, gap-correct on sparse-id corpora like the
+# edge set; measured pHash margins guarantee the edge set is exactly
+# the intra-group pairs), so the ITERATIVE clustering is adjudicated
 # hash-exact — rare for a fixpoint algorithm. Docs whose group has a
 # single member (corpus size not divisible by 4) label themselves.
 @query(
     "dedup_image_clusters",
     sql="""
     SELECT doc_id,
-           CAST((doc_id // 4) * 4 AS BIGINT) AS comp,
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id // 4) AS BIGINT)
+               AS comp,
            CAST(COUNT(*) OVER (PARTITION BY doc_id // 4) AS BIGINT)
                AS csize
     FROM documents
@@ -5500,8 +5502,9 @@ def dedup_image_clusters(spark, sf_dir):
     "dedup_image_survivors",
     sql="""
     SELECT doc_id,
-           CAST((doc_id // 4) * 4 AS BIGINT) AS survivor,
-           doc_id = (doc_id // 4) * 4 AS keep
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id // 4) AS BIGINT)
+               AS survivor,
+           doc_id = MIN(doc_id) OVER (PARTITION BY doc_id // 4) AS keep
     FROM documents
     """,
 )
