@@ -84,6 +84,7 @@ EXTRAS = [
     # + Hamming banding) and the interpolating audio resample
     "dedup_image_dhash",
     "dedup_image_phash",
+    "dedup_image_phash128",
     "multimodal_audio_resample_linear",
 ]
 

@@ -356,62 +356,96 @@ def simhash_pairs(
 def hamming_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
-    sig_col: str = "sig",
+    sig_col: "str | list[str]" = "sig",
     max_hamming: int = 3,
     within: "list[str] | None" = None,
 ) -> DataFrame:
-    """Generic Hamming-ball self-join over any 64-bit signature column
-    (round 9: factored out of :func:`simhash_pairs` so the perceptual
-    image hashes — dHash/pHash, operators/multimodal.py — reuse the same
-    scale shape). Pigeonhole banding: split the signature into
-    max_hamming+1 chunks; any pair within distance d agrees exactly on
-    >= 1 chunk, so candidates are an equi-join on (chunk_id, chunk_val)
-    — never a crossJoin, and at 100 TB the shuffle carries only
-    (id, 8-byte sig) rows fanned out d+1 ways. Null signatures
-    (undecodable payloads upstream) are dropped, not joined. The
-    (id, sig) projection is localCheckpointed first: the self-join
-    reads it from BOTH sides, and the upstream is typically a full
-    binary decode (pHash over a 100 TB image corpus) that must run
-    once, not twice — the checkpoint holds 16 bytes/row (measured on
-    the image tier: pairs stage 8.1s -> 2.3s at sf0.01).
+    """Generic Hamming-ball self-join over a 64*W-bit signature stored
+    as W bigint columns (round 9: factored out of :func:`simhash_pairs`
+    so the perceptual image hashes — dHash/pHash,
+    operators/multimodal.py — reuse the same scale shape). Pigeonhole
+    banding: split the signature into max_hamming+1 chunks; any pair
+    within distance d agrees exactly on >= 1 chunk, so candidates are
+    an equi-join on (chunk_id, chunk_val) — never a crossJoin, and at
+    100 TB the shuffle carries only (id, signature) rows fanned out d+1
+    ways. Null signatures (undecodable payloads upstream) are dropped,
+    not joined. The (id, sig) projection is localCheckpointed first:
+    the self-join reads it from BOTH sides, and the upstream is
+    typically a full binary decode (pHash over a 100 TB image corpus)
+    that must run once, not twice — the checkpoint holds ~16-24
+    bytes/row (measured on the image tier: pairs stage 8.1s -> 2.3s at
+    sf0.01).
+
+    ``sig_col`` may be a LIST of bigint columns forming one long
+    signature (column i carries bits [64*i, 64*i+64), LSB-first within
+    each word) — the scale answer when chance bucket collisions bite:
+    band width is 64*W // (d+1), so a 128-bit signature at d=4 gives
+    25-bit bands (33M buckets) where 64-bit gives 12-bit ones (4k).
+    Chunks may straddle word boundaries; extraction composes the words
+    with shift/mask expressions, all JVM-side.
 
     ``within``: optional extra equality columns added to the band join
     key — only rows agreeing on ALL of them can pair (aligned video
     frame index, language shard, tenant). Returned alongside the pair.
     Returns (*within, a_id, b_id, hamming)."""
+    cols = [sig_col] if isinstance(sig_col, str) else list(sig_col)
     chunks = max_hamming + 1
-    width = 64 // chunks
+    # band width; cap at 63 so a chunk value fits a signed bigint (any
+    # bits past chunks*width stay uncovered — pigeonhole still holds:
+    # d differing bits leave >= 1 of the d+1 DISJOINT chunks clean)
+    width = min(63, (64 * len(cols)) // chunks)
     within = list(within or [])
+    notnull = F.lit(True)
+    for c in cols:
+        notnull = notnull & F.col(c).isNotNull()
     sigs = (
-        sigs.filter(F.col(sig_col).isNotNull())
-        .select(id_col, sig_col, *within)
+        sigs.filter(notnull)
+        .select(id_col, *cols, *within)
         .localCheckpoint(eager=True)
     )
+
+    def chunk_expr(ci: int) -> str:
+        # bits [ci*width, ci*width + width) across the word columns
+        s0 = ci * width
+        parts = []
+        for w, c in enumerate(cols):
+            lo, hi = max(s0, w * 64), min(s0 + width, (w + 1) * 64)
+            if lo >= hi:
+                continue
+            mask = (1 << (hi - lo)) - 1
+            part = f"(shiftright({c}, {lo - w * 64}) & {mask}L)"
+            if lo - s0:
+                part = f"shiftleft({part}, {lo - s0})"
+            parts.append(part)
+        return "(" + " | ".join(parts) + ")"
+
+    chunk_array = "array(" + ", ".join(
+        chunk_expr(ci) for ci in range(chunks)
+    ) + ")"
+    sig_aliases = [f"_sig{w}" for w in range(len(cols))]
     banded = sigs.select(
         F.col(id_col),
-        F.col(sig_col).alias("_sig"),
+        *[F.col(c).alias(al) for c, al in zip(cols, sig_aliases)],
         *within,
-        F.posexplode(
-            F.expr(
-                f"""transform(sequence(0, {chunks - 1}),
-                              c -> shiftright({sig_col}, c * {width})
-                                   & {(1 << width) - 1}L)"""
-            )
-        ).alias("chunk_id", "chunk_val"),
+        F.posexplode(F.expr(chunk_array)).alias("chunk_id", "chunk_val"),
     )
     keys = ["chunk_id", "chunk_val", *within]
     a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("_sig").alias("a_sig"), *keys
+        F.col(id_col).alias("a_id"),
+        *[F.col(al).alias(f"a{al}") for al in sig_aliases],
+        *keys,
     )
     b = banded.select(
-        F.col(id_col).alias("b_id"), F.col("_sig").alias("b_sig"), *keys
+        F.col(id_col).alias("b_id"),
+        *[F.col(al).alias(f"b{al}") for al in sig_aliases],
+        *keys,
     )
     # Measured broadcast guard (see minhash_lsh_pairs): the build side
     # is the banded CORPUS and the checkpointed frame's inherited size
     # estimate cannot be trusted; one count over the materialized
-    # checkpoint decides. Banded bytes ~ rows * (d+1) * 24.
+    # checkpoint decides. Banded bytes ~ rows * (d+1) * (16 + 8W).
     n_sigs = sigs.count()
-    banded_bytes = n_sigs * chunks * 24
+    banded_bytes = n_sigs * chunks * (16 + 8 * len(cols))
     if banded_bytes > 48 * 1024 * 1024:
         # size the exchange to the data (~32 MB of build per partition)
         # and pin shuffle_hash — see minhash_lsh_pairs for the rationale
@@ -423,12 +457,18 @@ def hamming_pairs(
     cand = (
         a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))
-        .select(*within, "a_id", "b_id", "a_sig", "b_sig")
+        .select(
+            *within, "a_id", "b_id",
+            *[f"a{al}" for al in sig_aliases],
+            *[f"b{al}" for al in sig_aliases],
+        )
         .dropDuplicates([*within, "a_id", "b_id"])
     )
-    ham = cand.withColumn(
-        "hamming", F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
-    )
+    dist = None
+    for al in sig_aliases:
+        term = F.bit_count(F.col(f"a{al}").bitwiseXOR(F.col(f"b{al}")))
+        dist = term if dist is None else dist + term
+    ham = cand.withColumn("hamming", dist)
     return ham.filter(F.col("hamming") <= max_hamming).select(
         *within, "a_id", "b_id", "hamming"
     )

@@ -4787,3 +4787,94 @@ def phash_video_frames(
     return df.select(id_col, payload).mapInPandas(
         batches, schema=VIDEO_HASH_SCHEMA
     )
+
+
+def phash128(
+    px: bytes, w: int, h: int, ch: int, size: int = 32
+) -> "tuple[int, int]":
+    """128-bit perceptual hash: same pipeline as :func:`phash64` but
+    thresholding the top-left 8x16 low-frequency DCT block (mean
+    excluding DC) — the LONGER-signature scale path. Banding 128 bits
+    at d=4 gives 25-bit bands (33M buckets) where 64 bits give 12
+    (4k), which is the difference between linear and quadratic
+    candidates once the corpus passes ~10^6 images (SCALING.md round
+    9). Returns (lo, hi) signed 64-bit words; bit k of the hash lives
+    in word k // 64 at position k % 64, k = r*16 + c over the block."""
+    import numpy as np
+
+    gray = np.asarray(
+        _gray_int(px, w, h, ch), dtype=np.float64
+    ).reshape(h, w)
+    if h % size == 0 and w % size == 0:
+        cells = gray.reshape(
+            size, h // size, size, w // size
+        ).mean(axis=(1, 3))
+    else:
+        cells = np.zeros((size, size), dtype=np.float64)
+        for r in range(size):
+            y0 = r * h // size
+            y1 = max(y0 + 1, (r + 1) * h // size)
+            for c in range(size):
+                x0 = c * w // size
+                x1 = max(x0 + 1, (c + 1) * w // size)
+                cells[r, c] = gray[y0:y1, x0:x1].mean()
+    n = size
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis *= np.sqrt(2.0 / n)
+    basis[0, :] = np.sqrt(1.0 / n)
+    coeffs = basis @ cells @ basis.T
+    block = coeffs[:8, :16].ravel()
+    avg = float((block.sum() - block[0]) / (block.size - 1))
+    hv = 0
+    for i, v in enumerate(block):
+        if v > avg:
+            hv |= 1 << i
+    lo = hv & (2**64 - 1)
+    hi = hv >> 64
+    return (
+        lo - (1 << 64) if lo >= 1 << 63 else lo,
+        hi - (1 << 64) if hi >= 1 << 63 else hi,
+    )
+
+
+IMAGE_PHASH128_SCHEMA = (
+    "doc_id long, width long, height long, phash0 long, phash1 long"
+)
+
+
+def phash128_images(
+    df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
+) -> DataFrame:
+    """Per-document 128-bit pHash as two bigint columns — feed to
+    dedup.hamming_pairs(sig_col=["phash0", "phash1"]). Same corpus-scan
+    posture and scale shape as :func:`phash_images`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"width": [], "height": [], "phash0": [], "phash1": []}
+            for b in pdf[payload]:
+                m = _decode_any_image(b)
+                if m is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                w, h, ch, px = m
+                lo, hi = phash128(px, w, h, ch)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["phash0"].append(lo)
+                rows["phash1"].append(hi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(rows["width"], dtype="Int64"),
+                    "height": pd.array(rows["height"], dtype="Int64"),
+                    "phash0": pd.array(rows["phash0"], dtype="Int64"),
+                    "phash1": pd.array(rows["phash1"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(
+        batches, schema=IMAGE_PHASH128_SCHEMA
+    )

@@ -5748,3 +5748,125 @@ def dedup_video_phash(spark, sf_dir):
             F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
         )
     )
+
+
+# 128-bit pHash near-dup (round 9): the LONGER-SIGNATURE scale path —
+# at d=6 the 128-bit signature bands into 7 chunks of 18 bits (262k
+# buckets) where 64 bits would give 9 (512), the fix for chance bucket
+# collisions once a corpus passes ~10^6 images (SCALING round-9 rule:
+# longer signatures, not looser balls). Planted like the 64-bit tier
+# but with nonzero amplitude in all 127 slots of the 8x16 low-freq
+# block (horizontal frequency to 15, vertical to 7 — matching the
+# block the hash thresholds): measured ball <= 3 bits, inter-group
+# >= 38 over 200 seeds, so d=6 keeps planted recall 1 (intra <= 2*ball
+# = 6) and precision 1 (>= 38 - 6 = 32 > 6). Rows-only (float DCT);
+# same inv_ok gates as dedup_image_phash.
+@query("dedup_image_phash128", sql=None)
+def dedup_image_phash128(spark, sf_dir):
+    """Near-dup image pairs via 128-bit pHash (two bigint words) +
+    multi-word Hamming banding; planted-recall/precision invariants."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = spread_input(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        W = H = 32
+        cx16 = np.array(
+            [[np.cos(np.pi * (2 * x + 1) * u / (2 * W)) for x in range(W)]
+             for u in range(16)]
+        )
+        cy8 = np.array(
+            [[np.cos(np.pi * (2 * y + 1) * p / (2 * H)) for y in range(H)]
+             for p in range(8)]
+        )
+        cache: dict = {}
+
+        def base(g: int):
+            im = cache.get(g)
+            if im is None:
+                v = (g * 2654435761 + 97) % (2**31)
+                amps = np.zeros((16, 8))  # [horizontal u, vertical p]
+                for u in range(16):
+                    for p in range(8):
+                        if u == 0 and p == 0:
+                            continue
+                        v = (v * 1103515245 + 12345) % (2**31)
+                        t = v % 11 - 5
+                        if t >= 0:
+                            t += 1
+                        amps[u, p] = 2 * t
+                img = 128.0 + cy8.T @ amps.T @ cx16
+                im = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+                if len(cache) > 512:
+                    cache.clear()
+                cache[g] = im
+            return im
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                g, r = divmod(i, 4)
+                im = base(g)
+                if r:
+                    b = im.flatten().astype(int)
+                    for t in range(16):
+                        idx = (g * 9973 + t * 613 + r * 331) % 1024
+                        b[idx] = min(
+                            255,
+                            max(0, int(b[idx]) + (5 if (t + r) % 2 else -5)),
+                        )
+                    pxb = bytes(b.astype(np.uint8))
+                else:
+                    pxb = im.tobytes()
+                payloads.append(M.encode_png(W, H, pxb, channels=1))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_img = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    sigs = M.phash128_images(with_img)
+    pairs = D.hamming_pairs(
+        sigs, sig_col=["phash0", "phash1"], max_hamming=6
+    )
+    found = pairs.withColumn(
+        "same_grp", F.expr("(a_id div 4) = (b_id div 4)")
+    )
+    expected = (
+        d.select(F.expr("doc_id div 4").alias("_g"))
+        .groupBy("_g")
+        .count()
+        .agg(
+            F.sum(F.expr("count * (count - 1) div 2"))
+            .cast("long")
+            .alias("expected_pairs")
+        )
+    )
+    pooled = found.agg(
+        F.sum(F.when(F.col("same_grp"), 1).otherwise(0))
+        .cast("long")
+        .alias("found_same")
+    )
+    return (
+        found.crossJoin(F.broadcast(expected))  # 1-row invariant aggregates
+        .crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "inv_recall",
+            F.col("found_same").cast("double") / F.col("expected_pairs"),
+        )
+        .withColumn(
+            "inv_ok",
+            F.col("same_grp")
+            & (F.col("hamming") <= F.lit(6))
+            & (F.col("inv_recall") >= F.lit(0.999)),
+        )
+        .select(
+            "a_id", "b_id", "hamming", "same_grp",
+            F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
+        )
+    )

@@ -1715,3 +1715,58 @@ def test_classify_image_payload_classes():
     assert _classify_image_payload(stub) == (None, "stub")
     assert _classify_image_payload(b"plain text") == (None, "not_image")
     assert _classify_image_payload(None) == (None, "not_image")
+
+
+def test_phash128_identity_and_block_axes():
+    """phash128 (round 9): deterministic, upscale-invariant, and the
+    thresholded block really is 8 rows (vertical freq) x 16 cols
+    (horizontal freq) — content with ONLY horizontal frequencies 8-15
+    must flip bits the 64-bit hash cannot see."""
+    import math
+
+    from corintick_spark.operators.multimodal import phash64, phash128
+
+    w = h = 32
+    # smooth content with a strong horizontal frequency 12 component
+    px = bytes(
+        min(255, max(0, int(round(
+            128 + 40 * math.cos(math.pi * (2 * x + 1) * 12 / 64)
+        ))))
+        for y in range(h) for x in range(w)
+    )
+    lo, hi = phash128(px, w, h, 1)
+    assert (lo, hi) == phash128(bytes(px), w, h, 1)
+
+    # 2x integer upscale: hash-invariant
+    up = bytearray()
+    for y in range(2 * h):
+        for x in range(2 * w):
+            up.append(px[(y // 2) * w + (x // 2)])
+    assert phash128(bytes(up), 2 * w, 2 * h, 1) == (lo, hi)
+
+    # axis pinning: an independent numpy reference must reproduce every
+    # bit — a transposed block (8x16 vs 16x8) or wrong bit layout
+    # mismatches immediately on full-spectrum content
+    import numpy as np
+    import random
+
+    rng = random.Random(3)
+    for _ in range(4):
+        content = bytes(rng.randrange(40, 216) for _ in range(w * h))
+        g = np.frombuffer(content, dtype=np.uint8).astype(float)
+        g = g.reshape(h, w)
+        k = np.arange(32)
+        basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 64)
+        basis *= np.sqrt(2.0 / 32)
+        basis[0, :] = np.sqrt(1.0 / 32)
+        coeffs = (basis @ g @ basis.T)[:8, :16].ravel()
+        avg = (coeffs.sum() - coeffs[0]) / 127.0
+        want = 0
+        for i, v in enumerate(coeffs):
+            if v > avg:
+                want |= 1 << i
+        lo2, hi2 = phash128(content, w, h, 1)
+        got = (lo2 & (2**64 - 1)) | ((hi2 & (2**64 - 1)) << 64)
+        assert got == want
+
+    assert phash64(px, w, h, 1) is not None  # smoke: 64-bit path intact

@@ -1501,3 +1501,69 @@ def test_hamming_pairs_generic_signature_column(spark):
         for r in hamming_pairs(df, sig_col="sig", max_hamming=3).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_hamming_pairs_multiword_signature(spark):
+    """hamming_pairs over a 128-bit signature stored as two bigints
+    (round 9): chunks straddle the word boundary (width 25 at d=4 ->
+    chunk 2 covers bits [50, 75)), distances sum across words, and
+    near/far/null behavior matches the 64-bit contract."""
+    from corintick_spark.operators.dedup import hamming_pairs
+
+    def signed64(x):
+        x &= 2**64 - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    base0 = 0x0123456789ABCDEF
+    base1 = -0x7EDCBA9876543211  # exercise the sign bit in word 1
+    rows = [
+        (1, base0, base1),
+        (2, signed64(base0 ^ (1 << 63)), signed64(base1 ^ 1)),  # seam: 2 bits
+        (3, base0, signed64(base1 ^ (0b11 << 40))),             # word 1: 2
+        (4, signed64(base0 ^ 0xFF), signed64(base1 ^ (0xFF << 30))),  # far
+        (5, base0, None),                                       # null: drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, h0 long, h1 long")
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in hamming_pairs(
+            df, sig_col=["h0", "h1"], max_hamming=4
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 4}
+
+    # differential vs a Python reference on random signatures
+    import random
+
+    rng = random.Random(5)
+    sig = {}
+    recs = []
+    for i in range(60):
+        if i % 3 == 0 and i:
+            # plant a near-dup of an earlier doc (flip <= 3 bits)
+            j = rng.randrange(i)
+            v = sig[j]
+            for _ in range(rng.randint(1, 3)):
+                v ^= 1 << rng.randrange(128)
+        else:
+            v = rng.getrandbits(128)
+        sig[i] = v
+
+        def signed(x):
+            return x - (1 << 64) if x >= 1 << 63 else x
+
+        recs.append((i, signed(v & (2**64 - 1)), signed(v >> 64)))
+    df = spark.createDataFrame(recs, "doc_id long, h0 long, h1 long")
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in hamming_pairs(
+            df, sig_col=["h0", "h1"], max_hamming=3
+        ).collect()
+    }
+    want = {}
+    for i in range(60):
+        for j in range(i + 1, 60):
+            d = bin(sig[i] ^ sig[j]).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
