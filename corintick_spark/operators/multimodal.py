@@ -4878,3 +4878,61 @@ def phash128_images(
     return df.select(id_col, payload).mapInPandas(
         batches, schema=IMAGE_PHASH128_SCHEMA
     )
+
+
+def _classify_audio_payload(
+    b: "bytes | None",
+) -> "tuple[tuple[int, int, list] | None, str]":
+    """Audio twin of :func:`_classify_image_payload` (round 9): returns
+    (decoded-or-None, status) with status 'ok' / 'not_audio' (no RIFF
+    magic) / 'stub' (valid WAV container hitting a documented codec
+    stub — MP3-in-WAV, >2-channel ADPCM) / 'corrupt' (RIFF magic but a
+    malformed/truncated body)."""
+    try:
+        m = decode_wav_pcm(b)
+        return (m, "ok") if m is not None else (None, "not_audio")
+    except NotImplementedError:
+        return None, "stub"
+    except _decode_errors():
+        return None, "corrupt"
+
+
+AUDIO_SCAN_SCHEMA = (
+    "doc_id long, status string, n_samples long, sample_sum long"
+)
+
+
+def scan_audio(
+    df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
+) -> DataFrame:
+    """Corpus-scan audio decode with per-row error classification:
+    (id, status, n_samples, sample_sum), non-'ok' rows null-stats — the
+    ingest-audit pass for an audio corpus (how much decodes, how much
+    is corrupt, how much hits named codec stubs), one map-only pass,
+    no task failures. Arrow-batched mapInPandas; zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"status": [], "n_samples": [], "sample_sum": []}
+            for b in pdf[payload]:
+                m, status = _classify_audio_payload(b)
+                rows["status"].append(status)
+                if m is None:
+                    rows["n_samples"].append(None)
+                    rows["sample_sum"].append(None)
+                else:
+                    _rate, _ch, samples = m
+                    rows["n_samples"].append(len(samples))
+                    rows["sample_sum"].append(int(sum(samples)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "status": rows["status"],
+                    "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
+                    "sample_sum": pd.array(rows["sample_sum"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(
+        batches, schema=AUDIO_SCAN_SCHEMA
+    )

@@ -5870,3 +5870,88 @@ def dedup_image_phash128(spark, sf_dir):
             F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
         )
     )
+
+
+# Audio ingest audit (round 9, the audio twin of multimodal_scan_errors):
+# ONE map-only pass classifying every payload — 'ok' (decoded, with
+# sample count/sum), 'corrupt' (RIFF magic, malformed body: an
+# MS-ADPCM block header naming predictor 7 of 0-6), 'stub' (valid WAV
+# container hitting a documented codec stub: MP3-in-WAV format tag 85,
+# 3-channel ADPCM), 'not_audio'. Classes planted per doc_id % 6 so the
+# oracle pins status AND the decoded stats symbolically.
+@query(
+    "multimodal_scan_audio_errors",
+    sql="""
+    WITH s AS (SELECT doc_id, doc_id % 6 AS cls, doc_id % 20 + 2 AS n
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN cls <= 1 THEN 'ok'
+                WHEN cls = 2 THEN 'corrupt'
+                WHEN cls <= 4 THEN 'stub'
+                ELSE 'not_audio' END AS status,
+           CASE WHEN cls <= 1 THEN CAST(n AS BIGINT) END AS n_samples,
+           CASE WHEN cls = 0 THEN CAST(list_sum(list_transform(
+                    range(0, n::INT),
+                    k -> (doc_id * 13 + k * 7) % 4096 - 2048)) AS BIGINT)
+                WHEN cls = 1 THEN CAST(list_sum(list_transform(
+                    range(0, n::INT),
+                    k -> (doc_id + k) % 256 - 128)) AS BIGINT)
+           END AS sample_sum
+    FROM s
+    """,
+)
+def multimodal_scan_audio_errors(spark, sf_dir):
+    """Audio ingest-audit scan: per-payload decode status (ok / corrupt
+    / stub / not_audio) + sample stats for decodable rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = spread_input(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def wav(tag, ch, rate, bits, data, ba):
+            fmt = struct.pack(
+                "<HHIIHH", tag, ch, rate,
+                rate * max(1, bits // 8) * max(1, ch), ba, bits,
+            )
+            body = (
+                b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b"")
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                cls, n = i % 6, i % 20 + 2
+                if cls == 0:
+                    vals = [(i * 13 + k * 7) % 4096 - 2048 for k in range(n)]
+                    payloads.append(
+                        wav(1, 1, 16000, 16, struct.pack(f"<{n}h", *vals), 2)
+                    )
+                elif cls == 1:
+                    payloads.append(
+                        wav(1, 1, 8000, 8,
+                            bytes((i + k) % 256 for k in range(n)), 1)
+                    )
+                elif cls == 2:  # MS-ADPCM predictor index 7: spec-malformed
+                    bad = struct.pack("<Bhhh", 7, 16, 0, 0) + bytes(2)
+                    payloads.append(wav(2, 1, 8000, 4, bad, 9))
+                elif cls == 3:  # MP3-in-WAV: documented stub
+                    payloads.append(wav(85, 1, 8000, 0, bytes(8), 1))
+                elif cls == 4:  # 3-channel ADPCM: documented stub
+                    payloads.append(wav(0x11, 3, 8000, 4, bytes(16), 16))
+                else:
+                    payloads.append(f"not audio {i}".encode())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_audio = d.mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    return M.scan_audio(with_audio)

@@ -89,12 +89,13 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # toward zero, spec/ffmpeg) landed BEFORE this window froze, so
 # multimodal_decode_msadpcm / _msadpcm_stereo are adjudicated against
 # the fixed decoder + matching oracle (preflighted MATCH).
-# Round-10 queue: the eight queries registered in round 9 after this
+# Round-10 queue: the nine queries registered in round 9 after this
 # window froze — dedup_image_dhash, dedup_image_phash,
 # dedup_image_phash128 (the longer-signature scale path),
 # dedup_image_clusters, dedup_image_survivors, dedup_video_phash,
-# multimodal_scan_errors, multimodal_audio_resample_linear (all
-# preflighted green under driver-sim at sf0.01 in r9) — then fill
+# multimodal_scan_errors, multimodal_scan_audio_errors,
+# multimodal_audio_resample_linear (all preflighted green under
+# driver-sim at sf0.01 in r9) — then fill
 # oldest-driver-row first (the remaining r02 cohort: window_vwap
 # onward, then r03).
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -1770,3 +1770,31 @@ def test_phash128_identity_and_block_axes():
         assert got == want
 
     assert phash64(px, w, h, 1) is not None  # smoke: 64-bit path intact
+
+
+def test_classify_audio_payload_classes():
+    """Audio ingest-audit classifier (round 9): ok / corrupt / stub /
+    not_audio, with stubs (MP3-in-WAV, >2-channel ADPCM) distinguished
+    from corruption (spec-malformed MS-ADPCM predictor index)."""
+    import struct
+
+    from corintick_spark.operators.multimodal import _classify_audio_payload
+
+    def wav(tag, ch, bits, data, ba):
+        fmt = struct.pack("<HHIIHH", tag, ch, 8000, 8000, ba, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    ok = wav(1, 1, 16, struct.pack("<3h", 5, -6, 7), 2)
+    m, st = _classify_audio_payload(ok)
+    assert st == "ok" and m[2] == [5, -6, 7]
+    bad = struct.pack("<Bhhh", 7, 16, 0, 0) + bytes(2)
+    assert _classify_audio_payload(wav(2, 1, 4, bad, 9)) == (None, "corrupt")
+    assert _classify_audio_payload(wav(85, 1, 0, bytes(8), 1)) == (None, "stub")
+    assert _classify_audio_payload(
+        wav(0x11, 3, 4, bytes(16), 16)
+    ) == (None, "stub")
+    assert _classify_audio_payload(b"plain text") == (None, "not_audio")
+    assert _classify_audio_payload(None) == (None, "not_audio")
