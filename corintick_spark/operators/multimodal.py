@@ -1880,6 +1880,12 @@ def encode_gif_anim(
     return bytes(out)
 
 
+# Decode bound for animated-GIF canvases: 64M pixels (~192 MB RGB) —
+# far above any real GIF, small enough that a corrupt header can't
+# stall an executor (ADVICE r9, phash_video_frames fuzz finding).
+GIF_MAX_CANVAS_PIXELS = 1 << 26
+
+
 def decode_gif_frames(
     b: bytes | None,
 ) -> "tuple[int, int, int, list[bytes]] | None":
@@ -1911,6 +1917,12 @@ def decode_gif_frames(
     if b is None or len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    # Corrupt-dimension bound (ADVICE r9): a malformed logical-screen
+    # descriptor can claim up to 65535x65535 (a ~13 GB canvas and
+    # quadratic compositing work) — cap the canvas and classify the
+    # payload as corrupt instead of grinding/allocating on garbage.
+    if w * h > GIF_MAX_CANVAS_PIXELS:
+        raise ValueError(f"GIF canvas {w}x{h} exceeds decode bound")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -3783,9 +3795,13 @@ def _decode_errors() -> tuple[type[BaseException], ...]:
         import struct
         import zlib
 
+        # NO MemoryError (ADVICE r9 low): swallowing it per row would
+        # misreport memory exhaustion on a large-but-valid payload as
+        # corpus corruption and leave the executor degraded — let the
+        # task fail loudly instead.
         _DECODE_ERRORS = (
             ValueError, struct.error, zlib.error, EOFError, IndexError,
-            KeyError, OverflowError, MemoryError, NotImplementedError,
+            KeyError, OverflowError, NotImplementedError,
         )
     return _DECODE_ERRORS
 
@@ -4496,12 +4512,27 @@ def _gray_int(px: bytes, w: int, h: int, ch: int) -> "list[int]":
     """Integer luma plane: (299*R + 587*G + 114*B) // 1000 per pixel (the
     ITU-R BT.601 weights over a denominator of 1000, truncating — exact
     integer math so the DuckDB oracle can replay it; for R=G=B=v the luma
-    is exactly v). Gray inputs pass through."""
+    is exactly v). Gray inputs pass through; ch==2 is PNG gray+alpha
+    (color type 4) — luma is the GRAY sample, never the alpha (ADVICE
+    r9 high: the old RGB branch read px[k+2] past the buffer on the
+    last pixel and used alpha as 'G'). 16-bit decodes arrive as 2
+    big-endian bytes per sample (len == 2*w*h*ch); normalize to the
+    HIGH byte first so an 8-bit and a 16-bit re-encode of the same
+    image hash identically (ADVICE r9 medium)."""
+    n = w * h * ch
+    if len(px) == 2 * n:
+        px = px[0::2]  # big-endian high byte per sample
+    elif len(px) != n:
+        raise ValueError(
+            f"pixel buffer {len(px)} != {n} or {2 * n} for {w}x{h}x{ch}"
+        )
     if ch == 1:
         return list(px)
+    if ch == 2:  # gray + alpha: first sample per pixel, stride 2
+        return list(px[0::2])
     return [
         (299 * px[k] + 587 * px[k + 1] + 114 * px[k + 2]) // 1000
-        for k in range(0, w * h * ch, ch)
+        for k in range(0, n, ch)
     ]
 
 
@@ -4768,7 +4799,13 @@ def phash_video_frames(
         for pdf in it:
             ids, idxs, hashes = [], [], []
             for i, b in zip(pdf[id_col].astype("int64"), pdf[payload]):
-                g = decode_gif_frames(b)
+                # corpus-scan posture (ADVICE r9 medium): magic bytes
+                # passing but a corrupt body (or a codec stub) must skip
+                # the row, not abort the whole video-hash scan task
+                try:
+                    g = decode_gif_frames(b)
+                except _decode_errors():
+                    continue
                 if g is None:
                     continue
                 w, h, ch, frames = g

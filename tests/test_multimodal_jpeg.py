@@ -1798,3 +1798,94 @@ def test_classify_audio_payload_classes():
     ) == (None, "stub")
     assert _classify_audio_payload(b"plain text") == (None, "not_audio")
     assert _classify_audio_payload(None) == (None, "not_audio")
+
+
+def test_hash_gray_alpha_and_16bit_invariance():
+    """ADVICE r9 (high + medium): gray+alpha (PNG color type 4, ch=2)
+    must hash by the GRAY sample — the old RGB branch read past the
+    buffer on the last pixel and used alpha as luma — and a 16-bit
+    re-encode of the same image (2 big-endian bytes per sample) must
+    hash identically to the 8-bit one (high-byte normalization)."""
+    from corintick_spark.operators.multimodal import dhash64, phash64
+
+    w = h = 32
+    a = _phash_planted(5)
+    d8, p8 = dhash64(a, w, h, 1), phash64(a, w, h, 1)
+
+    # gray+alpha, varying alpha so any alpha leakage flips bits
+    ga = bytearray()
+    for i, v in enumerate(a):
+        ga += bytes((v, (i * 37) % 256))
+    got = M._decode_any_image(M.encode_png(w, h, bytes(ga), channels=2))
+    assert got is not None and got[2] == 2
+    assert dhash64(got[3], got[0], got[1], got[2]) == d8
+    assert phash64(got[3], got[0], got[1], got[2]) == p8
+
+    # ADVICE repro shape: a tiny ch=2 image must not IndexError
+    tiny = bytes(range(32))  # 4x4 gray+alpha
+    assert dhash64(tiny, 4, 4, 2) == dhash64(tiny[0::2], 4, 4, 1)
+
+    # 16-bit gray: sample v*257 (the canonical 8->16 expansion)
+    px16 = b"".join(bytes((v, v)) for v in a)
+    got16 = M._decode_any_image(
+        M.encode_png(w, h, px16, channels=1, depth=16)
+    )
+    assert got16 is not None and len(got16[3]) == 2 * w * h
+    assert dhash64(got16[3], got16[0], got16[1], got16[2]) == d8
+    assert phash64(got16[3], got16[0], got16[1], got16[2]) == p8
+
+    # 16-bit gray+alpha: both normalizations composed
+    ga16 = b"".join(bytes((v, v, 255, 0)) for v in a)
+    gotga = M._decode_any_image(
+        M.encode_png(w, h, ga16, channels=2, depth=16)
+    )
+    assert gotga is not None
+    assert dhash64(gotga[3], gotga[0], gotga[1], gotga[2]) == d8
+
+    # malformed buffer length is a loud decoder-bug signal, not a hash
+    import pytest
+
+    with pytest.raises(ValueError):
+        M._gray_int(bytes(10), 3, 2, 2)
+
+
+def test_video_phash_corrupt_gif_skips_row(spark):
+    """ADVICE r9 (medium): phash_video_frames carries the corpus-scan
+    posture — a GIF whose magic passes but whose body is corrupt (or
+    whose header claims a pathological canvas) contributes no rows
+    instead of aborting the scan task."""
+    import struct
+
+    palette = bytes(v for v in range(256) for _ in range(3))
+    frames = [
+        {"left": 0, "top": 0, "iw": 32, "ih": 32,
+         "indices": list(_phash_planted(3)), "disposal": 0,
+         "transparent": None}
+        for _ in range(2)
+    ]
+    good = M.encode_gif_anim(32, 32, frames, palette)
+
+    truncated = good[:40]
+    huge = bytearray(good)
+    huge[6:10] = struct.pack("<HH", 65535, 65535)  # corrupt-dimension bound
+    flipped = bytearray(good)
+    flipped[len(good) // 2] ^= 0xFF
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(truncated)),
+         (3, bytes(huge)), (4, bytes(flipped)),
+         (5, b"not a gif"), (6, None)],
+        "doc_id long, payload binary",
+    )
+    rows = M.phash_video_frames(df).collect()
+    by_doc = {r.doc_id for r in rows}
+    assert 1 in by_doc                      # the good clip decodes
+    assert len([r for r in rows if r.doc_id == 1]) == 2
+    assert by_doc - {1, 4} <= set()         # corrupt rows skip, never raise
+
+
+def test_decode_errors_excludes_memoryerror():
+    """ADVICE r9 (low): MemoryError must fail the task loudly, not be
+    reclassified as per-row corpus corruption."""
+    assert MemoryError not in M._decode_errors()
+    assert NotImplementedError in M._decode_errors()
