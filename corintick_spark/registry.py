@@ -89,42 +89,42 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # toward zero, spec/ffmpeg) landed BEFORE this window froze, so
 # multimodal_decode_msadpcm / _msadpcm_stereo are adjudicated against
 # the fixed decoder + matching oracle (preflighted MATCH).
-# Round-10 queue: the nine queries registered in round 9 after this
-# window froze — dedup_image_dhash, dedup_image_phash,
-# dedup_image_phash128 (the longer-signature scale path),
-# dedup_image_clusters, dedup_image_survivors, dedup_video_phash,
-# multimodal_scan_errors, multimodal_scan_audio_errors,
-# multimodal_audio_resample_linear (all preflighted green under
-# driver-sim at sf0.01 in r9) — then fill
-# oldest-driver-row first (the remaining r02 cohort: window_vwap
-# onward, then r03).
+# Round-10 rotation (executing the plan reserved in the round-9
+# comment and confirmed by the r9 verdict): (a) the nine queries
+# registered in round 9 after that window froze take slots first —
+# all nine re-verified green under driver-sim THIS round after the
+# ADVICE-r9 perceptual-hash fixes (gray+alpha/16-bit luma, video-scan
+# guard) landed; (b) the remaining 41 slots re-confirm the OLDEST
+# external rows: the 18 r02-latest queries from window_vwap onward in
+# their r02 adjudication order, then the first 23 of the r03 cohort.
+# Rotated-out queries keep their green r02–r09 rows plus the local
+# DuckDB differential (tests/test_oracle_queries.py).
+# Round-11 queue: the round-10 registrations (the pHash width router,
+# audio perceptual near-dup tier, incremental image dedup, multi-word
+# SimHash — preflight them green before reserving), then the remaining
+# 16 of the r03 cohort (source_python_ds onward).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) never-driver-windowed r8 registrations — first external
-    # adjudication (judge-verified MATCH under driver-sim in r8)
-    "dedup_substring_auto",
-    "multimodal_decode_png16", "multimodal_decode_gif_anim",
-    "multimodal_decode_png_adam7", "multimodal_decode_png_trns",
-    "multimodal_decode_bmp16", "multimodal_decode_bmp_lowbit",
-    "multimodal_decode_bmp_rle4", "multimodal_decode_png_lowbit",
-    "multimodal_decode_adpcm", "multimodal_decode_f64",
-    "multimodal_decode_png_ckey", "multimodal_decode_bmp_masks",
-    "multimodal_decode_msadpcm", "multimodal_decode_jpg12",
-    "multimodal_decode_jpg_411", "multimodal_decode_jpg_lossless",
-    "multimodal_decode_jpg_prog420", "multimodal_decode_png_gray_lowbit",
-    "multimodal_decode_adpcm_stereo", "multimodal_decode_msadpcm_stereo",
-    "multimodal_decode_mixed", "multimodal_audio_mixed",
-    "multimodal_audio_resample",
-    # (a') oracle changed after last external row
-    "udf_ewma",
-    # (b) oldest external rows — round-1-latest first, then the r02
-    # cohort in its adjudication order
-    "window_percent", "subquery_scalar", "source_range",
-    "range_read", "limit_n", "union_all", "list_uids",
-    "overlap_semi_join", "meta_join", "project_compute",
-    "filter_complex", "join_broadcast", "join_outer", "join_semi",
-    "join_range", "join_asof", "agg_distinct", "agg_rollup",
-    "agg_conditional", "agg_collect", "topk_global", "topk_per_group",
-    "set_ops", "ingest_csv", "window_rolling",
+    # (a) never-driver-windowed r9 registrations — first external
+    # adjudication (judge-verified in r9; re-preflighted post-ADVICE-fix)
+    "dedup_image_dhash", "dedup_image_phash", "dedup_image_phash128",
+    "dedup_image_clusters", "dedup_image_survivors",
+    "dedup_video_phash", "multimodal_scan_errors",
+    "multimodal_scan_audio_errors", "multimodal_audio_resample_linear",
+    # (b) oldest external rows — the remaining r02 cohort in its
+    # adjudication order...
+    "window_vwap", "window_cumsum", "resample_ohlc", "scalar_date",
+    "scalar_math", "scalar_array", "scalar_map", "scalar_json",
+    "scalar_cond", "udf_grouped_agg", "udf_grouped_map", "udtf_explode",
+    "dedup_minhash", "text_wordcount", "multimodal_join",
+    "stream_session", "stream_sliding", "stream_dedup",
+    # ...then the first 23 of the r03 cohort
+    "join_asof_forward", "join_asof_nearest", "join_anti",
+    "join_nullsafe", "join_bucketed", "agg_cube", "agg_pivot",
+    "agg_percentile", "project_subset", "order_by_ts",
+    "subquery_exists", "window_lag", "window_twap", "resample_ffill",
+    "window_islands", "cdc_merge", "scd2_intervals",
+    "events_sessionize", "funnel_conversion", "events_attribution",
+    "event_autocorr", "ingest_json", "ingest_orc",
 )
 
 
