@@ -474,6 +474,107 @@ def hamming_pairs(
     )
 
 
+def hamming_join(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: "str | list[str]" = "sig",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Bipartite Hamming-ball join (round 10, verdict r9 item 5): pairs
+    of a NEW batch against an EXISTING signature table within
+    ``max_hamming`` — the incremental twin of :func:`hamming_pairs`,
+    mirroring ``incremental_minhash_dedup``. Both sides carry the same
+    W-bigint-word signature layout; only the new batch was decoded this
+    run — the corpus side reads the persisted (id, signature words)
+    parquet, so a daily 100 TB ingest never re-decodes a corpus byte
+    (plan-asserted in tests/test_plans.py).
+
+    Same pigeonhole banding as the self-join (d+1 chunks; a pair within
+    distance d agrees on >= 1 chunk) over an equi-join on (chunk_id,
+    chunk_val). The new side is typically a fresh mapInPandas decode
+    whose checkpointed frame inherits origin-plan size estimates
+    (SCALING.md round 9) — so the broadcast decision uses a MEASURED
+    count over the checkpoint: small batches broadcast their banded
+    rows against the corpus scan (zero corpus shuffle), large ones pin
+    a sized shuffle_hash. Returns (new_id, corpus_id, hamming)."""
+    cols = [sig_col] if isinstance(sig_col, str) else list(sig_col)
+    chunks = max_hamming + 1
+    width = min(63, (64 * len(cols)) // chunks)
+
+    def notnull(d: DataFrame) -> DataFrame:
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(c).isNotNull()
+        return d.filter(cond).select(id_col, *cols)
+
+    new = notnull(new_sigs).localCheckpoint(eager=True)
+    corpus = notnull(corpus_sigs)
+
+    def chunk_expr(ci: int) -> str:
+        s0 = ci * width
+        parts = []
+        for w, c in enumerate(cols):
+            lo, hi = max(s0, w * 64), min(s0 + width, (w + 1) * 64)
+            if lo >= hi:
+                continue
+            mask = (1 << (hi - lo)) - 1
+            part = f"(shiftright({c}, {lo - w * 64}) & {mask}L)"
+            if lo - s0:
+                part = f"shiftleft({part}, {lo - s0})"
+            parts.append(part)
+        return "(" + " | ".join(parts) + ")"
+
+    chunk_array = "array(" + ", ".join(
+        chunk_expr(ci) for ci in range(chunks)
+    ) + ")"
+    sig_aliases = [f"_sig{w}" for w in range(len(cols))]
+
+    def banded(d: DataFrame, role: str) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias(f"{role}_id"),
+            *[F.col(c).alias(f"{role}{al}")
+              for c, al in zip(cols, sig_aliases)],
+            F.posexplode(F.expr(chunk_array)).alias("chunk_id", "chunk_val"),
+        )
+
+    a = banded(new, "new")
+    b = banded(corpus, "corpus")
+    n_new = new.count()
+    banded_bytes = n_new * chunks * (16 + 8 * len(cols))
+    if banded_bytes <= 48 * 1024 * 1024:
+        a = F.broadcast(a)  # measured, not inherited-estimate, decision
+    else:
+        nparts = max(
+            new.sparkSession.sparkContext.defaultParallelism,
+            int(banded_bytes // (32 * 1024 * 1024)) + 1,
+        )
+        b = b.repartition(nparts, "chunk_id", "chunk_val").hint(
+            "shuffle_hash"
+        )
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select(
+            "new_id", "corpus_id",
+            *[f"new{al}" for al in sig_aliases],
+            *[f"corpus{al}" for al in sig_aliases],
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    dist = None
+    for al in sig_aliases:
+        term = F.bit_count(
+            F.col(f"new{al}").bitwiseXOR(F.col(f"corpus{al}"))
+        )
+        dist = term if dist is None else dist + term
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_col: str,

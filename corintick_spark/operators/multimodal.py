@@ -4697,6 +4697,60 @@ def phash_images(
     )
 
 
+# Routing threshold for perceptual-hash signature width (round 10,
+# verdict r9 item 2 — the dedup_substring_auto pattern applied to the
+# image tier). Chance band collisions cost ~ chunks * C(n,2) / 2^width
+# candidate pairs: the 64-bit tier at d=4 bands 12 bits (4k buckets),
+# measured flat at 5k sigs but 6.7x per 10x data at 50k (SCALING.md
+# round 9 — ~12 candidates/bucket and growing ~n^2); the 128-bit tier
+# at d=6 bands 18 bits (262k buckets), measured 1.2x per 10x. 2^14
+# sits between the measured-good and measured-bad corpus sizes, where
+# the 64-bit chance tail is ~10 candidates/sig.
+PHASH64_MAX_SIGS = 16_384
+
+
+def phash_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    max_hamming64: int = 4,
+    max_hamming128: int = 6,
+    max_sigs_64: int = PHASH64_MAX_SIGS,
+) -> DataFrame:
+    """The DEFAULT perceptual near-dup path: route signature WIDTH by
+    measured corpus size — 64-bit pHash (cheaper decode + half the
+    signature bytes) while the corpus is small enough that its 12-bit
+    bands stay collision-free, 128-bit (18-bit bands) above
+    ``max_sigs_64``, where chance band collisions would otherwise go
+    quadratic (the SCALING.md round-9 rule: longer signatures, not
+    looser balls). Same shape as ``dedup_substring_auto``
+    (operators/dedup.py): the probe is ONE column-pruned count over the
+    id projection — no payload bytes read, paid before any decode, so
+    at 100 TB the router picks the wide path without ever computing a
+    too-narrow signature. Returns (a_id, b_id, hamming, sig_bits) —
+    ``sig_bits`` names the route taken so downstream thresholds can
+    interpret the Hamming scale."""
+    import pyspark.sql.functions as F
+
+    from corintick_spark.operators.dedup import hamming_pairs
+
+    n = df.select(id_col).count()
+    if n <= int(max_sigs_64):
+        sigs = phash_images(df, id_col, payload)
+        pairs = hamming_pairs(
+            sigs, id_col=id_col, sig_col="phash", max_hamming=max_hamming64
+        )
+        return pairs.withColumn("sig_bits", F.lit(64))
+    sigs = phash128_images(df, id_col, payload)
+    pairs = hamming_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col=["phash0", "phash1"],
+        max_hamming=max_hamming128,
+    )
+    return pairs.withColumn("sig_bits", F.lit(128))
+
+
 def _classify_image_payload(
     b: "bytes | None",
 ) -> "tuple[tuple[int, int, int, bytes] | None, str]":

@@ -444,3 +444,29 @@ def test_image_dedup_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in vid
     # aligned-frame constraint: frame_idx participates in the band join
     assert "frame_idx" in vid
+
+
+def test_image_incremental_never_rereads_corpus(spark, sf_dir):
+    """Incremental image dedup (round 10): the incremental pass decodes
+    ONLY the new batch — the corpus side is a parquet scan of the
+    persisted (id, phash words) signature table. The plan must contain
+    exactly one payload-decoding python stage, and the signature-table
+    scan must read signature columns only (never an image payload)."""
+    plan = plan_of(spark, sf_dir, "dedup_image_incremental")
+    assert "CartesianProduct" not in plan
+    # one MapInPandas chain decodes the new batch: payload synthesis +
+    # phash128_images = 2 python nodes; the corpus contributes none
+    n_py = sum(
+        1 for l in plan.splitlines()
+        if "MapInPandas" in l or "ArrowEvalPython" in l
+    )
+    assert n_py <= 2, f"corpus side is re-decoding: {n_py} python stages"
+    # the persisted signature table scans only signature columns
+    sig_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "imgsig_" in l
+    ]
+    assert sig_scans, "signature-table parquet scan missing from plan"
+    for line in sig_scans:
+        assert "payload" not in line, line
+        assert "phash0" in line, line
