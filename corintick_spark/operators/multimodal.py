@@ -4697,6 +4697,137 @@ def phash_images(
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual AUDIO fingerprint (round 10, verdict r9 item 3): the audio
+# analogue of the image dHash tier — an energy-delta sign fingerprint
+# over the decoded-PCM path, composed with the generic Hamming banding
+# of operators/dedup.py for audio-level near-dup. The sign-of-band-
+# energy-difference idea is the public Haitsma–Kalker fingerprint
+# family ("A Highly Robust Audio Fingerprinting System", ISMIR 2002 —
+# public knowledge, reimplemented over time-fraction frames).
+
+
+def audio_fp64(samples: "list[int]", channels: int = 1) -> "int | None":
+    """64-bit energy-delta fingerprint of one decoded PCM stream:
+    channel 0 of the interleaved samples -> 65 equal TIME-FRACTION
+    frames (frame k covers samples [k*n//65, (k+1)*n//65)) -> integer
+    frame energies E_k = sum(x^2) -> bit k set iff the length-
+    normalized energy rises: E_{k+1}*len_k > E_k*len_{k+1}
+    (cross-multiplied, pure integer — no float division). Properties
+    that make it the dedup signature:
+
+    - amplitude scale c and bit-depth re-encode (16 <-> 24-bit is an
+      exact x256) multiply every E_k by c^2 — comparisons are EXACTLY
+      invariant, so transcoded duplicates fingerprint bit-identically;
+    - frames are time fractions, so linear resampling preserves each
+      frame's energy profile — resampled duplicates land within a
+      small Hamming ball (measured 0 on piecewise-stationary content);
+    - strict > keeps the bits replayable in integer SQL (the DuckDB
+      oracle reconstructs them symbolically).
+
+    Streams shorter than 65 frames (n//65 == 0 for some frame) return
+    None — too short to carry 64 energy deltas. Returned as a SIGNED
+    64-bit value like dhash64."""
+    if channels > 1:
+        samples = samples[0::channels]
+    n = len(samples)
+    if n < 65:
+        return None
+    nf = 65
+    bounds = [k * n // nf for k in range(nf + 1)]
+    energies, lens = [], []
+    for k in range(nf):
+        seg = samples[bounds[k]:bounds[k + 1]]
+        energies.append(sum(x * x for x in seg))
+        lens.append(len(seg))
+    hv = 0
+    for k in range(64):
+        if energies[k + 1] * lens[k] > energies[k] * lens[k + 1]:
+            hv |= 1 << k
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+AUDIO_FP_SCHEMA = "doc_id long, sample_rate long, n_samples long, afp long"
+
+
+def fingerprint_audio(
+    df: DataFrame, id_col: str = "doc_id", payload: str = "payload"
+) -> DataFrame:
+    """Per-document audio fingerprint over the full decode-WAV dispatch
+    (:func:`decode_wav_pcm` — every PCM/ADPCM/G.711/float flavor):
+    (id, sample_rate, n_samples, afp), with undecodable / non-audio /
+    too-short payloads null-propagating (corpus-scan posture, same as
+    :func:`dhash_images`). Arrow-batched mapInPandas, per-doc
+    data-parallel — zero shuffle; only (doc_id, 8-byte fingerprint)
+    rows leave the scan, so the downstream dedup join shuffles
+    signatures, never audio."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"sample_rate": [], "n_samples": [], "afp": []}
+            for b in pdf[payload]:
+                try:
+                    m = decode_wav_pcm(b)
+                except _decode_errors():
+                    m = None
+                if m is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                rate, ch, samples = m
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples) // max(1, ch))
+                rows["afp"].append(audio_fp64(samples, ch))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int64"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
+                    "afp": pd.array(rows["afp"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(
+        batches, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def encode_wav_pcm(
+    rate: int, channels: int, samples: "list[int]", bits: int = 16
+) -> bytes:
+    """Minimal integer-PCM WAV encoder (synthesis/test helper — the
+    inverse of :func:`decode_wav_pcm` for the 16/24-bit and float32
+    subsets). ``samples`` are interleaved signed values at the target
+    bit depth; ``bits=32`` writes IEEE float32 frames of samples/32768
+    (the standard int16 -> float convention the decoder inverts)."""
+    import struct
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        tag, ba = 1, 2 * channels
+    elif bits == 24:
+        data = b"".join(
+            (v & 0xFFFFFF).to_bytes(3, "little") for v in samples
+        )
+        tag, ba = 1, 3 * channels
+    elif bits == 32:
+        data = struct.pack(
+            f"<{len(samples)}f", *[v / 32768.0 for v in samples]
+        )
+        tag, ba = 3, 4 * channels
+    else:
+        raise ValueError(f"unsupported synth depth {bits}")
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, rate, rate * ba, ba, bits
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 # Routing threshold for perceptual-hash signature width (round 10,
 # verdict r9 item 2 — the dedup_substring_auto pattern applied to the
 # image tier). Chance band collisions cost ~ chunks * C(n,2) / 2^width

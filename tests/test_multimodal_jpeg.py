@@ -1889,3 +1889,64 @@ def test_decode_errors_excludes_memoryerror():
     reclassified as per-row corpus corruption."""
     assert MemoryError not in M._decode_errors()
     assert NotImplementedError in M._decode_errors()
+
+
+def test_audio_fp64_invariances():
+    """audio_fp64 (round 10, verdict r9 item 3): amplitude scale and
+    16<->24-bit transcode are exactly fingerprint-invariant; linear
+    resampling stays within the Hamming ball; float32 re-encode lands
+    within 1 bit; too-short streams return None; stereo fingerprints
+    channel 0 only."""
+    from corintick_spark.operators.multimodal import (
+        audio_fp64, decode_wav_pcm, encode_wav_pcm,
+    )
+
+    def planted(g):
+        v = (g * 2654435761 + 97) % (2**31)
+        a, x = 2048, []
+        for _ in range(65):
+            x += [a] * 40
+            v = (v * 1103515245 + 12345) % (2**31)
+            a += 16 if (v >> 16) & 1 else -16
+        return x
+
+    def resample(x, in_rate, out_rate):
+        out = []
+        for j in range((len(x) * out_rate) // in_rate):
+            pos = j * in_rate
+            p, rem = pos // out_rate, pos % out_rate
+            p1 = min(p + 1, len(x) - 1)
+            num = x[p] * (out_rate - rem) + x[p1] * rem
+            out.append(num // out_rate if num >= 0 else -((-num) // out_rate))
+        return out
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    x = planted(7)
+    f0 = audio_fp64(x)
+    assert f0 == audio_fp64([3 * v for v in x])          # amplitude scale
+    assert f0 == audio_fp64([256 * v for v in x])        # bit-depth scale
+    assert ham(f0, audio_fp64(resample(x, 12000, 8000))) <= 4
+    assert ham(f0, audio_fp64(resample(x, 12000, 6000))) <= 4
+    for g in (1, 2, 9):                                   # distinct content far
+        assert ham(f0, audio_fp64(planted(g * 31 + 11))) > 8
+
+    # round-trips through the WAV encoders reproduce the fingerprint
+    r16 = decode_wav_pcm(encode_wav_pcm(12000, 1, x, 16))
+    assert audio_fp64(r16[2], r16[1]) == f0
+    r24 = decode_wav_pcm(encode_wav_pcm(12000, 1, [v * 256 for v in x], 24))
+    assert audio_fp64(r24[2], r24[1]) == f0
+    rf = decode_wav_pcm(encode_wav_pcm(12000, 1, x, 32))
+    assert ham(f0, audio_fp64(rf[2], rf[1])) <= 1         # float rounding
+
+    # stereo: channel 1 carries garbage — fingerprint must ignore it
+    inter = []
+    for k, v in enumerate(x):
+        inter += [v, (k * 7919) % 4096 - 2048]
+    assert audio_fp64(inter, channels=2) == f0
+
+    assert audio_fp64(list(range(64))) is None            # too short
+    # negative 24-bit samples survive the encoder's two's complement
+    neg = decode_wav_pcm(encode_wav_pcm(8000, 1, [-5, -300000, 7], 24))
+    assert neg[2] == [-5, -300000, 7]

@@ -1680,3 +1680,58 @@ def test_hamming_join_bipartite_differential(spark):
             if d <= 4:
                 want[(nid, cid)] = d
     assert got == want and want, "plant guarantees a non-empty expected set"
+
+
+def test_simhash_words_lanes_and_pairs(spark):
+    """simhash_words (round 10): lane 0/1 are INDEPENDENT salted hash
+    families (identical text -> identical lanes; lanes differ from each
+    other and from the unsalted 64-bit simhash), and simhash_pairs_multi
+    finds identical docs at distance 0 on the 128-bit scale while
+    keeping unrelated docs out of the d<=10 ball."""
+    from corintick_spark.operators.dedup import (
+        simhash, simhash_pairs_multi, simhash_words,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    far = (
+        "totally unrelated content about seventeen quantum marmots "
+        "debugging a fortran compiler under heavy rain yesterday"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, far)], "doc_id long, text string"
+    )
+
+    sw = {r.doc_id: (r.simhash0, r.simhash1)
+          for r in simhash_words(df, words=2).collect()}
+    s64 = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert sw[1] == sw[2]                       # deterministic per text
+    assert sw[1][0] != sw[1][1]                 # lanes are distinct families
+    assert sw[1][0] != s64[1]                   # salted != unsalted family
+    assert sw[1] != sw[3]
+
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs_multi(df, max_hamming=10).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+    # distance on the 128-bit scale matches a Python recount of the lanes
+    def ham128(a, b):
+        return sum(
+            bin((x ^ y) & (2**64 - 1)).count("1") for x, y in zip(a, b)
+        )
+
+    near = base.replace("kappa", "lambda")
+    df2 = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    )
+    lanes = {r.doc_id: (r.simhash0, r.simhash1)
+             for r in simhash_words(df2, words=2).collect()}
+    d12 = ham128(lanes[1], lanes[2])
+    assert 0 < d12 < 64          # near text: close but not identical
+    got2 = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs_multi(df2, max_hamming=d12).collect()
+    }
+    assert got2[(1, 2)] == d12
