@@ -86,6 +86,11 @@ EXTRAS = [
     "dedup_image_phash",
     "dedup_image_phash128",
     "multimodal_audio_resample_linear",
+    # round-10: the size-routed pHash default, the audio fingerprint
+    # tier, and the 128-bit text SimHash scale path
+    "dedup_image_phash_auto",
+    "dedup_audio_fp",
+    "dedup_simhash_multi",
 ]
 
 

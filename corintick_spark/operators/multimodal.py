@@ -5011,6 +5011,57 @@ def phash_video_frames(
     )
 
 
+VIDEO_HASH128_SCHEMA = "doc_id long, frame_idx long, phash0 long, phash1 long"
+
+
+def phash128_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    sample_every: int = 1,
+) -> DataFrame:
+    """Per-frame 128-bit pHash over animated sequences (round 10): the
+    longer-signature scale path for VIDEO, closing the same chance-
+    band-collision tail the image tier closed in round 9 — the 64-bit
+    per-frame tier measured 21x per 10x data operator-only at sf10
+    (SCALING.md round 10: linear decode x10 plus a superlinear
+    candidate tail from 12-bit bands over 50k signatures per frame
+    slot); 128-bit signatures band into 18-bit chunks at d=6 (262k
+    buckets per frame slot). Same corpus-scan posture and (id,
+    frame_idx, two 8-byte words) exchange shape as
+    :func:`phash_video_frames`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lows, highs = [], [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload]):
+                try:
+                    g = decode_gif_frames(b)
+                except _decode_errors():
+                    continue
+                if g is None:
+                    continue
+                w, h, ch, frames = g
+                for fi in range(0, len(frames), max(1, int(sample_every))):
+                    lo, hi = phash128(frames[fi], w, h, ch)
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    lows.append(lo)
+                    highs.append(hi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "phash0": pd.array(lows, dtype="Int64"),
+                    "phash1": pd.array(highs, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(
+        batches, schema=VIDEO_HASH128_SCHEMA
+    )
+
+
 def phash128(
     px: bytes, w: int, h: int, ch: int, size: int = 32
 ) -> "tuple[int, int]":

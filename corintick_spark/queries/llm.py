@@ -5452,9 +5452,20 @@ def _planted_phash_corpus(spark, sf_dir):
 
 @query("dedup_image_phash", sql=None)
 def dedup_image_phash(spark, sf_dir):
-    """Near-dup image pairs via pHash + pigeonhole Hamming banding over
-    planted perturbed duplicates; planted-recall/precision invariants
-    in inv_ok."""
+    """Near-dup image pairs via 64-bit pHash + pigeonhole Hamming
+    banding over planted perturbed duplicates; planted-recall/precision
+    invariants in inv_ok.
+
+    DEMOTED to the documented SMALL-CORPUS tier (round 10, verdict r9
+    item 8, the dedup_substring_spans pattern): 12-bit bands give 4096
+    buckets, so chance collisions grow ~n^2/2^12 — measured 6.7x per
+    10x data at sf10 (SCALING.md round 9). The routed default is
+    ``dedup_image_phash_auto`` (operators/multimodal.py::
+    phash_pairs_auto), which probes the corpus size and switches to
+    128-bit signatures / 18-bit bands (measured 1.2x per 10x) past
+    PHASH64_MAX_SIGS; this 64-bit form stays registered as the
+    fixed-width adjudication surface for the <=10^4-image regime where
+    it is ~2x cheaper per image."""
     d = table(spark, sf_dir, "documents").select("doc_id")
     with_img = _planted_phash_corpus(spark, sf_dir)
     sigs = M.phash_images(with_img)
@@ -5672,19 +5683,22 @@ def multimodal_scan_errors(spark, sf_dir):
 # agreement, and pooled planted recall == 1. Group SIZE is constant, so
 # pair volume stays linear in the corpus at 100 TB; the shuffle carries
 # (id, frame_idx, 8-byte hash) rows only.
-@query("dedup_video_phash", sql=None)
-def dedup_video_phash(spark, sf_dir):
-    """Video near-dup via aligned-frame pHash voting over planted
-    animated GIFs; planted-recall/precision invariants in inv_ok."""
+VIDEO_N_FRAMES = 4
+
+
+def video_gif_payloads(d):
+    """Planted animated-GIF corpus for the video tier: doc_id frame ->
+    (doc_id, payload) via mapInPandas. Factored out of
+    ``dedup_video_phash`` (round 10, verdict r9 item 4) so
+    scripts/measure_video_scale.py can MATERIALIZE the corpus to
+    parquet once and measure the operator from payload inputs — the
+    in-query synthesis (Python LZW encode per doc) otherwise dominates
+    the SCALING row, misgrading a map-shaped operator."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    N_FRAMES = 4
-
-    d = spread_input(
-        table(spark, sf_dir, "documents").select("doc_id")
-    )
+    N_FRAMES = VIDEO_N_FRAMES
 
     def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -5751,9 +5765,19 @@ def dedup_video_phash(spark, sf_dir):
                 payloads.append(M.encode_gif_anim(32, 32, frames, palette))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    with_vid = d.mapInPandas(
-        make_payloads, schema="doc_id long, payload binary"
+    return d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+
+
+@query("dedup_video_phash", sql=None)
+def dedup_video_phash(spark, sf_dir):
+    """Video near-dup via aligned-frame pHash voting over planted
+    animated GIFs; planted-recall/precision invariants in inv_ok."""
+    N_FRAMES = VIDEO_N_FRAMES
+
+    d = spread_input(
+        table(spark, sf_dir, "documents").select("doc_id")
     )
+    with_vid = video_gif_payloads(d)
     sigs = M.phash_video_frames(with_vid)
     frame_pairs = D.hamming_pairs(
         sigs, sig_col="phash", max_hamming=4, within=["frame_idx"]
@@ -5793,6 +5817,162 @@ def dedup_video_phash(spark, sf_dir):
             F.col("same_grp")
             & (F.col("matched_frames") == F.lit(N_FRAMES))
             & (F.col("max_hamming") <= F.lit(4))
+            & (F.col("inv_recall") >= F.lit(0.999)),
+        )
+        .select(
+            "a_id", "b_id", "matched_frames", "max_hamming", "same_grp",
+            F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
+        )
+    )
+
+
+def video_gif_hybrid_payloads(d):
+    """Planted animated-GIF corpus for the 128-bit video tier (round
+    10): frame f of group g is the HYBRID-amplitude generator (the
+    image tier's — 3x{±1..6} in the 8x8 DCT block, 2x{±1..6} in the
+    right half only the 128-bit hash sees) at seed g*4+f, groups of
+    three with members 1-2 perturbing 16 pixels by ±5 per frame.
+    Per-seed statistics are the image hybrid corpus's (128-bit intra
+    <= 3, inter >= 43 over 400 seeds), so d=6 keeps per-frame planted
+    recall 1 / precision 1."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    N_FRAMES = VIDEO_N_FRAMES
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        W = H = 32
+        cx16 = np.array(
+            [[np.cos(np.pi * (2 * x + 1) * u / (2 * W)) for x in range(W)]
+             for u in range(16)]
+        )
+        cy8 = np.array(
+            [[np.cos(np.pi * (2 * y + 1) * p / (2 * H)) for y in range(H)]
+             for p in range(8)]
+        )
+        palette = bytes(v for v in range(256) for _ in range(3))
+        cache: dict = {}
+
+        def base(seed: int):
+            im = cache.get(seed)
+            if im is None:
+                v = (seed * 2654435761 + 97) % (2**31)
+                amps = np.zeros((16, 8))  # [horizontal u, vertical p]
+                for u in range(16):
+                    for p in range(8):
+                        if u == 0 and p == 0:
+                            continue
+                        v = (v * 1103515245 + 12345) % (2**31)
+                        t = v % 11 - 5
+                        if t >= 0:
+                            t += 1
+                        amps[u, p] = (3 if u < 8 else 2) * t
+                img = 128.0 + cy8.T @ amps.T @ cx16
+                im = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+                if len(cache) > 1024:
+                    cache.clear()
+                cache[seed] = im
+            return im
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                g, r = divmod(i, 3)
+                frames = []
+                for f in range(N_FRAMES):
+                    im = base(g * N_FRAMES + f)
+                    if r:
+                        b = im.flatten().astype(int)
+                        for t in range(16):
+                            idx = (g * 9973 + f * 127 + t * 613
+                                   + r * 331) % 1024
+                            b[idx] = min(
+                                255,
+                                max(0, int(b[idx]) + (5 if (t + r) % 2 else -5)),
+                            )
+                        indices = list(b.astype(np.uint8))
+                    else:
+                        indices = list(im.flatten())
+                    frames.append(
+                        {"left": 0, "top": 0, "iw": 32, "ih": 32,
+                         "indices": indices, "disposal": 0,
+                         "transparent": None}
+                    )
+                payloads.append(M.encode_gif_anim(32, 32, frames, palette))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+
+
+# 128-bit video near-dup (round 10): the longer-signature scale path
+# for the VIDEO tier, closing the tail the round-10 operator-only
+# re-measure exposed — from materialized payloads the 64-bit per-frame
+# path still scales 21x per 10x data at sf10 (linear decode x10 plus
+# the SAME 12-bit-band chance-collision tail the image tier had),
+# while 128-bit per-frame signatures band into 18-bit chunks (262k
+# buckets per frame slot). Same aligned-frame voting semantics as
+# dedup_video_phash; planted corpus is the hybrid-amplitude generator
+# per frame (image-tier margins: intra <= 3, inter >= 43), so d=6
+# keeps planted recall 1 / precision 1. Rows-only (float DCT); inv_ok
+# gates same-group, full frame agreement, and pooled recall == 1.
+@query("dedup_video_phash128", sql=None)
+def dedup_video_phash128(spark, sf_dir):
+    """Video near-dup via aligned-frame 128-bit pHash voting — the
+    chance-collision-safe path for >>10^5-clip corpora; planted
+    recall/precision invariants in inv_ok."""
+    N_FRAMES = VIDEO_N_FRAMES
+
+    d = spread_input(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
+    with_vid = video_gif_hybrid_payloads(d)
+    sigs = M.phash128_video_frames(with_vid)
+    frame_pairs = D.hamming_pairs(
+        sigs,
+        sig_col=["phash0", "phash1"],
+        max_hamming=6,
+        within=["frame_idx"],
+    )
+    votes = frame_pairs.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).alias("matched_frames"),
+        F.max("hamming").alias("max_hamming"),
+    )
+    near = votes.filter(F.col("matched_frames") * 4 >= F.lit(3 * N_FRAMES))
+    found = near.withColumn(
+        "same_grp", F.expr("(a_id div 3) = (b_id div 3)")
+    )
+    expected = (
+        d.select(F.expr("doc_id div 3").alias("_g"))
+        .groupBy("_g")
+        .count()
+        .agg(
+            F.sum(F.expr("count * (count - 1) div 2"))
+            .cast("long")
+            .alias("expected_pairs")
+        )
+    )
+    pooled = found.agg(
+        F.sum(F.when(F.col("same_grp"), 1).otherwise(0))
+        .cast("long")
+        .alias("found_same")
+    )
+    return (
+        found.crossJoin(F.broadcast(expected))  # 1-row invariant aggregates
+        .crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "inv_recall",
+            F.col("found_same").cast("double") / F.col("expected_pairs"),
+        )
+        .withColumn(
+            "inv_ok",
+            F.col("same_grp")
+            & (F.col("matched_frames") == F.lit(N_FRAMES))
+            & (F.col("max_hamming") <= F.lit(6))
             & (F.col("inv_recall") >= F.lit(0.999)),
         )
         .select(
@@ -6185,6 +6365,46 @@ def multimodal_scan_audio_errors(spark, sf_dir):
     return M.scan_audio(with_audio)
 
 
+def _planted_audio_fp_corpus(d):
+    """Planted transcoded-duplicate PCM corpus for the exact audio
+    tier: content keyed by m = doc_id % 40 (a 63-bit amplitude walk
+    whose comparison pattern IS the fingerprint), duplicates being
+    TRANSCODED copies — amplitude scale x(doc_id%3+1) and alternating
+    16/24-bit encodings, both exactly fingerprint-invariant. Shared by
+    ``dedup_audio_fp`` and ``dedup_audio_incremental``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                m, s = i % 40, i % 3 + 1
+                a, amps = 2048, []
+                for k in range(65):
+                    amps.append(a)
+                    bit = (
+                        0 if k == 63
+                        else ((m * 2654435761 + k * 40503) >> 5) & 1
+                    )
+                    a += 16 if bit else -16
+                vals = []
+                for av in amps:
+                    vals += [av * s] * 4  # 65 frames x 4 samples = 260
+                if i % 2 == 0:
+                    payloads.append(M.encode_wav_pcm(16000, 1, vals, 16))
+                else:  # 24-bit transcode: exact x256 energy scale
+                    payloads.append(
+                        M.encode_wav_pcm(16000, 1, [v * 256 for v in vals], 24)
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return d.mapInPandas(make_payloads, schema="doc_id long, payload binary")
+
+
 # Perceptual AUDIO dedup, EXACT tier (round 10, verdict r9 item 3): the
 # audio analogue of dedup_image_dhash — energy-delta fingerprint
 # (operators/multimodal.py::audio_fp64, Haitsma-Kalker family) over
@@ -6214,41 +6434,8 @@ def dedup_audio_fp(spark, sf_dir):
     """Exact audio dedup via energy-delta fingerprint: per-doc planted
     PCM (amplitude-scaled, 16/24-bit transcoded) -> 64-bit fingerprint
     -> duplicate group sizes; fingerprint adjudicated bit-exact."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     d = spread_input(table(spark, sf_dir, "documents").select("doc_id"))
-
-    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ids = pdf["doc_id"].astype("int64")
-            payloads = []
-            for i in ids:
-                i = int(i)
-                m, s = i % 40, i % 3 + 1
-                a, amps = 2048, []
-                for k in range(65):
-                    amps.append(a)
-                    bit = (
-                        0 if k == 63
-                        else ((m * 2654435761 + k * 40503) >> 5) & 1
-                    )
-                    a += 16 if bit else -16
-                vals = []
-                for av in amps:
-                    vals += [av * s] * 4  # 65 frames x 4 samples = 260
-                if i % 2 == 0:
-                    payloads.append(M.encode_wav_pcm(16000, 1, vals, 16))
-                else:  # 24-bit transcode: exact x256 energy scale
-                    payloads.append(
-                        M.encode_wav_pcm(16000, 1, [v * 256 for v in vals], 24)
-                    )
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    with_audio = d.mapInPandas(
-        make_payloads, schema="doc_id long, payload binary"
-    )
+    with_audio = _planted_audio_fp_corpus(d)
     fp = M.fingerprint_audio(with_audio)
     return fp.withColumn(
         "n_copies", F.count(F.lit(1)).over(Window.partitionBy("afp"))
@@ -6359,3 +6546,54 @@ def dedup_audio_near(spark, sf_dir):
             F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
         )
     )
+
+
+# Incremental AUDIO dedup (round 10): completes the audio lifecycle the
+# way dedup_image_incremental completes the image tier's — the corpus
+# persists (doc_id, afp) ONCE; a new batch decodes only its own
+# payloads and equality-joins its fingerprints against the parquet
+# signature table (hamming_join at d=0 — one 63-bit pigeonhole chunk,
+# i.e. an exact-match band join; transcoded duplicates fingerprint
+# bit-identically so d=0 IS the transcode-dedup operator). Corpus audio
+# bytes are never re-read on the incremental pass (plan-asserted in
+# tests/test_plans.py). ORACLE-PAIRED: content is keyed by
+# m = doc_id % 40 and the batch split by t = doc_id // 40 (40 = 0 mod 4
+# would alias a %4 split onto m, so the split uses t), making the
+# matched pair set exactly new-member x same-m corpus members —
+# doc_id arithmetic alone. Planted min inter-group distance is 1, so
+# ONLY d=0 keeps the set exact — measured, which is why the near tier
+# (dedup_audio_near) carries the resample ball instead.
+@query(
+    "dedup_audio_incremental",
+    sql="""
+    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM documents n JOIN documents c
+      ON (n.doc_id % 40) = (c.doc_id % 40)
+    WHERE (n.doc_id // 40) % 5 = 4 AND (c.doc_id // 40) % 5 <> 4
+    """,
+)
+def dedup_audio_incremental(spark, sf_dir):
+    """New-batch audio duplicating an existing corpus, matched through
+    a persisted fingerprint table only — the corpus is never
+    re-decoded; exact expected pair set from transcode invariance."""
+    import tempfile
+
+    d = spread_input(table(spark, sf_dir, "documents").select("doc_id"))
+    audio = _planted_audio_fp_corpus(d)
+    is_new = F.expr("(doc_id div 40) % 5 = 4")
+    corpus = audio.filter(~is_new)
+    new_batch = audio.filter(is_new)
+    sig_path = tempfile.mkdtemp(prefix="audsig_") + "/sig"
+    (
+        M.fingerprint_audio(corpus)
+        .select("doc_id", "afp")
+        .write.mode("overwrite")
+        .parquet(sig_path)
+    )
+    pairs = D.hamming_join(
+        M.fingerprint_audio(new_batch).select("doc_id", "afp"),
+        spark.read.parquet(sig_path),
+        sig_col="afp",
+        max_hamming=0,
+    )
+    return pairs.select("new_id", "corpus_id")

@@ -1950,3 +1950,37 @@ def test_audio_fp64_invariances():
     # negative 24-bit samples survive the encoder's two's complement
     neg = decode_wav_pcm(encode_wav_pcm(8000, 1, [-5, -300000, 7], 24))
     assert neg[2] == [-5, -300000, 7]
+
+
+def test_video_phash128_corrupt_gif_skips_row(spark):
+    """phash128_video_frames (round 10) carries the same corpus-scan
+    posture as the 64-bit scan: corrupt/truncated/pathological GIFs
+    contribute no rows instead of aborting the task, and good clips
+    emit one two-word signature per frame."""
+    import struct
+
+    palette = bytes(v for v in range(256) for _ in range(3))
+    frames = [
+        {"left": 0, "top": 0, "iw": 32, "ih": 32,
+         "indices": list(_phash_planted(3)), "disposal": 0,
+         "transparent": None}
+        for _ in range(2)
+    ]
+    good = M.encode_gif_anim(32, 32, frames, palette)
+    huge = bytearray(good)
+    huge[6:10] = struct.pack("<HH", 65535, 65535)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:40])),
+         (3, bytes(huge)), (4, b"not a gif"), (5, None)],
+        "doc_id long, payload binary",
+    )
+    rows = M.phash128_video_frames(df).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert len(rows) == 2
+    # identical frames -> identical signatures; words match phash128
+    # applied to the composited frame
+    w, h, ch, decoded = M.decode_gif_frames(bytes(good))
+    lo, hi = M.phash128(decoded[0], w, h, ch)
+    for r in rows:
+        assert (r.phash0, r.phash1) == (lo, hi)

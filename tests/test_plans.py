@@ -470,3 +470,26 @@ def test_image_incremental_never_rereads_corpus(spark, sf_dir):
     for line in sig_scans:
         assert "payload" not in line, line
         assert "phash0" in line, line
+
+
+def test_audio_incremental_never_rereads_corpus(spark, sf_dir):
+    """Incremental audio dedup (round 10): the incremental pass decodes
+    only the new batch — the corpus side is a parquet signature-table
+    scan reading (doc_id, afp) and no payload bytes."""
+    plan = plan_of(spark, sf_dir, "dedup_audio_incremental")
+    assert "CartesianProduct" not in plan
+    # one MapInPandas chain decodes the new batch: payload synthesis +
+    # fingerprint_audio = 2 python nodes; the corpus contributes none
+    n_py = sum(
+        1 for l in plan.splitlines()
+        if "MapInPandas" in l or "ArrowEvalPython" in l
+    )
+    assert n_py <= 2, f"corpus side is re-decoding: {n_py} python stages"
+    sig_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "audsig_" in l
+    ]
+    assert sig_scans, "signature-table parquet scan missing from plan"
+    for line in sig_scans:
+        assert "payload" not in line, line
+        assert "afp" in line, line
