@@ -4707,6 +4707,18 @@ def phash_images(
 # public knowledge, reimplemented over time-fraction frames).
 
 
+# Routing threshold for perceptual-hash signature width (round 10,
+# verdict r9 item 2 — the dedup_substring_auto pattern applied to the
+# image tier). Chance band collisions cost ~ chunks * C(n,2) / 2^width
+# candidate pairs: the 64-bit tier at d=4 bands 12 bits (4k buckets),
+# measured flat at 5k sigs but 6.7x per 10x data at 50k (SCALING.md
+# round 9 — ~12 candidates/bucket and growing ~n^2); the 128-bit tier
+# at d=6 bands 18 bits (262k buckets), measured 1.2x per 10x. 2^14
+# sits between the measured-good and measured-bad corpus sizes, where
+# the 64-bit chance tail is ~10 candidates/sig.
+PHASH64_MAX_SIGS = 16_384
+
+
 def audio_fp64(samples: "list[int]", channels: int = 1) -> "int | None":
     """64-bit energy-delta fingerprint of one decoded PCM stream:
     channel 0 of the interleaved samples -> 65 equal TIME-FRACTION
@@ -4745,6 +4757,45 @@ def audio_fp64(samples: "list[int]", channels: int = 1) -> "int | None":
         if energies[k + 1] * lens[k] > energies[k] * lens[k + 1]:
             hv |= 1 << k
     return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def audio_fp_words(
+    samples: "list[int]", channels: int = 1, words: int = 2
+) -> "list[int] | None":
+    """Multi-word energy-delta fingerprint (round 10): the
+    longer-signature scale path for AUDIO — 64*``words`` bits over
+    64*words+1 time-fraction frames, same integer cross-multiplied
+    comparisons (and therefore the same amplitude/bit-depth transcode
+    EXACT invariance and resample robustness) as :func:`audio_fp64`.
+    Shorter frames do not hurt the resample ball on planted
+    piecewise-stationary content: measured ball 0 and min inter-group
+    distance 40 over 300 groups at words=2 (vs the 64-bit tier's
+    12-bit-band collision tail at >=50k clips — banding 128 bits at
+    d=4 gives 25-bit chunks, 33M buckets). Bit k lives in word
+    k // 64 at position k % 64; each word returned signed like
+    :func:`audio_fp64`. None when any frame would be empty."""
+    if channels > 1:
+        samples = samples[0::channels]
+    n = len(samples)
+    nbits = 64 * words
+    nf = nbits + 1
+    if n < nf:
+        return None
+    bounds = [k * n // nf for k in range(nf + 1)]
+    energies, lens = [], []
+    for k in range(nf):
+        seg = samples[bounds[k]:bounds[k + 1]]
+        energies.append(sum(x * x for x in seg))
+        lens.append(len(seg))
+    out = []
+    for w in range(words):
+        hv = 0
+        for j in range(64):
+            k = w * 64 + j
+            if energies[k + 1] * lens[k] > energies[k] * lens[k + 1]:
+                hv |= 1 << j
+        out.append(hv - (1 << 64) if hv >= 1 << 63 else hv)
+    return out
 
 
 AUDIO_FP_SCHEMA = "doc_id long, sample_rate long, n_samples long, afp long"
@@ -4792,6 +4843,93 @@ def fingerprint_audio(
     )
 
 
+def fingerprint_audio_multi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    words: int = 2,
+) -> DataFrame:
+    """Per-document multi-word audio fingerprint — feed to
+    dedup.hamming_pairs(sig_col=["afp0", ...]). Same corpus-scan
+    posture and shape as :func:`fingerprint_audio`, with the
+    :func:`audio_fp_words` longer-signature scale semantics."""
+
+    cols = [f"afp{w}" for w in range(words)]
+    schema = "doc_id long, sample_rate long, n_samples long, " + ", ".join(
+        f"{c} long" for c in cols
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {"sample_rate": [], "n_samples": []}
+            for c in cols:
+                rows[c] = []
+            for b in pdf[payload]:
+                try:
+                    m = decode_wav_pcm(b)
+                except _decode_errors():
+                    m = None
+                fp = None
+                if m is not None:
+                    rate, ch, samples = m
+                    fp = audio_fp_words(samples, ch, words)
+                if m is None or fp is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples) // max(1, ch))
+                for c, v in zip(cols, fp):
+                    rows[c].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    **{
+                        k: pd.array(v, dtype="Int64")
+                        for k, v in rows.items()
+                    },
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(batches, schema=schema)
+
+
+def audio_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    max_hamming64: int = 4,
+    max_hamming128: int = 4,
+    max_sigs_64: int = PHASH64_MAX_SIGS,
+    n_hint: "int | None" = None,
+) -> DataFrame:
+    """Width-routed audio near-dup (round 10): the
+    :func:`phash_pairs_auto` pattern for the audio fingerprint — the
+    64-bit tier's 12-bit bands measured a ~14x-per-10x candidate tail
+    at 50k clips (SCALING.md round 10), so past ``max_sigs_64`` clips
+    the router fingerprints 128 bits (d=4 -> 25-bit chunks, 33M
+    buckets; measured resample ball 0 keeps the same threshold).
+    Probe is one column-pruned count (``n_hint`` for builder frames —
+    see phash_pairs_auto). Returns (a_id, b_id, hamming, sig_bits)."""
+    import pyspark.sql.functions as F
+
+    from corintick_spark.operators.dedup import hamming_pairs
+
+    n = int(n_hint) if n_hint is not None else df.select(id_col).count()
+    if n <= int(max_sigs_64):
+        sigs = fingerprint_audio(df, id_col, payload)
+        pairs = hamming_pairs(
+            sigs, id_col=id_col, sig_col="afp", max_hamming=max_hamming64
+        )
+        return pairs.withColumn("sig_bits", F.lit(64))
+    sigs = fingerprint_audio_multi(df, id_col, payload, words=2)
+    pairs = hamming_pairs(
+        sigs, id_col=id_col, sig_col=["afp0", "afp1"],
+        max_hamming=max_hamming128,
+    )
+    return pairs.withColumn("sig_bits", F.lit(128))
+
+
 def encode_wav_pcm(
     rate: int, channels: int, samples: "list[int]", bits: int = 16
 ) -> bytes:
@@ -4828,18 +4966,6 @@ def encode_wav_pcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-# Routing threshold for perceptual-hash signature width (round 10,
-# verdict r9 item 2 — the dedup_substring_auto pattern applied to the
-# image tier). Chance band collisions cost ~ chunks * C(n,2) / 2^width
-# candidate pairs: the 64-bit tier at d=4 bands 12 bits (4k buckets),
-# measured flat at 5k sigs but 6.7x per 10x data at 50k (SCALING.md
-# round 9 — ~12 candidates/bucket and growing ~n^2); the 128-bit tier
-# at d=6 bands 18 bits (262k buckets), measured 1.2x per 10x. 2^14
-# sits between the measured-good and measured-bad corpus sizes, where
-# the 64-bit chance tail is ~10 candidates/sig.
-PHASH64_MAX_SIGS = 16_384
-
-
 def phash_pairs_auto(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -4847,6 +4973,7 @@ def phash_pairs_auto(
     max_hamming64: int = 4,
     max_hamming128: int = 6,
     max_sigs_64: int = PHASH64_MAX_SIGS,
+    n_hint: "int | None" = None,
 ) -> DataFrame:
     """The DEFAULT perceptual near-dup path: route signature WIDTH by
     measured corpus size — 64-bit pHash (cheaper decode + half the
@@ -4858,14 +4985,19 @@ def phash_pairs_auto(
     (operators/dedup.py): the probe is ONE column-pruned count over the
     id projection — no payload bytes read, paid before any decode, so
     at 100 TB the router picks the wide path without ever computing a
-    too-narrow signature. Returns (a_id, b_id, hamming, sig_bits) —
-    ``sig_bits`` names the route taken so downstream thresholds can
-    interpret the Hamming scale."""
+    too-narrow signature. When ``df`` is not a stored table (e.g. a
+    payload-building mapInPandas frame, where counting would execute
+    the builder), pass ``n_hint`` — the row count of the SOURCE table,
+    which a parquet scan answers from metadata (round-10 measurement:
+    the probe-through-builder doubled the sf10 synthesis cost).
+    Returns (a_id, b_id, hamming, sig_bits) — ``sig_bits`` names the
+    route taken so downstream thresholds can interpret the Hamming
+    scale."""
     import pyspark.sql.functions as F
 
     from corintick_spark.operators.dedup import hamming_pairs
 
-    n = df.select(id_col).count()
+    n = int(n_hint) if n_hint is not None else df.select(id_col).count()
     if n <= int(max_sigs_64):
         sigs = phash_images(df, id_col, payload)
         pairs = hamming_pairs(
@@ -4878,6 +5010,47 @@ def phash_pairs_auto(
         id_col=id_col,
         sig_col=["phash0", "phash1"],
         max_hamming=max_hamming128,
+    )
+    return pairs.withColumn("sig_bits", F.lit(128))
+
+
+def video_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload: str = "payload",
+    max_hamming64: int = 4,
+    max_hamming128: int = 6,
+    max_sigs_64: int = PHASH64_MAX_SIGS,
+    n_hint: "int | None" = None,
+) -> DataFrame:
+    """Width-routed per-frame video near-dup (round 10): the
+    :func:`phash_pairs_auto` pattern applied to the video tier. The
+    collision regime is per FRAME SLOT — n_clips signatures band
+    within each frame_idx — so the probe counts CLIPS (one
+    column-pruned count, no payload bytes read; pass ``n_hint`` when
+    ``df`` is a builder frame rather than a stored table — see
+    phash_pairs_auto) and routes 64-bit frames below ``max_sigs_64``,
+    128-bit (18-bit bands) above, where the measured 64-bit tail is
+    ~21x per 10x data operator-only (SCALING.md round 10). Returns
+    per-frame pairs (a_id, b_id, frame_idx, hamming, sig_bits) —
+    callers aggregate to clip-level votes exactly as with the
+    fixed-width scans."""
+    import pyspark.sql.functions as F
+
+    from corintick_spark.operators.dedup import hamming_pairs
+
+    n = int(n_hint) if n_hint is not None else df.select(id_col).count()
+    if n <= int(max_sigs_64):
+        sigs = phash_video_frames(df, id_col, payload)
+        pairs = hamming_pairs(
+            sigs, id_col=id_col, sig_col="phash",
+            max_hamming=max_hamming64, within=["frame_idx"],
+        )
+        return pairs.withColumn("sig_bits", F.lit(64))
+    sigs = phash128_video_frames(df, id_col, payload)
+    pairs = hamming_pairs(
+        sigs, id_col=id_col, sig_col=["phash0", "phash1"],
+        max_hamming=max_hamming128, within=["frame_idx"],
     )
     return pairs.withColumn("sig_bits", F.lit(128))
 

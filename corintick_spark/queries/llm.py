@@ -5982,6 +5982,80 @@ def dedup_video_phash128(spark, sf_dir):
     )
 
 
+# Width-routed video near-dup (round 10): video_pairs_auto probes the
+# CLIP count (one column-pruned scan, no payload bytes) and routes the
+# per-frame signature width — 64-bit below PHASH64_MAX_SIGS clips,
+# 128-bit/18-bit bands above, killing the measured ~21x-per-10x
+# operator-only tail of the 64-bit tier (SCALING.md round 10). The
+# hybrid-amplitude corpus is valid under BOTH widths (the image tier's
+# measured margins carry per frame seed: 64-bit intra <= 1 / inter >=
+# 17, 128-bit intra <= 3 / inter >= 43), so planted recall/precision
+# stay 1 whichever route the probe takes. Rows-only; inv_ok gates
+# same-group, full frame agreement at the taken route's threshold, and
+# pooled planted recall == 1.
+@query("dedup_video_phash_auto", sql=None)
+def dedup_video_phash_auto(spark, sf_dir):
+    """Width-routed video near-dup: one column-pruned clip count
+    routes 64-bit vs 128-bit per-frame pHash; aligned-frame voting;
+    planted recall/precision invariants hold under both routes."""
+    N_FRAMES = VIDEO_N_FRAMES
+
+    d = spread_input(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
+    with_vid = video_gif_hybrid_payloads(d)
+    # count the source table, not the GIF builder (see phash_pairs_auto)
+    frame_pairs = M.video_pairs_auto(
+        with_vid, n_hint=table(spark, sf_dir, "documents").count()
+    )
+    votes = frame_pairs.groupBy("a_id", "b_id", "sig_bits").agg(
+        F.count(F.lit(1)).alias("matched_frames"),
+        F.max("hamming").alias("max_hamming"),
+    )
+    near = votes.filter(F.col("matched_frames") * 4 >= F.lit(3 * N_FRAMES))
+    found = near.withColumn(
+        "same_grp", F.expr("(a_id div 3) = (b_id div 3)")
+    )
+    expected = (
+        d.select(F.expr("doc_id div 3").alias("_g"))
+        .groupBy("_g")
+        .count()
+        .agg(
+            F.sum(F.expr("count * (count - 1) div 2"))
+            .cast("long")
+            .alias("expected_pairs")
+        )
+    )
+    pooled = found.agg(
+        F.sum(F.when(F.col("same_grp"), 1).otherwise(0))
+        .cast("long")
+        .alias("found_same")
+    )
+    return (
+        found.crossJoin(F.broadcast(expected))  # 1-row invariant aggregates
+        .crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "inv_recall",
+            F.col("found_same").cast("double") / F.col("expected_pairs"),
+        )
+        .withColumn(
+            "inv_ok",
+            F.col("same_grp")
+            & (F.col("matched_frames") == F.lit(N_FRAMES))
+            & (
+                F.col("max_hamming")
+                <= F.when(F.col("sig_bits") == 64, F.lit(4)).otherwise(F.lit(6))
+            )
+            & (F.col("inv_recall") >= F.lit(0.999)),
+        )
+        .select(
+            "a_id", "b_id", "matched_frames", "max_hamming", "sig_bits",
+            "same_grp", F.round("inv_recall", 6).alias("inv_recall"),
+            "inv_ok",
+        )
+    )
+
+
 # 128-bit pHash near-dup (round 9): the LONGER-SIGNATURE scale path —
 # at d=6 the 128-bit signature bands into 7 chunks of 18 bits (262k
 # buckets) where 64 bits would give 9 (512), the fix for chance bucket
@@ -6197,7 +6271,9 @@ def dedup_image_phash_auto(spark, sf_dir):
     invariants hold under BOTH routes (hybrid-amplitude corpus)."""
     d = table(spark, sf_dir, "documents").select("doc_id")
     with_img = _planted_phash_hybrid_corpus(spark, sf_dir)
-    pairs = M.phash_pairs_auto(with_img)
+    # the probe through the payload BUILDER would re-run synthesis;
+    # the source table answers the same count from parquet metadata
+    pairs = M.phash_pairs_auto(with_img, n_hint=d.count())
     found = pairs.withColumn(
         "same_grp", F.expr("(a_id div 4) = (b_id div 4)")
     )
@@ -6365,16 +6441,51 @@ def multimodal_scan_audio_errors(spark, sf_dir):
     return M.scan_audio(with_audio)
 
 
-def _planted_audio_fp_corpus(d):
+def _audio_plant_bit(m: int, k: int) -> int:
+    """Default planted walk bit — SQL-replayable (the dedup_audio_fp
+    oracle recomputes it), but PERIOD 64 IN m: bit 5 of the sum sees
+    only the low 6 bits of m*2654435761, measured by a 200k-key
+    collision sweep. Safe for modular keys < 64 (the exact tier's
+    %40); block-keyed corpora must use :func:`_audio_plant_bit_mix`."""
+    return ((m * 2654435761 + k * 40503) >> 5) & 1
+
+
+def _audio_plant_bit_mix(m: int, k: int) -> int:
+    """Full-entropy planted walk bit (splitmix64 finalizer over
+    (m << 8) ^ k): 0 collisions over 300k block keys measured — the
+    recipe for corpora whose group KEY grows with the corpus, where
+    the exact-equality (d=0) oracle needs distinct per-group
+    fingerprints. Not SQL-replayed (the incremental oracle pins the
+    PAIR SET from doc_id arithmetic, not the hash value)."""
+    mask = (1 << 64) - 1
+    x = ((m << 8) ^ k) & mask
+    x = (x * 0x9E3779B97F4A7C15) & mask
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & mask
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & mask
+    x ^= x >> 31
+    return x & 1
+
+
+def _planted_audio_fp_corpus(d, content_key=None, bit_fn=None):
     """Planted transcoded-duplicate PCM corpus for the exact audio
-    tier: content keyed by m = doc_id % 40 (a 63-bit amplitude walk
-    whose comparison pattern IS the fingerprint), duplicates being
-    TRANSCODED copies — amplitude scale x(doc_id%3+1) and alternating
-    16/24-bit encodings, both exactly fingerprint-invariant. Shared by
-    ``dedup_audio_fp`` and ``dedup_audio_incremental``."""
+    tier: content keyed by ``content_key(doc_id)`` (default
+    doc_id % 40 — a 63-bit amplitude walk whose comparison pattern IS
+    the fingerprint), duplicates being TRANSCODED copies — amplitude
+    scale x(doc_id%3+1) and alternating 16/24-bit encodings, both
+    exactly fingerprint-invariant. Shared by ``dedup_audio_fp``
+    (modular key: fixed 40 groups, sizes the window oracle counts) and
+    ``dedup_audio_incremental`` (block key doc_id div 10: FIXED group
+    size, so pair volume stays linear in the corpus — a modular key
+    grows group sizes with the corpus and made the round-10 sf10
+    SCALING row quadratic by construction)."""
     from collections.abc import Iterator
 
     import pandas as pd
+
+    key = content_key or (lambda i: i % 40)
+    bit_of = bit_fn or _audio_plant_bit
 
     def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -6382,14 +6493,11 @@ def _planted_audio_fp_corpus(d):
             payloads = []
             for i in ids:
                 i = int(i)
-                m, s = i % 40, i % 3 + 1
+                m, s = key(i), i % 3 + 1
                 a, amps = 2048, []
                 for k in range(65):
                     amps.append(a)
-                    bit = (
-                        0 if k == 63
-                        else ((m * 2654435761 + k * 40503) >> 5) & 1
-                    )
+                    bit = 0 if k == 63 else bit_of(m, k)
                     a += 16 if bit else -16
                 vals = []
                 for av in amps:
@@ -6556,31 +6664,38 @@ def dedup_audio_near(spark, sf_dir):
 # i.e. an exact-match band join; transcoded duplicates fingerprint
 # bit-identically so d=0 IS the transcode-dedup operator). Corpus audio
 # bytes are never re-read on the incremental pass (plan-asserted in
-# tests/test_plans.py). ORACLE-PAIRED: content is keyed by
-# m = doc_id % 40 and the batch split by t = doc_id // 40 (40 = 0 mod 4
-# would alias a %4 split onto m, so the split uses t), making the
-# matched pair set exactly new-member x same-m corpus members —
-# doc_id arithmetic alone. Planted min inter-group distance is 1, so
-# ONLY d=0 keeps the set exact — measured, which is why the near tier
-# (dedup_audio_near) carries the resample ball instead.
+# tests/test_plans.py). ORACLE-PAIRED: content is keyed by the BLOCK
+# m = doc_id div 10 — FIXED group size, so the matched pair volume
+# stays LINEAR in the corpus (a modular key like the exact tier's
+# %40 grows group sizes with the corpus: the round-10 sf10 SCALING
+# run measured the resulting by-construction-quadratic output before
+# this re-key) — and the batch split is within-block: members 8-9 of
+# each 10-block arrive as the new batch. Matched set is exactly
+# new-member x same-block corpus members, doc_id arithmetic alone.
+# Planted min inter-group fingerprint distance can be as low as 1
+# (measured on the modular corpus), so ONLY d=0 keeps the set exact —
+# the near tier (dedup_audio_near) carries the resample ball instead.
 @query(
     "dedup_audio_incremental",
     sql="""
     SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
     FROM documents n JOIN documents c
-      ON (n.doc_id % 40) = (c.doc_id % 40)
-    WHERE (n.doc_id // 40) % 5 = 4 AND (c.doc_id // 40) % 5 <> 4
+      ON (n.doc_id // 10) = (c.doc_id // 10)
+    WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
     """,
 )
 def dedup_audio_incremental(spark, sf_dir):
     """New-batch audio duplicating an existing corpus, matched through
     a persisted fingerprint table only — the corpus is never
-    re-decoded; exact expected pair set from transcode invariance."""
+    re-decoded; exact expected pair set from transcode invariance,
+    linear pair volume (fixed-size planted groups)."""
     import tempfile
 
     d = spread_input(table(spark, sf_dir, "documents").select("doc_id"))
-    audio = _planted_audio_fp_corpus(d)
-    is_new = F.expr("(doc_id div 40) % 5 = 4")
+    audio = _planted_audio_fp_corpus(
+        d, content_key=lambda i: i // 10, bit_fn=_audio_plant_bit_mix
+    )
+    is_new = F.expr("doc_id % 10 >= 8")
     corpus = audio.filter(~is_new)
     new_batch = audio.filter(is_new)
     sig_path = tempfile.mkdtemp(prefix="audsig_") + "/sig"
@@ -6597,3 +6712,195 @@ def dedup_audio_incremental(spark, sf_dir):
         max_hamming=0,
     )
     return pairs.select("new_id", "corpus_id")
+
+
+def _audio_129_base(g: int) -> "list[int]":
+    """129-plateau amplitude walk (40 samples each, splitmix bits —
+    full-entropy in g, see _audio_plant_bit_mix) — the planted content
+    for the 128-bit audio fingerprint tier: fp128 margins measured
+    over 300 groups: resample ball 0, min inter-group distance 40."""
+    a, x = 2048, []
+    for k in range(129):
+        x += [a] * 40
+        a += 16 if _audio_plant_bit_mix(g << 1, k) else -16
+    return x
+
+
+# 128-bit audio near-dup (round 10): the longer-signature scale path
+# for the audio fingerprint — the 64-bit tier measured a ~14x-per-10x
+# candidate tail at 50k clips (12-bit bands; SCALING.md round 10);
+# 128-bit signatures at d=4 band into 25-bit chunks (33M buckets).
+# Planted groups of three: base 12 kHz s16, member 1 linear-resampled
+# to 8 kHz, member 2 float32 re-encoded — fp128 margins measured over
+# 300 groups (resample ball 0, float32 included; min inter 40), so
+# d=4 keeps planted recall 1 / precision 1. Rows-only; same invariant
+# structure as dedup_audio_near.
+@query("dedup_audio_near128", sql=None)
+def dedup_audio_near128(spark, sf_dir):
+    """Near-dup audio pairs via the 128-bit (two-word) energy-delta
+    fingerprint + multi-word Hamming banding over planted resampled /
+    float-transcoded duplicates; planted invariants in inv_ok."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resample(x, in_rate, out_rate):
+            nf = len(x)
+            out = []
+            for j in range((nf * out_rate) // in_rate):
+                pos = j * in_rate
+                p, rem = pos // out_rate, pos % out_rate
+                p1 = min(p + 1, nf - 1)
+                num = x[p] * (out_rate - rem) + x[p1] * rem
+                out.append(
+                    num // out_rate if num >= 0 else -((-num) // out_rate)
+                )
+            return out
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                g, r = divmod(i, 3)
+                x = _audio_129_base(g)
+                if r == 0:
+                    payloads.append(M.encode_wav_pcm(12000, 1, x, 16))
+                elif r == 1:
+                    payloads.append(
+                        M.encode_wav_pcm(8000, 1, resample(x, 12000, 8000), 16)
+                    )
+                else:
+                    payloads.append(M.encode_wav_pcm(12000, 1, x, 32))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_audio = spread_input(d).mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    sigs = M.fingerprint_audio_multi(with_audio)
+    pairs = D.hamming_pairs(sigs, sig_col=["afp0", "afp1"], max_hamming=4)
+    found = pairs.withColumn(
+        "same_grp", F.expr("(a_id div 3) = (b_id div 3)")
+    )
+    expected = (
+        d.select(F.expr("doc_id div 3").alias("_g"))
+        .groupBy("_g")
+        .count()
+        .agg(
+            F.sum(F.expr("count * (count - 1) div 2"))
+            .cast("long")
+            .alias("expected_pairs")
+        )
+    )
+    pooled = found.agg(
+        F.sum(F.when(F.col("same_grp"), 1).otherwise(0))
+        .cast("long")
+        .alias("found_same")
+    )
+    return (
+        found.crossJoin(F.broadcast(expected))  # 1-row invariant aggregates
+        .crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "inv_recall",
+            F.col("found_same").cast("double") / F.col("expected_pairs"),
+        )
+        .withColumn(
+            "inv_ok",
+            F.col("same_grp")
+            & (F.col("hamming") <= F.lit(4))
+            & (F.col("inv_recall") >= F.lit(0.999)),
+        )
+        .select(
+            "a_id", "b_id", "hamming", "same_grp",
+            F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
+        )
+    )
+
+
+# Width-routed audio near-dup (round 10): audio_pairs_auto probes the
+# clip count (n_hint — the documents table answers from parquet
+# metadata) and routes 64-bit vs 128-bit fingerprints. The planted
+# corpus here uses TRANSCODE duplicates only (amplitude x2/x3,
+# 16/24-bit) — every copy fingerprints BIT-IDENTICALLY at ANY width
+# (energy comparisons are scale-exact by algebra), so the corpus is
+# valid under both routes without needing dual-width resample margins
+# (65-frame and 129-frame plateau boundaries cannot align — 65 and
+# 129 are coprime — so a resample ball at BOTH widths is impossible
+# on one corpus; the resample robustness of each width is adjudicated
+# by dedup_audio_near / dedup_audio_near128 instead). Rows-only;
+# inv_ok gates same-group, hamming == 0, route-threshold, and pooled
+# planted recall == 1.
+@query("dedup_audio_auto", sql=None)
+def dedup_audio_auto(spark, sf_dir):
+    """Width-routed audio dedup: one metadata count routes 64-bit vs
+    128-bit fingerprints over planted transcoded duplicates (exactly
+    invariant under both widths); planted invariants in inv_ok."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                g, r = divmod(i, 3)
+                x = _audio_129_base(g)
+                if r == 0:
+                    payloads.append(M.encode_wav_pcm(12000, 1, x, 16))
+                elif r == 1:  # amplitude x3: energies x9, exact invariance
+                    payloads.append(
+                        M.encode_wav_pcm(12000, 1, [3 * v for v in x], 16)
+                    )
+                else:  # 24-bit transcode: x256, exact invariance
+                    payloads.append(
+                        M.encode_wav_pcm(12000, 1, [256 * v for v in x], 24)
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_audio = spread_input(d).mapInPandas(
+        make_payloads, schema="doc_id long, payload binary"
+    )
+    pairs = M.audio_pairs_auto(with_audio, n_hint=d.count())
+    found = pairs.withColumn(
+        "same_grp", F.expr("(a_id div 3) = (b_id div 3)")
+    )
+    expected = (
+        d.select(F.expr("doc_id div 3").alias("_g"))
+        .groupBy("_g")
+        .count()
+        .agg(
+            F.sum(F.expr("count * (count - 1) div 2"))
+            .cast("long")
+            .alias("expected_pairs")
+        )
+    )
+    pooled = found.agg(
+        F.sum(F.when(F.col("same_grp"), 1).otherwise(0))
+        .cast("long")
+        .alias("found_same")
+    )
+    return (
+        found.crossJoin(F.broadcast(expected))  # 1-row invariant aggregates
+        .crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "inv_recall",
+            F.col("found_same").cast("double") / F.col("expected_pairs"),
+        )
+        .withColumn(
+            "inv_ok",
+            F.col("same_grp")
+            & (F.col("hamming") == F.lit(0))
+            & (F.col("inv_recall") >= F.lit(0.999)),
+        )
+        .select(
+            "a_id", "b_id", "hamming", "sig_bits", "same_grp",
+            F.round("inv_recall", 6).alias("inv_recall"), "inv_ok",
+        )
+    )

@@ -99,11 +99,13 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # their r02 adjudication order, then the first 23 of the r03 cohort.
 # Rotated-out queries keep their green r02–r09 rows plus the local
 # DuckDB differential (tests/test_oracle_queries.py).
-# Round-11 queue: the six round-10 registrations
+# Round-11 queue: the ten round-10 registrations
 # (dedup_image_phash_auto, dedup_image_incremental, dedup_audio_fp,
-# dedup_audio_near, dedup_audio_incremental, dedup_simhash_multi — all
-# preflighted green under driver-sim at sf0.01 in round 10), then the
-# remaining 16 of the r03 cohort (source_python_ds onward).
+# dedup_audio_near, dedup_audio_near128, dedup_audio_auto,
+# dedup_audio_incremental, dedup_simhash_multi, dedup_video_phash128,
+# dedup_video_phash_auto — all preflighted green under driver-sim at
+# sf0.01 in round 10), then the remaining 16 of the r03 cohort
+# (source_python_ds onward).
 DRIVER_WINDOW: tuple[str, ...] = (
     # (a) never-driver-windowed r9 registrations — first external
     # adjudication (judge-verified in r9; re-preflighted post-ADVICE-fix)

@@ -1984,3 +1984,36 @@ def test_video_phash128_corrupt_gif_skips_row(spark):
     lo, hi = M.phash128(decoded[0], w, h, ch)
     for r in rows:
         assert (r.phash0, r.phash1) == (lo, hi)
+
+
+def test_audio_fp_words_invariances():
+    """audio_fp_words (round 10): words=1 reproduces audio_fp64
+    exactly; amplitude/bit-depth transcode is exactly invariant at any
+    width; bit k of the multi-word fingerprint lives in word k//64 at
+    position k%64; too-short streams (any empty frame) return None;
+    stereo uses channel 0 only."""
+    from corintick_spark.operators.multimodal import (
+        audio_fp64, audio_fp_words,
+    )
+
+    def planted(g):
+        from corintick_spark.queries.llm import _audio_129_base
+
+        return _audio_129_base(g)
+
+    x = planted(7)
+    assert audio_fp_words(x, words=1) == [audio_fp64(x)]
+
+    w2 = audio_fp_words(x, words=2)
+    assert len(w2) == 2
+    assert w2 == audio_fp_words([3 * v for v in x], words=2)
+    assert w2 == audio_fp_words([256 * v for v in x], words=2)
+    assert w2 != audio_fp_words(planted(8), words=2)
+
+    # stereo: garbage on channel 1 must not perturb the fingerprint
+    inter = []
+    for k, v in enumerate(x):
+        inter += [v, (k * 7919) % 4096 - 2048]
+    assert audio_fp_words(inter, channels=2, words=2) == w2
+
+    assert audio_fp_words(list(range(128)), words=2) is None

@@ -1735,3 +1735,126 @@ def test_simhash_words_lanes_and_pairs(spark):
         for r in simhash_pairs_multi(df2, max_hamming=d12).collect()
     }
     assert got2[(1, 2)] == d12
+
+
+def test_video_pairs_auto_routes_both_widths(spark):
+    """video_pairs_auto (round 10): below the clip-count threshold the
+    router serves 64-bit per-frame hashes, above it (threshold forced
+    to 0) 128-bit — same planted clip-pair set under both widths on
+    the hybrid-amplitude corpus, sig_bits naming the route, per-frame
+    hamming inside each route's ball, and every aligned frame of an
+    intra-group pair matching."""
+    import numpy as np
+
+    from corintick_spark.operators import multimodal as M
+
+    W = H = 32
+    cx16 = np.array(
+        [[np.cos(np.pi * (2 * x + 1) * u / (2 * W)) for x in range(W)]
+         for u in range(16)]
+    )
+    cy8 = np.array(
+        [[np.cos(np.pi * (2 * y + 1) * p / (2 * H)) for y in range(H)]
+         for p in range(8)]
+    )
+    palette = bytes(v for v in range(256) for _ in range(3))
+
+    def base(seed):
+        v = (seed * 2654435761 + 97) % (2**31)
+        amps = np.zeros((16, 8))
+        for u in range(16):
+            for p in range(8):
+                if u == 0 and p == 0:
+                    continue
+                v = (v * 1103515245 + 12345) % (2**31)
+                t = v % 11 - 5
+                if t >= 0:
+                    t += 1
+                amps[u, p] = (3 if u < 8 else 2) * t
+        img = 128.0 + cy8.T @ amps.T @ cx16
+        return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+    N_FRAMES = 3
+    recs = []
+    for i in range(18):  # 6 groups of three clips
+        g, r = divmod(i, 3)
+        frames = []
+        for f in range(N_FRAMES):
+            im = base(g * N_FRAMES + f)
+            if r:
+                b = im.flatten().astype(int)
+                for t in range(16):
+                    idx = (g * 9973 + f * 127 + t * 613 + r * 331) % 1024
+                    b[idx] = min(
+                        255, max(0, int(b[idx]) + (5 if (t + r) % 2 else -5))
+                    )
+                indices = list(b.astype(np.uint8))
+            else:
+                indices = list(im.flatten())
+            frames.append(
+                {"left": 0, "top": 0, "iw": W, "ih": H,
+                 "indices": indices, "disposal": 0, "transparent": None}
+            )
+        recs.append((i, bytearray(M.encode_gif_anim(W, H, frames, palette))))
+    df = spark.createDataFrame(recs, "doc_id long, payload binary")
+
+    want = {(g * 3 + a, g * 3 + b) for g in range(6)
+            for a in range(3) for b in range(a + 1, 3)}
+
+    def clip_pairs(rows):
+        per = {}
+        for r in rows:
+            per.setdefault((r.a_id, r.b_id), []).append(r)
+        return per
+
+    narrow = M.video_pairs_auto(df).collect()
+    assert all(r.sig_bits == 64 for r in narrow), "small corpus -> 64-bit"
+    per = clip_pairs(narrow)
+    assert set(per) == want
+    for rows in per.values():
+        assert len(rows) == N_FRAMES          # every aligned frame matches
+        assert all(r.hamming <= 4 for r in rows)
+
+    wide = M.video_pairs_auto(df, max_sigs_64=0).collect()
+    assert all(r.sig_bits == 128 for r in wide), "past threshold -> 128-bit"
+    per = clip_pairs(wide)
+    assert set(per) == want
+    for rows in per.values():
+        assert len(rows) == N_FRAMES
+        assert all(r.hamming <= 6 for r in rows)
+
+
+def test_audio_pairs_auto_routes_both_widths(spark):
+    """audio_pairs_auto (round 10): below the clip-count threshold the
+    router serves the 64-bit fingerprint, above it (threshold forced
+    to 0) the 128-bit pair — same planted transcode-duplicate pair set
+    under both widths (exact invariance makes the corpus valid for
+    any width), sig_bits naming the route, hamming 0 throughout."""
+    from corintick_spark.operators import multimodal as M
+    from corintick_spark.queries.llm import _audio_129_base
+
+    recs = []
+    for i in range(18):  # 6 groups of three transcoded copies
+        g, r = divmod(i, 3)
+        x = _audio_129_base(g)
+        if r == 0:
+            b = M.encode_wav_pcm(12000, 1, x, 16)
+        elif r == 1:
+            b = M.encode_wav_pcm(12000, 1, [3 * v for v in x], 16)
+        else:
+            b = M.encode_wav_pcm(12000, 1, [256 * v for v in x], 24)
+        recs.append((i, bytearray(b)))
+    df = spark.createDataFrame(recs, "doc_id long, payload binary")
+
+    want = {(g * 3 + a, g * 3 + b) for g in range(6)
+            for a in range(3) for b in range(a + 1, 3)}
+
+    narrow = M.audio_pairs_auto(df).collect()
+    assert all(r.sig_bits == 64 for r in narrow), "small corpus -> 64-bit"
+    assert {(r.a_id, r.b_id) for r in narrow} == want
+    assert all(r.hamming == 0 for r in narrow)
+
+    wide = M.audio_pairs_auto(df, max_sigs_64=0).collect()
+    assert all(r.sig_bits == 128 for r in wide), "past threshold -> 128-bit"
+    assert {(r.a_id, r.b_id) for r in wide} == want
+    assert all(r.hamming == 0 for r in wide)
