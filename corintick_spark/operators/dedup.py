@@ -423,6 +423,7 @@ def hamming_pairs(
     sig_col: "str | list[str]" = "sig",
     max_hamming: int = 3,
     within: "list[str] | None" = None,
+    scheme: str = "auto",
 ) -> DataFrame:
     """Generic Hamming-ball self-join over a 64*W-bit signature stored
     as W bigint columns (round 9: factored out of :func:`simhash_pairs`
@@ -451,13 +452,34 @@ def hamming_pairs(
     ``within``: optional extra equality columns added to the band join
     key — only rows agreeing on ALL of them can pair (aligned video
     frame index, language shard, tenant). Returned alongside the pair.
-    Returns (*within, a_id, b_id, hamming)."""
+    Returns (*within, a_id, b_id, hamming).
+
+    ``scheme`` (round 10): ``"chunk"`` is the d+1-chunk pigeonhole
+    above; ``"pair"`` is COMBINATION banding (Manku/Jain/Sarma, WWW
+    2007 — public knowledge): split into b = d+2 blocks — any pair
+    within d differs in <= d blocks, so >= 2 blocks agree — and key on
+    every PAIR of blocks: C(d+2, 2) tables of DOUBLE-width keys. For
+    estimator-type signatures (SimHash), the Hamming cut d scales with
+    the bit count, so chunk width 64W//(d+1) is ~constant no matter
+    how long the signature — combination banding is the fix there:
+    64-bit d=6 goes from 9-bit chunks (512 buckets — measured 2.19
+    BILLION candidates over 500k real-text docs at sf10, aborting on
+    70 GB of spill) to 16-bit pair keys (65k buckets, ~40x fewer
+    candidates) for a 4x explode-factor cost. ``"auto"`` picks pair
+    when chunks would be narrow (width < 14) and d >= 3, else chunk —
+    wide-chunk tiers (image/audio at fixed small d) keep the cheaper
+    explode factor."""
     cols = [sig_col] if isinstance(sig_col, str) else list(sig_col)
     chunks = max_hamming + 1
     # band width; cap at 63 so a chunk value fits a signed bigint (any
     # bits past chunks*width stay uncovered — pigeonhole still holds:
     # d differing bits leave >= 1 of the d+1 DISJOINT chunks clean)
     width = min(63, (64 * len(cols)) // chunks)
+    if scheme == "auto":
+        scheme = "pair" if (width < 14 and max_hamming >= 3) else "chunk"
+    if scheme == "pair":
+        n_blocks = max_hamming + 2
+        block_w = min(31, (64 * len(cols)) // n_blocks)
     within = list(within or [])
     notnull = F.lit(True)
     for c in cols:
@@ -468,12 +490,11 @@ def hamming_pairs(
         .localCheckpoint(eager=True)
     )
 
-    def chunk_expr(ci: int) -> str:
-        # bits [ci*width, ci*width + width) across the word columns
-        s0 = ci * width
+    def span_expr(s0: int, w_bits: int) -> str:
+        # bits [s0, s0 + w_bits) across the word columns
         parts = []
         for w, c in enumerate(cols):
-            lo, hi = max(s0, w * 64), min(s0 + width, (w + 1) * 64)
+            lo, hi = max(s0, w * 64), min(s0 + w_bits, (w + 1) * 64)
             if lo >= hi:
                 continue
             mask = (1 << (hi - lo)) - 1
@@ -483,9 +504,19 @@ def hamming_pairs(
             parts.append(part)
         return "(" + " | ".join(parts) + ")"
 
-    chunk_array = "array(" + ", ".join(
-        chunk_expr(ci) for ci in range(chunks)
-    ) + ")"
+    if scheme == "pair":
+        from itertools import combinations
+
+        blocks = [span_expr(bi * block_w, block_w) for bi in range(n_blocks)]
+        entries = [
+            f"(shiftleft({blocks[i]}, {block_w}) | {blocks[j]})"
+            for i, j in combinations(range(n_blocks), 2)
+        ]
+        n_bands = len(entries)
+    else:
+        entries = [span_expr(ci * width, width) for ci in range(chunks)]
+        n_bands = chunks
+    chunk_array = "array(" + ", ".join(entries) + ")"
     sig_aliases = [f"_sig{w}" for w in range(len(cols))]
     banded = sigs.select(
         F.col(id_col),
@@ -509,7 +540,7 @@ def hamming_pairs(
     # estimate cannot be trusted; one count over the materialized
     # checkpoint decides. Banded bytes ~ rows * (d+1) * (16 + 8W).
     n_sigs = sigs.count()
-    banded_bytes = n_sigs * chunks * (16 + 8 * len(cols))
+    banded_bytes = n_sigs * n_bands * (16 + 8 * len(cols))
     if banded_bytes > 48 * 1024 * 1024:
         # size the exchange to the data (~32 MB of build per partition)
         # and pin shuffle_hash — see minhash_lsh_pairs for the rationale

@@ -1858,3 +1858,80 @@ def test_audio_pairs_auto_routes_both_widths(spark):
     assert all(r.sig_bits == 128 for r in wide), "past threshold -> 128-bit"
     assert {(r.a_id, r.b_id) for r in wide} == want
     assert all(r.hamming == 0 for r in wide)
+
+
+def test_hamming_pairs_combination_banding_differential(spark):
+    """Combination banding (round 10, Manku-style pair-of-blocks keys)
+    must return EXACTLY the same pair set and distances as chunk
+    banding and a Python reference — on random 64-bit signatures with
+    planted near-dups at d=6 (where auto picks the pair scheme) and on
+    128-bit signatures at d=10."""
+    import random
+
+    from corintick_spark.operators.dedup import hamming_pairs
+
+    def signed(x):
+        x &= 2**64 - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    rng = random.Random(11)
+
+    # --- 64-bit, d=6 ---
+    sig = {}
+    recs = []
+    for i in range(80):
+        if i % 3 == 0 and i:
+            v = sig[rng.randrange(i)]
+            for _ in range(rng.randint(1, 6)):
+                v ^= 1 << rng.randrange(64)
+        else:
+            v = rng.getrandbits(64)
+        sig[i] = v
+        recs.append((i, signed(v)))
+    df = spark.createDataFrame(recs, "doc_id long, sig long")
+
+    want = {}
+    for a in range(80):
+        for b in range(a + 1, 80):
+            d = bin(sig[a] ^ sig[b]).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+
+    for sch in ("chunk", "pair", "auto"):
+        got = {
+            (r.a_id, r.b_id): r.hamming
+            for r in hamming_pairs(
+                df, sig_col="sig", max_hamming=6, scheme=sch
+            ).collect()
+        }
+        assert got == want and want, f"scheme={sch}"
+
+    # --- 128-bit (two words), d=10 ---
+    sig = {}
+    recs = []
+    for i in range(60):
+        if i % 3 == 0 and i:
+            v = sig[rng.randrange(i)]
+            for _ in range(rng.randint(1, 10)):
+                v ^= 1 << rng.randrange(128)
+        else:
+            v = rng.getrandbits(128)
+        sig[i] = v
+        recs.append((i, signed(v & (2**64 - 1)), signed(v >> 64)))
+    df = spark.createDataFrame(recs, "doc_id long, h0 long, h1 long")
+
+    want = {}
+    for a in range(60):
+        for b in range(a + 1, 60):
+            d = bin(sig[a] ^ sig[b]).count("1")
+            if d <= 10:
+                want[(a, b)] = d
+
+    for sch in ("chunk", "pair"):
+        got = {
+            (r.a_id, r.b_id): r.hamming
+            for r in hamming_pairs(
+                df, sig_col=["h0", "h1"], max_hamming=10, scheme=sch
+            ).collect()
+        }
+        assert got == want and want, f"scheme={sch}"
