@@ -644,9 +644,18 @@ def hamming_join(
             new.sparkSession.sparkContext.defaultParallelism,
             int(banded_bytes // (32 * 1024 * 1024)) + 1,
         )
-        b = b.repartition(nparts, "chunk_id", "chunk_val").hint(
+        # Hash-BUILD side must be the NEW batch (ADVICE r10 medium):
+        # nparts is sized from the new batch's measured banded bytes, so
+        # per-partition builds are ~32 MB by construction. Hinting the
+        # corpus side instead would make the arbitrarily large corpus
+        # the build side — in the incremental regime (corpus >> batch)
+        # a per-partition corpus build is ~32 MB * (corpus/batch) and
+        # can exceed task execution memory. The corpus streams as the
+        # probe side.
+        a = a.repartition(nparts, "chunk_id", "chunk_val").hint(
             "shuffle_hash"
         )
+        b = b.repartition(nparts, "chunk_id", "chunk_val")
     cand = (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("new_id") != F.col("corpus_id"))

@@ -3,16 +3,37 @@
 Design (SURVEY.md / north_star "multimodal columns"): media travels as a
 ``binary`` column next to typed metadata columns; decode / feature-extract /
 resize / frame-sample run as Arrow-batched functions over ``mapInPandas``.
-Image METADATA decode (width/height/format for PNG/JPEG/GIF/BMP) is REAL —
-a dependency-free header parse (``parse_image_header``). Pixel decoding and
-video frame extraction remain clearly-marked stubs (PIL/libvips/ffmpeg are
-not in this container); ``fake=True`` derives deterministic metadata from
-the bytes so the Spark-side contract is exercised end-to-end regardless.
+
+Decoding is REAL and dependency-free (pure-stdlib ``struct``/``zlib``
+spec-derived parsers, rounds 5-10), not stubbed:
+
+- **Image headers**: width/height/format for PNG/JPEG/GIF/BMP
+  (``parse_image_header``).
+- **Image pixels**: PNG (all filter types; 1/2/4/8/16-bit gray, palette,
+  gray+alpha, RGB(A), tRNS color-key, Adam7 interlace), BMP (24/32-bit,
+  16-bit and arbitrary BI_BITFIELDS masks, 1/4/8-bit palette, RLE4/RLE8),
+  GIF (LZW, interlace, animation frame compositing with disposal methods),
+  JPEG (baseline + progressive Huffman, restart markers, 4:4:4/4:2:0/
+  4:2:2/4:1:1 chroma subsampling).
+- **Audio samples**: WAV PCM 8/16/24-bit, IEEE float32/float64, G.711
+  mu/A-law, mono/stereo IMA and MS ADPCM (``decode_wav_pcm``), plus linear
+  resampling and perceptual fingerprints over the decoded samples.
+- **Video**: frame extraction and per-frame perceptual hashing over the
+  repo's frame-container layout (``phash_video_frames``).
+
+Honest NAMED stubs remain for variants whose correctness cannot be
+verified in this container — each raises ``NotImplementedError`` naming
+the variant (never silent corruption): arithmetic-coded / hierarchical /
+12-bit-progressive / multi-scan-sequential JPEG, >2-channel ADPCM,
+MP3-in-WAV. Corpus-scan entry points classify these per ROW (see
+``_decode_errors`` / the ingest-audit queries) so one exotic or corrupt
+file cannot abort a 100 TB scan, while the per-codec decoders stay strict.
 
 Scale notes: binary payloads make rows wide — repartition so batches stay
 within executor memory (``target_rows_per_batch``), and never collect
 payloads to the driver. mapInPandas streams Arrow record batches, so peak
-memory is one batch per core, not one partition.
+memory is one batch per core, not one partition. Downstream dedup joins
+shuffle (id, signature) rows only — payload bytes never cross a shuffle.
 """
 
 from __future__ import annotations
@@ -3905,7 +3926,15 @@ def decode_gif_anim_stats(
         for pdf in it:
             rows = {k: [] for k in cols}
             for b in pdf[payload]:
-                m = decode_gif_frames(b)
+                # Corpus-scan posture (ADVICE r10 low): a GIF whose body
+                # is truncated/malformed — or whose frames escape the
+                # canvas (the round-10 bound check) — null-propagates
+                # instead of aborting the scan task, matching
+                # phash_video_frames / _decode_any_image.
+                try:
+                    m = decode_gif_frames(b)
+                except _decode_errors():
+                    m = None
                 if m is None:
                     for k in rows:
                         rows[k].append(None)
@@ -4869,17 +4898,20 @@ def fingerprint_audio_multi(
                     m = decode_wav_pcm(b)
                 except _decode_errors():
                     m = None
-                fp = None
-                if m is not None:
-                    rate, ch, samples = m
-                    fp = audio_fp_words(samples, ch, words)
-                if m is None or fp is None:
+                if m is None:
                     for k in rows:
                         rows[k].append(None)
                     continue
+                rate, ch, samples = m
+                # Decodable-but-too-short: keep sample_rate/n_samples and
+                # null only the fingerprint words — the SAME convention as
+                # fingerprint_audio's single-word scan (ADVICE r10 low:
+                # the twin scanners feeding the routed pipeline must
+                # agree on output semantics).
+                fp = audio_fp_words(samples, ch, words)
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(len(samples) // max(1, ch))
-                for c, v in zip(cols, fp):
+                for c, v in zip(cols, fp if fp is not None else [None] * words):
                     rows[c].append(v)
             yield pd.DataFrame(
                 {

@@ -39,6 +39,7 @@ SELF_EXECUTING = {
         "similarity_ivfpq",     # two fits
         "dedup_incremental",    # writes a signature table
         "dedup_image_incremental",  # writes an image signature table
+        "dedup_audio_incremental",  # writes an audio signature table
         "source_python_stream", # runs a streaming query
         "graph_pagerank",       # iterative loop with checkpoints
         "agg_exact_median",     # driver-pass selection; returns a local relation
