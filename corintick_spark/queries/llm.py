@@ -44,14 +44,46 @@ def dedup_exact(spark, sf_dir):
 def dedup_minhash(spark, sf_dir):
     """Near-dup candidate pairs via 32-hash MinHash, 8-band LSH, verified
     with true shingle Jaccard >= 0.3 (operators/dedup.py::minhash_lsh_pairs).
-    Rows-only invariants: every emitted pair carries its EXACT verified
-    jaccard, so inv_ok (jaccard >= threshold AND a_id < b_id) must hold in
-    every row — a candidate that skipped verification cannot satisfy it."""
+    Rows-only invariants (round 11, verdict r10 item 4 — the
+    dedup_simhash_multi replayable-subset pattern): every emitted pair
+    carries its EXACT verified jaccard, so inv_ok must hold in every row;
+    and the REPLAYABLE SUBSET — documents with identical distinct
+    3-shingle sets (SQL-expressible as xxhash64 of the sorted shingle
+    array) have identical MinHash signatures in every band, hence MUST be
+    emitted, with jaccard exactly 1.0. A full_outer join rides the subset
+    along: a same-set pair missed by the LSH (or emitted with jaccard !=
+    1) fails inv_ok."""
     d = table(spark, sf_dir, "documents")
     p = D.minhash_lsh_pairs(d, k=3, num_hashes=32, bands=8, threshold=0.3)
-    return p.withColumn(
-        "inv_ok",
-        (F.col("jaccard") >= F.lit(0.3)) & (F.col("a_id") < F.col("b_id")),
+    # replayable subset: identical distinct 3-shingle SETS => identical
+    # signatures => banded together => verified jaccard == 1.0 exactly
+    sets = D.shingles(d, k=3).select(
+        "doc_id",
+        F.expr("xxhash64(array_sort(shingles))").alias("_ss"),
+    )
+    same_set = (
+        sets.alias("x")
+        .join(sets.alias("y"), F.col("x._ss") == F.col("y._ss"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.lit(True).alias("_is_same"),
+        )
+    )
+    return (
+        p.join(same_set, ["a_id", "b_id"], "full_outer")
+        .withColumn(
+            "inv_ok",
+            F.when(
+                F.col("_is_same").isNotNull(),
+                F.col("jaccard").isNotNull() & (F.col("jaccard") == 1.0),
+            ).otherwise(
+                (F.col("jaccard") >= F.lit(0.3))
+                & (F.col("a_id") < F.col("b_id"))
+            ),
+        )
+        .select("a_id", "b_id", "jaccard", "inv_ok")
     )
 
 
@@ -6347,9 +6379,10 @@ def dedup_image_incremental(spark, sf_dir):
     new_batch = imgs.filter(F.col("doc_id") % 4 == 3)
     sig_path = tempfile.mkdtemp(prefix="imgsig_") + "/sig"
     M.phash128_images(corpus).write.mode("overwrite").parquet(sig_path)
-    pairs = D.hamming_join(
-        M.phash128_images(new_batch),
+    pairs = D.incremental_neardup(
+        new_batch,
         spark.read.parquet(sig_path),
+        M.phash128_images,
         sig_col=["phash0", "phash1"],
         max_hamming=6,
     )
@@ -6705,9 +6738,10 @@ def dedup_audio_incremental(spark, sf_dir):
         .write.mode("overwrite")
         .parquet(sig_path)
     )
-    pairs = D.hamming_join(
-        M.fingerprint_audio(new_batch).select("doc_id", "afp"),
+    pairs = D.incremental_neardup(
+        new_batch,
         spark.read.parquet(sig_path),
+        lambda df: M.fingerprint_audio(df).select("doc_id", "afp"),
         sig_col="afp",
         max_hamming=0,
     )

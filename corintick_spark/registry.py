@@ -99,35 +99,47 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # their r02 adjudication order, then the first 23 of the r03 cohort.
 # Rotated-out queries keep their green r02–r09 rows plus the local
 # DuckDB differential (tests/test_oracle_queries.py).
-# Round-11 queue: the ten round-10 registrations
-# (dedup_image_phash_auto, dedup_image_incremental, dedup_audio_fp,
-# dedup_audio_near, dedup_audio_near128, dedup_audio_auto,
-# dedup_audio_incremental, dedup_simhash_multi, dedup_video_phash128,
-# dedup_video_phash_auto — all preflighted green under driver-sim at
-# sf0.01 in round 10), then the remaining 16 of the r03 cohort
-# (source_python_ds onward).
+# Round-11 rotation (executing the plan reserved in the round-10
+# comment and confirmed by the r10 verdict): (a) the ten round-10
+# registrations — never externally adjudicated; all ten preflighted
+# green under driver-sim at sf0.01 in round 10 AND re-verified by the
+# r10 judge's independent driver-sim (6 sampled, 6 green). The audio /
+# incremental entries are adjudicated against THIS round's hamming_join
+# build-side fix and the unified scanner output convention (ADVICE r10)
+# — re-preflighted green post-fix; (b) the remaining 16 of the r03
+# cohort (source_python_ds onward — their only external rows are r03);
+# (c) the remaining 24 slots re-confirm the next-oldest external rows:
+# the first 24 never-re-sampled r04-cohort queries in their r04
+# adjudication order (graph_pagerank skipped — re-adjudicated r08).
+# Rotated-out queries keep their green r02–r10 rows plus the local
+# DuckDB differential (tests/test_oracle_queries.py).
+# Round-12 queue: any round-11 registrations first, then the remaining
+# 15 r04-cohort queries (rollup_multires onward), then the oldest r05
+# rows (sql_q2 onward in r05 adjudication order).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) never-driver-windowed r9 registrations — first external
-    # adjudication (judge-verified in r9; re-preflighted post-ADVICE-fix)
-    "dedup_image_dhash", "dedup_image_phash", "dedup_image_phash128",
-    "dedup_image_clusters", "dedup_image_survivors",
-    "dedup_video_phash", "multimodal_scan_errors",
-    "multimodal_scan_audio_errors", "multimodal_audio_resample_linear",
-    # (b) oldest external rows — the remaining r02 cohort in its
+    # (a) never-driver-windowed r10 registrations — first external
+    # adjudication
+    "dedup_image_phash_auto", "dedup_image_incremental",
+    "dedup_audio_fp", "dedup_audio_near", "dedup_audio_near128",
+    "dedup_audio_auto", "dedup_audio_incremental",
+    "dedup_simhash_multi", "dedup_video_phash128",
+    "dedup_video_phash_auto",
+    # (b) oldest external rows — the remaining r03 cohort in its
     # adjudication order...
-    "window_vwap", "window_cumsum", "resample_ohlc", "scalar_date",
-    "scalar_math", "scalar_array", "scalar_map", "scalar_json",
-    "scalar_cond", "udf_grouped_agg", "udf_grouped_map", "udtf_explode",
-    "dedup_minhash", "text_wordcount", "multimodal_join",
-    "stream_session", "stream_sliding", "stream_dedup",
-    # ...then the first 23 of the r03 cohort
-    "join_asof_forward", "join_asof_nearest", "join_anti",
-    "join_nullsafe", "join_bucketed", "agg_cube", "agg_pivot",
-    "agg_percentile", "project_subset", "order_by_ts",
-    "subquery_exists", "window_lag", "window_twap", "resample_ffill",
-    "window_islands", "cdc_merge", "scd2_intervals",
-    "events_sessionize", "funnel_conversion", "events_attribution",
-    "event_autocorr", "ingest_json", "ingest_orc",
+    "source_python_ds", "udf_arrow", "udtf_python",
+    "pipeline_semantic_dedup", "dedup_ngram", "dedup_embedding",
+    "text_tfidf", "text_quality", "text_langid", "text_boilerplate",
+    "multimodal_decode", "pipeline_clean_corpus", "stream_late_drop",
+    "stream_enrich", "stream_join", "stream_stateful",
+    # ...then the first 24 never-re-sampled r04-cohort queries
+    "agg_regression", "resample_interp", "events_anomaly",
+    "text_contamination", "window_rolling_median", "sample_fixed_k",
+    "ml_linear_score", "window_ewma", "agg_entropy", "scalar_trig",
+    "scalar_null", "scalar_struct", "scalar_binary", "scalar_pad",
+    "window_returns", "window_zscore", "window_bollinger",
+    "window_drawdown", "window_ntile", "window_first_last",
+    "window_pct_change", "window_lag_default", "agg_mode",
+    "agg_weighted_avg",
 )
 
 

@@ -53,15 +53,18 @@ from corintick_spark.operators import dedup as D
 from corintick_spark.operators.ckpt import release_local_checkpoint
 
 
-def documents_stream_batched(
-    spark: SparkSession, sf_dir: str, n_batches: int = 3
+def frame_stream_batched(
+    spark: SparkSession, raw: DataFrame, n_batches: int = 3,
+    order_col: str = "doc_id",
 ) -> DataFrame:
-    """documents replayed as ``n_batches`` micro-batches split by doc_id
-    range (ascending, half-open), strictly increasing file mtimes +
-    maxFilesPerTrigger=1 — so the stream delivers the corpus in the same
-    id-ascending order the batch survivor fold scans it."""
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    head = raw.agg(F.min("doc_id"), F.max("doc_id")).first()
+    """Any DataFrame replayed as ``n_batches`` micro-batches split by
+    ``order_col`` range (ascending, half-open), strictly increasing file
+    mtimes + maxFilesPerTrigger=1 — so the stream delivers rows in the
+    same id-ascending order the batch survivor fold scans them. Round
+    11: factored out of :func:`documents_stream_batched` so the
+    perceptual tiers can replay PLANTED payload corpora (image/audio
+    builders) through the same staging."""
+    head = raw.agg(F.min(order_col), F.max(order_col)).first()
     if head[0] is None:
         bounds: list[int] = []
     else:
@@ -76,9 +79,9 @@ def documents_stream_batched(
     for i in range(len(cuts) - 1):
         b = raw
         if cuts[i] is not None:
-            b = b.filter(F.col("doc_id") >= F.lit(cuts[i]))
+            b = b.filter(F.col(order_col) >= F.lit(cuts[i]))
         if cuts[i + 1] is not None:
-            b = b.filter(F.col("doc_id") < F.lit(cuts[i + 1]))
+            b = b.filter(F.col(order_col) < F.lit(cuts[i + 1]))
         tmp = tempfile.mkdtemp(prefix="docs_batched_w_")
         b.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -93,10 +96,42 @@ def documents_stream_batched(
     )
 
 
+def documents_stream_batched(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """documents replayed as ``n_batches`` micro-batches split by doc_id
+    range (ascending, half-open) — see :func:`frame_stream_batched`."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return frame_stream_batched(spark, raw, n_batches)
+
+
 def _cleanup_at_exit(path: str) -> None:
     import atexit
 
     atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+def _store_epoch_paths(store_path: str, batch_id: int) -> "list[str]":
+    """Paths the epoch ``batch_id`` is allowed to read: root-level parquet
+    files (a warm-start corpus signature table) plus one ``b{N}`` subdir
+    per committed stream epoch STRICTLY BEFORE this one. A retried epoch
+    must NOT see its own partial survivors — it would match every doc
+    against itself and poison all later batches."""
+    if not os.path.isdir(store_path):
+        return []
+    out = []
+    for name in os.listdir(store_path):
+        p = os.path.join(store_path, name)
+        if name.endswith(".parquet") and os.path.isfile(p):
+            out.append(p)
+        elif (
+            os.path.isdir(p)
+            and name.startswith("b")
+            and name[1:].isdigit()
+            and int(name[1:]) < batch_id
+        ):
+            out.append(p)
+    return out
 
 
 def make_batch_processor(
@@ -127,27 +162,7 @@ def make_batch_processor(
         raise ValueError(f"unknown survivorship policy: {policy!r}")
 
     def _store_paths(batch_id: int) -> list[str]:
-        # the store is root-level parquet files (warm-start corpus built by
-        # minhash_signature_table) plus one b{N} subdir per committed
-        # stream epoch. A retried epoch must NOT see its own partial
-        # survivors — it would MinHash-match every doc against itself and
-        # poison all later batches — so the read takes only epochs < this
-        # one (plus the warm start).
-        if not os.path.isdir(store_path):
-            return []
-        out = []
-        for name in os.listdir(store_path):
-            p = os.path.join(store_path, name)
-            if name.endswith(".parquet") and os.path.isfile(p):
-                out.append(p)
-            elif (
-                os.path.isdir(p)
-                and name.startswith("b")
-                and name[1:].isdigit()
-                and int(name[1:]) < batch_id
-            ):
-                out.append(p)
-        return out
+        return _store_epoch_paths(store_path, batch_id)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # one physical pass over the batch feeds signature build, the
@@ -278,6 +293,126 @@ def streaming_incremental_dedup(
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .queryName("incdedup_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        decisions_path
+    )
+
+
+def make_hamming_batch_processor(
+    spark: SparkSession,
+    store_path: str,
+    decisions_path: str,
+    signer,
+    sig_col: "str | list[str]",
+    max_hamming: int = 0,
+    id_col: str = "doc_id",
+):
+    """The PERCEPTUAL-tier twin of :func:`make_batch_processor` (round
+    11, verdict r10 item 7): the same epoch-keyed signature-store fold,
+    with Hamming-signature matching in place of MinHash/Jaccard — the
+    operator a live image/audio ingest actually runs. ``signer`` maps a
+    payload micro-batch to its signature frame (``phash128_images``,
+    ``fingerprint_audio`` ...; applied to the BATCH only — the store
+    carries (id, signature words) and corpus payload bytes are never
+    re-decoded). Cross-batch matching is the bipartite
+    :func:`corintick_spark.operators.dedup.hamming_join`; intra-batch
+    clusters come from :func:`...dedup.hamming_pairs` + connected
+    components with min-id survivorship (the batch tiers' policy).
+    Same retry-idempotency contract: epoch-keyed OVERWRITE commits, the
+    store read excludes the current epoch."""
+    cols = [sig_col] if isinstance(sig_col, str) else list(sig_col)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # one signing pass feeds the store join, the intra-batch join,
+        # and the survivor write
+        sig = signer(batch_df).localCheckpoint(eager=True)
+
+        prior = _store_epoch_paths(store_path, batch_id)
+        if prior:
+            store = spark.read.parquet(*prior)
+            vs_store = D.hamming_join(
+                sig, store, id_col=id_col, sig_col=cols,
+                max_hamming=max_hamming,
+            ).select("new_id", F.col("corpus_id").alias("matched_id"))
+        else:
+            vs_store = None
+
+        from corintick_spark.operators.dup_clusters import connected_components
+
+        intra_pairs = D.hamming_pairs(
+            sig, id_col=id_col, sig_col=cols, max_hamming=max_hamming
+        )
+        labels = connected_components(intra_pairs)
+        intra = (
+            labels.filter(F.col("node") != F.col("comp"))
+            .select(F.col("comp").alias("matched_id"), F.col("node").alias("new_id"))
+        )
+        matches = intra if vs_store is None else vs_store.unionByName(intra)
+        dup = matches.groupBy("new_id").agg(F.min("matched_id").alias("matched_id"))
+
+        decisions = (
+            batch_df.select(F.col(id_col))
+            .join(dup, F.col(id_col) == F.col("new_id"), "left")
+            .select(
+                id_col,
+                F.col("matched_id").isNotNull().alias("is_dup"),
+                "matched_id",
+            )
+            .localCheckpoint(eager=True)
+        )
+        survivors = sig.join(
+            decisions.filter("is_dup").select(F.col(id_col).alias("_d")),
+            sig[id_col] == F.col("_d"),
+            "left_anti",
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"b{batch_id}")
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_path, f"b{batch_id}")
+        )
+        release_local_checkpoint(sig)
+        release_local_checkpoint(decisions)
+
+    return _process
+
+
+def streaming_incremental_neardup(
+    spark: SparkSession,
+    payload_stream: DataFrame,
+    signer,
+    sig_col: "str | list[str]",
+    max_hamming: int = 0,
+    store_path: "str | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run a payload stream to quiescence through the Hamming-tier
+    incremental-dedup fold and return the decisions frame (doc_id,
+    is_dup, matched_id) — the streaming face of
+    :func:`corintick_spark.operators.dedup.incremental_neardup`.
+
+    ``store_path`` may already contain a corpus signature table written
+    by a previous batch run of the same signer (warm start); defaults to
+    a fresh temp dir (cold start)."""
+    work = tempfile.mkdtemp(prefix="incneardup_")
+    _cleanup_at_exit(work)
+    if store_path is None:
+        store_path = os.path.join(work, "store")
+    decisions_path = os.path.join(work, "decisions")
+    _process = make_hamming_batch_processor(
+        spark, store_path, decisions_path, signer, sig_col,
+        max_hamming, id_col,
+    )
+
+    ckpt = os.path.join(work, "ckpt")
+    q = (
+        payload_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("incneardup_" + uuid.uuid4().hex[:8])
         .start()
     )
     q.awaitTermination()
