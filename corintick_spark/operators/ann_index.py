@@ -169,3 +169,122 @@ class AnnIndex:
             )
             .filter(F.col("rank") <= topk)
         )
+
+
+class GraphIndex:
+    """Durable graph-ANN index (operators/nndescent.py): two persisted
+    tables — the k-NN graph (id, nbr, score) and the prepped vector table
+    (id, vec, n2) — plus HNSW-style incremental insertion.
+
+    Lifecycle mirrors :class:`AnnIndex`: build ONCE over the corpus (the
+    only pass that scores O(n·k²) pairs), persist, then serve every query
+    batch and every ingest batch from the artifacts. Both tables are
+    written repartitioned by id so a cluster deployment can bucket them on
+    id and the per-hop candidate lookup joins shuffle-free.
+
+        gx = GraphIndex.build(embeddings, k=10, iters=3)
+        gx.save(path)
+        gx2 = GraphIndex.load(spark, path)
+        gx2.search(probes, k=5)                  # corpus never re-read
+        gx3 = gx2.insert(new_batch)              # graph repaired, not rebuilt
+    """
+
+    def __init__(self, graph: DataFrame, vectors: DataFrame, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.graph = graph        # (id, nbr, score)
+        self.vectors = vectors    # (id, vec, n2)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(cls, corpus: DataFrame, k: int = 10, iters: int = 3,
+              build_k: int | None = None, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> "GraphIndex":
+        from corintick_spark.operators.nndescent import _prep, knn_graph
+
+        g = knn_graph(corpus, k=k, iters=iters, build_k=build_k, seed=seed,
+                      id_col=id_col, vec_col=vec_col).select("id", "nbr", "score")
+        return cls(g, _prep(corpus, id_col, vec_col), k, id_col, vec_col)
+
+    def save(self, path: str) -> None:
+        self.graph.repartition("id").write.mode("overwrite").parquet(
+            os.path.join(path, "graph")
+        )
+        self.vectors.repartition("id").write.mode("overwrite").parquet(
+            os.path.join(path, "vectors")
+        )
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump({"k": self.k, "id_col": self.id_col,
+                       "vec_col": self.vec_col, "version": 1}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphIndex":
+        with open(os.path.join(path, "manifest.json")) as f:
+            m = json.load(f)
+        return cls(spark.read.parquet(os.path.join(path, "graph")),
+                   spark.read.parquet(os.path.join(path, "vectors")),
+                   m["k"], m["id_col"], m["vec_col"])
+
+    def search(self, probes: DataFrame, k: int = 5, beam: int = 15,
+               hops: int = 3, sample_size: int = 128, seed: int = 42) -> DataFrame:
+        """Batched beam search over the persisted tables — raw corpus
+        embeddings are never touched (the prepped vector table serves the
+        per-hop lookups)."""
+        from corintick_spark.operators.nndescent import graph_search
+
+        return graph_search(probes, self.graph, self.vectors, k=k, beam=beam,
+                            hops=hops, sample_size=sample_size, seed=seed,
+                            id_col=self.id_col, vec_col=self.vec_col)
+
+    def insert(self, batch: DataFrame, beam: int = 15, hops: int = 3,
+               sample_size: int = 128, seed: int = 42) -> "GraphIndex":
+        """HNSW-style incremental insertion: SEARCH the persisted graph for
+        each new vector's k nearest (corpus never re-scored), CONNECT both
+        directions, and re-trim only the touched nodes' lists. Intra-batch
+        structure comes from a NN-Descent run over the batch alone (the
+        batch is the small side by assumption — a day's ingest vs the
+        corpus). Returns a new GraphIndex sharing this one's artifacts.
+
+        Scale posture (matches operators/dedup.py::incremental_neardup):
+        cost is O(|batch|·(sample_size + beam·k·hops)) scores plus the
+        batch-local build — independent of corpus size except the id-joins
+        against the persisted (bucketable) tables; untouched corpus rows
+        are carried by anti-join, never re-ranked.
+        """
+        from corintick_spark.operators.nndescent import (
+            _prep, _top_k, graph_search, knn_graph,
+        )
+
+        new_vecs = _prep(batch, self.id_col, self.vec_col)
+        found = graph_search(
+            batch, self.graph, self.vectors, k=self.k, beam=beam, hops=hops,
+            sample_size=sample_size, seed=seed,
+            id_col=self.id_col, vec_col=self.vec_col,
+        ).select("q_id", "c_id", "score")
+        intra = knn_graph(
+            batch, k=self.k, iters=2, seed=seed,
+            id_col=self.id_col, vec_col=self.vec_col,
+        ).select("id", "nbr", "score")
+        fwd = found.select(
+            F.col("q_id").alias("id"), F.col("c_id").alias("nbr"), "score"
+        ).unionByName(intra)
+        rev = found.select(
+            F.col("c_id").alias("id"), F.col("q_id").alias("nbr"), "score"
+        )
+        touched = rev.select("id").distinct()
+        untouched = self.graph.join(touched, "id", "left_anti")
+        repaired = _top_k(
+            self.graph.join(touched, "id", "left_semi")
+            .unionByName(rev)
+            .unionByName(fwd)
+            # old-corpus and batch id spaces are disjoint by contract, but a
+            # caller re-inserting an id must not create duplicate edges
+            .dropDuplicates(["id", "nbr"]),
+            self.k,
+        )
+        return GraphIndex(
+            untouched.unionByName(repaired),
+            self.vectors.unionByName(new_vecs),
+            self.k, self.id_col, self.vec_col,
+        )

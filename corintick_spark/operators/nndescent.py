@@ -225,8 +225,15 @@ def graph_search(
     random entry point lands in the right cluster). Seeding cost is
     Q·sample_size scores — with sample_size ~ √n this stays ~1% of the
     brute-force scan at a million vectors and the descent does the rest.
+
+    ``corpus`` may be a pre-prepped (id, vec, n2) table (GraphIndex's
+    persisted vectors) — detected by exact column set, skips the
+    projection + norm recompute.
     """
-    vecs = spread_input(_prep(corpus, id_col, vec_col)).localCheckpoint()
+    if set(corpus.columns) == {"id", "vec", "n2"}:
+        vecs = corpus.localCheckpoint()
+    else:
+        vecs = spread_input(_prep(corpus, id_col, vec_col)).localCheckpoint()
     adj = graph.select("id", "nbr")
 
     entry = (

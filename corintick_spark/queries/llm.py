@@ -454,6 +454,32 @@ def similarity_graph_ann(spark, sf_dir):
     return _with_recall(out, _exact_pairs(probes, e, "cos"), k=5, floor=0.6)
 
 
+# T-B50 graph-index tier — HNSW-style incremental insertion into a
+# persisted graph index (the live-ingest half, mirroring the
+# incremental_neardup posture of the dedup tiers).
+@query("ann_graph_incremental", sql=None)
+def ann_graph_incremental(spark, sf_dir):
+    """Incremental graph-ANN: build a GraphIndex over the corpus stratum
+    (vec_id ≥ 50 of the clustered derivation), INSERT the new batch
+    (vec_id < 50) by search-and-connect — the corpus is never re-scored,
+    only id-joined (operators/ann_index.py::GraphIndex.insert) — then
+    serve the 10 probe vectors from the merged index. Rows-only
+    invariants: top-k structure + pooled recall@5 vs the exact scan of
+    the FULL corpus (so a batch that failed to wire in, or a repair that
+    corrupted corpus lists, shows up as missing true neighbors), floor
+    0.6 — measured 1.0 at sf0.01 and 0.9+ at 2000 vectors."""
+    from corintick_spark.operators.ann_index import GraphIndex
+
+    e = _clustered_embeddings(table(spark, sf_dir, "embeddings"))
+    corpus = e.filter(F.col("vec_id") >= 50)
+    batch = e.filter(F.col("vec_id") < 50)
+    idx = GraphIndex.build(corpus, k=10, iters=3).insert(batch)
+    probes = e.filter(F.col("vec_id") < 10)
+    out = idx.search(probes, k=5, beam=15, hops=3, sample_size=128)
+    out = _topk_invariants(out, "score", descending=True, lo=-1.0, hi=1.0)
+    return _with_recall(out, _exact_pairs(probes, e, "cos"), k=5, floor=0.6)
+
+
 # T-B52 — word count (explode + agg).
 @query(
     "text_wordcount",

@@ -156,3 +156,60 @@ def test_zero_norm_never_pairs(spark):
 def test_empty_corpus(spark):
     e = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert knn_graph(e, k=3, iters=1).count() == 0
+
+
+def test_graph_index_lifecycle(spark, clustered, tmp_path):
+    from corintick_spark.operators.ann_index import GraphIndex
+
+    idx = GraphIndex.build(clustered, k=8, iters=3, build_k=8)
+    path = str(tmp_path / "gidx")
+    idx.save(path)
+    idx2 = GraphIndex.load(spark, path)
+    assert idx2.k == 8
+    probes = clustered.filter(F.col("vec_id") < 10)
+    out = idx2.search(probes, k=5, beam=12, sample_size=64).cache()
+    assert (out.groupBy("q_id").count().toPandas()["count"] == 5).all()
+    exact = brute_force_topk(probes, clustered, k=5, max_broadcast_rows=None)
+    hit = out.join(exact.select("q_id", "c_id"), ["q_id", "c_id"]).count()
+    assert hit / exact.count() >= 0.9
+
+
+def test_graph_index_insert(spark, tmp_path):
+    from corintick_spark.operators.ann_index import GraphIndex
+
+    pdf = _clustered_pdf(n_clusters=20, per_cluster=12, dim=16, seed=11)
+    full = spark.createDataFrame(pdf).cache()
+    corpus = full.filter(F.col("vec_id") % 5 != 0).cache()
+    batch = full.filter(F.col("vec_id") % 5 == 0).cache()
+
+    idx = GraphIndex.build(corpus, k=6, iters=3, build_k=8)
+    idx2 = idx.insert(batch, sample_size=64)
+
+    g = idx2.graph.cache().toPandas()
+    # structure survives: ≤ k distinct neighbors, no self edges
+    by_id = g.groupby("id")
+    assert (by_id.size() <= 6).all()
+    assert (by_id["nbr"].nunique() == by_id.size()).all()
+    assert (g["id"] != g["nbr"]).all()
+    # every inserted vector is wired in (has forward edges)
+    batch_ids = set(pdf[pdf.vec_id % 5 == 0]["vec_id"])
+    assert batch_ids <= set(g["id"])
+    # vectors table grew to the full corpus
+    assert idx2.vectors.count() == full.count()
+    # searching the merged index finds the batch's true neighbors
+    probes = batch.filter(F.col("vec_id") < 50)
+    out = idx2.search(probes, k=5, beam=12, sample_size=64)
+    exact = brute_force_topk(probes, full, k=5, max_broadcast_rows=None)
+    hit = out.join(exact.select("q_id", "c_id"), ["q_id", "c_id"]).count()
+    assert hit / exact.count() >= 0.85
+    # untouched corpus nodes kept their original lists verbatim
+    touched = set(
+        r.id for r in idx.graph.join(
+            idx2.graph.filter(F.col("nbr").isin(list(batch_ids))).select("id").distinct(),
+            "id", "left_semi").select("id").distinct().collect()
+    )
+    old = idx.graph.toPandas()
+    new_old_part = g[~g["id"].isin(batch_ids) & ~g["id"].isin(touched)]
+    old_untouched = old[~old["id"].isin(touched)]
+    key = lambda d: d.sort_values(["id", "nbr"]).reset_index(drop=True)[["id", "nbr"]]
+    pd.testing.assert_frame_equal(key(new_old_part), key(old_untouched))
