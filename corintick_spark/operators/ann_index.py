@@ -237,20 +237,21 @@ class GraphIndex:
                             hops=hops, sample_size=sample_size, seed=seed,
                             id_col=self.id_col, vec_col=self.vec_col)
 
-    def insert(self, batch: DataFrame, beam: int = 15, hops: int = 3,
-               sample_size: int = 128, seed: int = 42) -> "GraphIndex":
-        """HNSW-style incremental insertion: SEARCH the persisted graph for
-        each new vector's k nearest (corpus never re-scored), CONNECT both
-        directions, and re-trim only the touched nodes' lists. Intra-batch
-        structure comes from a NN-Descent run over the batch alone (the
-        batch is the small side by assumption — a day's ingest vs the
-        corpus). Returns a new GraphIndex sharing this one's artifacts.
+    def insert_delta(self, batch: DataFrame, beam: int = 15, hops: int = 3,
+                     sample_size: int = 128, seed: int = 42,
+                     ) -> "tuple[DataFrame, DataFrame, DataFrame]":
+        """The replace-set an HNSW-style insertion produces, WITHOUT merging
+        it into this index: ``(delta_graph, new_vecs, touched)`` where
+        ``delta_graph`` holds the COMPLETE post-insert adjacency lists for
+        every id the insertion writes (all batch ids + the touched corpus
+        nodes), ``new_vecs`` is the batch's prepped (id, vec, n2) rows and
+        ``touched`` the (id) frame of corpus nodes whose lists changed.
 
-        Scale posture (matches operators/dedup.py::incremental_neardup):
-        cost is O(|batch|·(sample_size + beam·k·hops)) scores plus the
-        batch-local build — independent of corpus size except the id-joins
-        against the persisted (bucketable) tables; untouched corpus rows
-        are carried by anti-join, never re-ranked.
+        This is the unit an epoch-keyed store commit needs
+        (streaming/graph_ingest.py): per micro-batch, persist delta_graph
+        + new_vecs and let a latest-epoch-wins read supersede the touched
+        nodes' old lists — the untouched corpus rows are never rewritten.
+        :meth:`insert` is this plus the in-plan merge.
         """
         from corintick_spark.operators.nndescent import (
             _prep, _top_k, graph_search, knn_graph,
@@ -273,8 +274,7 @@ class GraphIndex:
             F.col("c_id").alias("id"), F.col("q_id").alias("nbr"), "score"
         )
         touched = rev.select("id").distinct()
-        untouched = self.graph.join(touched, "id", "left_anti")
-        repaired = _top_k(
+        delta_graph = _top_k(
             self.graph.join(touched, "id", "left_semi")
             .unionByName(rev)
             .unionByName(fwd)
@@ -283,8 +283,29 @@ class GraphIndex:
             .dropDuplicates(["id", "nbr"]),
             self.k,
         )
+        return delta_graph, new_vecs, touched
+
+    def insert(self, batch: DataFrame, beam: int = 15, hops: int = 3,
+               sample_size: int = 128, seed: int = 42) -> "GraphIndex":
+        """HNSW-style incremental insertion: SEARCH the persisted graph for
+        each new vector's k nearest (corpus never re-scored), CONNECT both
+        directions, and re-trim only the touched nodes' lists. Intra-batch
+        structure comes from a NN-Descent run over the batch alone (the
+        batch is the small side by assumption — a day's ingest vs the
+        corpus). Returns a new GraphIndex sharing this one's artifacts.
+
+        Scale posture (matches operators/dedup.py::incremental_neardup):
+        cost is O(|batch|·(sample_size + beam·k·hops)) scores plus the
+        batch-local build — independent of corpus size except the id-joins
+        against the persisted (bucketable) tables; untouched corpus rows
+        are carried by anti-join, never re-ranked.
+        """
+        delta_graph, new_vecs, touched = self.insert_delta(
+            batch, beam=beam, hops=hops, sample_size=sample_size, seed=seed
+        )
+        untouched = self.graph.join(touched, "id", "left_anti")
         return GraphIndex(
-            untouched.unionByName(repaired),
+            untouched.unionByName(delta_graph),
             self.vectors.unionByName(new_vecs),
             self.k, self.id_col, self.vec_col,
         )

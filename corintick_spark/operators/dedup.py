@@ -655,42 +655,82 @@ def hamming_pairs(
         F.posexplode(F.expr(chunk_array)).alias("chunk_id", "chunk_val"),
     )
     keys = ["chunk_id", "chunk_val", *within]
-    a = banded.select(
-        F.col(id_col).alias("a_id"),
-        *([F.col(al).alias(f"a{al}") for al in sig_aliases]
-          if carry_sigs else []),
-        *keys,
-    )
-    b = banded.select(
-        F.col(id_col).alias("b_id"),
-        *([F.col(al).alias(f"b{al}") for al in sig_aliases]
-          if carry_sigs else []),
-        *keys,
-    )
-    # Measured broadcast guard (see minhash_lsh_pairs): the build side
-    # is the banded CORPUS and the checkpointed frame's inherited size
-    # estimate cannot be trusted; the count over the materialized
-    # checkpoint (above) decides. Banded bytes ~ rows * bands * rowsz.
-    rowsz = 16 + (8 * len(cols) if carry_sigs else 0)
-    banded_bytes = n_sigs * n_bands * rowsz
-    if banded_bytes > 48 * 1024 * 1024:
-        # size the exchange to the data (~32 MB of build per partition)
-        # and pin shuffle_hash — see minhash_lsh_pairs for the rationale
+    if scheme == "triple":
+        # Single-shuffle bucket pairing (round 11, measured at sf30 —
+        # 1.5M docs, 286 tables, 429M banded rows): a groupBy over the
+        # band key shuffles the banded rows ONCE and pairs stream out of
+        # each bucket via posexplode + slice over the sorted id list
+        # (a_id < b_id by construction; a bucket of m ids materializes m
+        # slices, never an m^2 array). Two join-shaped alternatives were
+        # measured and REJECTED at this scale: the a/b self-join
+        # formulations (project-before or project-after a shared
+        # repartition) land at the same ~400s full-query time with a
+        # second exchange or no better, and MATERIALIZING the banded
+        # frame once via localCheckpoint to force single-scan reuse OOMs
+        # the JVM heap outright (429M rows in the block manager). The
+        # sort-based aggregation this groupBy falls back to (collect_list
+        # over mostly-unique keys) spills gracefully — the safest shape
+        # at ≫10^6 docs. Skew profile matches the hash join's: a
+        # mega-bucket lands in one task either way.
+        banded_bytes = n_sigs * n_bands * 16
         nparts = max(
             sigs.sparkSession.sparkContext.defaultParallelism,
             int(banded_bytes // (32 * 1024 * 1024)) + 1,
         )
-        b = b.repartition(nparts, *keys).hint("shuffle_hash")
-    cand = (
-        a.join(b, keys)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            *within, "a_id", "b_id",
-            *([f"a{al}" for al in sig_aliases] if carry_sigs else []),
-            *([f"b{al}" for al in sig_aliases] if carry_sigs else []),
+        cand = (
+            banded.repartition(nparts, *keys)
+            .groupBy(*keys)
+            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+            .select(
+                *within, "_ids",
+                F.posexplode("_ids").alias("_i", "a_id"),
+            )
+            .select(
+                *within, "a_id",
+                F.explode(
+                    F.expr("slice(_ids, _i + 2, size(_ids) - _i - 1)")
+                ).alias("b_id"),
+            )
+            .dropDuplicates([*within, "a_id", "b_id"])
         )
-        .dropDuplicates([*within, "a_id", "b_id"])
-    )
+    else:
+        a = banded.select(
+            F.col(id_col).alias("a_id"),
+            *([F.col(al).alias(f"a{al}") for al in sig_aliases]
+              if carry_sigs else []),
+            *keys,
+        )
+        b = banded.select(
+            F.col(id_col).alias("b_id"),
+            *([F.col(al).alias(f"b{al}") for al in sig_aliases]
+              if carry_sigs else []),
+            *keys,
+        )
+        # Measured broadcast guard (see minhash_lsh_pairs): the build side
+        # is the banded CORPUS and the checkpointed frame's inherited size
+        # estimate cannot be trusted; the count over the materialized
+        # checkpoint (above) decides. Banded bytes ~ rows * bands * rowsz.
+        rowsz = 16 + (8 * len(cols) if carry_sigs else 0)
+        banded_bytes = n_sigs * n_bands * rowsz
+        if banded_bytes > 48 * 1024 * 1024:
+            # size the exchange to the data (~32 MB of build per partition)
+            # and pin shuffle_hash — see minhash_lsh_pairs for the rationale
+            nparts = max(
+                sigs.sparkSession.sparkContext.defaultParallelism,
+                int(banded_bytes // (32 * 1024 * 1024)) + 1,
+            )
+            b = b.repartition(nparts, *keys).hint("shuffle_hash")
+        cand = (
+            a.join(b, keys)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select(
+                *within, "a_id", "b_id",
+                *([f"a{al}" for al in sig_aliases] if carry_sigs else []),
+                *([f"b{al}" for al in sig_aliases] if carry_sigs else []),
+            )
+            .dropDuplicates([*within, "a_id", "b_id"])
+        )
     if not carry_sigs:
         # join the signature words back onto the candidate pairs; the
         # sig frame is n_sigs rows of (id, W words) — broadcast it when

@@ -644,6 +644,43 @@ def stream_dedup_audio_incremental(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+# Streaming graph-ANN ingest (round 11): a 3-batch embedding stream
+# folded into a growing persisted GraphIndex — epoch 0 builds the graph
+# from the first batch, later epochs INSERT by search-and-connect
+# (GraphIndex.insert_delta) and commit only the replace-set, so prior
+# batches' vectors are never re-scored and untouched adjacency is never
+# rewritten (streaming/graph_ingest.py). Graph-construction specific →
+# rows-only; recall is adjudicated IN the query against the exact scan
+# of the full corpus, so a batch that failed to wire into the graph (or
+# an epoch merge that corrupted earlier lists) surfaces as missing true
+# neighbors.
+@query("stream_ann_graph_ingest", sql=None)
+def stream_ann_graph_ingest(spark, sf_dir):
+    """Top-5 neighbors for the 10 probe vectors served from the
+    stream-grown graph store after folding the clustered embedding
+    derivation as 3 vec_id-ranged micro-batches (cold start). Rows-only
+    invariants: top-k structure (rank contiguity, score monotonic,
+    cosine in [-1,1]) + pooled recall@5 vs the exact scan, floor 0.6 —
+    measured 1.0 at sf0.01."""
+    from corintick_spark.catalog import table
+    from corintick_spark.queries.llm import (
+        _clustered_embeddings,
+        _exact_pairs,
+        _topk_invariants,
+        _with_recall,
+    )
+    from corintick_spark.streaming.graph_ingest import streaming_graph_ingest
+    from corintick_spark.streaming.incremental_dedup import frame_stream_batched
+
+    e = _clustered_embeddings(table(spark, sf_dir, "embeddings"))
+    src = frame_stream_batched(spark, e, n_batches=3, order_col="vec_id")
+    idx = streaming_graph_ingest(spark, src, k=10)
+    probes = e.filter(F.col("vec_id") < 10)
+    out = idx.search(probes, k=5, beam=15, hops=3, sample_size=128)
+    out = _topk_invariants(out, "score", descending=True, lo=-1.0, hi=1.0)
+    return _with_recall(out, _exact_pairs(probes, e, "cos"), k=5, floor=0.6)
+
+
 # Streaming heavy hitters — bounded-state frequent tokens over the
 # document stream (streaming/stateful.py::heavy_hitters). Sketch-
 # construction specific → rows-only; the MG undercount bound and the

@@ -113,9 +113,11 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # adjudication order (graph_pagerank skipped — re-adjudicated r08).
 # Rotated-out queries keep their green r02–r10 rows plus the local
 # DuckDB differential (tests/test_oracle_queries.py).
-# Round-12 queue: any round-11 registrations first, then the remaining
-# 15 r04-cohort queries (rollup_multires onward), then the oldest r05
-# rows (sql_q2 onward in r05 adjudication order).
+# Round-12 queue: the round-11 registrations first
+# (ann_graph_incremental, stream_ann_graph_ingest — both rows-only with
+# in-query recall adjudication), then the remaining 15 r04-cohort
+# queries (rollup_multires onward), then the oldest r05 rows (sql_q2
+# onward in r05 adjudication order).
 DRIVER_WINDOW: tuple[str, ...] = (
     # (a) never-driver-windowed r10 registrations — first external
     # adjudication
