@@ -102,7 +102,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-) -> DataFrame:
+    return_sig: bool = False,
+):
     """Near-duplicate pairs via MinHash + LSH banding, verified with true
     shingle Jaccard.
 
@@ -111,6 +112,12 @@ def minhash_lsh_pairs(
     (band_id, band_hash) — only same-bucket docs ever meet; verification
     joins shingle sets back on the candidate ids only. No crossJoin anywhere.
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
+
+    ``return_sig`` (round 11, guide §2.4 — share the materialized stage):
+    also return the eagerly checkpointed (id, shingles, sig) frame as a
+    second element, so callers needing another shingle-derived pass (e.g.
+    dedup_minhash's identical-shingle-set invariant subset) read the
+    checkpoint instead of re-tokenizing and re-hashing the corpus text.
     """
     rows = num_hashes // bands
     # Signature hashing is CPU-bound — spread a narrow local scan across all
@@ -211,7 +218,10 @@ def minhash_lsh_pairs(
             / F.nullif(F.size(F.array_union("a_sh", "b_sh")), F.lit(0)),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
+    out = jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
+    if return_sig:
+        return out, sig.select(F.col(id_col).alias("doc_id"), "shingles", "sig")
+    return out
 
 
 def minhash_signature_table(

@@ -54,10 +54,16 @@ def dedup_minhash(spark, sf_dir):
     along: a same-set pair missed by the LSH (or emitted with jaccard !=
     1) fails inv_ok."""
     d = table(spark, sf_dir, "documents")
-    p = D.minhash_lsh_pairs(d, k=3, num_hashes=32, bands=8, threshold=0.3)
+    p, sig = D.minhash_lsh_pairs(
+        d, k=3, num_hashes=32, bands=8, threshold=0.3, return_sig=True
+    )
     # replayable subset: identical distinct 3-shingle SETS => identical
-    # signatures => banded together => verified jaccard == 1.0 exactly
-    sets = D.shingles(d, k=3).select(
+    # signatures => banded together => verified jaccard == 1.0 exactly.
+    # Round 11 (guide §2.4): read the shingle sets from the operator's
+    # already-checkpointed signature frame instead of re-tokenizing and
+    # re-shingling the corpus text a second time (bench: 2.96s -> see
+    # OPTIMIZATION_r11.md) — identical arrays by construction.
+    sets = sig.select(
         "doc_id",
         F.expr("xxhash64(array_sort(shingles))").alias("_ss"),
     )
