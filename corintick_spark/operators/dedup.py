@@ -568,10 +568,18 @@ def hamming_pairs(
     notnull = F.lit(True)
     for c in cols:
         notnull = notnull & F.col(c).isNotNull()
+    # Checkpoint FIRST, filter the (rare) null signatures after (round 11,
+    # guide §4.4's duplicate-evaluation trap in its JVM-expression form):
+    # a filter on a computed signature column pushes below the defining
+    # projection and replaceAlias INLINES the full signature expression
+    # into the predicate — for the 64*W-lane SimHash folds that re-hashes
+    # every token once per lane, measured 0.9s -> 11-19s on the sf0.1
+    # corpus. Filtering the eagerly materialized checkpoint costs one
+    # in-memory pass and keeps every downstream row identical.
     sigs = (
-        sigs.filter(notnull)
-        .select(id_col, *cols, *within)
+        sigs.select(id_col, *cols, *within)
         .localCheckpoint(eager=True)
+        .filter(notnull)
     )
     # One count over the materialized checkpoint feeds BOTH the scheme
     # escalation and the exchange sizing (inherited plan estimates are
@@ -805,10 +813,18 @@ def hamming_join(
         cond = F.lit(True)
         for c in cols:
             cond = cond & F.col(c).isNotNull()
-        return d.filter(cond).select(id_col, *cols)
+        return d.filter(cond)
 
-    new = notnull(new_sigs).localCheckpoint(eager=True)
-    corpus = notnull(corpus_sigs)
+    # New side: checkpoint BEFORE the null filter (round 11 — same
+    # duplicate-evaluation trap as hamming_pairs: a filter on computed
+    # signature columns is pushed below the defining projection and
+    # re-inlines the whole signature expression into the predicate).
+    # Corpus side: filter FIRST — it reads a persisted signature table,
+    # so the notnull predicate pushes into the parquet scan instead.
+    new = notnull(
+        new_sigs.select(id_col, *cols).localCheckpoint(eager=True)
+    )
+    corpus = notnull(corpus_sigs).select(id_col, *cols)
 
     def chunk_expr(ci: int) -> str:
         s0 = ci * width
