@@ -49,6 +49,7 @@ def pagerank(
     tol: float = 0.0,
     checkpoint_every: int = 1,
     broadcast_nodes_max: int = 1_000_000,
+    merge_parallel: bool = True,
 ) -> DataFrame:
     """Return (node, rank) after at most ``iterations`` rounds of weighted
     PageRank, stopping early once the L1 rank delta falls below ``tol``
@@ -66,6 +67,15 @@ def pagerank(
     the logical plan grows ~2^K per segment before exchange reuse collapses
     it.
 
+    ``merge_parallel`` (round 11): the parallel-edge merge
+    (``groupBy(src, dst).sum(w)``) is one full shuffle of the edge list
+    before the loop even starts. Callers whose edge construction already
+    guarantees one row per (src, dst) — e.g. an aggregation keyed on the
+    endpoints, or a union of two such halves with disjoint key spaces —
+    pass ``False`` to skip it; the rows are identical by the caller's own
+    construction (sum over a single row is the row). Leave ``True`` for
+    raw edge lists.
+
     ``broadcast_nodes_max``: when the node count is at or below this, the
     rank table is BROADCAST into both per-iteration joins instead of
     shuffled — AQE cannot make that call itself because a localCheckpointed
@@ -80,13 +90,12 @@ def pagerank(
     # cached: out_w, the flagged node set, and norm all derive from e —
     # without this the (possibly expensive) upstream edge construction
     # re-executes once per derived frame before the loop even starts
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-        .filter(F.col("w") > 0)
-        .groupBy("src", "dst")
-        .agg(F.sum("w").alias("w"))
-        .cache()
-    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).filter(F.col("w") > 0)
+    if merge_parallel:
+        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    e = e.cache()
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # edge weight as out-fraction, partitioned by src once and reused —
     # every iteration's join then co-locates on the cached partitioning.
@@ -102,35 +111,53 @@ def pagerank(
         -(-n_edges // 250_000),
         16 * e.sparkSession.sparkContext.defaultParallelism,
     ))
-    norm = (
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
-        .repartition(nparts, "src")
-        .cache()
-    )
     # node set with a static is_dangling flag (no out-edges) — a property of
     # the graph, computed ONCE; symmetrized graphs have none and skip the
     # dangling-mass aggregate entirely
+    # Round 11 (guide §2.4): ONE explode+groupBy pass over e replaces the
+    # union+distinct+left-join shape (two passes over e plus a join against
+    # out_w) — a node is dangling iff it never appears as src, which
+    # max(is_src) answers inside the same aggregation. Identical rows, one
+    # fewer shuffle and one fewer scan of e.
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(
-            out_w.select(F.col("src").alias("node"), F.lit(1).alias("_has_out")),
-            "node",
-            "left",
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("_s")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("_s")),
+                )
+            ).alias("ns")
         )
-        .select("node", F.col("_has_out").isNull().alias("is_dangling"))
+        .groupBy(F.col("ns.node").alias("node"))
+        .agg((F.max("ns._s") == 0).alias("is_dangling"))
         .cache()
     )
-    n_nodes = nodes.count()  # one scalar, fixed for the whole run
+    # one action feeds the node count AND the dangling probe (was two)
+    head = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.max(F.col("is_dangling").cast("int")), F.lit(0)).alias("d"),
+    ).first()
+    n_nodes = int(head["n"])  # one scalar, fixed for the whole run
     if n_nodes == 0:  # empty graph: empty result, not a ZeroDivisionError
         empty = nodes.select("node", F.lit(0.0).alias("rank"))
-        for frame in (norm, nodes, e):
+        for frame in (nodes, e):  # norm is built below, after this guard
             frame.unpersist()
         return empty
-    has_dangling = bool(nodes.filter("is_dangling").head(1))
+    has_dangling = bool(head["d"])
     bcast = n_nodes <= broadcast_nodes_max
+    # norm's layout (round 11, guide §2.4): on the BROADCAST path the rank
+    # table is shipped to every task each round, so norm's partitioning is
+    # irrelevant to the join — a coalesce to the same target count keeps
+    # the few-large-tasks shape the loop wants WITHOUT paying a full
+    # payload shuffle up front (measured: norm materialization 2.4s ->
+    # ~0.6s at 1.17M edges). The shuffle path keeps the hash repartition
+    # on src: there the per-round rank exchange co-locates against it.
+    normed = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
+    )
+    norm = (
+        normed.coalesce(nparts) if bcast else normed.repartition(nparts, "src")
+    ).cache()
 
     def step(ranks: DataFrame) -> DataFrame:
         rank_src = ranks.select(F.col("node").alias("src"), "rank")

@@ -260,15 +260,33 @@ def graph_pagerank(spark, sf_dir):
             F.col("w").cast("double").alias("w"),
         )
     )
-    # bidirectional edges make the bipartite walk ergodic
-    edges = cs.unionByName(
-        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    # bidirectional edges make the bipartite walk ergodic. Round 11
+    # (guide §2.4): emit both directions from ONE pass via explode instead
+    # of a union of two selects over the aggregation — the union shape
+    # reuses the exchange but runs the final aggregation pass twice.
+    # Identical rows.
+    edges = cs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("w")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst", "ed.w")
     # 8 rounds in 2 jobs (checkpoint_every=4); tol is a safety-net early
     # exit — with damping 0.85 the L1 delta contracts ~0.85x/round, so a
     # tiny tol would never fire inside a bench-budget iteration count
+    # merge_parallel=False (round 11): each union half is keyed on its
+    # groupBy endpoints and the "c"/"s" prefixes make the two halves'
+    # (src, dst) spaces disjoint, so the edge list is one-row-per-pair by
+    # construction — the operator's merge shuffle would re-aggregate
+    # 2x|pairs| rows to themselves.
     r = pagerank(
-        edges, weight="w", damping=0.85, iterations=8, tol=1e-4, checkpoint_every=4
+        edges, weight="w", damping=0.85, iterations=8, tol=1e-4,
+        checkpoint_every=4, merge_parallel=False,
     )
     # rows-only invariant: PageRank is a probability distribution — the
     # FULL rank vector (pre-limit) sums to 1 and every rank is positive.
