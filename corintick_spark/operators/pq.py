@@ -33,6 +33,7 @@ ratio, recall vs exact scan), i.e. the rows-only driver tier.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves the stringified pd.Series hints
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
@@ -56,6 +57,78 @@ def _sq(a: str, b: str):
         f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
         " 0D, (s, v) -> s + v)"
     )
+
+
+def _cb_array(books: dict, m: int, k: int):
+    """Codebooks as an (m, k, sub) numpy array for the vectorized UDFs."""
+    import numpy as np
+
+    return np.array(
+        [[list(books[(j, c)]) for c in range(k)] for j in range(m)],
+        dtype=np.float64,
+    )
+
+
+def _dists_batch(vals, cb):
+    """(n, m, k) squared distances of every row's m subvectors against the
+    (m, k, sub) codebook — vectorized across rows/subspaces/cells, but
+    accumulated POSITION-SEQUENTIALLY (p ascending, +=) so every double
+    add happens in the exact order of the old aggregate/zip_with left fold
+    and distances are bit-identical to the JVM expression path (verified
+    by the old-vs-new differential at sf0.01)."""
+    import numpy as np
+
+    n = len(vals)
+    m, k, sub = cb.shape
+    if n == 0:
+        return np.zeros((0, m, k))
+    # cast to double FIRST (the old expressions CAST each element before
+    # any arithmetic), then subtract — same float64 ops in the same order
+    x = np.stack(vals).astype(np.float64, copy=False).reshape(n, m, sub)
+    acc = np.zeros((n, m, k))
+    for p in range(sub):
+        d = x[:, :, None, p] - cb[None, :, :, p]
+        acc += d * d
+    return acc
+
+
+def _codes_udf(books: dict, m: int, k: int):
+    """Vectorized quantizer (round 11, guide §4.2): a pandas UDF hands
+    whole Arrow batches to numpy — replaces the interpreted nested-HOF /
+    fan-out-join assignment, which paid per-element lambda interpretation
+    on every (row, subspace, cell) triple. np.argmin takes the FIRST
+    minimal index = smallest cell on ties, the same (d, cell) order as the
+    old min_by(struct(_d, cell))."""
+    import numpy as np
+    import pandas as pd
+
+    cb = _cb_array(books, m, k)
+
+    @F.pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        d = _dists_batch(v.to_numpy(), cb)
+        out = d.argmin(axis=2).astype("int32")
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _dtab_udf(books: dict, m: int, k: int):
+    """Vectorized ADC distance-table builder: dtab[j][cell] per query row,
+    same layout and bit-identical doubles as the old two-stage
+    collect_list aggregation (see _dists_batch)."""
+    import pandas as pd
+
+    cb = _cb_array(books, m, k)
+
+    @F.pandas_udf("array<array<double>>")
+    def dtab(v: pd.Series) -> pd.Series:
+        d = _dists_batch(v.to_numpy(), cb)
+        # row-wise tolist: Arrow nested-list conversion wants python lists,
+        # not 2-D ndarrays; dtab inputs are probe sets (small by contract)
+        return pd.Series([r.tolist() for r in d])
+
+    return dtab
 
 
 def pq_fit(
@@ -89,35 +162,46 @@ def pq_fit(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    fit_df = hash_sample_cap(spread_input(df), id_col, fit_sample_max)
-    subs = _subvectors(fit_df, m, sub, id_col, vec_col).persist()
-
-    # per-subspace deterministic init: the k subvectors with smallest id hash
-    w = Window.partitionBy("j").orderBy(F.xxhash64("_id"), "_id")
-    init = (
-        subs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select("j", (F.col("_rk") - 1).alias("cell"), F.col("sv").alias("centroid"))
-        .collect()
+    fit_df = (
+        hash_sample_cap(spread_input(df), id_col, fit_sample_max)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+        )
+        .persist()
     )
-    books = {(r["j"], r["cell"]): list(r["centroid"]) for r in init}
+
+    # Deterministic init — the k vectors with smallest id hash. xxhash64(id)
+    # does not depend on the subspace, so the per-j rank order is the SAME
+    # id order for every j: one TakeOrdered over the fit frame replaces the
+    # round-1 window over the m-way exploded subvectors (identical cells).
+    init = (
+        fit_df.orderBy(F.xxhash64("_id"), "_id").limit(k).collect()
+    )
+    books = {
+        (j, c): list(r["_v"][j * sub:(j + 1) * sub])
+        for c, r in enumerate(init)
+        for j in range(m)
+    }
 
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(j, c, v) for (j, c), v in sorted(books.items())],
-            "j int, cell int, centroid array<double>",
-        )
-        # single pass per round: the assign agg carries sv through (it is
-        # constant per (_id, j) group), so no big-big rejoin against subs
+        # ONE job per round, one map-side-combined shuffle of <= m*k*(d/m)
+        # partial rows: the vectorized UDF (guide §4.2) assigns every
+        # subspace's cell in one Arrow batch pass (no fan-out join on j,
+        # no (_id, j) aggregation), and the centroid update explodes
+        # straight to (j, cell, pos, x) for a tiny partial+final average.
+        assigned = fit_df.select("_v", _codes_udf(books, m, k)("_v").alias("_cells"))
         comp = (
-            subs.join(F.broadcast(cdf), "j")
-            .withColumn("_d", _sq("sv", "centroid"))
-            .groupBy("_id", "j")
-            .agg(
-                F.min_by("cell", F.struct("_d", "cell")).alias("cell"),
-                F.first("sv").alias("sv"),
+            assigned.select(
+                F.explode(
+                    F.expr(
+                        f"""transform(sequence(0, {m - 1}), j -> struct(
+                            j AS j, _cells[j] AS cell,
+                            slice(_v, j * {sub} + 1, {sub}) AS sv))"""
+                    )
+                ).alias("a")
             )
-            .select("j", "cell", F.posexplode("sv").alias("pos", "x"))
+            .select("a.j", "a.cell", F.posexplode("a.sv").alias("pos", "x"))
             .groupBy("j", "cell", "pos")
             .agg(F.avg("x").alias("mu"))
             .groupBy("j", "cell")
@@ -128,7 +212,7 @@ def pq_fit(
         new = {(r["j"], r["cell"]): list(r["centroid"]) for r in comp}
         books = {jc: new.get(jc, v) for jc, v in books.items()}
 
-    subs.unpersist()
+    fit_df.unpersist()
     return spark.createDataFrame(
         [(j, c, v) for (j, c), v in sorted(books.items())],
         "j int, cell int, centroid array<double>",
@@ -143,26 +227,43 @@ def pq_encode(
 ) -> DataFrame:
     """Quantize each vector to its m nearest-cell codes. Returns
     (id_col, codes array<int>) — the compact table that gets persisted at
-    scale; one broadcast join, no shuffle beyond the final per-id regroup."""
+    scale; one Arrow-batched projection, zero shuffles."""
     mj = codebooks.select(F.max("j")).first()[0]
     if mj is None:  # empty codebooks (empty fit input) -> empty codes
         return df.limit(0).select(
             F.col(id_col), F.expr("CAST(array() AS array<int>)").alias("codes")
         )
     m = mj + 1
-    sub = len(codebooks.select("centroid").first()[0])
-    subs = _subvectors(df, m, sub, id_col, vec_col)
-    return (
-        subs.join(F.broadcast(codebooks), "j")
-        .withColumn("_d", _sq("sv", "centroid"))
-        .groupBy("_id", "j")
-        .agg(F.min_by("cell", F.struct("_d", "cell")).alias("cell"))
-        .groupBy("_id")
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(j, cell))), e -> e.cell)")
-            .alias("codes")
-        )
-        .select(F.col("_id").alias(id_col), "codes")
+    rows = codebooks.collect()  # m*k rows — the always-broadcastable table
+    k = max(r["cell"] for r in rows) + 1
+    books = {(r["j"], r["cell"]): list(r["centroid"]) for r in rows}
+    # Vectorized quantization (round 11, guide §4.2): one Arrow-batched
+    # projection — no m-way explode, no fan-out join, no (_id, j) + (_id)
+    # double aggregation; ZERO shuffles. spread_input parallelizes the
+    # single-file local scan the projection would otherwise inherit.
+    return spread_input(df).select(
+        F.col(id_col), _codes_udf(books, m, k)(vec_col).alias("codes")
+    )
+
+
+def _dtab_frame(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC distance table (q_id, dtab[j][cell]) as ONE projection
+    over the crossJoined 1-row codebook (round 11) — replaces the m-way
+    explode + fan-out join + double collect_list aggregation. Same [j][cell]
+    layout and the same zip_with/aggregate float expression, so tables are
+    identical."""
+    rows = codebooks.collect()
+    k = max(r["cell"] for r in rows) + 1
+    books = {(r["j"], r["cell"]): list(r["centroid"]) for r in rows}
+    return queries.select(
+        F.col(id_col).alias("q_id"),
+        _dtab_udf(books, m, k)(vec_col).alias("dtab"),
     )
 
 
@@ -187,25 +288,7 @@ def pq_topk(
             F.lit(0).cast("bigint").alias("rank"),
         )
     m = mj + 1
-    sub = len(codebooks.select("centroid").first()[0])
-
-    # distance table per query: m x k nested array, built distributedly
-    dtab = (
-        _subvectors(queries, m, sub, id_col, vec_col)
-        .join(F.broadcast(codebooks), "j")
-        .withColumn("_d", _sq("sv", "centroid"))
-        .groupBy("_id", "j")
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(cell, _d))), e -> e._d)")
-            .alias("row")
-        )
-        .groupBy("_id")
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(j, row))), e -> e.row)")
-            .alias("dtab")
-        )
-        .select(F.col("_id").alias("q_id"), "dtab")
-    )
+    dtab = _dtab_frame(queries, codebooks, m, id_col, vec_col)
 
     adc = F.expr(
         "aggregate(zip_with(codes, dtab, (c, row) -> element_at(row, c + 1)),"
@@ -262,7 +345,6 @@ def ivfpq_topk(
             F.lit(0).cast("bigint").alias("rank"),
         )
     m = mj + 1
-    sub = len(codebooks.select("centroid").first()[0])
 
     c_cells = kmeans_assign(corpus, cell_centroids, id_col, vec_col).select(
         F.col(id_col).alias("c_id"), "cell"
@@ -283,22 +365,7 @@ def ivfpq_topk(
         .select("q_id", "cell")
     )
 
-    dtab = (
-        _subvectors(queries, m, sub, id_col, vec_col)
-        .join(F.broadcast(codebooks), "j")
-        .withColumn("_d", _sq("sv", "centroid"))
-        .groupBy("_id", "j")
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(cell, _d))), e -> e._d)")
-            .alias("row")
-        )
-        .groupBy("_id")
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(j, row))), e -> e.row)")
-            .alias("dtab")
-        )
-        .select(F.col("_id").alias("q_id"), "dtab")
-    )
+    dtab = _dtab_frame(queries, codebooks, m, id_col, vec_col)
 
     adc = F.expr(
         "aggregate(zip_with(codes, dtab, (c, row) -> element_at(row, c + 1)),"
