@@ -212,10 +212,18 @@ def minhash_lsh_pairs(
         )
         .withColumn(
             # nullif: two token-less docs give a 0-size union — ANSI mode
-            # would abort the job; NULL drops the pair, mirroring DuckDB
+            # would abort the job; NULL drops the pair, mirroring DuckDB.
+            # |A∪B| = |A| + |B| - |A∩B| (distinct shingle sets, round 11):
+            # O(1) length lookups instead of materializing a union array
+            # per candidate pair — identical integer operands, identical
+            # double.
             "jaccard",
             F.size(F.array_intersect("a_sh", "b_sh"))
-            / F.nullif(F.size(F.array_union("a_sh", "b_sh")), F.lit(0)),
+            / F.nullif(
+                F.size("a_sh") + F.size("b_sh")
+                - F.size(F.array_intersect("a_sh", "b_sh")),
+                F.lit(0),
+            ),
         )
     )
     out = jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
@@ -335,9 +343,16 @@ def incremental_neardup(
             "corpus_id",
         )
         .withColumn(
+            # |A∪B| via sizes (round 11) — shingle columns are distinct
+            # sets by the shingles() construction both here and in the
+            # persisted signature table; identical doubles
             "jaccard",
             F.size(F.array_intersect("n_sh", "c_sh"))
-            / F.nullif(F.size(F.array_union("n_sh", "c_sh")), F.lit(0)),
+            / F.nullif(
+                F.size("n_sh") + F.size("c_sh")
+                - F.size(F.array_intersect("n_sh", "c_sh")),
+                F.lit(0),
+            ),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select(
@@ -979,6 +994,13 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
         F.array_distinct("words").alias("wset"),
+    ).withColumn(
+        # set size once per DOC (round 11): |A∪B| = |A| + |B| - |A∩B| for
+        # distinct sets, so the per-PAIR array_union materialization (as
+        # expensive as the intersect itself) is replaced by integer
+        # arithmetic — identical doubles, the division operands are the
+        # same integers
+        "_n", F.size("wset")
     )
     # one physical pass feeds df-counting, prefix build, and verification
     words = words.localCheckpoint(eager=True)
@@ -987,16 +1009,19 @@ def ngram_jaccard_pairs(
     )
     if max_block <= naive_block_max:
         a = words.select(
-            "_blk", F.col("_id").alias("a_id"), F.col("wset").alias("a_w")
+            "_blk", F.col("_id").alias("a_id"), F.col("wset").alias("a_w"),
+            F.col("_n").alias("a_n"),
         )
         b = words.select(
-            "_blk", F.col("_id").alias("b_id"), F.col("wset").alias("b_w")
+            "_blk", F.col("_id").alias("b_id"), F.col("wset").alias("b_w"),
+            F.col("_n").alias("b_n"),
         )
         pairs = a.join(b, "_blk").filter(F.col("a_id") < F.col("b_id"))
+        isz = F.size(F.array_intersect("a_w", "b_w"))
         jac = pairs.withColumn(
             "jaccard",
-            F.size(F.array_intersect("a_w", "b_w"))
-            / F.nullif(F.size(F.array_union("a_w", "b_w")), F.lit(0)),
+            # nullif: empty-doc pairs (0-size union) must drop, not divide
+            isz / F.nullif(F.col("a_n") + F.col("b_n") - isz, F.lit(0)),
         )
         return jac.filter(F.col("jaccard") >= threshold).select(
             "a_id", "b_id", "jaccard"
@@ -1124,14 +1149,27 @@ def ngram_jaccard_pairs(
             F.least("a_id", "b_id").alias("a_id"),
             F.greatest("a_id", "b_id").alias("b_id"),
         ).distinct()
+    isz = F.size(F.array_intersect("a_w", "b_w"))
     jac = (
-        cand.join(words.select(F.col("_id").alias("a_id"), F.col("wset").alias("a_w")), "a_id")
-        .join(words.select(F.col("_id").alias("b_id"), F.col("wset").alias("b_w")), "b_id")
+        cand.join(
+            words.select(
+                F.col("_id").alias("a_id"), F.col("wset").alias("a_w"),
+                F.col("_n").alias("a_n"),
+            ),
+            "a_id",
+        )
+        .join(
+            words.select(
+                F.col("_id").alias("b_id"), F.col("wset").alias("b_w"),
+                F.col("_n").alias("b_n"),
+            ),
+            "b_id",
+        )
         .withColumn(
-            # nullif: empty-doc pairs (0-size union) must drop, not ANSI-abort
+            # nullif: empty-doc pairs (0-size union) must drop, not ANSI-abort;
+            # |A∪B| via sizes (round 11) — same integers, same double
             "jaccard",
-            F.size(F.array_intersect("a_w", "b_w"))
-            / F.nullif(F.size(F.array_union("a_w", "b_w")), F.lit(0)),
+            isz / F.nullif(F.col("a_n") + F.col("b_n") - isz, F.lit(0)),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
@@ -1522,9 +1560,18 @@ def _verify_positions(cand: DataFrame, docs: DataFrame, L: int) -> DataFrame:
         )
         .select("_id", F.col("_x._pos").alias("_pos"), F.col("_x._g").alias("_g"))
     )
-    dup_g = cand_txt.groupBy("_g").count().filter(F.col("count") >= 2)
-    return cand_txt.join(dup_g.select("_g"), "_g", "left_semi").select(
-        "_id", "_pos"
+    # count >= 2 via ONE window count over a single _g exchange (round 11,
+    # guide §2.4/§7.2): the previous groupBy + broadcast LEFT SEMI shape
+    # re-computed the whole extraction subtree on the probe side (a
+    # broadcast build side shares no exchange with its probe), so the
+    # candidate windows were re-extracted twice. Identical rows: the
+    # window count per _g partition equals the aggregate count the
+    # semi-join filtered on.
+    wg = Window.partitionBy("_g")
+    return (
+        cand_txt.withColumn("_c", F.count(F.lit(1)).over(wg))
+        .filter(F.col("_c") >= 2)
+        .select("_id", "_pos")
     )
 
 
@@ -1538,8 +1585,19 @@ def _duplicated_positions(docs: DataFrame, L: int) -> DataFrame:
         "_id",
         F.posexplode(F.expr(_window_hashes_expr(L))).alias("_p0", "_h"),
     ).select("_id", (F.col("_p0") + 1).alias("_pos"), "_h")
-    dup_h = grams.groupBy("_h").count().filter(F.col("count") >= 2)
-    cand = grams.join(dup_h.select("_h"), "_h", "left_semi")
+    # candidate filter as ONE window count over a single _h exchange
+    # (round 11): the groupBy + broadcast semi-join shape hashed every
+    # corpus window TWICE (agg build + probe recompute — no exchange
+    # reuse against a broadcast build side); with the verify stage's twin
+    # rewrite the plan's xxhash64-every-window subtree count drops 4 -> 1.
+    # This is also the docstring's intended shape: ONE corpus-sized
+    # shuffle of 8-byte hashes, nothing re-scanned.
+    wh = Window.partitionBy("_h")
+    cand = (
+        grams.withColumn("_c", F.count(F.lit(1)).over(wh))
+        .filter(F.col("_c") >= 2)
+        .drop("_c")
+    )
     return _verify_positions(cand, docs, L)
 
 
@@ -1662,8 +1720,15 @@ def duplicated_span_stats_winnow(
             )
         ).alias("_x"),
     ).select("_id", F.col("_x._pos").alias("_pos"), F.col("_x._h").alias("_h"))
-    dup_h = a.groupBy("_h").count().filter(F.col("count") >= 2)
-    cand = a.join(dup_h.select("_h"), "_h", "left_semi")
+    # same window-count rewrite as _duplicated_positions (round 11): the
+    # semi-join probe side re-ran the WHOLE anchor-selection fold (the
+    # most expensive expression in this tier) a second time
+    wh = Window.partitionBy("_h")
+    cand = (
+        a.withColumn("_c", F.count(F.lit(1)).over(wh))
+        .filter(F.col("_c") >= 2)
+        .drop("_c")
+    )
     verified = _verify_positions(cand, docs, L)
     return _merge_window_spans(verified, L, id_col)
 
