@@ -12,18 +12,24 @@ Scale discipline (the same rules as the connected-components driver loop):
 - the normalized edge list is partitioned by ``src`` ONCE, cached, and
   reused every iteration — only the small (node, rank) table moves through
   a shuffle per round;
-- each iteration's rank frame is eagerly ``localCheckpoint``-ed and the
-  previous one unpersisted, truncating the logical plan (it otherwise
-  doubles per round);
+- INTRA-SEGMENT steps reference the previous rank frame exactly ONCE
+  (round 11): the join that re-attaches per-destination contributions to
+  the node universe targets the STATIC cached node table, not the previous
+  lazy rank frame, so the logical plan grows LINEARLY with segment length
+  instead of ~2^K — which is what lets a full default run execute as one
+  Spark job (``checkpoint_every=8``) instead of paying a materialization
+  barrier every few steps;
+- each segment's rank frame is eagerly ``localCheckpoint``-ed and the
+  previous one released, truncating the logical plan;
 - dangling mass (rank on nodes with no out-edges) stays IN-PLAN: a 1-row
-  aggregate over the previous (materialized) rank frame is broadcast
-  cross-joined into the update — no ``.first()`` driver round-trip inside
-  the update job (the round-3 design collected the scalar per iteration);
+  aggregate over the previous rank frame is broadcast cross-joined into
+  the update — no ``.first()`` driver round-trip inside the update job;
 - the only loop-body action besides the eager checkpoint is the
   CONVERGENCE READ: sum of |Δrank| over the just-checkpointed frame — an
-  O(n_nodes) scan of in-memory partitions, no shuffle recomputation — which
-  terminates the loop when the L1 delta drops below ``tol`` instead of
-  always burning ``iterations`` rounds of shuffles.
+  O(n_nodes) scan of in-memory partitions — which terminates the loop when
+  the L1 delta drops below ``tol``. ``_diff`` is computed only on the LAST
+  step of each segment (the only one the convergence read consumes), so
+  intermediate steps stay single-reference.
 
 Float caveat: per-destination contribution sums are float and therefore
 order-dependent in the last ulps; ranks are deterministic to ~1e-12 but not
@@ -47,7 +53,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     tol: float = 0.0,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 8,
     broadcast_nodes_max: int = 1_000_000,
     merge_parallel: bool = True,
 ) -> DataFrame:
@@ -59,80 +65,85 @@ def pagerank(
     summing weights. Unweighted edges get weight 1. Ranks sum to 1 (dangling
     mass redistributed uniformly each round).
 
-    ``checkpoint_every``: iterations per materialization segment. With K>1,
-    K update rounds run as ONE Spark job (the intermediate rank frames stay
-    lazy; their repeated references dedupe physically via ReusedExchange),
-    amortizing the per-job barrier that dominates small-graph runs. The
-    convergence check happens at segment boundaries. Keep K modest (<=4):
-    the logical plan grows ~2^K per segment before exchange reuse collapses
-    it.
+    ``checkpoint_every``: iterations per materialization segment. K update
+    rounds run as ONE Spark job; since round 11 intra-segment steps
+    reference their predecessor exactly once (contributions join against
+    the static node table), so the plan grows linearly in K and the old
+    ~2^K blowup that forced K<=4 is gone. The convergence check happens at
+    segment boundaries. On graphs WITH dangling nodes each step carries a
+    second reference (the 1-row dangling-mass aggregate); its subtree
+    dedupes via exchange reuse, but keep K modest (<=8) there.
 
     ``merge_parallel`` (round 11): the parallel-edge merge
     (``groupBy(src, dst).sum(w)``) is one full shuffle of the edge list
     before the loop even starts. Callers whose edge construction already
-    guarantees one row per (src, dst) — e.g. an aggregation keyed on the
-    endpoints, or a union of two such halves with disjoint key spaces —
-    pass ``False`` to skip it; the rows are identical by the caller's own
-    construction (sum over a single row is the row). Leave ``True`` for
-    raw edge lists.
+    guarantees one row per (src, dst) pass ``False`` to skip it; the rows
+    are identical by the caller's own construction. Leave ``True`` for raw
+    edge lists.
 
     ``broadcast_nodes_max``: when the node count is at or below this, the
     rank table is BROADCAST into both per-iteration joins instead of
     shuffled — AQE cannot make that call itself because a localCheckpointed
     frame has no size statistics, so without the hint every round pays a
     rank-side exchange. Each iteration then costs ONE shuffle (the
-    per-destination contribution aggregate) plus two broadcasts of an
+    per-destination contribution aggregate) plus broadcasts of an
     O(n_nodes) frame. 1M nodes ≈ tens of MB — inside the configured 64 MB
     broadcast budget; above the threshold the shuffle path is the correct
     plan (rank table genuinely cluster-sized).
     """
     w = F.col(weight) if weight else F.lit(1.0)
-    # cached: out_w, the flagged node set, and norm all derive from e —
-    # without this the (possibly expensive) upstream edge construction
-    # re-executes once per derived frame before the loop even starts
+    # cached: the node table and norm both derive from e — without this the
+    # (possibly expensive) upstream edge construction re-executes once per
+    # derived frame before the loop even starts
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     ).filter(F.col("w") > 0)
     if merge_parallel:
         e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     e = e.cache()
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # edge weight as out-fraction, partitioned by src once and reused —
-    # every iteration's join then co-locates on the cached partitioning.
     # The partition COUNT is sized to the edge list (~250k edges per
     # partition, capped at 16x the cluster's core count), not inherited
     # from spark.sql.shuffle.partitions: the loop body touches norm 8-10
     # times, so per-task scheduling overhead on an over-partitioned edge
     # list multiplies across iterations (measured 2x on a 1.2M-edge graph
-    # at 32 partitions vs 4-8). e is cached, so the extra count() action
-    # here is an in-memory scan, paid once.
+    # at 32 partitions vs 4-8). e is cached, so the count() action here is
+    # the cache materialization, paid once.
     n_edges = e.count()
     nparts = max(1, min(
         -(-n_edges // 250_000),
         16 * e.sparkSession.sparkContext.defaultParallelism,
     ))
-    # node set with a static is_dangling flag (no out-edges) — a property of
-    # the graph, computed ONCE; symmetrized graphs have none and skip the
-    # dangling-mass aggregate entirely
-    # Round 11 (guide §2.4): ONE explode+groupBy pass over e replaces the
-    # union+distinct+left-join shape (two passes over e plus a join against
-    # out_w) — a node is dangling iff it never appears as src, which
-    # max(is_src) answers inside the same aggregation. Identical rows, one
-    # fewer shuffle and one fewer scan of e.
+    # node table: ONE explode+groupBy pass over e yields the node set, the
+    # static is_dangling flag (never appears as src) AND the per-source
+    # out-weight — round 11 folded out_w into this aggregation; the
+    # previous shape paid a second full aggregation pass over e inside the
+    # norm build (guide §2.4: two aggregations keyed compatibly can share
+    # one pass).
     nodes = (
         e.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("src").alias("node"), F.lit(1).alias("_s")),
-                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("_s")),
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("_s"),
+                        F.col("w").alias("_w"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("_s"),
+                        F.lit(0.0).alias("_w"),
+                    ),
                 )
             ).alias("ns")
         )
         .groupBy(F.col("ns.node").alias("node"))
-        .agg((F.max("ns._s") == 0).alias("is_dangling"))
+        .agg(
+            (F.max("ns._s") == 0).alias("is_dangling"),
+            F.sum(F.when(F.col("ns._s") == 1, F.col("ns._w"))).alias("out_w"),
+        )
         .cache()
     )
-    # one action feeds the node count AND the dangling probe (was two)
+    # one action feeds the node count AND the dangling probe
     head = nodes.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.max(F.col("is_dangling").cast("int")), F.lit(0)).alias("d"),
@@ -152,15 +163,22 @@ def pagerank(
     # payload shuffle up front (measured: norm materialization 2.4s ->
     # ~0.6s at 1.17M edges). The shuffle path keeps the hash repartition
     # on src: there the per-round rank exchange co-locates against it.
-    normed = e.join(out_w, "src").select(
+    out_w = nodes.filter(~F.col("is_dangling")).select(
+        F.col("node").alias("src"), "out_w"
+    )
+    normed = e.join(F.broadcast(out_w) if bcast else out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
     )
     norm = (
         normed.coalesce(nparts) if bcast else normed.repartition(nparts, "src")
     ).cache()
+    # static node universe for the per-step left join — joining contribs
+    # against THIS (cached) frame instead of the previous rank frame is
+    # what keeps intermediate steps single-reference (module docstring)
+    node_univ = nodes.select("node", "is_dangling")
 
-    def step(ranks: DataFrame) -> DataFrame:
-        rank_src = ranks.select(F.col("node").alias("src"), "rank")
+    def step(prev: DataFrame, with_diff: bool) -> DataFrame:
+        rank_src = prev.select(F.col("node").alias("src"), "rank")
         contribs = (
             norm.join(F.broadcast(rank_src) if bcast else rank_src, "src")
             .groupBy("dst")
@@ -168,19 +186,19 @@ def pagerank(
         )
         if bcast:
             contribs = F.broadcast(contribs)
-        # ranks is both the prev-rank left side and, when the graph has
-        # dangling nodes, the source of the 1-row dangling-mass aggregate
-        # broadcast into the plan — no driver-side scalar collect
-        upd = ranks.join(contribs, ranks.node == contribs.dst, "left")
+        upd = node_univ.join(contribs, node_univ.node == contribs.dst, "left")
         if has_dangling:
-            dang_share = ranks.agg(
-                (
-                    F.coalesce(
-                        F.sum(F.when(F.col("is_dangling"), F.col("rank"))),
-                        F.lit(0.0),
-                    )
-                    / n_nodes
-                ).alias("_dang_share")
+            # 1-row aggregate over prev, broadcast into the plan — no
+            # driver-side scalar collect. This is the second prev reference
+            # on dangling graphs (docstring: keep K modest there).
+            dang_share = prev.join(
+                F.broadcast(node_univ.filter(F.col("is_dangling"))),
+                "node",
+                "left_semi",
+            ).agg(
+                (F.coalesce(F.sum("rank"), F.lit(0.0)) / n_nodes).alias(
+                    "_dang_share"
+                )
             )
             upd = upd.crossJoin(F.broadcast(dang_share))
             dshare = F.col("_dang_share")
@@ -189,22 +207,31 @@ def pagerank(
         new_rank = F.lit((1.0 - damping) / n_nodes) + F.lit(damping) * (
             F.coalesce(F.col("contrib"), F.lit(0.0)) + dshare
         )
-        return upd.select(
+        out = upd.select(F.col("node"), new_rank.alias("rank"))
+        if not with_diff:
+            return out
+        prev_r = prev.select("node", F.col("rank").alias("_prev"))
+        if bcast:
+            prev_r = F.broadcast(prev_r)
+        return out.join(prev_r, "node").select(
             "node",
-            "is_dangling",
-            new_rank.alias("rank"),
-            F.abs(new_rank - ranks["rank"]).alias("_diff"),
+            "rank",
+            F.abs(F.col("rank") - F.col("_prev")).alias("_diff"),
         )
 
     k = max(1, checkpoint_every)
-    ranks = nodes.select("node", "is_dangling", F.lit(1.0 / n_nodes).alias("rank"))
+    if has_dangling:
+        # two prev references per step (contribs + dangling aggregate) →
+        # the plan still grows ~2^K per segment on this path; cap it
+        k = min(k, 4)
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     done = 0
     while done < iterations:
         seg = min(k, iterations - done)
         plan = ranks
-        for _ in range(seg):
-            plan = step(plan)
+        for i in range(seg):
+            plan = step(plan, with_diff=(i == seg - 1))
         prev = ranks
         ranks = plan.localCheckpoint(eager=True)  # one job per segment
         # real release (Dataset.unpersist is a no-op on localCheckpointed

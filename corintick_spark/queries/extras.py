@@ -276,9 +276,13 @@ def graph_pagerank(spark, sf_dir):
             )
         ).alias("ed")
     ).select("ed.src", "ed.dst", "ed.w")
-    # 8 rounds in 2 jobs (checkpoint_every=4); tol is a safety-net early
-    # exit — with damping 0.85 the L1 delta contracts ~0.85x/round, so a
-    # tiny tol would never fire inside a bench-budget iteration count
+    # 8 rounds in ONE job (checkpoint_every=8 — round 11's single-
+    # reference steps make the plan linear in segment length); tol is a
+    # safety-net early exit — with damping 0.85 the L1 delta contracts
+    # ~0.85x/round (measured at sf0.001/0.01/0.1: 0.91 after round 4,
+    # 0.48 after round 8), so it never fires inside a bench-budget
+    # iteration count and the K=4 -> 8 boundary change cannot alter the
+    # result (differential-pinned: rounded-8dp ranks identical).
     # merge_parallel=False (round 11): each union half is keyed on its
     # groupBy endpoints and the "c"/"s" prefixes make the two halves'
     # (src, dst) spaces disjoint, so the edge list is one-row-per-pair by
@@ -286,7 +290,7 @@ def graph_pagerank(spark, sf_dir):
     # 2x|pairs| rows to themselves.
     r = pagerank(
         edges, weight="w", damping=0.85, iterations=8, tol=1e-4,
-        checkpoint_every=4, merge_parallel=False,
+        checkpoint_every=8, merge_parallel=False,
     )
     # rows-only invariant: PageRank is a probability distribution — the
     # FULL rank vector (pre-limit) sums to 1 and every rank is positive.
@@ -1225,8 +1229,11 @@ def agg_exact_median(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
     )
-    n = li.filter(F.col("cents").isNotNull()).count()
-    med = exact_quantile(li, "cents", 0.5)
+    # with_count (round 11): the count rides the operator's single
+    # min/max/count stats pass — the old shape paid the same full scan
+    # THREE times (query-level count, exact_quantile's count, the
+    # kth-selection head) for one number each
+    med, n = exact_quantile(li, "cents", 0.5, with_count=True)
     return spark.createDataFrame(
         [(med / 100.0, n)], "median_price double, n_rows bigint"
     )
