@@ -27,17 +27,26 @@ import pyspark.sql.functions as F
 BUCKETS = 1 << 16
 
 
-def kth_smallest(df: DataFrame, col: str, k: int) -> int:
+def kth_smallest(
+    df: DataFrame, col: str, k: int, head: "tuple | None" = None
+) -> int:
     """Exact k-th smallest (1-indexed) of an integral column; NULLs are
-    excluded (SQL ordering semantics). Raises on k out of range."""
+    excluded (SQL ordering semantics). Raises on k out of range.
+
+    ``head``: optional precomputed (min, max, count) of the non-null
+    values — callers that already paid a stats pass (exact_quantile's
+    count, a caller-level total) hand it in so the column is not scanned
+    again for the same three numbers (round 11, guide §1.2: don't compute
+    things twice)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     vals = df.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("bigint").alias("x")
     )
-    head = vals.agg(
-        F.min("x"), F.max("x"), F.count(F.lit(1))
-    ).first()
+    if head is None:
+        head = vals.agg(
+            F.min("x"), F.max("x"), F.count(F.lit(1))
+        ).first()
     lo, hi, n = head
     if n == 0 or k > n:
         raise ValueError(f"k={k} outside the column's {n} non-null rows")
@@ -68,16 +77,28 @@ def kth_smallest(df: DataFrame, col: str, k: int) -> int:
     return lo
 
 
-def exact_quantile(df: DataFrame, col: str, q: float) -> int:
+def exact_quantile(
+    df: DataFrame, col: str, q: float, with_count: bool = False
+):
     """Discrete q-quantile (percentile_disc): the smallest value whose
-    rank reaches ceil(q*n). q in (0, 1]."""
+    rank reaches ceil(q*n). q in (0, 1].
+
+    ``with_count=True`` returns ``(value, n_non_null)`` — n falls out of
+    the single stats pass the selection needs anyway (round 11: the old
+    shape scanned the column once for n here and again for min/max/count
+    inside kth_smallest)."""
     if not 0 < q <= 1:
         raise ValueError("q must be in (0, 1]")
-    n = df.filter(F.col(col).isNotNull()).count()
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("bigint").alias("x")
+    )
+    head = vals.agg(F.min("x"), F.max("x"), F.count(F.lit(1))).first()
+    n = int(head[2])
     if n == 0:
         raise ValueError("no non-null rows")
     k = -(-int(q * 1_000_000 * n) // 1_000_000)  # ceil(q*n) sans fp drift
-    return kth_smallest(df, col, max(1, k))
+    v = kth_smallest(df, col, max(1, k), head=head)
+    return (v, n) if with_count else v
 
 
 GROUPS_MAX = 100_000
@@ -157,10 +178,23 @@ def _grouped_refine(df: DataFrame, group: str, col: str, qs: "list[float]") -> D
             "lo",
             "hi",
             "k",
-            # ceil((hi - lo + 1) / BUCKETS), overflow-free via DECIMAL
+            # _wide (round 11): per-pair flag — does (hi - lo) overflow a
+            # BIGINT bucket computation? Only then take the DECIMAL path;
+            # the common case runs plain 64-bit integer arithmetic, which
+            # codegen executes an order of magnitude cheaper per row than
+            # interpreted BigDecimal ops (guide §1.2 step 2). try_subtract
+            # returns NULL on overflow, making the probe itself safe.
             F.expr(
-                f"CAST((CAST(hi AS DECIMAL(20,0)) - lo + {BUCKETS}) "
-                f"div {BUCKETS} AS BIGINT)"
+                f"try_subtract(hi, lo) IS NULL"
+                f" OR try_subtract(hi, lo) >= {1 << 62}"
+            ).alias("_wide"),
+            # ceil((hi - lo + 1) / BUCKETS); DECIMAL only when _wide
+            F.expr(
+                f"IF(try_subtract(hi, lo) IS NULL"
+                f" OR try_subtract(hi, lo) >= {1 << 62},"
+                f" CAST((CAST(hi AS DECIMAL(20,0)) - lo + {BUCKETS})"
+                f" div {BUCKETS} AS BIGINT),"
+                f" (hi - lo + {BUCKETS}) div {BUCKETS})"
             ).alias("sz"),
         )
         hist = (
@@ -177,8 +211,13 @@ def _grouped_refine(df: DataFrame, group: str, col: str, qs: "list[float]") -> D
                 "hi",
                 "k",
                 "sz",
+                # x - lo cannot overflow when NOT _wide (both inside a
+                # < 2^62-wide range); truncating div equals floor on the
+                # non-negative offset either way
                 F.expr(
-                    "CAST((CAST(x AS DECIMAL(20,0)) - lo) div sz AS BIGINT)"
+                    "IF(_wide,"
+                    " CAST((CAST(x AS DECIMAL(20,0)) - lo) div sz AS BIGINT),"
+                    " (x - lo) div sz)"
                 ).alias("b"),
             )
             .agg(F.count(F.lit(1)).alias("c"))
