@@ -108,9 +108,15 @@ def bfs_hops(
         .select(node, F.lit(0).alias("hops"))
         .localCheckpoint()
     )
+    # materialize the edge list ONCE before the loop (round 11): every
+    # level joins against e, and without the checkpoint each level
+    # re-executed the caller's entire edge DERIVATION (for the registered
+    # graph_bfs that is a 3-table fact join + distinct, re-run per hop —
+    # the same disease sql_recursive had). Same discipline as pagerank's
+    # cached norm table.
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     frontier = visited
     frontier_rows = frontier.count()
     for level in range(1, max_iter + 1):

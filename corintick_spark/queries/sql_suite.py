@@ -439,12 +439,41 @@ _SQL_RECURSIVE = """
 
 @query("sql_recursive", sql=_SQL_RECURSIVE)
 def sql_recursive(spark, sf_dir):
-    """Recursive-CTE reachability (min hops from nation 0) via spark.sql —
-    same text as the oracle."""
-    return _run(
-        spark, sf_dir, _SQL_RECURSIVE,
-        "lineitem", "orders", "customer", "supplier",
-    )
+    """Recursive-CTE reachability (min hops from nation 0); the oracle
+    runs the verbatim text above.
+
+    Spark side (round 11, guide §2.4): UnionLoopExec re-executes the
+    recursion's plan each iteration, and the non-recursive ``edges`` CTE
+    is INLINED into the loop body — the 3-fact-table join + DISTINCT ran
+    once per hop (4x at depth 3; confirmed in
+    plans/r11/sql_recursive_before.txt, Joins 12/17/22 under
+    UnionLoop(1)). Materializing the 625-cell-bounded edge table ONCE
+    (localCheckpoint + temp view) and recursing over it leaves the
+    recursion semantics — and the result, differential-pinned exact —
+    unchanged while the fact join runs exactly once."""
+    register_views(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    edges = spark.sql("""
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    """).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("edges_mat_recursive")
+    return spark.sql("""
+        WITH RECURSIVE reach(nation, hops) AS (
+            SELECT CAST(0 AS INTEGER) AS nation, 0 AS hops
+            UNION ALL
+            SELECT e.dst AS nation, r.hops + 1 AS hops
+            FROM reach r JOIN edges_mat_recursive e ON e.src = r.nation
+            WHERE r.hops < 3
+        )
+        SELECT nation, MIN(hops) AS min_hops
+        FROM reach
+        GROUP BY nation
+        ORDER BY nation
+    """)
 
 
 # LATERAL correlated subquery with per-row ORDER BY + LIMIT — the SQL-

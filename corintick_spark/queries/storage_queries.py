@@ -899,9 +899,12 @@ def stream_cdf_partitioned(spark, sf_dir):
         run_processall_to_memory,
     )
 
+    # one materialized pass over events feeds all three version writes
+    # (round 11, guide §5): each append otherwise re-scans the parquet
+    # source for its third of the rows
     ev = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
-    )
+    ).localCheckpoint(eager=True)
     store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapcdfp_") + "/tbl")
     for i in range(3):
         store.append(ev.filter(F.col("event_id") % 3 == i))
