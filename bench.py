@@ -150,6 +150,8 @@ def main() -> None:
     def run_suite(names: list[str], drop_first: bool = False) -> tuple[dict, dict]:
         import gc
 
+        from corintick_spark.operators.ckpt import release_all_persistent
+
         samples: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(passes):
             for name in names:
@@ -164,6 +166,17 @@ def main() -> None:
                 # (iterative ops release in-loop blocks themselves — ckpt.py
                 # — but their final frames ride the GC path)
                 gc.collect()
+                # Measurement-hygiene fix (round 11, guide §5 "unpersist
+                # when done"): gc.collect() alone is NOT enough — the JVM
+                # Dataset must also be garbage-collected before the
+                # ContextCleaner queues the unpersist, and with a 16 GB
+                # heap that lags by many queries. Leaked localCheckpoint
+                # blocks (~1 GB/suite pass) degraded extras medians 10-60x
+                # by pass 3 while minima stayed flat. The query's result
+                # is fully materialized by the noop sink above and its
+                # frame dropped, so releasing every leftover block here is
+                # outside the timed region and changes no result.
+                release_all_persistent(spark)
         # drop_first: the heavy iterative extras (pagerank, survivors, PQ
         # fit) pay one-time session costs (codegen, broadcast warmup,
         # checkpoint dirs) on pass 1 that made driver-bench medians read

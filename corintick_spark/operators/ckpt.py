@@ -32,3 +32,32 @@ def release_local_checkpoint(df: DataFrame) -> None:
             plan.rdd().unpersist(False)
     except Exception:
         pass  # py4j internals — the GC path remains the fallback
+
+
+def release_all_persistent(spark) -> int:
+    """Unpersist EVERY persisted / localCheckpointed RDD in the session.
+
+    Query bodies necessarily leave their RESULT-feeding checkpoints alive
+    (the caller has not materialized yet when the operator returns), and
+    ``Dataset.unpersist`` cannot reach them afterwards (see module
+    docstring) — so a long-lived session that runs many queries
+    accumulates blocks until the heap thrashes (observed round 11: the
+    full bench's extras medians degraded 10-60x by pass 3 while per-query
+    minima stayed flat; ~1 GB of leaked blocks per suite pass).
+
+    Harnesses call this BETWEEN queries, after the current query's result
+    is fully materialized (noop sink / toPandas) and its frame dropped: at
+    that point no live computation depends on any persisted block, and
+    the next query re-derives its own. Never call it while a query's
+    returned frame is still going to be read. Returns the number of RDDs
+    released (0 on any py4j/Connect incompatibility — GC path remains the
+    fallback)."""
+    n = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in list(jmap.values()):
+            rdd.unpersist(False)
+            n += 1
+    except Exception:
+        pass
+    return n

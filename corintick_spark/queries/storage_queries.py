@@ -908,6 +908,11 @@ def stream_cdf_partitioned(spark, sf_dir):
     store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapcdfp_") + "/tbl")
     for i in range(3):
         store.append(ev.filter(F.col("event_id") % 3 == i))
+    # the three appends are eager writes — nothing downstream reads ev, so
+    # its blocks are released NOW instead of leaking for the session's life
+    from corintick_spark.operators.ckpt import release_local_checkpoint
+
+    release_local_checkpoint(ev)
 
     try:
         spark.dataSource.register(make_cdf_partitioned_datasource())

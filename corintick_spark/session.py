@@ -32,6 +32,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # Dimension tables (region/nation/supplier/part/customer) stay far under
     # this; broadcasting them removes shuffles from every star join.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Spark 4.1's ChecksumCheckpointFileManager (on by default) leaks its
+    # per-manager thread pools: measured ~150 live
+    # "ChecksumCheckpointFileManager-Thread-N" threads left behind per
+    # streaming run (768 after 6 runs), which in a long session starves the
+    # JVM until Python worker spawn times out ("failed to connect back" —
+    # killed two full bench runs at the 30th query, round 11). Checkpoint
+    # checksums are an integrity feature, not a semantic one: disabling
+    # them changes no query result, and every streaming query here runs
+    # its checkpoint on local/tmpfs where fs-level corruption detection
+    # buys nothing.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
 
 

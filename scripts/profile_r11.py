@@ -77,6 +77,13 @@ def main() -> None:
             ).save()
             vals.append(time.perf_counter() - t0)
             spark.sparkContext.setJobDescription(None)
+            # same post-materialization block hygiene as bench.py
+            import gc as _gc
+
+            _gc.collect()
+            from corintick_spark.operators.ckpt import release_all_persistent
+
+            release_all_persistent(spark)
         samples[name] = [round(v, 3) for v in vals]
         # warm median: drop the first pass when >1 pass ran
         timed = vals[1:] if len(vals) > 1 else vals
