@@ -219,38 +219,50 @@ def main() -> None:
     # tripwire (comfortably under the window); every detailed series —
     # queries_min, extras, extras_min, 3dp medians — moves to a sidecar
     # JSON next to this script that the judge/SCALING workflow reads.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": med,
-                "queries_min": best,
-                "extras": extras_med,
-                "extras_min": extras_best,
-                "extras_value": round(sum(extras_med.values()), 3),
-                "contended": contended,
-                "runs": passes,
-                "sf": sf,
-            },
-            fh,
-            indent=1,
-        )
+    # Per-core-count detail sidecar (verdict r11 item 2): the driver runs
+    # this script a second time at a lower $SPARK_GRAFT_CPUS for the scaling
+    # block, and the unsuffixed BENCH_DETAIL.json used to be CLOBBERED by
+    # that run — the 32-core detail (the one PERF adjudication needs) was
+    # lost. Write BOTH: the per-cpus file survives the sidecar run; the
+    # unsuffixed name stays for readers of the r07-r11 convention.
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": med,
+        "queries_min": best,
+        "extras": extras_med,
+        "extras_min": extras_best,
+        "extras_value": round(sum(extras_med.values()), 3),
+        "contended": contended,
+        "runs": passes,
+        "cpus": int(cpus),
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_name = f"BENCH_DETAIL_c{int(cpus)}.json"
+    for fname in ("BENCH_DETAIL.json", detail_name):
+        with open(os.path.join(here, fname), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    # queries_min in the one-line JSON (verdict r11 item 2, additions-only):
+    # medians compare unlike machine states across rounds (documented 2x
+    # day-to-day sandbox swings produced 13 false regressions in PERF_r11);
+    # minima are the steady-state throughput bound and let PERF be read
+    # min-vs-min. 2dp keeps the line comfortably inside the driver's
+    # 2000-char stdout window (measured ~1.1k chars with both series).
     payload = json.dumps(
         {
             "metric": "headline_suite_seconds",
             "value": total,
             "unit": "sec",
             "queries": {n: round(v, 2) for n, v in med.items()},
+            "queries_min": {n: round(v, 2) for n, v in best.items()},
             "extras_value": round(sum(extras_med.values()), 2),
+            "extras_min_sum": round(sum(extras_best.values()), 2),
             "contended": contended,
             "runs": passes,
             "sf": sf,
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_name,
         }
     )
     if len(payload) > 1900:  # belt-and-braces: never exceed the window
@@ -259,10 +271,12 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "queries": {n: round(v, 2) for n, v in med.items()},
+                "queries_min": {n: round(v, 2) for n, v in best.items()},
                 "contended_n": len(contended),
                 "runs": passes,
                 "sf": sf,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     spark.stop()

@@ -131,7 +131,11 @@ def connected_components(
 
     # fixpoint is a disjoint star forest: (child, root) edges. The final
     # e and nodes MUST stay resident here — the caller has not evaluated
-    # labels yet — so their blocks are left to the GC path.
+    # labels yet — so the NEXT invocation releases them instead
+    # (ckpt.rotate_generation, round 12: bounded long-session leak).
+    from corintick_spark.operators.ckpt import rotate_generation
+
+    rotate_generation("dup_clusters.connected_components", e, nodes)
     labels = nodes.join(
         e.select(F.col("u").alias("node"), F.col("v").alias("_root")), "node", "left"
     ).select("node", F.coalesce(F.col("_root"), F.col("node")).alias("comp"))

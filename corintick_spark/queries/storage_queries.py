@@ -899,20 +899,17 @@ def stream_cdf_partitioned(spark, sf_dir):
         run_processall_to_memory,
     )
 
-    # one materialized pass over events feeds all three version writes
-    # (round 11, guide §5): each append otherwise re-scans the parquet
-    # source for its third of the rows
+    # ONE partitioned write stages all three versions (round 12, guide
+    # §2.4): the r11 shape checkpointed events and ran one write job per
+    # version; append_split scans the parquet source once, writes each
+    # version's rows under its split, and commits the same three
+    # "append" manifests — identical per-version row sets, no
+    # checkpoint blocks to release.
     ev = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
-    ).localCheckpoint(eager=True)
+    )
     store = SnapshotStore(spark, _tf.mkdtemp(prefix="snapcdfp_") + "/tbl")
-    for i in range(3):
-        store.append(ev.filter(F.col("event_id") % 3 == i))
-    # the three appends are eager writes — nothing downstream reads ev, so
-    # its blocks are released NOW instead of leaking for the session's life
-    from corintick_spark.operators.ckpt import release_local_checkpoint
-
-    release_local_checkpoint(ev)
+    store.append_split(ev, F.col("event_id") % 3, 3)
 
     try:
         spark.dataSource.register(make_cdf_partitioned_datasource())

@@ -113,35 +113,44 @@ def query(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuer
 # adjudication order (graph_pagerank skipped — re-adjudicated r08).
 # Rotated-out queries keep their green r02–r10 rows plus the local
 # DuckDB differential (tests/test_oracle_queries.py).
-# Round-12 queue: the round-11 registrations first
-# (ann_graph_incremental, stream_ann_graph_ingest — both rows-only with
-# in-query recall adjudication), then the remaining 15 r04-cohort
-# queries (rollup_multires onward), then the oldest r05 rows (sql_q2
-# onward in r05 adjudication order).
+# Round-12 rotation (executing the plan reserved in the round-11
+# comment and endorsed by the r11 verdict, item 8): (a) the six
+# round-11 registrations take slots first — never externally
+# adjudicated (ann_knn_graph, similarity_graph_ann,
+# ann_graph_incremental and stream_ann_graph_ingest are rows-only with
+# in-query recall adjudication; the two stream_dedup_*_incremental
+# entries are oracle-paired) — all six preflighted green under
+# driver_sim at sf0.01 this round; (b) the remaining 15 r04-cohort
+# queries (rollup_multires onward in r04 adjudication order — their
+# only external rows are r04); (c) the remaining 29 slots re-confirm
+# the oldest r05 rows (sql_q2 onward in r05 adjudication order,
+# dedup_survivors skipped — re-adjudicated r08). Rotated-out queries
+# keep their green r02–r11 rows plus the local DuckDB differential
+# (tests/test_oracle_queries.py).
+# Round-13 queue: the remaining 11 r05-cohort queries (text_heavyhitters
+# onward), then the oldest r06 rows in r06 adjudication order.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (a) never-driver-windowed r10 registrations — first external
+    # (a) never-driver-windowed r11 registrations — first external
     # adjudication
-    "dedup_image_phash_auto", "dedup_image_incremental",
-    "dedup_audio_fp", "dedup_audio_near", "dedup_audio_near128",
-    "dedup_audio_auto", "dedup_audio_incremental",
-    "dedup_simhash_multi", "dedup_video_phash128",
-    "dedup_video_phash_auto",
-    # (b) oldest external rows — the remaining r03 cohort in its
-    # adjudication order...
-    "source_python_ds", "udf_arrow", "udtf_python",
-    "pipeline_semantic_dedup", "dedup_ngram", "dedup_embedding",
-    "text_tfidf", "text_quality", "text_langid", "text_boilerplate",
-    "multimodal_decode", "pipeline_clean_corpus", "stream_late_drop",
-    "stream_enrich", "stream_join", "stream_stateful",
-    # ...then the first 24 never-re-sampled r04-cohort queries
-    "agg_regression", "resample_interp", "events_anomaly",
-    "text_contamination", "window_rolling_median", "sample_fixed_k",
-    "ml_linear_score", "window_ewma", "agg_entropy", "scalar_trig",
-    "scalar_null", "scalar_struct", "scalar_binary", "scalar_pad",
-    "window_returns", "window_zscore", "window_bollinger",
-    "window_drawdown", "window_ntile", "window_first_last",
-    "window_pct_change", "window_lag_default", "agg_mode",
-    "agg_weighted_avg",
+    "ann_knn_graph", "similarity_graph_ann", "ann_graph_incremental",
+    "stream_dedup_image_incremental", "stream_dedup_audio_incremental",
+    "stream_ann_graph_ingest",
+    # (b) the remaining 15 never-re-sampled r04-cohort queries
+    "rollup_multires", "sample_stratified", "skew_diagnose",
+    "reshape_unpivot", "text_tokens", "text_repetition",
+    "text_pii_scrub", "text_chunks", "text_topngrams",
+    "text_inverted_index", "vector_norms", "dedup_containment",
+    "dedup_fuzzy", "event_transitions", "event_durations",
+    # (c) oldest r05 rows in r05 adjudication order (dedup_survivors
+    # skipped — re-adjudicated r08)
+    "sql_q2", "sql_q4", "sql_q9", "sql_q11", "sql_q12", "sql_q20",
+    "sql_q21", "sql_recursive", "sql_lateral", "sql_udf",
+    "sql_scripting", "graph_triangles", "graph_clustering_coeff",
+    "graph_link_predict", "pipeline_decontaminate",
+    "pipeline_pack_corpus", "pipeline_training_mix", "pack_sequences",
+    "features_per_user", "dq_suite", "dedup_editjoin", "join_salted",
+    "events_concurrency", "events_funnel_time", "scalar_variant",
+    "stream_asof", "stream_ohlc", "stream_histogram", "stream_dq",
 )
 
 

@@ -43,6 +43,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # its checkpoint on local/tmpfs where fs-level corruption detection
     # buys nothing.
     "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    # Python worker spawn robustness (round 12): the JVM's accept() for a
+    # freshly forked Python worker rides spark.python.authenticate.
+    # socketTimeout (15s default). A saturated local machine (32 busy
+    # cores + host-level stalls documented every round) can delay daemon
+    # fork + CPython startup past it, killing whole bench runs with
+    # "Python worker failed to connect back" at stream INITIALIZING —
+    # observed twice in round 11 and again (twice consecutively, blowing
+    # through the one-retry guard) in round 12's first baseline run. 120s
+    # changes nothing semantically; a genuinely dead worker still fails,
+    # just slower — and only on the already-broken path.
+    "spark.python.authenticate.socketTimeout": "120s",
 }
 
 

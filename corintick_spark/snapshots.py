@@ -198,6 +198,11 @@ class SnapshotStore:
         stage_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self._data_dir(), stage_id)
         df.write.mode("error").parquet(out_dir)
+        return self._dir_entries(out_dir)
+
+    def _dir_entries(self, out_dir: str) -> list[dict]:
+        """Manifest entries (rows + column min/max from the parquet footer —
+        no Spark job) for every parquet file directly under ``out_dir``."""
         entries = []
         for name in sorted(os.listdir(out_dir)):
             if not name.endswith(".parquet"):
@@ -437,6 +442,67 @@ class SnapshotStore:
             prev + self._stage_files(df), "append", base, schema,
             dvs=self._dvs(base),
         )
+
+    def append_split(self, df: DataFrame, split, n_splits: int) -> list[int]:
+        """Commit ``n_splits`` consecutive append versions from ONE staged
+        write: version i holds exactly df's rows where ``split`` == i.
+
+        Row-for-row equivalent to ``[self.append(df.filter(split == i))
+        for i in range(n_splits)]`` — same per-version row sets, same
+        manifest shape (operation "append", flat file paths, footer
+        stats) — but the source is scanned and written ONCE, partitioned
+        by the split expression, instead of once per version (guide §2.4:
+        one pass carries all the splits; round 12, stream_cdf_partitioned).
+
+        ``split`` must evaluate to an integer in [0, n_splits) on every
+        row (the caller's splitting contract); a value with no rows
+        commits an ordinary empty append. Files are moved out of the
+        partition directories after the write so readers (Spark parquet
+        scan, pyarrow per-file readers) never see a ``_split=`` path
+        segment to infer a column from."""
+        import shutil
+
+        self._enforce(df)
+        stage_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self._data_dir(), stage_id)
+        (
+            df.withColumn("_split", split.cast("int"))
+            .write.mode("error")
+            .partitionBy("_split")
+            .parquet(out_dir)
+        )
+        for i in range(n_splits):
+            part_dir = os.path.join(out_dir, f"_split={i}")
+            if not os.path.isdir(part_dir):
+                continue
+            for name in sorted(os.listdir(part_dir)):
+                if name.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(part_dir, name),
+                        os.path.join(out_dir, f"s{i}-{name}"),
+                    )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        all_entries = self._dir_entries(out_dir)
+        groups = {
+            i: [
+                e
+                for e in all_entries
+                if os.path.basename(e["path"]).startswith(f"s{i}-")
+            ]
+            for i in range(n_splits)
+        }
+        base = self.latest_version()
+        files = self.manifest(base)["files"] if base is not None else []
+        schema = self._evolve_schema(
+            self._base_schema(base), df.schema.jsonValue()
+        )
+        dvs = self._dvs(base)
+        versions = []
+        for i in range(n_splits):
+            files = files + groups[i]
+            base = self._commit(files, "append", base, schema, dvs=dvs)
+            versions.append(base)
+        return versions
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit a new version whose file set is exactly df's files.

@@ -193,10 +193,13 @@ def _worker_spawn_flake(exc: Exception) -> bool:
     return "failed to connect back" in str(exc).lower()
 
 
+_SPAWN_ATTEMPTS = 3  # two CONSECUTIVE spawn flakes observed (round 12)
+
+
 def _run(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     import shutil
 
-    for attempt in (0, 1):
+    for attempt in range(_SPAWN_ATTEMPTS):
         # a fresh sink name + fresh checkpoint per attempt: re-running from
         # scratch is semantically identical (nothing committed on a spawn
         # flake), and the caller's timer spans both attempts
@@ -214,7 +217,14 @@ def _run(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
             q.awaitTermination()
         except Exception as e:
             shutil.rmtree(ckpt, ignore_errors=True)
-            if attempt == 0 and _worker_spawn_flake(e):
+            # drop the failed attempt's memory-sink table (ADVICE r11): in
+            # append/update modes a partial batch may sit in the temp view,
+            # holding driver memory for the session's life
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+            if attempt < _SPAWN_ATTEMPTS - 1 and _worker_spawn_flake(e):
                 continue
             raise
         # the query is finished (AvailableNow) and the memory-sink table
@@ -292,9 +302,9 @@ def run_processall_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataF
     where Trigger.AvailableNow's end-offset snapshot is not supported."""
     import shutil
 
-    for attempt in (0, 1):
+    for attempt in range(_SPAWN_ATTEMPTS):
         # fresh sink + checkpoint per attempt — see _run: only the
-        # worker-spawn flake is retried, and only before any batch commits
+        # worker-spawn flake is retried
         name = "s" + uuid.uuid4().hex[:12]
         ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_ckpt_base())
         q = (
@@ -312,11 +322,16 @@ def run_processall_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataF
                 q.awaitTermination()
         except Exception as e:
             shutil.rmtree(ckpt, ignore_errors=True)
-            if (
-                attempt == 0
-                and _worker_spawn_flake(e)
-                and not q.recentProgress  # nothing committed yet
-            ):
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+            # No recentProgress guard (ADVICE r11): the py4j read inside the
+            # handler could itself throw on a broken gateway — the very
+            # condition being retried — masking the original exception; and
+            # a complete-mode re-run from a fresh sink + checkpoint is
+            # deterministic regardless of committed batches, same as _run's.
+            if attempt < _SPAWN_ATTEMPTS - 1 and _worker_spawn_flake(e):
                 continue
             raise
         shutil.rmtree(ckpt, ignore_errors=True)

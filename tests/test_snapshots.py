@@ -606,3 +606,57 @@ def test_merge_sync_to_empty_source_clears_scope(store, spark):
     empty = _df(spark, 0, 0)
     store.merge(empty, key="k", sync_scope="k >= 20")
     assert sorted(r.k for r in store.read().collect()) == list(range(20))
+
+
+def test_append_split_equals_sequential_appends(spark, tmp_path):
+    """append_split (round 12): one partitioned write must commit exactly
+    the versions that n sequential filtered appends would."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(101).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    seq = SnapshotStore(spark, str(tmp_path / "seq"))
+    for i in range(3):
+        seq.append(df.filter(F.col("k") % 3 == i))
+    sp = SnapshotStore(spark, str(tmp_path / "sp"))
+    assert sp.append_split(df, F.col("k") % 3, 3) == [0, 1, 2]
+    for ver in range(3):
+        assert sp.manifest(ver)["operation"] == "append"
+        got = sp.read(version=ver)
+        # the synthetic _split column never reaches readers
+        assert got.columns == ["k", "v"]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, seq.read(version=ver).collect())
+        )
+        # no partition-directory segment survives in manifest paths
+        assert all(
+            "_split=" not in f["path"] for f in sp.manifest(ver)["files"]
+        )
+
+
+def test_append_split_empty_value_is_plain_append(spark, tmp_path):
+    """A split value with no rows commits a version identical to its base
+    (same file set), exactly like appending an empty frame."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(10).select((F.col("id") * 2).alias("k"))  # all even
+    sp = SnapshotStore(spark, str(tmp_path / "sp"))
+    v_even, v_odd = sp.append_split(df, F.col("k") % 2, 2)
+    assert sp.read(version=v_even).count() == 10
+    assert sp.manifest(v_odd)["files"] == sp.manifest(v_even)["files"]
+    assert sp.read(version=v_odd).count() == 10
+
+
+def test_append_split_enforces_constraints(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    sp = SnapshotStore(spark, str(tmp_path / "sp"))
+    sp.append(spark.range(5).withColumnRenamed("id", "k"))
+    sp.add_constraint("pos", "k >= 0")
+    with pytest.raises(ValueError, match="pos"):
+        sp.append_split(
+            spark.range(-4, 4).withColumnRenamed("id", "k"),
+            F.abs(F.col("k")) % 2,
+            2,
+        )
