@@ -46,21 +46,31 @@ def release_local_checkpoint(df: DataFrame) -> None:
 # then bounded at ONE generation per operator instead of growing without
 # limit — no harness-level global release needed.
 #
-# Contract: safe whenever invocations of the SAME operator are not
-# interleaved with reads of its previous result (true for the bench, the
-# driver, and any sequential notebook). Concurrent same-operator pipelines
-# that hold results across invocations should consume (materialize) each
-# result before the next call, as with any localCheckpoint-backed frame.
+# TWO generations are kept (round 12): releasing the immediately-previous
+# one broke the legitimate A/B pattern `a = op(...); b = op(...);
+# compare(a, b)` — the second call stripped the first result's blocks
+# before the caller evaluated it (loud CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
+# caught by tests/test_prefix_filter.py). With two generations that
+# pattern works and the long-session leak stays bounded at <= 2
+# generations per operator.
+#
+# Contract: safe whenever at most TWO results of the SAME operator are
+# held unconsumed at once (true for the bench, the driver, sequential
+# notebooks, and pairwise comparisons). Callers holding three or more
+# live results should consume (materialize) them before further calls,
+# as with any localCheckpoint-backed frame.
 
 _GENERATIONS: dict[str, list] = {}
 
 
 def rotate_generation(key: str, *frames) -> None:
-    """Release the frames registered under ``key`` by the previous
-    invocation and register ``frames`` as the current generation."""
-    for old in _GENERATIONS.get(key, ()):  # release the superseded blocks
-        release_local_checkpoint(old)
-    _GENERATIONS[key] = list(frames)
+    """Register ``frames`` as ``key``'s newest generation and release the
+    generation TWO invocations back (bounded leak, A/B-safe)."""
+    gens = _GENERATIONS.setdefault(key, [])
+    gens.append(list(frames))
+    while len(gens) > 2:
+        for old in gens.pop(0):
+            release_local_checkpoint(old)
 
 
 def release_all_persistent(spark) -> int:

@@ -91,25 +91,44 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
     ).localCheckpoint(eager=True)
-    # nodes is checkpointed NOW from the materialized e — ids only, so the
-    # blocks are small — because it is read again by the final label join
-    # AFTER the loop. Deriving it lazily from `raw` (the round-6 shape)
-    # re-ran the caller's ENTIRE edge-generation pipeline a second time at
-    # label time: dedup_clusters' prefix-filter Jaccard join was ~35% of
-    # the query at sf10 (measured round 7: 304s -> 160s from this line).
-    # The same materialized frame answers the broadcast-decision count.
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    bcast = nodes.count() <= broadcast_nodes_max
+    # ONE aggregate over the materialized edge list feeds both the
+    # broadcast decision (exact node count) and the first round's
+    # checkpoint sizing (edge count). Round 12 (guide §1.2 — don't compute
+    # things you throw away): the old shape ALSO built and eagerly
+    # checkpointed a distinct node table here just so the label join after
+    # the loop could read it — but the fixpoint star forest contains
+    # exactly the original node set (every non-root as a child `u`, every
+    # root as a `v`), so labels can be read straight off the final tiny
+    # forest and the full-size node distinct+checkpoint disappears.
+    head = e.select(F.explode(F.array("u", "v")).alias("n")).agg(
+        F.countDistinct("n").alias("nn"), F.count(F.lit(1)).alias("e2")
+    ).first()
+    n_nodes, n_edges = int(head["nn"]), int(head["e2"]) // 2
+    bcast = n_nodes <= broadcast_nodes_max
+
+    def _nparts(n_rows: int) -> int:
+        # tail rounds shrink the edge list by orders of magnitude; sizing
+        # each round's checkpoint to its INPUT row count (conservative
+        # upper bound on the output) keeps the per-round fixed cost from
+        # being paid across spark.sql.shuffle.partitions near-empty
+        # blocks/tasks (round 12 — same discipline as pagerank's node
+        # cache; measured: the post-contraction rounds at sf0.1 run over
+        # ~5k edges but paid 32-partition stages for every star op)
+        return max(1, min(
+            -(-n_rows // 250_000),
+            edges.sparkSession.sparkContext.defaultParallelism,
+        ))
+
     prev_stat = None
+    n_in = n_edges
     for _ in range(max_iter):
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # eager localCheckpoint: materialize AND truncate lineage each round
-        new_e = _small_star(_large_star(sym, bcast), bcast).localCheckpoint(eager=True)
+        new_e = (
+            _small_star(_large_star(sym, bcast), bcast)
+            .coalesce(_nparts(n_in))
+            .localCheckpoint(eager=True)
+        )
         # one tiny action on the materialized frame: count + order-free hash
         # (bit_xor, not sum: ANSI mode throws on int64 sum overflow, and the
         # edge list is distinct so xor has no self-cancellation pairs)
@@ -118,6 +137,7 @@ def connected_components(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         stat = (stat["n"], stat["h"])
+        n_in = int(stat[0])
         # ACTUALLY free the previous round's checkpoint blocks now that
         # new_e is materialized. Dataset.unpersist() (the round-6 shape)
         # is a silent no-op on localCheckpointed frames; blocks piled up
@@ -129,16 +149,20 @@ def connected_components(
             break
         prev_stat = stat
 
-    # fixpoint is a disjoint star forest: (child, root) edges. The final
-    # e and nodes MUST stay resident here — the caller has not evaluated
-    # labels yet — so the NEXT invocation releases them instead
-    # (ckpt.rotate_generation, round 12: bounded long-session leak).
+    # fixpoint is a disjoint star forest: (child, root) edges covering the
+    # original node set — children are the non-root nodes, roots the
+    # component minima. The final e MUST stay resident here (the caller
+    # has not evaluated labels yet), so the NEXT invocation releases it
+    # instead (ckpt.rotate_generation, round 12: bounded long-session
+    # leak).
     from corintick_spark.operators.ckpt import rotate_generation
 
-    rotate_generation("dup_clusters.connected_components", e, nodes)
-    labels = nodes.join(
-        e.select(F.col("u").alias("node"), F.col("v").alias("_root")), "node", "left"
-    ).select("node", F.coalesce(F.col("_root"), F.col("node")).alias("comp"))
+    rotate_generation("dup_clusters.connected_components", e)
+    labels = e.select(
+        F.col("u").alias("node"), F.col("v").alias("comp")
+    ).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    )
     return labels
 
 
