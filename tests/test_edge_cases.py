@@ -20,7 +20,7 @@ import pytest
 
 from corintick_spark.registry import load_all
 from tests.oracle import compare, duck_connection, run_duck
-from tests.test_oracle_queries import core_first
+from tests.test_oracle_queries import edge_core_first
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EDGE_DIR = os.path.join(REPO, "testdata", "edge")
@@ -47,7 +47,7 @@ def edge_duck(edge_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", core_first(ORACLE))
+@pytest.mark.parametrize("name", edge_core_first(ORACLE))
 def test_edge_oracle_match(name, spark, edge_duck, edge_dir):
     q = QUERIES[name]
     got = q.spark(spark, edge_dir).toPandas()
@@ -56,7 +56,7 @@ def test_edge_oracle_match(name, spark, edge_duck, edge_dir):
     assert not problems, f"{name} (edge): " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", core_first(ROWS_ONLY))
+@pytest.mark.parametrize("name", edge_core_first(ROWS_ONLY))
 def test_edge_rows_only_runs(name, spark, edge_dir):
     n1 = QUERIES[name].spark(spark, edge_dir).count()
     n2 = QUERIES[name].spark(spark, edge_dir).count()
